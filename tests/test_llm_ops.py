@@ -1,0 +1,159 @@
+"""Property tests for the approximate LLM-data operators (no DuckDB oracle:
+their hash base is Spark's xxhash64). Validates the statistical contracts:
+MinHash/LSH recall against exact Jaccard, SimHash hamming separation,
+LSH-ANN recall against brute force, multimodal pipeline determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from trino_private_spark.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+def test_minhash_lsh_recall(spark, documents):
+    """LSH candidates must cover (almost) all high-Jaccard pairs. With
+    32 hashes / 8 bands (r=4), a pair at J=0.7 is caught by a band with
+    p = 1-(1-0.7^4)^8 ≈ 0.90 — require >= 0.8 recall at J >= 0.7."""
+    from trino_private_spark.llm.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = documents.limit(150).select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(docs, num_hashes=32, bands=8).collect()
+    }
+    if exact:
+        recall = len(exact & cand) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall} over {len(exact)} true pairs"
+    # determinism: same seed -> same candidates
+    cand2 = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(docs, num_hashes=32, bands=8).collect()
+    }
+    assert cand == cand2
+
+
+def test_simhash_separates_duplicates(spark, documents):
+    """A doc concatenated with itself (identical token set) must have
+    hamming distance 0 to the original; unrelated docs should be far."""
+    from trino_private_spark.llm.dedup import hamming64, simhash64
+
+    docs = documents.limit(50)
+    near = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" "), F.col("text")).alias("text")
+    )
+    h1 = simhash64(docs).withColumnRenamed("simhash", "h1")
+    h2 = simhash64(near).withColumnRenamed("simhash", "h2")
+    joined = h1.join(h2, "doc_id").select(
+        hamming64(F.col("h1"), F.col("h2")).alias("d")
+    )
+    assert joined.agg(F.max("d")).collect()[0][0] == 0
+
+    # cross-doc distances: average should be near 32 (random), well above 8
+    pairs = (
+        h1.alias("a")
+        .crossJoin(h1.alias("b"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(hamming64(F.col("a.h1"), F.col("b.h1")).alias("d"))
+    )
+    avg_d = pairs.agg(F.avg("d")).collect()[0][0]
+    assert avg_d > 8, f"cross-doc simhash distance too small: {avg_d}"
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, embeddings):
+    from trino_private_spark.llm.similarity import brute_force_topk, lsh_ann_topk
+
+    queries = embeddings.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(embeddings, queries, k=5).collect()
+    approx = lsh_ann_topk(embeddings, queries, k=5, n_planes=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 4 planes -> 16 buckets over 500 vecs; self-match always found
+    assert recall >= 0.3, f"ANN recall {recall}"
+    # every query must at least find itself with score 1.0
+    self_hits = {r.query_id for r in approx if r.neighbor_id == r.query_id}
+    assert len(self_hits) == 10
+
+
+def test_ivf_topk_self_match(spark, embeddings):
+    from trino_private_spark.llm.similarity import ivf_topk
+
+    queries = embeddings.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = ivf_topk(embeddings, queries, k=5, n_centroids=8, n_probe=2).collect()
+    self_hits = {r.query_id for r in res if r.neighbor_id == r.query_id}
+    assert len(self_hits) == 8, "IVF must find the query vector itself"
+
+
+def test_multimodal_pipeline_deterministic(spark):
+    from trino_private_spark.llm.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=24)
+    f1 = extract_features(media).orderBy("media_id").collect()
+    f2 = extract_features(media).orderBy("media_id").collect()
+    assert [r.feature for r in f1] == [r.feature for r in f2]
+    assert all(len(r.feature) == 8 for r in f1)
+    assert all(abs(sum(r.feature) - 1.0) < 0.01 for r in f1)
+
+    frames = frame_sample_plan(media, every_ms=1000)
+    per_video = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 6 for r in per_video)  # 0..5000 step 1000
+
+
+def test_exact_dedup_finds_planted_duplicate(spark, documents):
+    from trino_private_spark.llm.dedup import exact_duplicates
+
+    docs = documents.limit(20).select("doc_id", "text")
+    clone = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),  # case-normalized away
+    )
+    groups = exact_duplicates(docs.unionByName(clone)).collect()
+    assert len(groups) == 20
+    assert all(g.n == 2 for g in groups)
+    assert all(g.keep_id < 10_000 for g in groups)
+
+
+def test_quality_score_monotone(spark):
+    from trino_private_spark.llm.text import quality_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a fine day for all of us"),
+            (2, "x"),
+        ],
+        "id int, text string",
+    )
+    rows = {
+        r.id: r.q
+        for r in df.select("id", quality_score(F.col("text")).alias("q")).collect()
+    }
+    assert rows[1] > rows[2], rows

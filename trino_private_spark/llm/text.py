@@ -1,0 +1,132 @@
+"""Text analysis for training-data pipelines: tokenization, quality scoring,
+language ID, fingerprinting.
+
+Everything here is built from JVM-side expressions (split/regexp/HOFs) —
+no Python UDFs — so a pass over 100 TB of documents is a single scan with
+whole-stage codegen and zero shuffles (all per-row transforms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer + a BPE-ish regex tokenizer (words / digits / punct).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "los", "por"],
+    "de": ["der", "die", "das", "und", "zu", "den", "von", "mit", "ist", "im"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens."""
+    return F.split(text, r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under a BPE-ish regex (letters / digit runs / punct marks):
+    a cheap, deterministic stand-in for a real subword tokenizer."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0))).cast(
+        "bigint"
+    )
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("bigint")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    puncts = F.length(F.regexp_replace(text, r"[^.,!?;:'\"()\[\]-]", ""))
+    return F.round(puncts / F.greatest(F.length(text), F.lit(1)), 6)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+    return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic quality score in [0,1]: rewards mid-length docs,
+    healthy stopword density, low punctuation noise. Deterministic and
+    monotone in its inputs — thresholding it is a stable quality filter."""
+    n_tok = token_count(text)
+    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 4, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    return F.round((length_term + stop_term + punct_term) / 3, 6)
+
+
+def _isin_pred(values: list[str]):
+    # NB: must return a single-parameter lambda — pyspark counts lambda
+    # params (including defaults) to pick the 1/2/3-arg HOF form.
+    return lambda t: t.isin(*values)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(F.lower(text))
+    return {
+        lang: F.size(F.filter(toks, _isin_pred(sw)))
+        for lang, sw in STOPWORDS.items()
+    }
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-vote language ID with deterministic alphabetical tie-break:
+    the winner is the lexicographically-first language among max scorers."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
+          for lang in sorted(scores)]
+    )
+    return F.array_sort(pairs)[0]["lang"]
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text.
+    Equal fingerprints == exact duplicates modulo whitespace/case."""
+    return F.md5(
+        F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")).cast("binary")
+    )
+
+
+def shingle_fingerprint(text: Column) -> Column:
+    """Bag-of-words fingerprint: md5 over the sorted distinct token set —
+    invariant to token order, catches shuffled near-duplicates."""
+    toks = F.array_sort(F.array_distinct(tokens(F.lower(text))))
+    return F.md5(F.array_join(toks, " ").cast("binary"))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass profile of a document table (scan-only; scales linearly)."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_bpe_tokens": bpe_token_count(t),
+            "n_chars_calc": char_count(t),
+            "punct_ratio": punct_ratio(t),
+            "stopword_ratio": stopword_ratio(t),
+            "avg_token_len": avg_token_len(t),
+            "quality": quality_score(t),
+            "lang_guess": language_id(t),
+            "fingerprint": fingerprint(t),
+        }
+    )

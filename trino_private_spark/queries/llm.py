@@ -1,0 +1,301 @@
+"""LLM-data-pipeline probes over documents/embeddings (SURVEY.md §7 step 8).
+
+Deterministic, SQL-expressible ops carry a DuckDB oracle; hash-seeded
+approximate ops (MinHash/SimHash — their xxhash64 base has no DuckDB twin)
+are registered without an oracle (driver does a rows-only check) and get
+recall/error property tests in tests/test_llm_ops.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trino_private_spark.queries import T, probe
+
+
+@probe(
+    "p_text_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tok,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe,
+           length(text) AS n_char,
+           ROUND(len(list_filter(string_split(lower(text), ' '),
+                 x -> x IN ('the','a','of','and','to','in','is','it','for','on')))
+                 / GREATEST(len(string_split(text, ' ')), 1), 6) AS stop_ratio,
+           ROUND((length(text) - length(replace(text, ' ', '')) )
+                 / GREATEST(length(text), 1), 6) AS space_ratio
+    FROM documents ORDER BY doc_id LIMIT 300
+    """,
+    tags=("llm",),
+)
+def p_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), stopword ratio, char
+    stats — the quality-scoring building blocks (llm/text.py). All JVM-side
+    expressions; one scan, zero shuffles at any scale."""
+    from trino_private_spark.llm import text as tx
+
+    t = T(spark, sf_dir)
+    c = F.col("text")
+    toks = F.split(c, " ")
+    stop_hits = F.size(
+        F.filter(
+            F.split(F.lower(c), " "),
+            lambda x: x.isin(*tx.STOPWORDS["en"]),
+        )
+    )
+    return (
+        t.documents.select(
+            "doc_id",
+            F.size(toks).alias("n_tok"),
+            F.size(
+                F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0))
+            ).alias("n_bpe"),
+            F.length(c).alias("n_char"),
+            F.round(stop_hits / F.greatest(F.size(toks), F.lit(1)), 6).alias(
+                "stop_ratio"
+            ),
+            F.round(
+                (F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit(""))))
+                / F.greatest(F.length(c), F.lit(1)),
+                6,
+            ).alias("space_ratio"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+@probe(
+    "p_dedup_exact",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+      FROM documents)
+    SELECT COUNT(*) AS n_groups,
+           COALESCE(SUM(n - 1), 0) AS n_dups
+    FROM (SELECT h, COUNT(*) AS n FROM fp GROUP BY h HAVING COUNT(*) > 1)
+    """,
+    tags=("llm",),
+)
+def p_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary: duplicate groups + removable rows, via the
+    normalized-content fingerprint (llm/dedup.exact_duplicates).
+    One shuffle on a 16-byte key — the at-scale exact-dedup plan."""
+    from trino_private_spark.llm.dedup import exact_duplicates
+
+    t = T(spark, sf_dir)
+    groups = exact_duplicates(t.documents)
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("bigint").alias("n_dups"),
+    )
+
+
+@probe(
+    "p_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents WHERE doc_id < 60),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM toks, UNNEST(range(1, GREATEST(len(t) - 1, 1))) AS r(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+    FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) >= 0.1
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm",),
+)
+def p_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via the shingle inverted index
+    (llm/dedup.ngram_jaccard_pairs). Shuffles (shingle, doc) pairs — the
+    verification-grade comparator fed by LSH candidates at scale."""
+    from trino_private_spark.llm.dedup import ngram_jaccard_pairs
+
+    t = T(spark, sf_dir)
+    docs = t.documents.where(F.col("doc_id") < 60).select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    return ngram_jaccard_pairs(docs, threshold=0.1).orderBy("doc_a", "doc_b")
+
+
+@probe("p_minhash_lsh", oracle=None, tags=("llm",))
+def p_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (llm/dedup.minhash_lsh_candidates).
+    No DuckDB oracle: the signature depends on Spark's xxhash64, which has
+    no DuckDB equivalent — correctness is property-tested against exact
+    Jaccard (recall at threshold) in tests/test_llm_ops.py."""
+    from trino_private_spark.llm.dedup import minhash_lsh_candidates
+
+    t = T(spark, sf_dir)
+    docs = t.documents.where(F.col("doc_id") < 200)
+    return minhash_lsh_candidates(docs, num_hashes=32, bands=8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@probe("p_simhash", oracle=None, tags=("llm",))
+def p_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (llm/dedup.simhash64); xxhash64-based, so
+    property-tested (hamming distance separates near-dups from random
+    pairs) rather than oracle-diffed."""
+    from trino_private_spark.llm.dedup import simhash64
+
+    t = T(spark, sf_dir)
+    return simhash64(t.documents.where(F.col("doc_id") < 100)).orderBy("doc_id")
+
+
+@probe(
+    "p_embedding_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS score
+      FROM q CROSS JOIN embeddings e),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, score, rank FROM ranked
+    WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+    tags=("llm",),
+)
+def p_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 (llm/similarity.brute_force_topk): broadcast
+    query set, corpus scanned in place, per-query heap via WindowGroupLimit.
+    Scores rounded to 6 decimals before ranking on both engines so FP noise
+    cannot flip the rank order."""
+    from trino_private_spark.llm.similarity import brute_force_topk
+
+    t = T(spark, sf_dir)
+    emb = t.embeddings
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+@probe("p_lsh_ann", oracle=None, tags=("llm",))
+def p_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN (llm/similarity.lsh_ann_topk) — the scale
+    path for similarity search. Recall vs brute force is property-tested."""
+    from trino_private_spark.llm.similarity import lsh_ann_topk
+
+    t = T(spark, sf_dir)
+    emb = t.embeddings
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk(emb, queries, k=10, n_planes=6).orderBy("query_id", "rank")
+
+
+@probe(
+    "p_langid",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> x IN ('der','die','das','und','zu','den','von','mit','ist','im'))) AS de_s,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS en_s,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> x IN ('el','la','de','y','que','en','un','una','los','por'))) AS es_s,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> x IN ('le','la','de','et','les','des','un','une','du','est'))) AS fr_s
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN de_s >= en_s AND de_s >= es_s AND de_s >= fr_s THEN 'de'
+                WHEN en_s >= es_s AND en_s >= fr_s THEN 'en'
+                WHEN es_s >= fr_s THEN 'es'
+                ELSE 'fr' END AS lang_guess
+    FROM s ORDER BY doc_id LIMIT 300
+    """,
+    tags=("llm",),
+)
+def p_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (llm/text.language_id) with alphabetical
+    tie-break — mirrored exactly by the CASE cascade in the oracle."""
+    from trino_private_spark.llm.text import language_id
+
+    t = T(spark, sf_dir)
+    return (
+        t.documents.select("doc_id", language_id(F.col("text")).alias("lang_guess"))
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+@probe(
+    "p_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS bag_fp
+    FROM documents ORDER BY doc_id LIMIT 300
+    """,
+    tags=("llm",),
+)
+def p_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: normalized-content md5 + bag-of-words md5
+    (llm/text.fingerprint / shingle_fingerprint)."""
+    from trino_private_spark.llm.text import fingerprint, shingle_fingerprint
+
+    t = T(spark, sf_dir)
+    return (
+        t.documents.select(
+            "doc_id",
+            fingerprint(F.col("text")).alias("fp"),
+            shingle_fingerprint(F.col("text")).alias("bag_fp"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+@probe(
+    "p_quality_filter",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE len(string_split(text, ' ')) >= 40) AS n_long,
+           COUNT(*) FILTER (WHERE n_chars >= 300) AS n_big_meta
+    FROM documents
+    """,
+    tags=("llm",),
+)
+def p_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality thresholding counts (the filter step of a data pipeline);
+    the composite score itself is covered by unit tests (monotonicity)."""
+    t = T(spark, sf_dir)
+    return t.documents.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.size(F.split(F.col("text"), " ")) >= 40).alias("n_long"),
+        F.count_if(F.col("n_chars") >= 300).alias("n_big_meta"),
+    )
+
+
+@probe("p_multimodal_features", oracle=None, tags=("llm",))
+def p_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic binary media -> Arrow-batched feature
+    extraction via mapInPandas (llm/multimodal.extract_features; decode
+    kernel stubbed, pipeline real). Rows-only driver check; determinism is
+    unit-tested."""
+    from trino_private_spark.llm.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=48)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+    ).orderBy("media_id")

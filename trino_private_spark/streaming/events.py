@@ -1,0 +1,115 @@
+"""Streaming operators over the events table (event_id, ts, user_id,
+event_type, value, props).
+
+Design: every transformation is defined once against a DataFrame and works
+identically on a batch frame or a streaming frame — tests verify the
+streaming results (availableNow trigger -> memory sink) equal the batch
+results of the same transform, which is Structured Streaming's contract.
+
+Scale notes: watermarks bound state (late rows beyond the horizon are
+dropped, state for closed windows is evicted); session windows use Spark's
+native session_window (state per active session only). State store traffic
+is the scaling limit — keys are (window, group), both bounded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema must be explicit
+    for streaming reads; pathGlobFilter isolates the one table file)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window event counts per type with a late-data watermark."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_value_avg(
+    events: DataFrame,
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Sliding-window average value per event type."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "avg_value")
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: contiguous activity with < gap silence.
+    Uses Spark's native session_window (state kept only for open sessions —
+    the applyInPandasWithState fallback is only needed for custom session
+    logic like value-dependent gaps)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, stream_df: DataFrame, name: str, timeout_s: int = 120
+) -> DataFrame:
+    """Drain a (bounded) stream into an in-memory table with the availableNow
+    trigger; returns the result as a batch DataFrame. Test harness helper —
+    production sinks are kafka/parquet writeStream with checkpointing."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join("/tmp", f"tps_ckpt_{name}_{os.getpid()}"),
+        )
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(name)
