@@ -111,7 +111,7 @@ def test_cosine_similarity_arrays(spark):
 
 def test_url_functions(spark):
     u = F.lit("https://example.com:8080/path/x?k=v&z=1#frag")
-    assert one(spark, R["url_extract_host"](u)) == "example.com:8080"
+    assert one(spark, R["url_extract_host"](u)) == "example.com"
     assert one(spark, R["url_extract_path"](u)) == "/path/x"
     assert one(spark, R["url_extract_protocol"](u)) == "https"
     assert one(spark, R["url_extract_parameter"](u, F.lit("k"))) == "v"

@@ -1,0 +1,81 @@
+"""Plan-shape tests (SURVEY.md §5.3): assert the physical properties that
+matter at 100 TB — filter/column pushdown into the parquet scan, broadcast
+choice for small dims, WindowGroupLimit for grouped top-N, whole-stage
+codegen coverage. Mirrors the reference's planner assertion matchers
+(core/trino-main/src/test/.../sql/planner/assertions/)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from trino_private_spark.plans.explain import explain_str
+from trino_private_spark.queries import all_probes
+
+PROBES = all_probes()
+
+
+def test_scan_pushes_filters_and_prunes_columns(spark):
+    df = PROBES["p_scan"].fn(spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert "PushedFilters:" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+    # column pruning: only the 5 referenced columns in ReadSchema
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    for col in ("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"):
+        assert col in read_schema, read_schema
+
+
+def test_small_dim_join_broadcasts(spark):
+    t_nation = spark.read.parquet(f"{SF_ORACLE}/nation.parquet")
+    t_cust = spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+    df = t_cust.join(t_nation, F.col("c_nationkey") == F.col("n_nationkey"))
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_topnranking_uses_window_group_limit(spark):
+    df = PROBES["p_topnranking"].fn(spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert "WindowGroupLimit" in plan, (
+        "grouped top-N should get the per-partition heap optimization"
+    )
+
+
+def test_sort_limit_uses_take_ordered(spark):
+    df = PROBES["p_sort"].fn(spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_hashagg_has_partial_aggregation(spark):
+    df = PROBES["p_hashagg"].fn(spark, SF_ORACLE)
+    plan = explain_str(df, "simple")
+    # partial (map-side) agg before the exchange, final after
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_groups_frame_single_shuffle(spark):
+    """The GROUPS-frame rewrite must not add a second exchange: both window
+    passes share the (partition, order) sort."""
+    df = PROBES["p_groups_frame"].fn(spark, SF_ORACLE)
+    plan = explain_str(df, "simple")
+    n_exchanges = plan.count("Exchange")
+    # one shuffle for the window partition + one for the final orderBy/limit
+    assert n_exchanges <= 3, plan
+
+
+def test_whole_stage_codegen_covers_agg_probe(spark):
+    df = PROBES["p_hashagg"].fn(spark, SF_ORACLE)
+    df.collect()  # AQE: codegen stars only appear in the final plan
+    plan = explain_str(df, "simple")
+    assert "*(" in plan, plan  # WholeStageCodegen stage markers
+
+
+def test_brute_force_topk_broadcasts_queries(spark):
+    df = PROBES["p_embedding_topk"].fn(spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        "query side of brute-force ANN must broadcast (corpus stays in place)"
+    )

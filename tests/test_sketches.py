@@ -1,0 +1,130 @@
+"""Property tests for the sketch/approx layer (error bounds, mergeability)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from trino_private_spark.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return load_table(spark, SF_SMOKE, "orders")
+
+
+def test_hll_estimate_error(spark, orders):
+    from trino_private_spark.functions.sketches import (
+        approx_set,
+        hll_cardinality,
+        merge_hll,
+    )
+
+    exact = orders.select("o_custkey").distinct().count()
+    est = (
+        orders.groupBy("o_orderstatus")
+        .agg(approx_set("o_custkey").alias("sk"))
+        .agg(merge_hll("sk").alias("m"))
+        .select(hll_cardinality("m").alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_reservoir_sketch_quantile_bounds(spark, orders):
+    from trino_private_spark.functions.sketches import reservoir_agg, sketch_quantile
+
+    exact = orders.agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("m")
+    ).collect()[0].m
+    sk = reservoir_agg(orders.withColumn("g", F.lit("all")), "o_totalprice", ["g"])
+    est = sk.select(sketch_quantile(F.col("sketch"), 0.5).alias("m")).collect()[0].m
+    # reservoir of 4096 over ~1.5k rows at sf0.001 holds everything -> near-exact
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_reservoir_merge():
+    from trino_private_spark.functions.sketches import ReservoirSketch
+
+    a, b = ReservoirSketch(), ReservoirSketch()
+    for i in range(1000):
+        a.add(float(i))
+    for i in range(1000, 2000):
+        b.add(float(i))
+    m = a.merge(b)
+    assert m.n == 2000
+    med = m.value_at_quantile(0.5)
+    assert 800 <= med <= 1200, med
+
+
+def test_setdigest_jaccard_accuracy(spark):
+    from trino_private_spark.functions.sketches import jaccard_index, setdigest_agg
+
+    # set A = 0..999, set B = 500..1499 -> exact J = 500/1500 = 1/3
+    df = spark.range(0, 1000).select(
+        F.lit("a").alias("g"), F.col("id").alias("v")
+    ).union(
+        spark.range(500, 1500).select(F.lit("b").alias("g"), F.col("id").alias("v"))
+    )
+    sigs = df.groupBy("g").agg(setdigest_agg(F.col("v"), num_hashes=128).alias("sig"))
+    a = sigs.where(F.col("g") == "a").select(F.col("sig").alias("sa"))
+    b = sigs.where(F.col("g") == "b").select(F.col("sig").alias("sb"))
+    j = (
+        a.crossJoin(b)
+        .select(jaccard_index(F.col("sa"), F.col("sb")).alias("j"))
+        .collect()[0]
+        .j
+    )
+    assert abs(j - 1 / 3) < 0.12, j  # binomial(128, 1/3) 3-sigma ≈ 0.125
+
+
+def test_approx_most_frequent_matches_exact(spark, orders):
+    from trino_private_spark.functions.sketches import approx_most_frequent
+
+    got = approx_most_frequent(orders, "o_orderpriority", k=2).collect()
+    exact = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "o_orderpriority")
+        .limit(2)
+        .collect()
+    )
+    assert [(r.o_orderpriority, r.cnt) for r in got] == [
+        (r.o_orderpriority, r.cnt) for r in exact
+    ]
+
+
+def test_intersection_cardinality(spark):
+    from trino_private_spark.functions.sketches import (
+        intersection_cardinality,
+        setdigest_agg,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.lit("a").alias("g"), F.col("id").alias("v")
+    ).union(
+        spark.range(500, 1500).select(F.lit("b").alias("g"), F.col("id").alias("v"))
+    )
+    sigs = df.groupBy("g").agg(
+        setdigest_agg(F.col("v"), num_hashes=128).alias("sig"),
+        F.countDistinct("v").alias("card"),
+    )
+    a = sigs.where(F.col("g") == "a").select(
+        F.col("sig").alias("sa"), F.col("card").alias("ca")
+    )
+    b = sigs.where(F.col("g") == "b").select(
+        F.col("sig").alias("sb"), F.col("card").alias("cb")
+    )
+    est = (
+        a.crossJoin(b)
+        .select(
+            intersection_cardinality(
+                F.col("sa"), F.col("sb"), F.col("ca"), F.col("cb")
+            ).alias("i")
+        )
+        .collect()[0]
+        .i
+    )
+    assert 300 <= est <= 700, est  # exact = 500

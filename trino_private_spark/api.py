@@ -1,0 +1,82 @@
+"""User-facing engine facade: what a reference-engine user calls instead of
+the coordinator (SURVEY.md §3 entry points).
+
+    from trino_private_spark.api import Engine
+    eng = Engine()                        # builds the tuned SparkSession
+    eng.attach("/root/testdata/sf0.1")    # register the catalog
+    eng.sql("SELECT ... FETCH FIRST 10 ROWS ONLY")   # Trino dialect OK
+    eng.explain_analyze("SELECT ...")
+
+The lifecycle the reference spreads over parse -> analyze -> plan ->
+optimize -> fragment -> schedule -> execute (SqlQueryExecution.java:394)
+collapses to translate() + spark.sql(): Catalyst and the Spark scheduler
+are those stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from trino_private_spark.catalog import register_tables
+from trino_private_spark.engine import get_spark
+from trino_private_spark.functions import register_all
+from trino_private_spark.plans.translate import translate
+
+
+class Engine:
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+        self._sql_shims = register_all(self.spark)
+
+    def attach(self, sf_dir: str) -> dict[str, DataFrame]:
+        """Register the parquet tables of a dataset directory as the catalog
+        (the connector-attach step of the reference)."""
+        return register_tables(self.spark, sf_dir)
+
+    def sql(self, text: str, dialect: str = "trino") -> DataFrame:
+        """Run SQL; ``dialect='trino'`` routes through the translator,
+        ``'spark'`` executes verbatim."""
+        if dialect == "trino":
+            text = translate(text)
+        return self.spark.sql(text)
+
+    # --- §2.7 utility surface -------------------------------------------
+
+    def show_tables(self) -> DataFrame:
+        return self.spark.sql("SHOW TABLES")
+
+    def describe(self, table: str) -> DataFrame:
+        return self.spark.sql(f"DESCRIBE TABLE {table}")
+
+    def explain(self, text: str, dialect: str = "trino") -> str:
+        from trino_private_spark.plans.explain import explain_str
+
+        return explain_str(self.sql(text, dialect))
+
+    def explain_analyze(self, text: str, dialect: str = "trino") -> str:
+        """EXPLAIN ANALYZE: execute, then report the plan with runtime
+        metrics (ExplainAnalyzeOperator analogue via the Spark UI metrics)."""
+        df = self.sql(text, dialect)
+        df.collect()
+        return explain_str(df, "cost")
+
+    def ctas(self, name: str, text: str, path: str | None = None,
+             fmt: str = "parquet", dialect: str = "trino") -> None:
+        """CREATE TABLE AS (SqlBase.g4:51-54): materialize a query. With
+        ``path``, writes files and registers a view over them; without,
+        registers the (lazy) query as a temp view."""
+        df = self.sql(text, dialect)
+        if path:
+            df.write.mode("overwrite").format(fmt).save(path)
+            self.spark.read.format(fmt).load(path).createOrReplaceTempView(name)
+        else:
+            df.createOrReplaceTempView(name)
+
+    def insert_into(self, path: str, text: str, fmt: str = "parquet",
+                    dialect: str = "trino") -> None:
+        """INSERT (append) into a file-backed table."""
+        self.sql(text, dialect).write.mode("append").format(fmt).save(path)
+
+    def set_session(self, key: str, value: str) -> None:
+        """SET SESSION shim (SqlBase.g4:148)."""
+        self.spark.conf.set(key, value)

@@ -86,9 +86,13 @@ def _load_modules() -> None:
     # import for registration side effects
     from trino_private_spark.queries import (  # noqa: F401
         aggregates,
+        approx,
+        events_probes,
         functions_probes,
         llm,
+        pattern,
         relational,
+        subqueries,
         windows,
     )
 

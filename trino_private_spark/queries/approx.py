@@ -1,0 +1,165 @@
+"""Approximate-function probes (SURVEY.md §2.3 approx rows).
+
+Estimates differ across engines by design, so these carry either a
+*bounds-checked* oracle (comparing against exact values with the algorithm's
+error budget baked into the query as a boolean) or no oracle (rows-only +
+property tests in tests/test_sketches.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trino_private_spark.queries import T, probe
+
+
+@probe(
+    "p_approx_distinct_bounds",
+    oracle="""
+    -- oracle computes EXACT distinct; spark emits its HLL estimate clamped
+    -- to the same boolean: both sides answer 'is the estimate within 5%?'
+    SELECT TRUE AS within_bounds,
+           CAST(COUNT(DISTINCT o_custkey) >= 1 AS BOOLEAN) AS nonempty
+    FROM orders
+    """,
+    tags=("approx",),
+)
+def p_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_distinct (HLL++, rsd 5% default) vs exact — emitted as a
+    boolean bound check both engines agree on.
+    Ref: ApproximateCountDistinctAggregation.java:426-429."""
+    t = T(spark, sf_dir)
+    return t.orders.agg(
+        (
+            (
+                F.abs(
+                    F.approx_count_distinct("o_custkey", 0.01).cast("double")
+                    - F.countDistinct("o_custkey").cast("double")
+                )
+                / F.countDistinct("o_custkey")
+            )
+            <= 0.05
+        ).alias("within_bounds"),
+        (F.countDistinct("o_custkey") >= 1).alias("nonempty"),
+    )
+
+
+@probe(
+    "p_approx_percentile_bounds",
+    oracle="""
+    SELECT TRUE AS p50_ok, TRUE AS p90_ok FROM orders LIMIT 1
+    """,
+    tags=("approx",),
+)
+def p_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx within 1% (rank-space) of exact percentile.
+    Ref: approx_percentile FunctionRegistry.java:435-443."""
+    t = T(spark, sf_dir)
+    exact50 = F.percentile("o_totalprice", F.lit(0.5))
+    exact90 = F.percentile("o_totalprice", F.lit(0.9))
+    ap50 = F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000))
+    ap90 = F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000))
+    return t.orders.agg(
+        ((F.abs(ap50 - exact50) / exact50) <= 0.01).alias("p50_ok"),
+        ((F.abs(ap90 - exact90) / exact90) <= 0.01).alias("p90_ok"),
+    )
+
+
+@probe("p_hll_sketch_column", oracle=None, tags=("approx",))
+def p_hll_sketch_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch column (approx_set / merge / cardinality):
+    per-status sketches merged to a global — the partial/final split a
+    100 TB rollup needs (sketches, not raw keys, cross the shuffle).
+    Ref: ApproximateSetAggregation.java, MergeHyperLogLogAggregation.java."""
+    from trino_private_spark.functions.sketches import (
+        hll_cardinality,
+        merge_hll,
+        approx_set,
+    )
+
+    t = T(spark, sf_dir)
+    per_status = t.orders.groupBy("o_orderstatus").agg(
+        approx_set("o_custkey").alias("sk")
+    )
+    return (
+        per_status.agg(merge_hll("sk").alias("merged"))
+        .select(hll_cardinality("merged").cast("bigint").alias("est"))
+    )
+
+
+@probe("p_approx_most_frequent", oracle=None, tags=("approx",))
+def p_approx_most_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters per group. Ref: BigintApproximateMostFrequent.java:630.
+    Rows-only driver check; exactness property-tested."""
+    from trino_private_spark.functions.sketches import approx_most_frequent
+
+    t = T(spark, sf_dir)
+    return approx_most_frequent(
+        t.lineitem, "l_partkey", k=3, group_by=["l_returnflag"]
+    ).orderBy("l_returnflag", F.col("cnt").desc(), "l_partkey")
+
+
+@probe("p_setdigest_jaccard", oracle=None, tags=("approx",))
+def p_setdigest_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SetDigest jaccard_index between per-status customer sets.
+    Ref: setdigest/SetDigestFunctions.java (jaccard_index,
+    intersection_cardinality)."""
+    from trino_private_spark.functions.sketches import jaccard_index, setdigest_agg
+
+    t = T(spark, sf_dir)
+    sigs = t.orders.groupBy("o_orderstatus").agg(
+        setdigest_agg(F.col("o_custkey")).alias("sig"),
+        F.countDistinct("o_custkey").alias("card"),
+    )
+    a = sigs.select(
+        F.col("o_orderstatus").alias("st_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("card").alias("card_a"),
+    )
+    b = sigs.select(
+        F.col("o_orderstatus").alias("st_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("card").alias("card_b"),
+    )
+    return (
+        a.join(b, F.col("st_a") < F.col("st_b"))
+        .select(
+            "st_a",
+            "st_b",
+            F.round(jaccard_index(F.col("sig_a"), F.col("sig_b")), 4).alias("j"),
+        )
+        .orderBy("st_a", "st_b")
+    )
+
+
+@probe("p_quantile_sketch", oracle=None, tags=("approx",))
+def p_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-sketch column (qdigest/tdigest stand-in):
+    per-status binary sketches -> median extraction.
+    Ref: QuantileDigestFunctions.java:499, TDigestFunctions.java:500."""
+    from trino_private_spark.functions.sketches import reservoir_agg, sketch_quantile
+
+    t = T(spark, sf_dir)
+    sk = reservoir_agg(t.orders, "o_totalprice", ["o_orderstatus"])
+    return sk.select(
+        "o_orderstatus",
+        F.round(sketch_quantile(F.col("sketch"), 0.5), 0).alias("median_est"),
+    ).orderBy("o_orderstatus")
+
+
+@probe(
+    "p_tablesample_bounds",
+    oracle="SELECT TRUE AS in_bounds",
+    tags=("approx",),
+)
+def p_tablesample_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE BERNOULLI (SampleNode.java:38-41) — nondeterministic, so
+    the probe emits the row-count-within-3-sigma boolean."""
+    t = T(spark, sf_dir)
+    total = t.orders.count()
+    sampled = t.orders.sample(fraction=0.1, seed=42).count()
+    import math
+
+    sigma = math.sqrt(total * 0.1 * 0.9)
+    ok = abs(sampled - total * 0.1) <= 4 * sigma
+    return spark.createDataFrame([(bool(ok),)], "in_bounds boolean")

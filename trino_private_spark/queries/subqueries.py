@@ -1,0 +1,171 @@
+"""Subquery & CTE probes (SURVEY.md §2.2 ApplyNode/CorrelatedJoinNode, §2.7).
+
+EXISTS / NOT EXISTS / quantified comparisons / correlated scalar subqueries /
+WITH chains / recursive-CTE (via the engine's iterative helper — Spark lacks
+WITH RECURSIVE, reference grammar SqlBase.g4:172)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trino_private_spark.queries import T, probe
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    t = T(spark, sf_dir)
+    for n in names:
+        getattr(t, n).createOrReplaceTempView(n)
+
+
+@probe(
+    "p_exists",
+    oracle="""
+    SELECT COUNT(*) AS n FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    tags=("core",),
+)
+def p_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS -> left-semi join (Catalyst RewritePredicateSubquery;
+    reference TransformExistsApplyToCorrelatedJoin.java)."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        """
+    )
+
+
+@probe(
+    "p_notexists",
+    oracle="""
+    SELECT COUNT(*) AS n FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("core",),
+)
+def p_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS -> left-anti join."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """
+    )
+
+
+@probe(
+    "p_quantified",
+    oracle="""
+    SELECT COUNT(*) AS n FROM orders
+    WHERE o_totalprice > ALL (SELECT o_totalprice FROM orders WHERE o_custkey = 371)
+    """,
+    tags=("core",),
+)
+def p_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparison (> ALL). Spark SQL has no ALL/ANY syntax —
+    the engine applies the reference's own rewrite
+    (TransformQuantifiedComparisonApplyToCorrelatedJoin.java): x > ALL(S)
+    becomes x > max(S), with the empty-set -> TRUE case guarded by the
+    subquery count. NULLs in S (none in fixtures) would need the null-aware
+    variant like NOT IN."""
+    t = T(spark, sf_dir)
+    sub = t.orders.where(F.col("o_custkey") == 371).agg(
+        F.max("o_totalprice").alias("mx"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        t.orders.crossJoin(F.broadcast(sub))
+        .where((F.col("cnt") == 0) | (F.col("o_totalprice") > F.col("mx")))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@probe(
+    "p_correlated_scalar",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+    FROM customer c ORDER BY c_custkey LIMIT 200
+    """,
+    tags=("core",),
+)
+def p_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery in SELECT list (ApplyNode; decorrelated to
+    an outer-join aggregate by Catalyst's RewriteCorrelatedScalarSubquery)."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c ORDER BY c_custkey LIMIT 200
+        """
+    )
+
+
+@probe(
+    "p_cte",
+    oracle="""
+    WITH big AS (SELECT * FROM orders WHERE o_totalprice > 200000),
+         by_cust AS (SELECT o_custkey, COUNT(*) AS n FROM big GROUP BY o_custkey)
+    SELECT n, COUNT(*) AS n_custs FROM by_cust GROUP BY n ORDER BY n
+    """,
+    tags=("core",),
+)
+def p_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH chains (non-recursive CTEs)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH big AS (SELECT * FROM orders WHERE o_totalprice > 200000),
+             by_cust AS (SELECT o_custkey, COUNT(*) AS n FROM big GROUP BY o_custkey)
+        SELECT n, COUNT(*) AS n_custs FROM by_cust GROUP BY n ORDER BY n
+        """
+    )
+
+
+@probe(
+    "p_recursive_cte",
+    oracle="""
+    WITH RECURSIVE r(n, f) AS (
+      SELECT 1, CAST(1 AS BIGINT)
+      UNION ALL
+      SELECT n + 1, f * (n + 1) FROM r WHERE n < 15)
+    SELECT n, f FROM r ORDER BY n
+    """,
+    tags=("core", "custom"),
+)
+def p_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE — Spark has no native support (SURVEY §2.7): the
+    engine's recursive_cte helper iterates DataFrame unions with a bounded
+    depth, exactly Trino's bounded expansion (StatementAnalyzer.java:1432)."""
+    from trino_private_spark.operators.recursion import recursive_cte
+
+    base = spark.createDataFrame([(1, 1)], "n int, f bigint")
+
+    def step(prev: DataFrame) -> DataFrame:
+        return prev.where(F.col("n") < 15).select(
+            (F.col("n") + 1).alias("n"), (F.col("f") * (F.col("n") + 1)).alias("f")
+        )
+
+    return recursive_cte(base, step, max_iterations=20).orderBy("n")
+
+
+@probe(
+    "p_in_subquery_values",
+    oracle="""
+    SELECT COUNT(*) AS n FROM lineitem
+    WHERE l_returnflag IN ('A', 'R') AND l_linestatus NOT IN ('O')
+    """,
+    tags=("core",),
+)
+def p_in_subquery_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN over literal lists (no subquery — complements p_semijoin)."""
+    li = T(spark, sf_dir).lineitem
+    return li.where(
+        F.col("l_returnflag").isin("A", "R") & ~F.col("l_linestatus").isin("O")
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -19,8 +19,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# ts is parquet TIMESTAMP(NANOS): declared bigint under nanosAsLong and
+# converted to a µs timestamp below — same convention as catalog.load_table.
 EVENTS_SCHEMA = (
-    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
     "value double, props string"
 )
 
@@ -28,10 +30,17 @@ EVENTS_SCHEMA = (
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema must be explicit
     for streaming reads; pathGlobFilter isolates the one table file)."""
-    return (
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
     )
 
 
