@@ -150,7 +150,7 @@ def test_translate_layer(spark):
 
     assert (
         translate("SELECT a FROM t OFFSET 10 ROWS FETCH FIRST 5 ROWS ONLY")
-        == "SELECT a FROM t OFFSET 10 LIMIT 5"
+        == "SELECT a FROM t LIMIT 5 OFFSET 10"
     )
     out = translate("SELECT approx_distinct(x), strpos(s, 'q') FROM t")
     assert "approx_count_distinct(" in out and "instr(" in out

@@ -157,3 +157,22 @@ def test_quality_score_monotone(spark):
         for r in df.select("id", quality_score(F.col("text")).alias("q")).collect()
     }
     assert rows[1] > rows[2], rows
+
+
+def test_connected_components_clusters(spark):
+    from trino_private_spark.llm.dedup import connected_components, dedup_keep_list
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a bigint, doc_b bigint",
+    )
+    comps = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 5, 10, 11, 20, 21, 22, 23]],
+        "doc_id bigint, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup_keep_list(docs, pairs).collect())
+    # one survivor per component + untouched doc 5
+    assert kept == [1, 5, 10, 20]

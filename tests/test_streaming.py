@@ -38,3 +38,46 @@ def test_sessionize_stream_runs(spark, batch_events):
     got = run_stream_to_memory(spark, sessionize(stream), "t_sessions").toPandas()
     # session windows in complete mode over a bounded stream == batch result
     compare_frames(got, batch, "sessionize stream==batch")
+
+
+def test_budget_sessionize_stateful(spark):
+    """Custom stateful operator (applyInPandasWithState): sessions close on a
+    value budget; verify emitted sessions respect the budget invariant."""
+    import os
+    from trino_private_spark.streaming.stateful import budget_sessionize
+
+    stream = events_stream(spark, SF_SMOKE)
+    out = budget_sessionize(stream, value_budget=50.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_budget_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/tps_ckpt_budget_{os.getpid()}")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_budget_sessions").collect()
+    assert len(got) > 0
+    # every closed session crossed the budget exactly once
+    assert all(r.total_value >= 50.0 for r in got)
+    assert all(r.n_events >= 1 for r in got)
+
+
+def test_catalog_shims(spark):
+    from trino_private_spark.catalog import (
+        analyze_table_stats,
+        information_schema_columns,
+        information_schema_tables,
+        register_tables,
+    )
+
+    register_tables(spark, SF_SMOKE)
+    tables = {r.table_name for r in information_schema_tables(spark).collect()}
+    assert {"orders", "lineitem", "nation"} <= tables
+    cols = information_schema_columns(spark, "nation").collect()
+    assert [c.column_name for c in cols] == ["n_nationkey", "n_name", "n_regionkey"]
+    stats = {r.column_name: r for r in analyze_table_stats(spark, "nation").collect()}
+    assert stats["n_nationkey"].null_fraction == 0.0
+    assert stats["n_nationkey"].row_count == 25
+    assert 20 <= stats["n_nationkey"].approx_ndv <= 30

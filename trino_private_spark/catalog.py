@@ -62,3 +62,58 @@ def register_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def information_schema_tables(spark: SparkSession) -> DataFrame:
+    """information_schema.tables shim (reference:
+    connector/informationschema/InformationSchemaMetadata.java) over the
+    session catalog."""
+    rows = [
+        (t.catalog or "spark_catalog", t.namespace[0] if t.namespace else "default",
+         t.name, t.tableType)
+        for t in spark.catalog.listTables()
+    ]
+    return spark.createDataFrame(
+        rows, "table_catalog string, table_schema string, table_name string, table_type string"
+    )
+
+
+def information_schema_columns(spark: SparkSession, table: str) -> DataFrame:
+    """information_schema.columns shim for one table."""
+    rows = [
+        (table, c.name, i + 1, c.dataType, c.nullable)
+        for i, c in enumerate(spark.catalog.listColumns(table))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "table_name string, column_name string, ordinal_position int, "
+        "data_type string, is_nullable boolean",
+    )
+
+
+def analyze_table_stats(spark: SparkSession, name: str) -> DataFrame:
+    """SHOW STATS analogue (reference ANALYZE + ShowStatsRewrite): per-column
+    null fraction / distinct count / min / max computed in ONE pass over the
+    table (a single agg projection — not per-column scans)."""
+    from pyspark.sql import functions as F
+
+    df = spark.table(name)
+    n = df.count()
+    aggs, names = [], []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        aggs += [
+            F.round(F.avg(c.isNull().cast("double")), 6).alias(f"{f.name}__nullfrac"),
+            F.approx_count_distinct(f.name).alias(f"{f.name}__ndv"),
+        ]
+        names.append(f.name)
+    row = df.agg(*aggs).collect()[0]
+    out = [
+        (name, col, float(row[f"{col}__nullfrac"]), int(row[f"{col}__ndv"]), n)
+        for col in names
+    ]
+    return spark.createDataFrame(
+        out,
+        "table_name string, column_name string, null_fraction double, "
+        "approx_ndv bigint, row_count bigint",
+    )

@@ -261,3 +261,73 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into groups: iterative min-label
+    propagation (each node adopts the smallest id reachable so far) until a
+    fixpoint. Returns (id, component) with component = min member id.
+
+    The dedup endgame: pairs from minhash_lsh_candidates/ngram_jaccard_pairs
+    become keep/drop groups (keep = id == component). Iterations are
+    O(diameter) — near-dup clusters are tiny (2-5 docs), so 2-3 rounds
+    converge; each round is one join+groupBy on the id key. No driver-side
+    data, safe at any pair count."""
+    edges = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .union(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
+        .distinct()
+    )
+    # self-edges keep isolated endpoints in the label table
+    labels = (
+        edges.select(F.col("x").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for i in range(max_iterations):
+        # each node proposes min(its component, neighbors' components)
+        neighbor_min = (
+            edges.join(labels, edges["y"] == labels["id"])
+            .groupBy(F.col("x").alias("id"))
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end dedup decision: given candidate near-dup pairs, keep the
+    minimum id of every component plus all unpaired docs. Returns df
+    filtered to the keep set — the materialization step of the pipeline."""
+    comps = connected_components(pairs)
+    drop = comps.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -100,6 +100,13 @@ def translate(sql: str) -> str:
         flags=re.IGNORECASE,
     )
     s = re.sub(r"\bOFFSET\s+(\d+)\s+ROWS?\b", r"OFFSET \1", s, flags=re.IGNORECASE)
+    # Trino order is OFFSET..FETCH; Spark requires LIMIT before OFFSET
+    s = re.sub(
+        r"\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+)\b",
+        r"LIMIT \2 OFFSET \1",
+        s,
+        flags=re.IGNORECASE,
+    )
 
     # CROSS JOIN UNNEST(expr) [AS t(c[, ord])] [WITH ORDINALITY]
     def unnest_repl(m):

@@ -93,7 +93,9 @@ def _load_modules() -> None:
         pattern,
         relational,
         subqueries,
+        tpch_shapes,
         windows,
+        windows_nulls,
     )
 
     _LOADED = True

@@ -54,6 +54,8 @@ def write_table(
     file counts stay manageable; writers inherit AQE-coalesced partitions."""
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported format {fmt!r}")
+    if fmt == "csv":
+        options.setdefault("header", "true")
     w = df.write.mode(mode).options(**options)
     if partition_by:
         w = w.partitionBy(*partition_by)
