@@ -72,7 +72,28 @@ def _canon(v):
     return str(v)
 
 
+def _dtype_category(dtype) -> str:
+    s = str(dtype)
+    if "int" in s:
+        return "int"
+    if "float" in s or "double" in s:
+        return "float"
+    if "bool" in s:
+        return "bool"
+    if "datetime" in s:
+        return "ts"
+    return "obj"
+
+
 def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    # exact-width dtype parity (int64 vs int32 etc.) — the driver compares
+    # schemas, so a width mismatch is a failure even when values hash equal
+    for c in sorted(set(spark_pdf.columns) & set(duck_pdf.columns)):
+        sa, sb = str(spark_pdf[c].dtype), str(duck_pdf[c].dtype)
+        cat_a, cat_b = _dtype_category(sa), _dtype_category(sb)
+        assert cat_a == cat_b, f"{name}.{c}: dtype category {sa} vs {sb}"
+        if cat_a == "int":
+            assert sa == sb, f"{name}.{c}: int width {sa} vs {sb}"
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     assert list(a.columns) == list(b.columns), (
         f"{name}: column mismatch spark={list(a.columns)} duck={list(b.columns)}"

@@ -76,7 +76,9 @@ def brute_force_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
+        .select(
+            "query_id", "neighbor_id", "score", F.col("rank").cast("bigint").alias("rank")
+        )
     )
 
 
@@ -142,7 +144,9 @@ def lsh_ann_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
+        .select(
+            "query_id", "neighbor_id", "score", F.col("rank").cast("bigint").alias("rank")
+        )
     )
 
 
@@ -208,5 +212,7 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
+        .select(
+            "query_id", "neighbor_id", "score", F.col("rank").cast("bigint").alias("rank")
+        )
     )

@@ -63,11 +63,11 @@ def p_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.part.select(
             "p_partkey",
-            F.length("p_name").alias("len"),
+            F.length("p_name").cast("bigint").alias("len"),
             F.upper("p_brand").alias("up"),
             F.substring("p_name", 1, 8).alias("sub"),
             F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("rep"),
-            F.instr(F.col("p_name"), "a").alias("pos"),
+            F.instr(F.col("p_name"), "a").cast("bigint").alias("pos"),
             F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("part2"),
             F.lpad(F.col("p_brand"), 12, "*").alias("pad"),
             F.reverse(F.col("p_brand")).alias("rev"),
@@ -119,7 +119,7 @@ def p_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
            l_orderkey % 7 AS md,
            ABS(l_discount - 0.05) < 1e-12 AS near5,
            ROUND(POWER(l_quantity, 2), 2) AS p2,
-           SIGN(l_discount - 0.04) AS sg
+           CAST(SIGN(l_discount - 0.04) AS DOUBLE) AS sg
     FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500
     """,
     tags=("functions",),
@@ -403,7 +403,7 @@ def p_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.embeddings.select(
             "vec_id",
-            F.size(emb).alias("n"),
+            F.size(emb).cast("bigint").alias("n"),
             F.round(
                 F.aggregate(
                     emb, F.lit(0.0).cast("double"), lambda acc, x: acc + x.cast("double")
@@ -443,7 +443,7 @@ def p_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_e"),
             F.round(F.element_at(emb, 64).cast("double"), 6).alias("last_e"),
-            F.size(F.slice(emb, 1, 4)).alias("sl"),
+            F.size(F.slice(emb, 1, 4)).cast("bigint").alias("sl"),
             F.size(F.filter(emb, lambda x: x > 0)).cast("bigint").alias("n_pos"),
         )
         .orderBy("vec_id")
@@ -473,8 +473,8 @@ def p_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents.where(F.col("doc_id") <= 50)
         .select(
             "doc_id",
-            F.size(F.array_distinct(toks)).alias("n_uniq"),
-            F.size(toks).alias("n_tok"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+            F.size(toks).cast("bigint").alias("n_tok"),
             F.array_join(F.array_sort(F.array_distinct(head)), "|").alias("head_words"),
         )
         .orderBy("doc_id")

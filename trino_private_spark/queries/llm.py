@@ -48,11 +48,11 @@ def p_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.documents.select(
             "doc_id",
-            F.size(toks).alias("n_tok"),
+            F.size(toks).cast("bigint").alias("n_tok"),
             F.size(
                 F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0))
-            ).alias("n_bpe"),
-            F.length(c).alias("n_char"),
+            ).cast("bigint").alias("n_bpe"),
+            F.length(c).cast("bigint").alias("n_char"),
             F.round(stop_hits / F.greatest(F.size(toks), F.lit(1)), 6).alias(
                 "stop_ratio"
             ),
@@ -74,7 +74,7 @@ def p_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
       FROM documents)
     SELECT COUNT(*) AS n_groups,
-           COALESCE(SUM(n - 1), 0) AS n_dups
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_dups
     FROM (SELECT h, COUNT(*) AS n FROM fp GROUP BY h HAVING COUNT(*) > 1)
     """,
     tags=("llm",),

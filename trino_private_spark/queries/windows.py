@@ -72,7 +72,10 @@ def p_topnranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.orders.select(
             "o_custkey", "o_orderkey", F.row_number().over(w).alias("rn")
         )
+        # filter on the raw row_number so the WindowGroupLimit rewrite still
+        # pattern-matches; widen to bigint (oracle dtype) afterwards
         .where(F.col("rn") <= 2)
+        .withColumn("rn", F.col("rn").cast("bigint"))
         .orderBy("o_custkey", "rn")
         .limit(1000)
     )
@@ -95,8 +98,8 @@ def p_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.orders.select(
             "o_orderkey",
-            F.rank().over(w).alias("r"),
-            F.dense_rank().over(w).alias("dr"),
+            F.rank().over(w).cast("bigint").alias("r"),
+            F.dense_rank().over(w).cast("bigint").alias("dr"),
         )
         .orderBy("r", "o_orderkey")
         .limit(100)
@@ -151,7 +154,7 @@ def p_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.orders.select(
             "o_orderkey",
-            F.ntile(4).over(w).alias("q"),
+            F.ntile(4).over(w).cast("bigint").alias("q"),
             F.round(F.percent_rank().over(w), 6).alias("pr"),
             F.round(F.cume_dist().over(w), 6).alias("cd"),
         )
@@ -236,14 +239,14 @@ def p_rownumber_nosort(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dense 1..n numbering). Ref: operator/RowNumberOperator.java:1."""
     t = T(spark, sf_dir)
     w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
-    inner = t.orders.select("o_orderstatus", F.row_number().over(w).alias("rn"))
+    inner = t.orders.select("o_orderstatus", F.row_number().over(w).cast("bigint").alias("rn"))
     return (
         inner.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("rn").alias("n_distinct_rn"),
-            F.min("rn").alias("min_rn"),
-            F.max("rn").alias("max_rn"),
+            F.min("rn").cast("bigint").alias("min_rn"),
+            F.max("rn").cast("bigint").alias("max_rn"),
         )
         .orderBy("o_orderstatus")
     )
