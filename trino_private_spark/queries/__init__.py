@@ -90,6 +90,7 @@ def _load_modules() -> None:
         events_probes,
         functions_probes,
         llm,
+        misc_probes,
         pattern,
         relational,
         subqueries,
