@@ -87,6 +87,7 @@ def _load_modules() -> None:
     from trino_private_spark.queries import (  # noqa: F401
         aggregates,
         approx,
+        edge_probes,
         events_probes,
         functions_probes,
         llm,

@@ -1,0 +1,116 @@
+"""Edge-semantics probes: outer unnest, numeric RANGE frames, null join
+keys, multi-percentile arrays — the corner cases the reference's test suites
+(AbstractTestQueries/AbstractTestJoinQueries) cover heavily."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trino_private_spark.queries import T, probe
+
+
+@probe(
+    "p_unnest_outer",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN []
+                  ELSE string_split(substr(text, 1, 20), ' ') END AS toks
+      FROM documents WHERE doc_id < 30)
+    SELECT doc_id, COALESCE(w, '<empty>') AS w
+    FROM d LEFT JOIN LATERAL (SELECT UNNEST(toks) AS w) u ON TRUE
+    ORDER BY doc_id, w
+    """,
+    tags=("core",),
+)
+def p_unnest_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN UNNEST (outer unnest: empty arrays keep their row with NULL
+    element) -> explode_outer. Ref: operator/unnest/UnnestOperator.java
+    (outer flag on UnnestNode)."""
+    t = T(spark, sf_dir)
+    toks = F.when(F.col("doc_id") % 3 == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.substring(F.col("text"), 1, 20), " ")
+    )
+    return (
+        t.documents.where(F.col("doc_id") < 30)
+        .select("doc_id", F.explode_outer(toks).alias("w"))
+        .select("doc_id", F.coalesce(F.col("w"), F.lit("<empty>")).alias("w"))
+        .orderBy("doc_id", "w")
+    )
+
+
+@probe(
+    "p_range_numeric",
+    oracle="""
+    SELECT o_orderkey,
+           COUNT(*) OVER (ORDER BY o_totalprice
+                          RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING) AS near
+    FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+    tags=("core",),
+)
+def p_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric RANGE frame (value-based neighborhood count).
+    Ref: operator/window/RangeFraming.java."""
+    t = T(spark, sf_dir)
+    w = Window.orderBy("o_totalprice").rangeBetween(-1000, 1000)
+    return (
+        t.orders.select(
+            "o_orderkey", F.count(F.lit(1)).over(w).alias("near")
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@probe(
+    "p_join_null_keys",
+    oracle="""
+    WITH l AS (SELECT o_orderkey, NULLIF(o_custkey % 7, 0) AS k FROM orders WHERE o_orderkey < 2000),
+         r AS (SELECT NULLIF(c_custkey % 7, 0) AS k, c_custkey FROM customer WHERE c_custkey < 100)
+    SELECT
+      (SELECT COUNT(*) FROM l JOIN r ON l.k = r.k) AS inner_n,
+      (SELECT COUNT(*) FROM l LEFT JOIN r ON l.k = r.k) AS left_n,
+      (SELECT COUNT(*) FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k) AS nullsafe_n
+    """,
+    tags=("core",),
+)
+def p_join_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL join-key semantics: equi-join drops NULL keys; null-safe
+    (IS NOT DISTINCT FROM / <=>) matches them. The reference covers this in
+    AbstractTestJoinQueries; at scale NULL-heavy keys are also the classic
+    skew source (see operators/skew.salted_join)."""
+    t = T(spark, sf_dir)
+    l = t.orders.where(F.col("o_orderkey") < 2000).select(
+        "o_orderkey", F.nullif(F.col("o_custkey") % 7, F.lit(0)).alias("lk")
+    )
+    r = t.customer.where(F.col("c_custkey") < 100).select(
+        F.nullif(F.col("c_custkey") % 7, F.lit(0)).alias("rk"), "c_custkey"
+    )
+    inner_n = l.join(r, l["lk"] == r["rk"]).count()
+    left_n = l.join(r, l["lk"] == r["rk"], "left").count()
+    nullsafe_n = l.join(r, l["lk"].eqNullSafe(r["rk"])).count()
+    return spark.createDataFrame(
+        [(inner_n, left_n, nullsafe_n)], "inner_n bigint, left_n bigint, nullsafe_n bigint"
+    )
+
+
+@probe(
+    "p_percentile_array",
+    oracle="""
+    SELECT ROUND(q[1], 4) AS p25, ROUND(q[2], 4) AS p50, ROUND(q[3], 4) AS p75
+    FROM (SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS q FROM orders)
+    """,
+    tags=("functions",),
+)
+def p_percentile_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-quantile in one pass (Trino approx_percentile(x, ARRAY[...])
+    shape, computed exactly). Ref: FunctionRegistry.java:435-443."""
+    t = T(spark, sf_dir)
+    q = F.percentile("o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return t.orders.agg(q.alias("q")).select(
+        F.round(F.element_at("q", 1), 4).alias("p25"),
+        F.round(F.element_at("q", 2), 4).alias("p50"),
+        F.round(F.element_at("q", 3), 4).alias("p75"),
+    )
