@@ -163,3 +163,118 @@ def test_translate_layer(spark):
         translate("SELECT date_diff('day', TIMESTAMP '1995-01-01', TIMESTAMP '1995-02-01') AS d")
     )
     assert df.collect()[0].d == 31
+
+
+# --- round-1 closing sweep: remaining §2.5 stragglers -----------------------
+
+
+def test_wilson_interval(spark):
+    lo = one(spark, R["wilson_interval_lower"](F.lit(80), F.lit(100), F.lit(1.96)))
+    hi = one(spark, R["wilson_interval_upper"](F.lit(80), F.lit(100), F.lit(1.96)))
+    # textbook Wilson bounds for 80/100 @ 95%
+    assert abs(lo - 0.7112) < 0.001 and abs(hi - 0.8661) < 0.001
+    assert lo < 0.8 < hi
+
+
+def test_at_with_timezone(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    got = one(
+        spark,
+        F.date_format(
+            R["at_timezone"](
+                F.lit("2001-08-22 12:00:00").cast("timestamp"), "America/Los_Angeles"
+            ),
+            "yyyy-MM-dd HH:mm",
+        ),
+    )
+    assert got == "2001-08-22 05:00"  # UTC noon is 5am PDT
+    rt = one(
+        spark,
+        F.date_format(
+            R["with_timezone"](
+                R["at_timezone"](
+                    F.lit("2001-08-22 12:00:00").cast("timestamp"),
+                    "America/Los_Angeles",
+                ),
+                "America/Los_Angeles",
+            ),
+            "yyyy-MM-dd HH:mm",
+        ),
+    )
+    assert rt == "2001-08-22 12:00"  # at/with are inverses
+
+
+def test_contains_sequence(spark):
+    arr = F.array(*[F.lit(x) for x in [1, 2, 3, 4, 5]])
+    assert one(spark, R["contains_sequence"](arr, F.array(F.lit(2), F.lit(3)))) is True
+    assert one(spark, R["contains_sequence"](arr, F.array(F.lit(2), F.lit(4)))) is False
+    assert one(spark, R["contains_sequence"](arr, F.array(F.lit(4), F.lit(5)))) is True
+    assert (
+        one(spark, R["contains_sequence"](arr, F.array().cast("array<int>"))) is True
+    )
+    big = F.array(*[F.lit(x) for x in [1, 2, 3, 4, 5, 6]])
+    assert one(spark, R["contains_sequence"](arr, big)) is False
+
+
+def test_multimap_from_entries(spark):
+    e = F.expr(
+        "array(named_struct('key','a','value',1), named_struct('key','b','value',2),"
+        " named_struct('key','a','value',3))"
+    )
+    got = one(spark, R["multimap_from_entries"](e))
+    assert dict(got) == {"a": [1, 3], "b": [2]}
+
+
+def test_base64url_roundtrip(spark):
+    # bytes chosen so plain base64 contains '+' and '/'
+    data = F.unhex(F.lit("FBEFBE"))
+    enc = one(spark, R["to_base64url"](data))
+    assert "+" not in enc and "/" not in enc
+    back = one(spark, F.hex(R["from_base64url"](F.lit(enc))))
+    assert back == "FBEFBE"
+
+
+def test_hmac_sha256(spark):
+    import hashlib
+    import hmac as pyhmac
+
+    got = one(
+        spark,
+        F.hex(R["hmac_sha256"](F.lit("message").cast("binary"), F.lit("key").cast("binary"))),
+    )
+    exp = pyhmac.new(b"key", b"message", hashlib.sha256).hexdigest().upper()
+    assert got == exp
+
+
+def test_teradata_compat(spark):
+    assert one(spark, R["index"](F.lit("teradata"), "data")) == 5
+    assert one(spark, R["char2hexint"](F.lit("AB"))) == "00410042"
+    got = one(
+        spark,
+        R["to_char"](F.lit("1995-07-04 10:30:00").cast("timestamp"), "YYYY/MM/DD HH24:MI"),
+    )
+    assert got == "1995/07/04 10:30"
+    ts = one(
+        spark,
+        F.date_format(
+            R["to_timestamp_td"](F.lit("1995-07-04 10:30:00"), "YYYY-MM-DD HH24:MI:SS"),
+            "yyyy-MM-dd HH:mm:ss",
+        ),
+    )
+    assert ts == "1995-07-04 10:30:00"
+
+
+def test_parse_datetime(spark):
+    got = one(
+        spark,
+        F.date_format(
+            R["parse_datetime"](F.lit("1995/13/04"), "yyyy/dd/MM"),
+            "yyyy-MM-dd",
+        ),
+    )
+    assert got == "1995-04-13"
+
+
+def test_current_user_version(spark):
+    assert isinstance(one(spark, R["current_user"]()), str)
+    assert one(spark, R["version"]()).startswith("trino-private-spark")

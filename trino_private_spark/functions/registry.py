@@ -772,6 +772,196 @@ def format_(fmt, *cols) -> Column:
     return F.format_string(fmt, *[_c(c) for c in cols])
 
 
+# --- remaining §2.5 stragglers ----------------------------------------------
+
+
+def _wilson(successes, trials, z, sign: int) -> Column:
+    """Wilson score interval bound (MathFunctions.java wilson_interval_*)."""
+    s = _c(successes).cast("double")
+    n = _c(trials).cast("double")
+    zc = _c(z).cast("double")
+    p = s / n
+    z2 = zc * zc
+    center = p + z2 / (2 * n)
+    margin = zc * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    return (center + sign * margin) / (1 + z2 / n)
+
+
+@trino_fn("wilson_interval_lower")
+def wilson_interval_lower(successes, trials, z) -> Column:
+    return _wilson(successes, trials, z, -1)
+
+
+@trino_fn("wilson_interval_upper")
+def wilson_interval_upper(successes, trials, z) -> Column:
+    return _wilson(successes, trials, z, +1)
+
+
+@trino_fn("at_timezone")
+def at_timezone(ts, zone) -> Column:
+    """Trino at_timezone: same instant, displayed in `zone` (DateTimeFunctions
+    at_timezone). Spark timestamps are UTC-internal; the wall-clock shift is
+    from_utc_timestamp."""
+    return F.from_utc_timestamp(_c(ts), zone)
+
+
+@trino_fn("with_timezone")
+def with_timezone(ts, zone) -> Column:
+    """Reinterpret a zoneless wall-clock timestamp as being in `zone`."""
+    return F.to_utc_timestamp(_c(ts), zone)
+
+
+@trino_fn("parse_datetime")
+def parse_datetime(s, pattern: str) -> Column:
+    # Joda patterns ≈ Java patterns for the common subset (as format_datetime)
+    return F.to_timestamp(_c(s), pattern)
+
+
+@trino_fn("contains_sequence")
+def contains_sequence(arr, seq) -> Column:
+    """ArrayContainsSequence.java: true iff `seq` appears as a *contiguous*
+    subarray of `arr`. Expressed as exists over candidate start offsets —
+    whole-stage-codegen, no Python."""
+    a, s = _c(arr), _c(seq)
+    starts = F.sequence(F.lit(1), F.size(a) - F.size(s) + 1)
+    hit = F.exists(starts, lambda i: F.slice(a, i, F.size(s)) == s)
+    return (
+        F.when(F.size(s) == 0, F.lit(True))
+        .when(F.size(a) < F.size(s), F.lit(False))
+        .otherwise(hit)
+    )
+
+
+@trino_fn("multimap_from_entries")
+def multimap_from_entries(entries) -> Column:
+    """MultimapFromEntriesFunction.java: array<struct<key,value>> ->
+    map<key, array<value>> (values of duplicate keys collected in order)."""
+    e = _c(entries)
+    ks = F.array_distinct(F.transform(e, lambda x: x["key"]))
+    return F.map_from_arrays(
+        ks,
+        F.transform(
+            ks,
+            lambda k: F.transform(
+                F.filter(e, lambda x: x["key"].eqNullSafe(k)),
+                lambda x: x["value"],
+            ),
+        ),
+    )
+
+
+@trino_fn("to_base64url")
+def to_base64url(b) -> Column:
+    return F.translate(F.base64(_c(b)), "+/", "-_")
+
+
+@trino_fn("from_base64url")
+def from_base64url(s) -> Column:
+    return F.unbase64(F.translate(_c(s), "-_", "+/"))
+
+
+def _hmac_builder(algo: str):
+    """HmacFunctions.java hmac_{md5,sha1,sha256,sha512}(binary, key) ->
+    binary. No JVM builtin — Arrow-batched pandas UDF (scan-local, no
+    shuffle impact; the one sanctioned Python hop per SCALE.md policy)."""
+    import pandas as pd  # noqa: F401  (container-baked)
+
+    @F.pandas_udf("binary")
+    def _h(data, key):
+        import hashlib
+        import hmac as _hmac
+
+        def one(d, k):
+            if d is None or k is None:
+                return None
+            d = bytes(d) if not isinstance(d, bytes) else d
+            k = bytes(k) if not isinstance(k, bytes) else k
+            return _hmac.new(k, d, getattr(hashlib, algo)).digest()
+
+        return pd.Series([one(d, k) for d, k in zip(data, key)])
+
+    return _h
+
+
+def _hmac_fn(algo: str, trino_name: str):
+    def fn(data, key) -> Column:
+        return _hmac_builder(algo)(
+            _c(data).cast("binary"), _c(key).cast("binary")
+        )
+
+    fn.__name__ = trino_name
+    TRINO_FUNCTIONS[trino_name] = fn
+    return fn
+
+
+hmac_md5 = _hmac_fn("md5", "hmac_md5")
+hmac_sha1 = _hmac_fn("sha1", "hmac_sha1")
+hmac_sha256 = _hmac_fn("sha256", "hmac_sha256")
+hmac_sha512 = _hmac_fn("sha512", "hmac_sha512")
+
+
+@trino_fn("current_user")
+def current_user() -> Column:
+    return F.current_user()
+
+
+@trino_fn("version")
+def version() -> Column:
+    from trino_private_spark import __version__
+
+    return F.lit(f"trino-private-spark {__version__}")
+
+
+# --- Teradata compat (plugin/trino-teradata-functions) ----------------------
+
+
+@trino_fn("index")
+def index(s, sub) -> Column:
+    """TeradataStringFunctions.java index == strpos (1-based)."""
+    return F.instr(_c(s), sub)
+
+
+@trino_fn("char2hexint")
+def char2hexint(s) -> Column:
+    """TeradataStringFunctions.java char2hexint: 4-hex-digit UTF-16 code
+    unit per char, concatenated. Expression-only (split/transform/hex)."""
+    chars = F.split(_c(s), "")
+    return F.array_join(
+        F.transform(chars, lambda ch: F.lpad(F.hex(F.ascii(ch)), 4, "0")), ""
+    )
+
+
+# Teradata datetime patterns -> Java (order matters: HH24 before HH)
+_TD_TO_JAVA = [
+    ("YYYY", "yyyy"), ("YY", "yy"), ("DD", "dd"), ("HH24", "HH"),
+    ("HH", "hh"), ("MI", "mm"), ("SS", "ss"),
+]
+
+
+def _td_pattern_to_java(p: str) -> str:
+    for k, v in _TD_TO_JAVA:
+        p = p.replace(k, v)
+    return p
+
+
+@trino_fn("to_char")
+def to_char(ts, pattern: str) -> Column:
+    """TeradataDateFunctions.java to_char(timestamp, td_pattern)."""
+    return F.date_format(_c(ts), _td_pattern_to_java(pattern))
+
+
+@trino_fn("to_timestamp_td")
+def to_timestamp_td(s, pattern: str) -> Column:
+    """TeradataDateFunctions.java to_timestamp(varchar, td_pattern) —
+    registered under a _td suffix to avoid shadowing Spark's to_timestamp."""
+    return F.to_timestamp(_c(s), _td_pattern_to_java(pattern))
+
+
+@trino_fn("to_date_td")
+def to_date_td(s, pattern: str) -> Column:
+    return F.to_date(_c(s), _td_pattern_to_java(pattern))
+
+
 # --- aggregate-name aliases (used by the translate layer) -------------------
 
 AGGREGATE_ALIASES = {

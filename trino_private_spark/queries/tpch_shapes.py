@@ -297,3 +297,193 @@ def p_limit_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_totalprice")
         .orderBy(F.col("o_totalprice"))
     )
+
+
+@probe(
+    "p_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("tpch",),
+)
+def p_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (tpch.yaml q04): date-windowed orders, correlated
+    EXISTS against lineitem (fixtures lack commitdate/receiptdate — the
+    'late line' predicate is l_shipdate > o_orderdate + 60 days, same
+    correlated-semi-join plan), priority counts. Spark plans the EXISTS as a
+    left-semi hash join on l_orderkey; at 100 TB both sides hash-shuffle on
+    the key with the date filter pushed to the orders scan."""
+    t = T(spark, sf_dir)
+    o = t.orders.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    l = t.lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@probe(
+    "p_q12_shipmode_priority",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    tags=("tpch",),
+)
+def p_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + CASE-conditional counts grouped by
+    a lineitem attribute (l_linestatus stands in for the absent l_shipmode).
+    The CASE sums compile to partial aggregates — shuffle carries 2 longs
+    per group, not rows."""
+    t = T(spark, sf_dir)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t.orders.join(
+            t.lineitem.where(
+                (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@probe(
+    "p_q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+    tags=("tpch",),
+)
+def p_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: conditional revenue share. part is the dim side —
+    broadcast; single global aggregate reduces to one row, so the ratio is
+    computed post-agg (one partial-agg pass over the joined scan)."""
+    t = T(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 2).alias("promo_revenue")
+        )
+    )
+
+
+@probe(
+    "p_q19_disjunctive",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 20
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    tags=("tpch",),
+)
+def p_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunction of conjunctive ranges across both join sides.
+    Catalyst extracts the common p_partkey equi-key so this stays a hash
+    join (broadcast: part is the dim) with the OR evaluated as a post-join
+    filter; per-side implied filters (p_brand IN ..., l_quantity <= 30)
+    still push to the scans."""
+    t = T(spark, sf_dir)
+    j = t.lineitem.join(F.broadcast(t.part), F.col("p_partkey") == F.col("l_partkey"))
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(1, 20)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#17") & F.col("p_size").between(1, 25)
+           & q.between(20, 30))
+    )
+    return j.where(cond).agg(
+        dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue")
+    )
+
+
+@probe(
+    "p_q22_global_sales",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    tags=("tpch",),
+)
+def p_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS anti-join +
+    grouped agg (c_nationkey stands in for the absent phone country code).
+    The scalar avg broadcasts as a literal after its own 1-row agg; the
+    anti join hash-shuffles on custkey; at 100 TB the orders side is
+    key+null-free so bloom-filter reduction applies."""
+    t = T(spark, sf_dir)
+    c = t.customer
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("a"))
+        .select("a")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(t.orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dround(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
