@@ -1,0 +1,91 @@
+"""§2.8 extension surface: parity with the reference's custom-function test
+trio (testing/trino-testing CustomAdd.java / CustomSum.java /
+CustomRank.java) plus the prepared-statement path (SqlBase.g4:153-155)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from trino_private_spark.extensions import Extensions
+
+
+def test_custom_add_scalar(spark):
+    ext = Extensions(spark)
+    ext.scalar("custom_add", lambda a, b: a + b)
+    df = spark.range(5).select(
+        ext.col("custom_add", F.col("id"), F.lit(10)).alias("v")
+    )
+    assert [r.v for r in df.collect()] == [10, 11, 12, 13, 14]
+    assert ext.registered()["custom_add"] == "scalar"
+
+
+def test_custom_scalar_python_sql_callable(spark):
+    ext = Extensions(spark)
+    ext.scalar_python("custom_reverse_upper", lambda s: s[::-1].upper(), "string")
+    got = spark.sql("SELECT custom_reverse_upper('abc') AS v").collect()[0].v
+    assert got == "CBA"
+    got2 = spark.range(1).select(
+        ext.col("custom_reverse_upper", F.lit("xyz")).alias("v")
+    ).collect()[0].v
+    assert got2 == "ZYX"
+
+
+def test_custom_sum_aggregate(spark):
+    ext = Extensions(spark)
+    ext.aggregate("custom_sum", lambda v: float(v.sum()), "double")
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "g string, x double"
+    )
+    got = {
+        r.g: r.s
+        for r in df.groupBy("g").agg(ext.col("custom_sum", F.col("x")).alias("s")).collect()
+    }
+    assert got == {"a": 3.0, "b": 10.0}
+
+
+def test_custom_rank_window(spark):
+    ext = Extensions(spark)
+
+    def dense_rank_desc(pdf: pd.DataFrame) -> pd.Series:
+        return pdf["x"].rank(method="dense", ascending=False).astype("int64")
+
+    ext.window_rank("custom_rank", dense_rank_desc)
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 7.0), ("a", 7.0), ("b", 1.0)], "g string, x double"
+    )
+    out = ext.over_partitions("custom_rank", df, "g", "x", "rnk")
+    got = sorted((r.g, r.x, r.rnk) for r in out.collect())
+    assert got == [("a", 5.0, 2), ("a", 7.0, 1), ("a", 7.0, 1), ("b", 1.0, 1)]
+
+
+def test_prepare_execute_deallocate(spark):
+    from trino_private_spark.api import Engine
+
+    eng = Engine(spark)
+    eng.attach("/root/testdata/sf0.001")
+    eng.prepare("top_orders",
+                "SELECT o_orderkey FROM orders WHERE o_totalprice > ? "
+                "ORDER BY o_orderkey FETCH FIRST 5 ROWS ONLY")
+    a = eng.execute("top_orders", 100.0).collect()
+    b = eng.execute("top_orders", 100000.0).collect()
+    assert len(a) == 5 and len(b) <= 5
+    eng.deallocate("top_orders")
+    try:
+        eng.execute("top_orders")
+        raised = False
+    except KeyError:
+        raised = True
+    assert raised
+
+
+def test_set_time_zone(spark):
+    from trino_private_spark.api import Engine
+
+    eng = Engine(spark)
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        eng.set_time_zone("America/New_York")
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)

@@ -80,3 +80,29 @@ class Engine:
     def set_session(self, key: str, value: str) -> None:
         """SET SESSION shim (SqlBase.g4:148)."""
         self.spark.conf.set(key, value)
+
+    def set_time_zone(self, zone: str) -> None:
+        """SET TIME ZONE (SqlBase.g4:159) -> Spark session timezone."""
+        self.spark.conf.set("spark.sql.session.timeZone", zone)
+
+    # --- prepared statements (SqlBase.g4:153-155) ------------------------
+
+    def prepare(self, name: str, text: str, dialect: str = "trino") -> None:
+        """PREPARE name FROM <query>. Translation happens once at prepare
+        time (the reference analyzes at prepare, binds at execute —
+        SqlQueryExecution's prepared-statement path); `?` markers bind
+        positionally at execute()."""
+        if not hasattr(self, "_prepared"):
+            self._prepared: dict[str, str] = {}
+        self._prepared[name] = translate(text) if dialect == "trino" else text
+
+    def execute(self, name: str, *params) -> DataFrame:
+        """EXECUTE name USING p1, p2, ... — positional `?` binding via
+        Spark's parameterized sql() (literal-safe: values never splice into
+        the SQL text, so no injection and plans cache by text)."""
+        text = self._prepared[name]
+        return self.spark.sql(text, args=list(params)) if params else self.spark.sql(text)
+
+    def deallocate(self, name: str) -> None:
+        """DEALLOCATE PREPARE name."""
+        self._prepared.pop(name, None)
