@@ -89,3 +89,22 @@ def test_set_time_zone(spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prior)
+
+
+def test_materialized_view_lifecycle(spark, tmp_path):
+    from trino_private_spark.api import Engine
+
+    eng = Engine(spark)
+    eng.attach("/root/testdata/sf0.001")
+    mv = str(tmp_path / "mv_orders")
+    eng.create_materialized_view(
+        "mv_totals",
+        "SELECT o_orderstatus, COUNT(*) AS c FROM orders GROUP BY o_orderstatus",
+        mv,
+    )
+    first = {r.o_orderstatus: r.c for r in spark.table("mv_totals").collect()}
+    assert sum(first.values()) > 0
+    eng.refresh_materialized_view("mv_totals")
+    second = {r.o_orderstatus: r.c for r in spark.table("mv_totals").collect()}
+    assert first == second  # same definition, same data -> same content
+    eng.drop_materialized_view("mv_totals")

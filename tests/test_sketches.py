@@ -128,3 +128,24 @@ def test_intersection_cardinality(spark):
         .i
     )
     assert 300 <= est <= 700, est  # exact = 500
+
+
+def test_hash_counts(spark):
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.functions.sketches import hash_counts
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 5)], "g string, v long"
+    )
+    out = {
+        r.g: dict(r.hc)
+        for r in df.groupBy("g").agg(hash_counts(F.col("v")).alias("hc")).collect()
+    }
+    # 8 hash functions -> 8 entries; multiplicities are >=1 and bounded by
+    # the group's row count; the duplicated value (1,1) must show count 2
+    # wherever its hash attains the minimum
+    assert len(out["a"]) == 8 and len(out["b"]) == 8
+    assert set(out["b"].values()) == {1}
+    assert all(1 <= c <= 2 for c in out["a"].values())
+    assert 2 in out["a"].values()

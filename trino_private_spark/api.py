@@ -106,3 +106,27 @@ class Engine:
     def deallocate(self, name: str) -> None:
         """DEALLOCATE PREPARE name."""
         self._prepared.pop(name, None)
+
+    # --- materialized views (SqlBase.g4:80-90) ---------------------------
+
+    def create_materialized_view(self, name: str, text: str, path: str,
+                                 fmt: str = "parquet",
+                                 dialect: str = "trino") -> None:
+        """CREATE MATERIALIZED VIEW: materialize the query to storage and
+        register a view over the files. The definition is retained so
+        REFRESH can re-run it (the reference stores it in metadata and
+        re-executes on RefreshMaterializedViewOperator)."""
+        if not hasattr(self, "_mviews"):
+            self._mviews: dict[str, tuple[str, str, str]] = {}
+        self._mviews[name] = (text, path, fmt)
+        self.ctas(name, text, path=path, fmt=fmt, dialect=dialect)
+
+    def refresh_materialized_view(self, name: str) -> None:
+        """REFRESH MATERIALIZED VIEW: re-run the stored definition and
+        swap the backing files."""
+        text, path, fmt = self._mviews[name]
+        self.ctas(name, text, path=path, fmt=fmt)
+
+    def drop_materialized_view(self, name: str) -> None:
+        self._mviews.pop(name, None)
+        self.spark.catalog.dropTempView(name)

@@ -201,3 +201,36 @@ def intersection_cardinality(sig_a, sig_b, card_a, card_b) -> Column:
     cardinalities of each side."""
     j = jaccard_index(sig_a, sig_b)
     return F.round(j * (card_a + card_b) / (F.lit(1.0) + j), 0).cast("bigint")
+
+
+def hash_counts(col, num_hashes: int = 8, seed: int = 42) -> Column:
+    """SetDigestFunctions.java hash_counts: expose the digest's internal
+    hash -> multiplicity table. Aggregate expression: collect the group's
+    64-bit value hashes once, then per hash function compute (min, count
+    attaining min) with scalar HOFs over that array — all JVM-side.
+
+    Diagnostic function (as in the reference): the collect materializes the
+    group, so use on bounded groups; the scale path is setdigest_agg, which
+    keeps only per-hash minima."""
+    rnd = random.Random(seed)
+    p_dec = F.lit(_MERSENNE_P).cast("decimal(38,0)")
+    vals = F.collect_list(_hash64(col))
+    mins, counts = [], []
+    for _ in range(num_hashes):
+        a = F.lit(rnd.randrange(1, _MERSENNE_P)).cast("decimal(38,0)")
+        b = F.lit(rnd.randrange(0, _MERSENNE_P)).cast("decimal(38,0)")
+
+        def mk(a=a, b=b):
+            # factory: keeps the HOF lambda 1-arg (pyspark counts default
+            # args toward lambda arity)
+            return lambda v: F.pmod(a * v.cast("decimal(38,0)") + b, p_dec).cast("bigint")
+
+        hashed = F.transform(vals, mk())
+        hmin = F.array_min(hashed)
+
+        def eq_min(hmin=hmin):
+            return lambda h: h == hmin
+
+        mins.append(hmin)
+        counts.append(F.size(F.filter(hashed, eq_min())).cast("bigint"))
+    return F.map_from_arrays(F.array(*mins), F.array(*counts))
