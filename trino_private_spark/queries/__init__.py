@@ -95,6 +95,7 @@ def _load_modules() -> None:
         pattern,
         relational,
         subqueries,
+        temporal_probes,
         tpch_shapes,
         windows,
         windows_nulls,
