@@ -176,3 +176,50 @@ def test_connected_components_clusters(spark):
     kept = sorted(r.doc_id for r in dedup_keep_list(docs, pairs).collect())
     # one survivor per component + untouched doc 5
     assert kept == [1, 5, 10, 20]
+
+
+# --- end-to-end curation pipeline (llm/pipeline.py) -------------------------
+
+
+def test_curate_corpus_end_to_end(spark):
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.catalog import load_table
+    from trino_private_spark.llm.pipeline import curate_corpus
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    # inject an exact duplicate and a near duplicate of doc 0 at fresh ids
+    d0 = docs.where(F.col("doc_id") == 0).select("text").collect()[0].text
+    extra = spark.createDataFrame(
+        [(100001, d0), (100002, d0 + " appended tail words")],
+        "doc_id long, text string",
+    )
+    res = curate_corpus(
+        docs.unionByName(extra),
+        languages=("en",),
+        min_tokens=1,
+        min_quality=0.0,
+        near_dup_jaccard=0.6,
+        report=True,
+    )
+    ids = {r.doc_id for r in res.curated.select("doc_id").collect()}
+    sc = res.stage_counts
+    assert sc["input"] == 502 and sc["gated"] <= sc["input"]
+    # the exact dup loses to the original (min id wins) at the exact stage
+    assert sc["exact_deduped"] == sc["gated"] - 1
+    assert 100001 not in ids
+    # the near dup is caught by LSH+jaccard and dropped at the near stage
+    assert sc["near_deduped"] <= sc["exact_deduped"] - 1
+    assert 100002 not in ids
+    # pipeline is deterministic for a fixed seed
+    res2 = curate_corpus(
+        docs.unionByName(extra),
+        languages=("en",),
+        min_tokens=1,
+        min_quality=0.0,
+        near_dup_jaccard=0.6,
+    )
+    ids2 = {r.doc_id for r in res2.curated.select("doc_id").collect()}
+    assert ids == ids2

@@ -79,3 +79,33 @@ def test_brute_force_topk_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
         "query side of brute-force ANN must broadcast (corpus stays in place)"
     )
+
+
+def test_q19_broadcasts_part_dim(spark):
+    df = PROBES["p_q19_disjunctive"].fn(spark, SF_ORACLE)
+    plan = explain_str(df)
+    # the disjunctive filter must not demote the equi-key join to a nested loop
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_q4_exists_compiles_to_semi_join(spark):
+    df = PROBES["p_q4_order_priority"].fn(spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan, plan
+
+
+def test_q22_not_exists_compiles_to_anti_join(spark):
+    df = PROBES["p_q22_global_sales"].fn(spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan, plan
+
+
+def test_asof_probe_single_exchange(spark):
+    df = PROBES["p_asof_join"].fn(spark, SF_ORACLE)
+    plan = explain_str(df)
+    # union+window: the only wide op before the final order is ONE hash
+    # partitioning on user_id (plus the global sort's range exchange)
+    n_hash = plan.count("hashpartitioning")
+    assert "Join" not in plan, plan
+    assert n_hash >= 1, plan

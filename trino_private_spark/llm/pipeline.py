@@ -1,0 +1,115 @@
+"""End-to-end corpus curation — the composition a 100 TB training-data
+pipeline actually runs, built entirely from the JVM-side primitives in
+llm/text.py and llm/dedup.py:
+
+    profile -> language/length/quality gate -> exact dedup -> near dedup
+
+Every stage is a narrow transformation or a keyed shuffle the individual
+modules already bound (see SCALE.md's LLM-operator table); composing them
+adds no new shuffle beyond the stages' own. Stage row counts are the only
+driver-side values, and only when report=True (one count() action per
+stage — at 100 TB run with report=False and read counts from the Spark UI
+/ a streaming metrics sink instead)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from trino_private_spark.llm import dedup, text
+
+
+@dataclass
+class CurationResult:
+    curated: DataFrame
+    stage_counts: dict[str, int] = field(default_factory=dict)
+
+
+def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the per-document features the gates read — one scan-local
+    projection, all whole-stage-codegen expressions."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        text.token_count(c).alias("_tokens"),
+        text.quality_score(c).alias("_quality"),
+        text.language_id(c).alias("_lang"),
+        text.fingerprint(c).alias("_fp"),
+    )
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    languages: tuple[str, ...] = ("en",),
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.3,
+    near_dup_jaccard: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    report: bool = False,
+) -> CurationResult:
+    """The standard curation recipe:
+
+    1. gate: language allowlist, token-count band, quality threshold
+       (pure filters — pushed into the scan, zero shuffles);
+    2. exact dedup on the text fingerprint: keep the smallest id per
+       fingerprint (one shuffle of (fp, id) pairs);
+    3. near dedup: MinHash+LSH candidates verified by n-gram Jaccard,
+       connected components, keep the component minimum (the bounded
+       bucket-join pipeline from llm/dedup.py — never O(n^2)).
+
+    Deterministic for a fixed seed; returns the curated DataFrame plus
+    optional per-stage surviving-row counts."""
+    counts: dict[str, int] = {}
+
+    def tick(name: str, d: DataFrame) -> DataFrame:
+        if report:
+            counts[name] = d.count()
+        return d
+
+    tick("input", df)
+    p = profile(df, text_col)
+    gated = tick(
+        "gated",
+        p.where(
+            F.col("_lang").isin(*languages)
+            & F.col("_tokens").between(min_tokens, max_tokens)
+            & (F.col("_quality") >= min_quality)
+        ),
+    )
+
+    # exact dedup: min id per fingerprint survives
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    exact = tick(
+        "exact_deduped",
+        gated.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn"),
+    )
+
+    # near dedup on the exact-deduped survivors
+    cand = dedup.minhash_lsh_candidates(
+        exact, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, bands=bands, seed=seed,
+    )
+    # verifier runs on candidate docs only (SCALE.md: jaccard is the
+    # verify stage, never the discovery stage)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    subset = exact.join(cand_docs, id_col, "left_semi")
+    verified = dedup.ngram_jaccard_pairs(
+        subset, id_col=id_col, text_col=text_col, threshold=near_dup_jaccard
+    ).join(cand, ["doc_a", "doc_b"], "left_semi")
+    near = tick("near_deduped", dedup.dedup_keep_list(exact, verified, id_col))
+
+    curated = near.drop("_tokens", "_quality", "_lang", "_fp")
+    return CurationResult(curated=curated, stage_counts=counts)

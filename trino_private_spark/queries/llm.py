@@ -299,3 +299,25 @@ def p_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
     ).orderBy("media_id")
+
+
+@probe("p_curate_corpus", oracle=None, tags=("llm",))
+def p_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation recipe (llm/pipeline.curate_corpus): gates ->
+    exact dedup -> LSH-discovered, jaccard-verified near dedup. Rows-only
+    driver check (the LSH/connected-components stages are not reasonably
+    SQL-expressible); stage semantics are unit-tested with injected
+    duplicates in test_llm_ops."""
+    from trino_private_spark.llm.pipeline import curate_corpus
+
+    t = T(spark, sf_dir)
+    res = curate_corpus(
+        t.documents.select("doc_id", "text"),
+        languages=("en",),
+        min_tokens=1,
+        min_quality=0.0,
+        near_dup_jaccard=0.6,
+        num_hashes=16,
+        bands=4,
+    )
+    return res.curated.select("doc_id").orderBy("doc_id")
