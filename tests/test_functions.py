@@ -278,3 +278,28 @@ def test_parse_datetime(spark):
 def test_current_user_version(spark):
     assert isinstance(one(spark, R["current_user"]()), str)
     assert one(spark, R["version"]()).startswith("trino-private-spark")
+
+
+def test_translate_null_ordering_defaults(spark):
+    from trino_private_spark.plans.translate import translate
+
+    # Trino: ASC -> NULLS LAST, DESC -> NULLS FIRST (opposite of Spark)
+    assert translate("SELECT a FROM t ORDER BY a") == \
+        "SELECT a FROM t ORDER BY a NULLS LAST"
+    assert translate("SELECT a FROM t ORDER BY a DESC") == \
+        "SELECT a FROM t ORDER BY a DESC NULLS FIRST"
+    # explicit spelling wins
+    assert translate("SELECT a FROM t ORDER BY a DESC NULLS LAST") == \
+        "SELECT a FROM t ORDER BY a DESC NULLS LAST"
+    # multi-item, window ORDER BY (stops at frame keyword), subquery
+    assert translate(
+        "SELECT sum(x) OVER (ORDER BY t ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"
+    ) == "SELECT sum(x) OVER (ORDER BY t NULLS LAST ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"
+    assert translate(
+        "SELECT * FROM (SELECT a FROM t ORDER BY foo(a, b), c DESC) WHERE a > 1"
+    ) == "SELECT * FROM (SELECT a FROM t ORDER BY foo(a, b) NULLS LAST, c DESC NULLS FIRST) WHERE a > 1"
+    # executes with Trino semantics: nulls sort last on ASC
+    df = spark.createDataFrame([(None,), (2,), (1,)], "a int")
+    df.createOrReplaceTempView("_t_nulls")
+    got = [r.a for r in spark.sql(translate("SELECT a FROM _t_nulls ORDER BY a")).collect()]
+    assert got == [1, 2, None]

@@ -150,4 +150,71 @@ def translate(sql: str) -> str:
         flags=re.IGNORECASE,
     )
 
+    s = _spell_null_ordering(s)
+
     return restore(s)
+
+
+_CLAUSE_END = re.compile(
+    r"\b(LIMIT|OFFSET|FETCH|ROWS|RANGE|GROUPS|WINDOW|UNION|EXCEPT|INTERSECT)\b",
+    re.IGNORECASE,
+)
+_HAS_NULLS = re.compile(r"\bNULLS\s+(?:FIRST|LAST)\b", re.IGNORECASE)
+_ENDS_DESC = re.compile(r"\bDESC\s*$", re.IGNORECASE)
+
+
+def _spell_null_ordering(s: str) -> str:
+    """Append Trino's null-ordering defaults (ASC -> NULLS LAST, DESC ->
+    NULLS FIRST; SqlBase.g4 sortItem / the analyzer default) to every ORDER
+    BY item that doesn't state one — Spark's defaults are the opposite.
+    Operates on string-shielded SQL; clause ends at an unbalanced ')' or a
+    top-level frame/limit/set-op keyword."""
+    out, pos = [], 0
+    for m in re.finditer(r"\bORDER\s+BY\b", s, flags=re.IGNORECASE):
+        start = m.end()
+        if start < pos:  # overlapping (already-consumed) clause
+            continue
+        depth = 0
+        end = len(s)
+        i = start
+        while i < len(s):
+            ch = s[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == 0:
+                km = _CLAUSE_END.match(s, i)
+                if km and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")):
+                    end = i
+                    break
+            i += 1
+        clause = s[start:end]
+        items, d, last = [], 0, 0
+        for j, ch in enumerate(clause):
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            elif ch == "," and d == 0:
+                items.append(clause[last:j])
+                last = j + 1
+        items.append(clause[last:])
+        fixed = []
+        for it in items:
+            body = it.rstrip()
+            pad = it[len(body):]
+            if not body.strip() or _HAS_NULLS.search(body):
+                fixed.append(it)
+            elif _ENDS_DESC.search(body):
+                fixed.append(f"{body} NULLS FIRST{pad}")
+            else:
+                fixed.append(f"{body} NULLS LAST{pad}")
+        out.append(s[pos:start])
+        out.append(",".join(fixed))
+        pos = end
+    out.append(s[pos:])
+    return "".join(out)
