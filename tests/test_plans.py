@@ -109,3 +109,41 @@ def test_asof_probe_single_exchange(spark):
     n_hash = plan.count("hashpartitioning")
     assert "Join" not in plan, plan
     assert n_hash >= 1, plan
+
+
+def test_q2_window_min_shares_partkey_shuffle(spark):
+    """Q2's decorrelated window-min must not nested-loop; the dim side
+    (region-filtered suppliers) broadcasts and the window runs over the
+    p_partkey partitioning."""
+    df = PROBES["p_q2_min_cost_supplier"].fn(spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert "NestedLoop" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_q16_not_in_is_anti_join_and_distinct_expands(spark):
+    df = PROBES["p_q16_supplier_counts"].fn(spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan, plan
+    # count(distinct) goes through the two-phase plan, not a naive collect
+    assert "HashAggregate" in plan, plan
+
+
+def test_q17_decorrelated_avg_has_no_cartesian(spark):
+    """The correlated AVG must run as ONE grouped aggregate joined back —
+    never a per-row rescan (cartesian/nested-loop) of lineitem."""
+    df = PROBES["p_q17_small_quantity"].fn(spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_q21_single_pass_over_lineitem_no_correlated_joins(spark):
+    """The EXISTS/NOT-EXISTS pair is rewritten into one per-order aggregate:
+    the plan must contain no semi/anti join against lineitem (which would be
+    two extra shuffles of the fact table at 100 TB)."""
+    df = PROBES["p_q21_waiting_supplier"].fn(spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert "LeftSemi" not in plan, plan
+    assert "LeftAnti" not in plan, plan

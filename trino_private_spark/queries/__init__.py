@@ -97,6 +97,7 @@ def _load_modules() -> None:
         subqueries,
         temporal_probes,
         tpch_shapes,
+        tpch_shapes2,
         windows,
         windows_nulls,
     )
