@@ -147,3 +147,21 @@ def test_q21_single_pass_over_lineitem_no_correlated_joins(spark):
     plan = explain_str(df)
     assert "LeftSemi" not in plan, plan
     assert "LeftAnti" not in plan, plan
+
+
+def test_ds_q67_rollup_has_expand_and_window(spark):
+    """TPC-DS q67 shape: the rollup must plan as Expand feeding a partial
+    aggregate (the expansion is absorbed map-side), then a ranked window."""
+    df = PROBES["p_ds_q67_rollup_rank"].fn(spark, SF_ORACLE)
+    plan = explain_str(df, "simple")
+    assert "Expand" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Window" in plan, plan
+
+
+def test_ds_q38_intersect_plans_as_semi_join(spark):
+    """Distinct INTERSECT must become aggregate + semi join — keys shuffle,
+    rows don't."""
+    df = PROBES["p_ds_q38_cross_period_customers"].fn(spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan, plan

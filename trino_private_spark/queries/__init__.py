@@ -96,6 +96,7 @@ def _load_modules() -> None:
         relational,
         subqueries,
         temporal_probes,
+        tpcds_shapes,
         tpch_shapes,
         tpch_shapes2,
         windows,

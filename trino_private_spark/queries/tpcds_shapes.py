@@ -1,0 +1,291 @@
+"""TPC-DS signature shapes over the driver fixtures.
+
+The reference benchmarks TPC-DS q01-q99 alongside TPC-H
+(testing/trino-benchto-benchmarks/src/main/resources/benchmarks/presto/
+tpcds.yaml; BASELINE.md). The fixtures carry no TPC-DS catalog, so this
+module re-expresses the *signature plan shapes* that distinguish TPC-DS
+from TPC-H on the tables we have:
+
+- rollup + per-group rank over the expanded rows (q67)
+- grouped-count bucket join-back (q34/q73 "dealership" pattern)
+- lag()-based period-over-period comparison on a grouped series (q47/q57)
+- multi-band FILTER counts in one scan (q88's eight time-band counts)
+- same-entity INTERSECT across two activity slices (q38/q87)
+- mixed returned/kept revenue correction (q93)
+
+Each keeps TPC-DS's distinguishing operator composition — Expand feeding
+Window, stacked aggregates, set-intersection of big keysets — so the
+optimizer work those queries exercise (partial aggs under Expand, window
+group limits, distinct-intersect as semi join) is covered even though the
+constants are TPC-H-flavored. Also here: the reference's distributed-sort
+benchmark shape (distributed_sort.yaml — wide multi-column ORDER BY).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trino_private_spark.queries import T, probe
+from trino_private_spark.queries.relational import dround
+
+
+@probe(
+    "p_ds_q67_rollup_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT p_brand, yr, sales,
+             RANK() OVER (PARTITION BY p_brand
+                          ORDER BY sales DESC, yr NULLS FIRST) AS rk
+      FROM (
+        SELECT p_brand, EXTRACT(YEAR FROM o_orderdate) AS yr,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sales
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+                      JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY ROLLUP (p_brand, EXTRACT(YEAR FROM o_orderdate))))
+    WHERE rk <= 3
+    ORDER BY p_brand NULLS FIRST, rk, yr NULLS FIRST LIMIT 200
+    """,
+    tags=("tpcds",),
+)
+def p_ds_q67_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q67 shape: grouped rollup (Expand) feeding a per-group rank,
+    keeping the top slices. Exercises partial aggregation under Expand and
+    WindowGroupLimit over the expanded rows — the rollup multiplies rows
+    BEFORE the shuffle, so the partial agg must absorb the expansion."""
+    t = T(spark, sf_dir)
+    base = (
+        t.lineitem.join(F.broadcast(t.part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "p_brand",
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    agg = base.rollup("p_brand", "yr").agg(dround(F.sum("rev"), 2).alias("sales"))
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("sales").desc(), F.col("yr").asc_nulls_first())
+    return (
+        agg.withColumn("rk", F.rank().over(w).cast("bigint"))
+        .where(F.col("rk") <= 3)
+        .orderBy(F.col("p_brand").asc_nulls_first(), "rk",
+                 F.col("yr").asc_nulls_first())
+        .limit(200)
+    )
+
+
+@probe(
+    "p_ds_q34_bucket_customers",
+    oracle="""
+    SELECT c_custkey, c_name, cnt
+    FROM (
+      SELECT o_custkey, o_orderkey, COUNT(*) AS cnt
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_custkey, o_orderkey
+      HAVING COUNT(*) BETWEEN 6 AND 7)
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY c_custkey
+    """,
+    tags=("tpcds",),
+)
+def p_ds_q34_bucket_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q34/q73 shape: per-(customer, ticket) line counts banded by
+    HAVING, joined back to the customer dim. The grouped HAVING shrinks the
+    fact side to a sliver before the dim join — order of reduction is the
+    whole point at 100 TB."""
+    t = T(spark, sf_dir)
+    buckets = (
+        t.orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey", "o_orderkey")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt").between(6, 7))
+    )
+    return (
+        buckets.join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "cnt")
+        .orderBy("c_custkey")
+    )
+
+
+@probe(
+    "p_ds_q47_period_over_period",
+    oracle="""
+    SELECT p_brand, yr, mon, sales, prev_sales
+    FROM (
+      SELECT p_brand, yr, mon, sales,
+             LAG(sales, 1) OVER
+               (PARTITION BY p_brand ORDER BY yr, mon) AS prev_sales
+      FROM (
+        SELECT p_brand,
+               EXTRACT(YEAR FROM o_orderdate) AS yr,
+               EXTRACT(MONTH FROM o_orderdate) AS mon,
+               ROUND(SUM(l_extendedprice), 2) AS sales
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+                      JOIN orders ON o_orderkey = l_orderkey
+        WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        GROUP BY p_brand, EXTRACT(YEAR FROM o_orderdate),
+                 EXTRACT(MONTH FROM o_orderdate)))
+    WHERE prev_sales IS NOT NULL AND ABS(sales - prev_sales) > 10000
+    ORDER BY p_brand, yr, mon LIMIT 500
+    """,
+    tags=("tpcds",),
+)
+def p_ds_q47_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q47/q57 shape: a monthly grouped series per brand with a
+    lag() month-over-month delta filter. Aggregate-then-window: the window
+    runs over the (small) grouped series, never the fact rows, and shares
+    the brand partitioning the aggregate already produced."""
+    t = T(spark, sf_dir)
+    series = (
+        t.lineitem.join(
+            F.broadcast(t.part.where(
+                F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))),
+            F.col("p_partkey") == F.col("l_partkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "p_brand",
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.month("o_orderdate").cast("bigint").alias("mon"),
+        )
+        .agg(dround(F.sum("l_extendedprice"), 2).alias("sales"))
+    )
+    w = Window.partitionBy("p_brand").orderBy("yr", "mon")
+    return (
+        series.withColumn("prev_sales", F.lag("sales", 1).over(w))
+        .where(F.col("prev_sales").isNotNull()
+               & (F.abs(F.col("sales") - F.col("prev_sales")) > 10000))
+        .orderBy("p_brand", "yr", "mon")
+        .limit(500)
+    )
+
+
+@probe(
+    "p_ds_q88_band_counts",
+    oracle="""
+    SELECT
+      COUNT(*) FILTER (l_quantity BETWEEN 1 AND 5)   AS b1,
+      COUNT(*) FILTER (l_quantity BETWEEN 6 AND 10)  AS b2,
+      COUNT(*) FILTER (l_quantity BETWEEN 11 AND 15) AS b3,
+      COUNT(*) FILTER (l_quantity BETWEEN 16 AND 20) AS b4,
+      COUNT(*) FILTER (l_quantity BETWEEN 21 AND 25) AS b5,
+      COUNT(*) FILTER (l_quantity BETWEEN 26 AND 30) AS b6,
+      COUNT(*) FILTER (l_quantity BETWEEN 31 AND 40) AS b7,
+      COUNT(*) FILTER (l_quantity BETWEEN 41 AND 50) AS b8
+    FROM lineitem
+    WHERE l_returnflag = 'N'
+    """,
+    tags=("tpcds",),
+)
+def p_ds_q88_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 shape: eight banded counts in ONE scan via FILTER'd
+    aggregates (q88 spells it as 8 self-joined subqueries; Trino and Spark
+    both want the single-pass form). One scan, one row out — the shuffle
+    carries 8 longs."""
+    t = T(spark, sf_dir)
+    q = F.col("l_quantity")
+    bands = [(1, 5), (6, 10), (11, 15), (16, 20),
+             (21, 25), (26, 30), (31, 40), (41, 50)]
+    aggs = [
+        F.count(F.when(q.between(lo, hi), True)).alias(f"b{i+1}")
+        for i, (lo, hi) in enumerate(bands)
+    ]
+    return t.lineitem.where(F.col("l_returnflag") == "N").agg(*aggs)
+
+
+@probe(
+    "p_ds_q38_cross_period_customers",
+    oracle="""
+    SELECT COUNT(*) AS hot_customers FROM (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      INTERSECT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01')
+    """,
+    tags=("tpcds",),
+)
+def p_ds_q38_cross_period_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q38/q87 shape: INTERSECT of the same entity key drawn from
+    two activity slices (channels in DS; order-years here). Catalyst plans
+    distinct-intersect as aggregate + left-semi join — keys shuffle once
+    per side, rows never move."""
+    t = T(spark, sf_dir)
+    def slice_(y0: str, y1: str) -> DataFrame:
+        return (
+            t.orders.where(
+                (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+            ).select("o_custkey")
+        )
+    both = slice_("1996-01-01", "1997-01-01").intersect(
+        slice_("1997-01-01", "1998-01-01"))
+    return both.agg(F.count("*").alias("hot_customers"))
+
+
+@probe(
+    "p_ds_q93_refund_corrected",
+    oracle="""
+    SELECT o_custkey,
+           ROUND(SUM(CASE WHEN l_returnflag = 'R'
+                          THEN l_extendedprice * (1 - l_discount) * 0.5
+                          ELSE l_extendedprice * (1 - l_discount) END), 2)
+             AS act_sales
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_custkey
+    ORDER BY act_sales DESC, o_custkey LIMIT 100
+    """,
+    tags=("tpcds",),
+)
+def p_ds_q93_refund_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q93 shape: revenue corrected by return lines (DS joins a
+    store_returns table; the fixture folds the return marker into
+    l_returnflag). The CASE correction happens pre-shuffle so the grouped
+    agg carries one corrected double per customer."""
+    t = T(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    corrected = F.when(F.col("l_returnflag") == "R", rev * 0.5).otherwise(rev)
+    return (
+        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dround(F.sum(corrected), 2).alias("act_sales"))
+        .orderBy(F.col("act_sales").desc(), "o_custkey")
+        .limit(100)
+    )
+
+
+@probe(
+    "p_distributed_sort_wide",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS sdate,
+           l_quantity, l_orderkey, l_linenumber
+    FROM lineitem
+    ORDER BY l_returnflag, l_linestatus, l_shipdate, l_quantity DESC,
+             l_orderkey, l_linenumber
+    LIMIT 2000
+    """,
+    tags=("bench",),
+)
+def p_distributed_sort_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's distributed-sort benchmark shape (benchmarks/presto/
+    distributed_sort.yaml: 1-col and 6-col sorts): a six-key mixed-direction
+    sort over the fact table. Spark samples the keyspace for a range
+    partitioning, sorts within ranges, and TakeOrderedAndProject caps the
+    transfer; the LIMIT keeps the probe's output deterministic."""
+    t = T(spark, sf_dir)
+    return (
+        t.lineitem.select(
+            "l_returnflag", "l_linestatus",
+            F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd")
+            .alias("sdate"),
+            "l_quantity", "l_orderkey", "l_linenumber",
+        )
+        .orderBy(
+            "l_returnflag", "l_linestatus", "sdate",
+            F.col("l_quantity").desc(), "l_orderkey", "l_linenumber",
+        )
+        .limit(2000)
+    )
