@@ -303,3 +303,23 @@ def test_translate_null_ordering_defaults(spark):
     df.createOrReplaceTempView("_t_nulls")
     got = [r.a for r in spark.sql(translate("SELECT a FROM _t_nulls ORDER BY a")).collect()]
     assert got == [1, 2, None]
+
+
+def test_interval_sum_avg(spark):
+    """sum/avg over INTERVAL DAY TO SECOND (Trino registers sum/avg on
+    interval types — FunctionRegistry.java:450-455). Spark's
+    DayTimeIntervalType aggregates natively; no probe because interval
+    stringification differs across engines."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(1, 4).select(
+        (F.col("id").cast("int") * F.expr("INTERVAL '1' DAY")).alias("iv")
+    )
+    row = df.agg(
+        F.sum("iv").alias("s"), F.avg("iv").alias("a"), F.min("iv").alias("m")
+    ).collect()[0]
+    assert row.s == datetime.timedelta(days=6)
+    assert row.a == datetime.timedelta(days=2)
+    assert row.m == datetime.timedelta(days=1)

@@ -126,3 +126,48 @@ def test_engine_ctas_materialized_and_insert(spark):
         eng.insert_into(path, "SELECT * FROM nation WHERE n_nationkey < 5")
         back = spark.read.parquet(path)
         assert back.count() == n0 + 5
+
+
+def test_engine_delete_update_cow(spark):
+    """DELETE/UPDATE copy-on-write snapshots (SqlBase.g4:61,160; Hive ACID
+    delete deltas in the reference)."""
+    import os
+    import tempfile
+
+    from trino_private_spark.api import Engine
+
+    eng = Engine(spark)
+    eng.attach(SF_SMOKE)
+    with tempfile.TemporaryDirectory() as d:
+        root = os.path.join(d, "cow_nation")
+        eng.create_cow_table("mut_nation", "SELECT * FROM nation", root)
+        n0 = spark.table("mut_nation").count()
+
+        deleted = eng.delete_from("mut_nation", "n_nationkey >= 20")
+        assert deleted == n0 - 20
+        assert spark.table("mut_nation").count() == 20
+        # old snapshot untouched (readers of v0 undisturbed)
+        assert spark.read.parquet(os.path.join(root, "v0")).count() == n0
+
+        updated = eng.update(
+            "mut_nation",
+            {"n_name": "upper(n_name)", "n_regionkey": "n_regionkey + 100"},
+            "n_nationkey < 5",
+        )
+        assert updated == 5
+        got = {
+            r.n_nationkey: (r.n_name, r.n_regionkey)
+            for r in spark.table("mut_nation").collect()
+        }
+        assert all(got[k][0] == got[k][0].upper() and got[k][1] >= 100
+                   for k in range(5))
+        # rows outside the predicate unchanged
+        assert all(got[k][1] < 100 for k in got if k >= 5)
+        # no-match mutations do not write a snapshot
+        v_before = eng._cow["mut_nation"][2]
+        assert eng.delete_from("mut_nation", "n_nationkey = -1") == 0
+        assert eng._cow["mut_nation"][2] == v_before
+        # vacuum drops superseded snapshots, keeps current
+        eng.vacuum("mut_nation")
+        assert not os.path.exists(os.path.join(root, "v0"))
+        assert spark.table("mut_nation").count() == 20

@@ -91,6 +91,7 @@ def _load_modules() -> None:
         events_probes,
         functions_probes,
         llm,
+        map_aggs,
         misc_probes,
         pattern,
         relational,
