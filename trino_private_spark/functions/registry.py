@@ -1022,3 +1022,415 @@ def register_all(spark: SparkSession) -> int:
         except Exception:
             pass
     return n
+
+
+# --- straggler sweep 3: remaining documented scalars ------------------------
+# Closing the gap against docs/src/main/sphinx/functions/*.rst (reference):
+# luhn_check, split_to_map/split_to_multimap, big-endian + IEEE754 binary
+# conversions (VarbinaryFunctions.java), parse_data_size/parse_duration
+# (MathFunctions.java / DataSize), to_milliseconds, timezone_hour/minute
+# (DateTimeFunctions.java), json_array_get (JsonFunctions.java),
+# regexp_count/regexp_position (JoniRegexpFunctions.java), normal/beta CDFs
+# (MathFunctions.java:normalCdf etc.), year_of_week (DateTimeFunctions.java).
+
+import math
+import re as _re
+import struct as _struct
+
+import pandas as _pd
+
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType as _Bin, DoubleType as _Dbl, FloatType as _Flt
+
+
+def _pandas_udf(t):
+    # DataType instances (not DDL strings) keep decoration lazy: no active
+    # SparkSession is needed at import time.
+    return pandas_udf({"binary": _Bin(), "double": _Dbl(), "float": _Flt()}[t])
+
+
+@trino_fn("luhn_check")
+def luhn_check(s) -> Column:
+    """Luhn checksum validity (StringFunctions.java luhnCheck). Pure JVM:
+    aggregate over 1..n of the doubled-every-second-digit-from-right sum."""
+    s = _c(s)
+    n = F.length(s)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc
+        + (
+            lambda d: F.when(
+                i % 2 == F.lit(0), F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+            ).otherwise(d)
+        )(F.substring(s, (n - i + 1).cast("int"), F.lit(1)).cast("int")),
+    )
+    return F.when(
+        s.rlike("^[0-9]+$") & (n > 0), (total % 10) == F.lit(0)
+    ).otherwise(F.lit(False))
+
+
+def _lit_pattern(d):
+    """Trino split delimiters are literal strings; Spark split takes a regex.
+    Escape plain-Python strings; Columns pass through (caller beware)."""
+    return F.lit(_re.escape(d)) if isinstance(d, str) else _c(d)
+
+
+@trino_fn("split_to_map")
+def split_to_map(s, entry_delim, kv_delim) -> Column:
+    """split_to_map('a=1,b=2', ',', '=') -> map (errors on duplicate keys via
+    session mapKeyDedupPolicy=EXCEPTION, matching Trino)."""
+    ed = _re.escape(entry_delim) if isinstance(entry_delim, str) else entry_delim
+    kd = _re.escape(kv_delim) if isinstance(kv_delim, str) else kv_delim
+    return F.str_to_map(_c(s), F.lit(ed), F.lit(kd))
+
+
+@trino_fn("split_to_multimap")
+def split_to_multimap(s, entry_delim, kv_delim) -> Column:
+    """map<string, array<string>> keeping duplicate-key values in order."""
+    entries = F.split(_c(s), _lit_pattern(entry_delim), -1)
+    kd = _c(kv_delim)
+    key_of = lambda e: F.split_part(e, kd, F.lit(1))  # noqa: E731
+    val_of = lambda e: F.split_part(e, kd, F.lit(2))  # noqa: E731
+    keys = F.array_distinct(F.transform(entries, key_of))
+    return F.map_from_arrays(
+        keys,
+        F.transform(
+            keys,
+            lambda k: F.transform(
+                F.filter(entries, lambda e: key_of(e) == k), val_of
+            ),
+        ),
+    )
+
+
+@trino_fn("to_big_endian_64")
+def to_big_endian_64(x) -> Column:
+    return F.unhex(F.lpad(F.hex(_c(x).cast("bigint")), 16, "0"))
+
+
+@trino_fn("from_big_endian_64")
+def from_big_endian_64(b) -> Column:
+    u = F.conv(F.hex(_c(b)), 16, 10).cast("decimal(20,0)")
+    # 2^63 exceeds the py4j long range — ship it as a string literal.
+    two63 = F.lit("9223372036854775808").cast("decimal(20,0)")
+    return (
+        F.when(u >= two63, (u - two63) - two63.cast("decimal(21,0)"))
+        .otherwise(u)
+        .cast("bigint")
+    )
+
+
+@trino_fn("to_big_endian_32")
+def to_big_endian_32(x) -> Column:
+    v = _c(x).cast("int").cast("bigint").bitwiseAND(F.lit(0xFFFFFFFF))
+    return F.unhex(F.lpad(F.hex(v), 8, "0"))
+
+
+@trino_fn("from_big_endian_32")
+def from_big_endian_32(b) -> Column:
+    u = F.conv(F.hex(_c(b)), 16, 10).cast("bigint")
+    return (
+        F.when(u >= F.lit(2**31), u - F.lit(2**32)).otherwise(u).cast("int")
+    )
+
+
+@_pandas_udf("binary")
+def _to_ieee754_64(v: _pd.Series) -> _pd.Series:
+    return v.map(lambda x: None if x is None else _struct.pack(">d", float(x)))
+
+
+@_pandas_udf("double")
+def _from_ieee754_64(b: _pd.Series) -> _pd.Series:
+    return b.map(lambda x: None if x is None else _struct.unpack(">d", bytes(x))[0])
+
+
+@_pandas_udf("binary")
+def _to_ieee754_32(v: _pd.Series) -> _pd.Series:
+    return v.map(lambda x: None if x is None else _struct.pack(">f", float(x)))
+
+
+@_pandas_udf("float")
+def _from_ieee754_32(b: _pd.Series) -> _pd.Series:
+    return b.map(lambda x: None if x is None else _struct.unpack(">f", bytes(x))[0])
+
+
+TRINO_FUNCTIONS["to_ieee754_64"] = lambda v: _to_ieee754_64(_c(v))
+TRINO_FUNCTIONS["from_ieee754_64"] = lambda b: _from_ieee754_64(_c(b))
+TRINO_FUNCTIONS["to_ieee754_32"] = lambda v: _to_ieee754_32(_c(v).cast("float"))
+TRINO_FUNCTIONS["from_ieee754_32"] = lambda b: _from_ieee754_32(_c(b))
+
+
+_DATA_SIZE_POW = {"B": 0, "kB": 1, "MB": 2, "GB": 3, "TB": 4, "PB": 5, "EB": 6, "ZB": 7, "YB": 8}
+
+
+@trino_fn("parse_data_size")
+def parse_data_size(s) -> Column:
+    """parse_data_size('2.3MB') -> decimal(38,0) bytes (1024-based units)."""
+    s = _c(s)
+    num = F.regexp_extract(s, r"^([0-9.]+)\s*([A-Za-z]+)$", 1).cast("double")
+    unit = F.regexp_extract(s, r"^([0-9.]+)\s*([A-Za-z]+)$", 2)
+    expo = F.element_at(
+        F.create_map(
+            *[x for u, p in _DATA_SIZE_POW.items() for x in (F.lit(u), F.lit(p))]
+        ),
+        unit,
+    )
+    return F.floor(num * F.pow(F.lit(1024.0), expo)).cast("decimal(38,0)")
+
+
+_DURATION_SECS = {
+    "ns": 1e-9, "us": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0,
+}
+
+
+@trino_fn("parse_duration")
+def parse_duration(s) -> Column:
+    """parse_duration('5.4s') -> interval day to second."""
+    s = _c(s)
+    num = F.regexp_extract(s, r"^([0-9.]+)\s*([a-z]+)$", 1).cast("double")
+    unit = F.regexp_extract(s, r"^([0-9.]+)\s*([a-z]+)$", 2)
+    mult = F.element_at(
+        F.create_map(
+            *[x for u, m in _DURATION_SECS.items() for x in (F.lit(u), F.lit(m))]
+        ),
+        unit,
+    )
+    return F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), num * mult)
+
+
+@trino_fn("to_milliseconds")
+def to_milliseconds(iv) -> Column:
+    """interval day to second -> bigint milliseconds (DateTimeFunctions.java)."""
+    return F.unix_millis(F.timestamp_seconds(F.lit(0)) + _c(iv))
+
+
+@trino_fn("timezone_hour")
+def timezone_hour(ts, zone="UTC") -> Column:
+    """Offset hour of `zone` at wall-clock instant `ts` (session keeps
+    instants in UTC so the per-value zone is carried alongside — SURVEY §1.2)."""
+    off = F.unix_timestamp(_c(ts)) - F.unix_timestamp(F.to_utc_timestamp(_c(ts), _c(zone)))
+    return (off / 3600).cast("int")
+
+
+@trino_fn("timezone_minute")
+def timezone_minute(ts, zone="UTC") -> Column:
+    off = F.unix_timestamp(_c(ts)) - F.unix_timestamp(F.to_utc_timestamp(_c(ts), _c(zone)))
+    return ((off % 3600) / 60).cast("int")
+
+
+@trino_fn("current_timezone")
+def current_timezone() -> Column:
+    sess = SparkSession.getActiveSession()
+    tz = sess.conf.get("spark.sql.session.timeZone") if sess else "UTC"
+    return F.lit(tz)
+
+
+@trino_fn("from_unixtime_nanos")
+def from_unixtime_nanos(n) -> Column:
+    """Nanos since epoch -> timestamp (micros precision; floor division keeps
+    pre-epoch values correct)."""
+    return F.timestamp_micros(F.floor(_c(n) / 1000).cast("bigint"))
+
+
+@trino_fn("from_iso8601_timestamp_nanos")
+def from_iso8601_timestamp_nanos(s) -> Column:
+    # Trim the fractional part to micros before parsing (Spark caps at 6).
+    trimmed = F.regexp_replace(_c(s), r"(\.\d{6})\d+", "$1")
+    return F.to_timestamp(trimmed)
+
+
+@trino_fn("json_array_get")
+def json_array_get(j, i) -> Column:
+    """json_array_get(json, index) with Trino negative-index-from-end."""
+    if isinstance(i, int) and i >= 0:
+        return F.get_json_object(_c(j), f"$[{i}]")
+    arr = F.from_json(_c(j), "array<string>")
+    idx = _c(i)
+    pos = F.when(idx >= 0, idx + 1).otherwise(F.size(arr) + idx + 1)
+    return F.element_at(arr, pos.cast("int"))
+
+
+@trino_fn("regexp_count")
+def regexp_count(s, pattern) -> Column:
+    return F.regexp_count(_c(s), _c(pattern))
+
+
+@trino_fn("regexp_position")
+def regexp_position(s, pattern, start=None) -> Column:
+    """1-based position of first match at/after `start`; -1 when absent
+    (JoniRegexpFunctions.java returns -1, Spark regexp_instr returns 0)."""
+    if start is None:
+        r = F.regexp_instr(_c(s), _c(pattern))
+        return F.when(r == 0, F.lit(-1)).otherwise(r).cast("int")
+    st = _c(start)
+    r = F.regexp_instr(F.substr(_c(s), st), _c(pattern))
+    return F.when(r == 0, F.lit(-1)).otherwise(r + st - 1).cast("int")
+
+
+def _erf_approx(z: Column) -> Column:
+    """Abramowitz-Stegun 7.1.26 rational erf approximation (|err| < 1.5e-7),
+    fully JVM-side so normal_cdf stays out of Python."""
+    az = F.abs(z)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * az)
+    poly = (
+        t
+        * (
+            F.lit(0.254829592)
+            + t
+            * (
+                F.lit(-0.284496736)
+                + t * (F.lit(1.421413741) + t * (F.lit(-1.453152027) + t * F.lit(1.061405429)))
+            )
+        )
+    )
+    e = F.lit(1.0) - poly * F.exp(-az * az)
+    return F.when(z < 0, -e).otherwise(e)
+
+
+@trino_fn("normal_cdf")
+def normal_cdf(mean, sd, v) -> Column:
+    z = (_c(v) - _c(mean)) / (_c(sd) * F.lit(math.sqrt(2.0)))
+    return F.lit(0.5) * (F.lit(1.0) + _erf_approx(z))
+
+
+@_pandas_udf("double")
+def _inv_norm(p: _pd.Series) -> _pd.Series:
+    import numpy as np
+
+    # Acklam's rational approximation (|rel err| < 1.15e-9).
+    a = [-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+         -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+         3.754408661907416e+00]
+    x = p.to_numpy(dtype="float64")
+    out = np.full_like(x, np.nan)
+    plow, phigh = 0.02425, 1 - 0.02425
+    lo = (x > 0) & (x < plow)
+    hi = (x > phigh) & (x < 1)
+    mid = (x >= plow) & (x <= phigh)
+    q = np.sqrt(-2 * np.log(x[lo]))
+    out[lo] = (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+        (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+    )
+    q = np.sqrt(-2 * np.log(1 - x[hi]))
+    out[hi] = -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+        (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+    )
+    q = x[mid] - 0.5
+    r = q * q
+    out[mid] = (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / (
+        ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1
+    )
+    out[x == 0] = -np.inf
+    out[x == 1] = np.inf
+    return _pd.Series(out)
+
+
+@trino_fn("inverse_normal_cdf")
+def inverse_normal_cdf(mean, sd, p) -> Column:
+    return _c(mean) + _c(sd) * _inv_norm(_c(p).cast("double"))
+
+
+def _betainc_scalar(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a,b) via Lentz continued fraction
+    (Numerical Recipes 6.4) — powers beta_cdf without scipy."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    lbeta = math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+    front = math.exp(a * math.log(x) + b * math.log(1 - x) - lbeta)
+
+    def cf(a: float, b: float, x: float) -> float:
+        tiny = 1e-300
+        qab, qap, qam = a + b, a + 1.0, a - 1.0
+        c, d = 1.0, 1.0 - qab * x / qap
+        if abs(d) < tiny:
+            d = tiny
+        d = 1.0 / d
+        h = d
+        for m in range(1, 300):
+            m2 = 2 * m
+            aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+            d = 1.0 + aa * d
+            if abs(d) < tiny:
+                d = tiny
+            c = 1.0 + aa / c
+            if abs(c) < tiny:
+                c = tiny
+            d = 1.0 / d
+            h *= d * c
+            aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+            d = 1.0 + aa * d
+            if abs(d) < tiny:
+                d = tiny
+            c = 1.0 + aa / c
+            if abs(c) < tiny:
+                c = tiny
+            d = 1.0 / d
+            delta = d * c
+            h *= delta
+            if abs(delta - 1.0) < 1e-12:
+                break
+        return h
+
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * cf(a, b, x) / a
+    return 1.0 - front * cf(b, a, 1.0 - x) / b
+
+
+@_pandas_udf("double")
+def _beta_cdf_udf(a: _pd.Series, b: _pd.Series, v: _pd.Series) -> _pd.Series:
+    return _pd.Series(
+        [
+            None if (ai is None or bi is None or vi is None) else _betainc_scalar(float(ai), float(bi), float(vi))
+            for ai, bi, vi in zip(a, b, v)
+        ],
+        dtype="float64",
+    )
+
+
+@_pandas_udf("double")
+def _inv_beta_cdf_udf(a: _pd.Series, b: _pd.Series, p: _pd.Series) -> _pd.Series:
+    def inv(ai, bi, pi):
+        if ai is None or bi is None or pi is None:
+            return None
+        ai, bi, pi = float(ai), float(bi), float(pi)
+        lo, hi = 0.0, 1.0
+        for _ in range(80):  # bisection: 2^-80 — exact to double precision
+            mid = (lo + hi) / 2
+            if _betainc_scalar(ai, bi, mid) < pi:
+                lo = mid
+            else:
+                hi = mid
+        return (lo + hi) / 2
+
+    return _pd.Series([inv(*t) for t in zip(a, b, p)], dtype="float64")
+
+
+@trino_fn("beta_cdf")
+def beta_cdf(a, b, v) -> Column:
+    return _beta_cdf_udf(_c(a).cast("double"), _c(b).cast("double"), _c(v).cast("double"))
+
+
+@trino_fn("inverse_beta_cdf")
+def inverse_beta_cdf(a, b, p) -> Column:
+    return _inv_beta_cdf_udf(_c(a).cast("double"), _c(b).cast("double"), _c(p).cast("double"))
+
+
+@trino_fn("year_of_week")
+def year_of_week(d) -> Column:
+    """ISO week-year = calendar year of that week's Thursday
+    (DateTimeFunctions.java yearOfWeek / yow)."""
+    d = _c(d)
+    iso_dow = ((F.dayofweek(d) + 5) % 7) + 1  # Mon=1..Sun=7
+    return F.year(F.date_add(d, (F.lit(4) - iso_dow).cast("int")))
+
+
+TRINO_FUNCTIONS["yow"] = year_of_week
+TRINO_FUNCTIONS["doy"] = lambda d: F.dayofyear(_c(d))

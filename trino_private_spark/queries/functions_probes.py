@@ -544,3 +544,33 @@ def p_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_custkey")
         .limit(100)
     )
+
+
+@probe(
+    "p_year_of_week",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+           CAST(isoyear(o_orderdate) AS INT) AS yow,
+           CAST(week(o_orderdate) AS INT) AS wk,
+           COUNT(*) AS c
+    FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    tags=("functions",),
+)
+def p_year_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO week-year (year_of_week/yow) + ISO week number, oracle-checked
+    against DuckDB isoyear()/week(). Ref: DateTimeFunctions.java yearOfWeek;
+    registry straggler sweep 3 (Thursday-of-week rewrite, no UDF)."""
+    from trino_private_spark.functions.registry import TRINO_FUNCTIONS as TF
+
+    t = T(spark, sf_dir)
+    return (
+        t.orders.select(
+            F.year("o_orderdate").cast("int").alias("y"),
+            TF["year_of_week"](F.col("o_orderdate")).cast("int").alias("yow"),
+            F.weekofyear("o_orderdate").cast("int").alias("wk"),
+        )
+        .groupBy("y", "yow", "wk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("y", "yow", "wk")
+    )

@@ -289,3 +289,172 @@ def p_distributed_sort_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(2000)
     )
+
+
+@probe(
+    "p_ds_q51_cumulative_crossover",
+    oracle="""
+    WITH urgent AS (
+      SELECT c_mktsegment AS seg, strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mo,
+             ROUND(SUM(o_totalprice), 2) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY 1, 2),
+    calm AS (
+      SELECT c_mktsegment AS seg, strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mo,
+             ROUND(SUM(o_totalprice), 2) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      GROUP BY 1, 2),
+    joined AS (
+      SELECT COALESCE(u.seg, c.seg) AS seg, COALESCE(u.mo, c.mo) AS mo,
+             SUM(COALESCE(u.rev, 0)) OVER (PARTITION BY COALESCE(u.seg, c.seg)
+                 ORDER BY COALESCE(u.mo, c.mo)) AS cum_urgent,
+             SUM(COALESCE(c.rev, 0)) OVER (PARTITION BY COALESCE(u.seg, c.seg)
+                 ORDER BY COALESCE(u.mo, c.mo)) AS cum_calm
+      FROM urgent u FULL JOIN calm c ON u.seg = c.seg AND u.mo = c.mo)
+    SELECT seg, mo, ROUND(cum_urgent, 2) AS cum_urgent, ROUND(cum_calm, 2) AS cum_calm
+    FROM joined WHERE cum_urgent > cum_calm
+    ORDER BY seg, mo
+    """,
+    tags=("tpcds",),
+)
+def p_ds_q51_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q51 shape: two per-channel grouped series FULL OUTER joined on
+    (key, period), each side carrying a running cumulative sum, keeping rows
+    where one channel's cumulative total overtakes the other. Scale notes:
+    both aggregates shuffle on the same (seg, mo) key, so the full join
+    reuses that partitioning; the windows re-shuffle on seg only — three
+    shuffles total, none avoidable, all key-pruned before the window."""
+    t = T(spark, sf_dir)
+    base = t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("mo"),
+        "o_totalprice",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_urgent"),
+    )
+    urgent = (
+        base.filter("is_urgent")
+        .groupBy("seg", "mo")
+        .agg(dround(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    calm = (
+        base.filter(~F.col("is_urgent"))
+        .groupBy("seg", "mo")
+        .agg(dround(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    j = urgent.alias("u").join(
+        calm.alias("c"),
+        (F.col("u.seg") == F.col("c.seg")) & (F.col("u.mo") == F.col("c.mo")),
+        "full",
+    ).select(
+        F.coalesce("u.seg", "c.seg").alias("seg"),
+        F.coalesce("u.mo", "c.mo").alias("mo"),
+        F.coalesce("u.rev", F.lit(0.0)).alias("urev"),
+        F.coalesce("c.rev", F.lit(0.0)).alias("crev"),
+    )
+    w = Window.partitionBy("seg").orderBy("mo")
+    return (
+        j.select(
+            "seg",
+            "mo",
+            F.sum("urev").over(w).alias("cu"),
+            F.sum("crev").over(w).alias("cc"),
+        )
+        .filter(F.col("cu") > F.col("cc"))
+        .select(
+            "seg", "mo",
+            dround(F.col("cu"), 2).alias("cum_urgent"),
+            dround(F.col("cc"), 2).alias("cum_calm"),
+        )
+        .orderBy("seg", "mo")
+    )
+
+
+@probe(
+    "p_ds_q35_exists_union",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS cnt, ROUND(SUM(c_acctbal), 2) AS bal
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE EXTRACT(YEAR FROM o_orderdate) = 1994)
+       OR c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    tags=("tpcds",),
+)
+def p_ds_q35_exists_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q10/q35/q54 shape: demographic rollup of entities active in
+    EITHER of two activity channels (EXISTS ... OR EXISTS ...). Spark-first
+    rewrite: union the two channel keysets, distinct once, then ONE left-semi
+    join — instead of two correlated EXISTS probes over the same dimension
+    (the OR of semijoins is a union of build sides, never two passes over
+    the probe side)."""
+    t = T(spark, sf_dir)
+    chan_a = t.orders.filter(F.year("o_orderdate") == 1994).select(
+        F.col("o_custkey").alias("k")
+    )
+    chan_b = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    active = chan_a.unionByName(chan_b).distinct()
+    return (
+        t.customer.join(active, F.col("c_custkey") == F.col("k"), "left_semi")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dround(F.sum("c_acctbal"), 2).alias("bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@probe(
+    "p_ds_q23_frequent_and_best",
+    oracle="""
+    WITH frequent_parts AS (
+      SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 8),
+    best_customers AS (
+      SELECT o_custkey FROM orders GROUP BY o_custkey
+      HAVING SUM(o_totalprice) > 800000)
+    SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_partkey IN (SELECT l_partkey FROM frequent_parts)
+      AND o_custkey IN (SELECT o_custkey FROM best_customers)
+    """,
+    tags=("tpcds",),
+)
+def p_ds_q23_frequent_and_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q23 shape: fact rows restricted by TWO independently derived
+    keysets (frequently-sold items x highest-spending customers) feeding one
+    final aggregate. Both keysets are HAVING-filtered aggregates — small by
+    construction — so both arrive as broadcast semi joins: the 100 TB fact
+    scan is filtered in place with zero fact-side shuffles before the final
+    single-row agg."""
+    t = T(spark, sf_dir)
+    frequent = (
+        t.lineitem.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 8)
+        .select("l_partkey")
+    )
+    best = (
+        t.orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+        .filter(F.col("s") > 800000)
+        .select("o_custkey")
+    )
+    fact = t.lineitem.join(
+        t.orders.select("o_orderkey", "o_custkey"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    return (
+        fact.join(F.broadcast(frequent), "l_partkey", "left_semi")
+        .join(F.broadcast(best), "o_custkey", "left_semi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev"),
+        )
+    )
