@@ -165,3 +165,25 @@ def test_ds_q38_intersect_plans_as_semi_join(spark):
     df = PROBES["p_ds_q38_cross_period_customers"].fn(spark, SF_ORACLE)
     plan = explain_str(df)
     assert "LeftSemi" in plan, plan
+
+
+def test_ds_q23_keysets_broadcast_as_semi_joins(spark):
+    """q23 shape: both HAVING-derived keysets must reach the fact side as
+    BROADCAST left-semi joins — the 100 TB fact scan is filtered in place,
+    never shuffled on the keyset keys."""
+    df = PROBES["p_ds_q23_frequent_and_best"].fn(spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_ds_q35_or_of_exists_is_one_semi_join(spark):
+    """q10/q35 shape: EXISTS-or-EXISTS must plan as ONE semi join against the
+    unioned keyset — not two separate probes over the customer table."""
+    df = PROBES["p_ds_q35_exists_union"].fn(spark, SF_ORACLE)
+    plan = explain_str(df)
+    # exactly one semi-join operator in the tree (the detail section repeats
+    # the join type, so count the operator spelling, not the bare word)
+    assert plan.count("BroadcastHashJoin LeftSemi") + plan.count(
+        "SortMergeJoin LeftSemi"
+    ) == 1, plan

@@ -131,3 +131,59 @@ def p_events_topk_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "k")
         .limit(20)
     )
+
+
+@probe(
+    "p_kafka_count_columns",
+    oracle="""
+    SELECT COUNT(event_id) AS c_id, COUNT(user_id) AS c_user,
+           COUNT(event_type) AS c_type, COUNT(value) AS c_value,
+           COUNT(*) AS c_all,
+           COUNT(CASE WHEN event_type = 'click' THEN user_id END) AS c_csv_user
+    FROM events
+    """,
+    tags=("events", "bench"),
+)
+def p_kafka_count_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Kafka-scan benchmark shape (benchmarks/presto/
+    kafka.yaml: count / count_column_{1,10,100} over decoded messages;
+    decoders lib/trino-record-decoder). Batch stand-in: each event row is
+    serialized to a JSON message and a CSV message, pushed through the
+    sources.decoders JSON/CSV paths (from_json/from_csv — JVM-side, the
+    same expressions a kafka readStream value column uses), then
+    per-column counted. Encode->decode->count keeps the decoder in the
+    measured path while staying oracle-checkable against the undecoded
+    table."""
+    from trino_private_spark.sources.decoders import decoded_table
+
+    t = T(spark, sf_dir)
+    json_msgs = t.events.select(
+        F.to_json(
+            F.struct("event_id", "user_id", "event_type", "value", "props")
+        ).alias("msg")
+    )
+    decoded = decoded_table(
+        json_msgs,
+        "msg",
+        "json",
+        "event_id bigint, user_id bigint, event_type string, value double, props string",
+    )
+    csv_msgs = t.events.where(F.col("event_type") == "click").select(
+        F.concat_ws("|", "event_id", "user_id", "event_type").alias("msg")
+    )
+    csv_decoded = decoded_table(
+        csv_msgs,
+        "msg",
+        "csv",
+        "event_id bigint, user_id bigint, event_type string",
+        sep="|",
+    )
+    counts = decoded.agg(
+        F.count("event_id").alias("c_id"),
+        F.count("user_id").alias("c_user"),
+        F.count("event_type").alias("c_type"),
+        F.count("value").alias("c_value"),
+        F.count(F.lit(1)).alias("c_all"),
+    )
+    csv_counts = csv_decoded.agg(F.count("user_id").alias("c_csv_user"))
+    return counts.crossJoin(csv_counts)

@@ -38,7 +38,16 @@ def read_table(
     if fmt == "json":
         options.setdefault("multiLine", "false")  # line-delimited scales; one
         # JSON doc per line splits across tasks, multiLine forces 1 file/task
-    return reader.options(**options).format(fmt).load(path)
+    try:
+        return reader.options(**options).format(fmt).load(path)
+    except Exception as e:  # noqa: BLE001
+        if fmt == "avro" and "avro" in str(e).lower():
+            raise NotImplementedError(
+                "avro needs the external spark-avro module on the classpath "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
+                "not bundled in this environment"
+            ) from e
+        raise
 
 
 def write_table(
