@@ -187,3 +187,39 @@ def test_ds_q35_or_of_exists_is_one_semi_join(spark):
     assert plan.count("BroadcastHashJoin LeftSemi") + plan.count(
         "SortMergeJoin LeftSemi"
     ) == 1, plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located join posture (operators/skew.write_bucketed): two tables
+    bucketed on the join key with the same bucket count must join with ZERO
+    shuffle exchanges — at 100 TB this is the difference between an in-place
+    fact-to-fact join and reshuffling both sides every query (the Spark
+    analogue of Trino's bucketed Hive tables)."""
+    from trino_private_spark.operators.skew import write_bucketed
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+    write_bucketed(orders, "b_orders", ["o_custkey"], num_buckets=8)
+    write_bucketed(cust, "b_customer", ["c_custkey"], num_buckets=8)
+    try:
+        joined = (
+            spark.table("b_orders")
+            .join(
+                spark.table("b_customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("c"))
+        )
+        # force the non-broadcast path so the exchange (if any) is visible
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = explain_str(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        join_section = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in join_section, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")

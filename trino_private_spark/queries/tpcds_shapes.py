@@ -458,3 +458,163 @@ def p_ds_q23_frequent_and_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev"),
         )
     )
+
+
+@probe(
+    "p_ds_q49_channel_rank_union",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS channel, p_brand,
+             SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END)
+               AS ret_qty,
+             SUM(l_quantity) AS qty
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                    JOIN part ON p_partkey = l_partkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+      GROUP BY o_orderpriority, p_brand
+    ), ranked AS (
+      SELECT channel, p_brand, ret_qty / qty AS ret_ratio,
+             RANK() OVER (PARTITION BY channel
+                          ORDER BY ret_qty / qty DESC, p_brand) AS rk
+      FROM base WHERE qty > 0
+    )
+    SELECT channel, p_brand, ret_ratio, rk FROM ranked WHERE rk <= 10
+    ORDER BY channel, rk, p_brand
+    """,
+    tags=("tpcds",),
+)
+def p_ds_q49_channel_rank_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q49 shape: the same ranked return-ratio subplan evaluated per
+    channel, top-10 per channel, channels unioned. DS runs three channel
+    subqueries UNION ALL'd; expressing the channel as a partition key plans
+    it as ONE scan + one window instead of three scans — the form that
+    survives 100 TB (q49's three channels each rescan a fact table).
+    ret_qty/qty stays un-rounded: integer-valued double sums divide
+    bit-identically on both engines."""
+    t = T(spark, sf_dir)
+    base = (
+        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.part, F.col("p_partkey") == F.col("l_partkey"))
+        .where(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM")
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("channel"), F.col("p_brand")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "R", F.col("l_quantity")
+                ).otherwise(F.lit(0))
+            ).alias("ret_qty"),
+            F.sum("l_quantity").alias("qty"),
+        )
+    )
+    ratio = F.col("ret_qty") / F.col("qty")
+    w = Window.partitionBy("channel").orderBy(ratio.desc(), "p_brand")
+    return (
+        base.where(F.col("qty") > 0)
+        .select(
+            "channel",
+            "p_brand",
+            ratio.alias("ret_ratio"),
+            F.rank().over(w).cast("bigint").alias("rk"),
+        )
+        .where(F.col("rk") <= 10)
+        .orderBy("channel", "rk", "p_brand")
+    )
+
+
+@probe(
+    "p_ds_q54_revenue_segments",
+    oracle="""
+    SELECT CAST(FLOOR(total / 10000) AS BIGINT) AS segment,
+           COUNT(*) AS num_customers
+    FROM (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total
+      FROM orders GROUP BY o_custkey)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("tpcds",),
+)
+def p_ds_q54_revenue_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q54 shape: per-customer revenue bucketed into fixed-width
+    segments (`cast(amt/50 as int)` in DS), then a segment histogram. Two
+    stacked aggregations where the second groups on a derived expression —
+    the re-shuffle is on the tiny aggregated set, never the fact rows."""
+    t = T(spark, sf_dir)
+    per_cust = t.orders.groupBy("o_custkey").agg(
+        dround(F.sum("o_totalprice"), 2).alias("total")
+    )
+    return (
+        per_cust.select(
+            F.floor(F.col("total") / 10000).cast("bigint").alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count("*").alias("num_customers"))
+        .orderBy("segment")
+    )
+
+
+@probe(
+    "p_ds_q31_dual_series_growth",
+    oracle="""
+    WITH o_year AS (
+      SELECT c_nationkey AS nk, EXTRACT(YEAR FROM o_orderdate) AS yr,
+             ROUND(SUM(o_totalprice), 2) AS osum
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    ), l_year AS (
+      SELECT c_nationkey AS nk, EXTRACT(YEAR FROM o_orderdate) AS yr,
+             ROUND(SUM(l_extendedprice), 2) AS lsum
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT a1.nk AS nk, a2.osum / a1.osum AS o_growth,
+           b2.lsum / b1.lsum AS l_growth
+    FROM o_year a1
+    JOIN o_year a2 ON a1.nk = a2.nk AND a1.yr = 1994 AND a2.yr = 1995
+    JOIN l_year b1 ON b1.nk = a1.nk AND b1.yr = 1994
+    JOIN l_year b2 ON b2.nk = a1.nk AND b2.yr = 1995
+    WHERE a2.osum / a1.osum > b2.lsum / b1.lsum
+    ORDER BY nk
+    """,
+    tags=("tpcds",),
+)
+def p_ds_q31_dual_series_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q31 shape: two independent grouped series (store vs web sales
+    per county/quarter in DS; order-header vs line revenue per nation/year
+    here), self-joined on the entity key to compare period-over-period
+    growth between the series. Four aliases of two tiny aggregates join on
+    nk — all broadcast-able; the two fact scans happen exactly once."""
+    t = T(spark, sf_dir)
+    o_year = (
+        t.orders.join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(dround(F.sum("o_totalprice"), 2).alias("osum"))
+    )
+    l_year = (
+        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(dround(F.sum("l_extendedprice"), 2).alias("lsum"))
+    )
+    a1 = o_year.where(F.col("yr") == 1994).select("nk", F.col("osum").alias("o94"))
+    a2 = o_year.where(F.col("yr") == 1995).select("nk", F.col("osum").alias("o95"))
+    b1 = l_year.where(F.col("yr") == 1994).select("nk", F.col("lsum").alias("l94"))
+    b2 = l_year.where(F.col("yr") == 1995).select("nk", F.col("lsum").alias("l95"))
+    og = F.col("o95") / F.col("o94")
+    lg = F.col("l95") / F.col("l94")
+    return (
+        a1.join(a2, "nk").join(b1, "nk").join(b2, "nk")
+        .where(og > lg)
+        .select("nk", og.alias("o_growth"), lg.alias("l_growth"))
+        .orderBy("nk")
+    )
