@@ -81,3 +81,35 @@ def test_catalog_shims(spark):
     assert stats["n_nationkey"].null_fraction == 0.0
     assert stats["n_nationkey"].row_count == 25
     assert 20 <= stats["n_nationkey"].approx_ndv <= 30
+
+
+def test_dedup_stream_equals_batch_distinct(spark, batch_events):
+    """dropDuplicatesWithinWatermark over a stream with injected duplicates
+    must converge to the batch distinct count (SURVEY.md §2.6: reference
+    treats streams as static tables; our dedup is a real streaming
+    operator with bounded state)."""
+    from trino_private_spark.streaming.events import dedup_events
+
+    batch_n = dedup_events(batch_events.union(batch_events)).count()
+    stream = events_stream(spark, SF_SMOKE)
+    doubled = stream.union(events_stream(spark, SF_SMOKE))
+    got = run_stream_to_memory(
+        spark, dedup_events(doubled), "t_dedup", output_mode="append"
+    )
+    assert got.count() == batch_n == batch_events.count()
+
+
+def test_click_view_join_stream_equals_batch(spark, batch_events):
+    """Stream-stream time-bounded inner join == the identical batch range
+    join (append-mode rows are final, so the sets must match exactly)."""
+    from trino_private_spark.streaming.events import click_view_join
+
+    batch = click_view_join(batch_events).toPandas()
+    assert len(batch) > 0, "fixture yields no click-view pairs; widen horizon"
+    got = run_stream_to_memory(
+        spark,
+        click_view_join(events_stream(spark, SF_SMOKE)),
+        "t_ssjoin",
+        output_mode="append",
+    ).toPandas()
+    compare_frames(got, batch, "click-view join stream==batch")

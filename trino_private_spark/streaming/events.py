@@ -104,15 +104,21 @@ def sessionize(
 
 
 def run_stream_to_memory(
-    spark: SparkSession, stream_df: DataFrame, name: str, timeout_s: int = 120
+    spark: SparkSession,
+    stream_df: DataFrame,
+    name: str,
+    timeout_s: int = 120,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Drain a (bounded) stream into an in-memory table with the availableNow
     trigger; returns the result as a batch DataFrame. Test harness helper —
-    production sinks are kafka/parquet writeStream with checkpointing."""
+    production sinks are kafka/parquet writeStream with checkpointing.
+    output_mode: 'complete' for aggregations, 'append' for dedup /
+    stream-stream joins (their results are final per-row, never updated)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",
@@ -122,3 +128,49 @@ def run_stream_to_memory(
     )
     q.awaitTermination(timeout_s)
     return spark.table(name)
+
+
+def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exact dedup by event_id. Streaming: dropDuplicatesWithinWatermark
+    keeps per-key state only inside the watermark horizon — bounded state,
+    the only form that survives an unbounded 100 TB/day stream. Batch:
+    plain dropDuplicates (hash shuffle on the key)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def click_view_join(
+    events: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each click matched to the same user's view
+    events in the preceding hour. Streaming requires watermarks on BOTH
+    sides plus a time-range predicate so Spark can evict join state; the
+    identical DataFrame expression runs as a plain range join on batch
+    frames (how the reference would express it — it has no stream joins at
+    all, SURVEY.md preamble)."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        views = views.withWatermark("view_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {horizon}"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+    )
+    return clicks.join(views, cond, "inner").select(
+        "click_id", "view_id", "c_user", "click_ts", "view_ts"
+    )
