@@ -116,3 +116,37 @@ def test_current_groups(spark):
 def test_hll_aggregate_aliases():
     assert AGGREGATE_ALIASES["approx_set"] == "hll_sketch_agg"
     assert AGGREGATE_ALIASES["merge"] == "hll_union_agg"
+
+
+def test_spooky_hash_v2_reference_vectors():
+    """Vectors from the reference TestVarbinaryFunctions.java:341-344."""
+    from trino_private_spark.functions.registry import _spooky_hash_v2_128
+
+    h_empty, _ = _spooky_hash_v2_128(b"")
+    assert h_empty.to_bytes(8, "big").hex().upper() == "232706FC6BF50919"
+    h_hello, _ = _spooky_hash_v2_128(b"hello")
+    assert h_hello.to_bytes(8, "big").hex().upper() == "3768826AD382E6CA"
+
+
+def test_spooky_hash_v2_path_coverage():
+    """Exercise every length class of the algorithm: <16 (tail only),
+    16..31 (one 16-byte half block), >=32 (short 32-byte blocks),
+    >=192 (long path, 96-byte Mix blocks), exact block boundaries."""
+    from trino_private_spark.functions.registry import _spooky_hash_v2_128
+
+    data = bytes(range(256)) * 2
+    seen = set()
+    for n in (0, 1, 8, 9, 15, 16, 17, 31, 32, 95, 96, 191, 192, 193, 287, 288, 500):
+        h1, h2 = _spooky_hash_v2_128(data[:n])
+        assert 0 <= h1 <= 0xFFFFFFFFFFFFFFFF and 0 <= h2 <= 0xFFFFFFFFFFFFFFFF
+        assert (h1, h2) == _spooky_hash_v2_128(data[:n])  # deterministic
+        seen.add((h1, h2))
+    assert len(seen) == 17  # every length hashes differently
+
+
+def test_spooky_hash_v2_column(spark):
+    got64 = one(spark, T["spooky_hash_v2_64"](F.lit(b"hello")))
+    assert bytes(got64).hex().upper() == "3768826AD382E6CA"
+    got32 = one(spark, T["spooky_hash_v2_32"](F.lit(b"hello")))
+    assert bytes(got32).hex().upper() == "D382E6CA"
+    assert one(spark, T["spooky_hash_v2_64"](F.lit(None).cast("binary"))) is None

@@ -1658,5 +1658,149 @@ def murmur3(b) -> Column:
     return _m3(_c(b).cast("binary"))
 
 
+_SC_CONST = 0xDEADBEEFDEADBEEF
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rot64(x: int, k: int) -> int:
+    return ((x << k) | (x >> (64 - k))) & _M64
+
+
+def _spooky_short_mix(a, b, c, d):
+    for rc, which in (
+        (50, 2), (52, 3), (30, 0), (41, 1), (54, 2), (48, 3),
+        (38, 0), (37, 1), (62, 2), (34, 3), (5, 0), (36, 1),
+    ):
+        s = [a, b, c, d]
+        s[which] = _rot64(s[which], rc)
+        s[which] = (s[which] + s[(which + 1) % 4]) & _M64
+        s[(which + 2) % 4] ^= s[which]
+        a, b, c, d = s
+    return a, b, c, d
+
+
+def _spooky_short_end(a, b, c, d):
+    for rc, which in (
+        (15, 2), (52, 3), (26, 0), (51, 1), (28, 2), (9, 3),
+        (47, 0), (54, 1), (32, 2), (25, 3), (63, 0),
+    ):
+        s = [a, b, c, d]
+        s[(which + 1) % 4] ^= s[which]
+        s[which] = _rot64(s[which], rc)
+        s[(which + 1) % 4] = (s[(which + 1) % 4] + s[which]) & _M64
+        a, b, c, d = s
+    return a, b, c, d
+
+
+def _spooky_short(data: bytes, seed1: int, seed2: int):
+    """SpookyHash V2 short-message path (< 192 bytes)."""
+    length = len(data)
+    remainder = length % 32
+    a, b, c, d = seed1 & _M64, seed2 & _M64, _SC_CONST, _SC_CONST
+    pos = 0
+    if length > 15:
+        for _ in range(length // 32):
+            c = (c + int.from_bytes(data[pos : pos + 8], "little")) & _M64
+            d = (d + int.from_bytes(data[pos + 8 : pos + 16], "little")) & _M64
+            a, b, c, d = _spooky_short_mix(a, b, c, d)
+            a = (a + int.from_bytes(data[pos + 16 : pos + 24], "little")) & _M64
+            b = (b + int.from_bytes(data[pos + 24 : pos + 32], "little")) & _M64
+            pos += 32
+        if remainder >= 16:
+            c = (c + int.from_bytes(data[pos : pos + 8], "little")) & _M64
+            d = (d + int.from_bytes(data[pos + 8 : pos + 16], "little")) & _M64
+            a, b, c, d = _spooky_short_mix(a, b, c, d)
+            pos += 16
+            remainder -= 16
+    d = (d + (length << 56)) & _M64
+    t = data[pos:]
+    if remainder == 0:
+        c = (c + _SC_CONST) & _M64
+        d = (d + _SC_CONST) & _M64
+    elif remainder >= 9:
+        d = (d + int.from_bytes(t[8:remainder], "little")) & _M64
+        c = (c + int.from_bytes(t[0:8], "little")) & _M64
+    else:
+        c = (c + int.from_bytes(t[0:remainder], "little")) & _M64
+    a, b, c, d = _spooky_short_end(a, b, c, d)
+    return a, b
+
+
+def _spooky_mix(block: bytes, h):
+    rots = (11, 32, 43, 31, 17, 28, 39, 57, 55, 54, 22, 46)
+    for i in range(12):
+        h[i] = (h[i] + int.from_bytes(block[i * 8 : i * 8 + 8], "little")) & _M64
+        h[(i + 2) % 12] ^= h[(i + 10) % 12]
+        h[(i + 11) % 12] ^= h[i]
+        h[i] = _rot64(h[i], rots[i])
+        h[(i + 11) % 12] = (h[(i + 11) % 12] + h[(i + 1) % 12]) & _M64
+    return h
+
+
+def _spooky_end_partial(h):
+    rots = (44, 15, 34, 21, 38, 33, 10, 13, 38, 31, 29, 17)
+    for i in range(12):
+        h[(i + 11) % 12] = (h[(i + 11) % 12] + h[(i + 1) % 12]) & _M64
+        h[(i + 2) % 12] ^= h[(i + 11) % 12]
+        h[(i + 1) % 12] = _rot64(h[(i + 1) % 12], rots[i])
+    return h
+
+
+def _spooky_hash_v2_128(data: bytes, seed1: int = 0, seed2: int = 0):
+    """Pure-python SpookyHash V2 (public-domain algorithm by Bob Jenkins),
+    matching Trino's spooky_hash_v2_{32,64} (VarbinaryFunctions.java:315-332
+    via io.airlift.slice.SpookyHashV2; vectors
+    TestVarbinaryFunctions.java:341-344). Returns (hash1, hash2)."""
+    length = len(data)
+    if length < 192:
+        return _spooky_short(data, seed1, seed2)
+    h = [0] * 12
+    h[0] = h[3] = h[6] = h[9] = seed1 & _M64
+    h[1] = h[4] = h[7] = h[10] = seed2 & _M64
+    h[2] = h[5] = h[8] = h[11] = _SC_CONST
+    nblocks = length // 96
+    pos = 0
+    for _ in range(nblocks):
+        h = _spooky_mix(data[pos : pos + 96], h)
+        pos += 96
+    remainder = length - pos
+    buf = data[pos:].ljust(96, b"\0")
+    buf = buf[:95] + bytes([remainder])
+    for i in range(12):
+        h[i] = (h[i] + int.from_bytes(buf[i * 8 : i * 8 + 8], "little")) & _M64
+    h = _spooky_end_partial(h)
+    h = _spooky_end_partial(h)
+    h = _spooky_end_partial(h)
+    return h[0], h[1]
+
+
+def _register_spooky(bits: int) -> None:
+    nbytes = bits // 8
+    mask = (1 << bits) - 1
+
+    @trino_fn(f"spooky_hash_v2_{bits}")
+    def spooky(b) -> Column:
+        import pandas as pd
+
+        @F.pandas_udf("binary")
+        def _sp(col):
+            return pd.Series(
+                [
+                    None
+                    if v is None
+                    else (_spooky_hash_v2_128(bytes(v))[0] & mask).to_bytes(
+                        nbytes, "big"
+                    )
+                    for v in col
+                ]
+            )
+
+        return _sp(_c(b).cast("binary"))
+
+
+_register_spooky(32)
+_register_spooky(64)
+
+
 AGGREGATE_ALIASES.setdefault("approx_set", "hll_sketch_agg")
 AGGREGATE_ALIASES.setdefault("merge", "hll_union_agg")
