@@ -223,3 +223,40 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_ds_q13_or_disjunction_pushed_to_scan(spark):
+    """The OR-of-AND band predicate must reach the parquet reader as ONE
+    pushed disjunction (no union-of-scans rewrite, no post-scan-only
+    filtering): at 100 TB the row-group stats pruning from the pushed Or
+    is the difference between reading 3 bands and reading everything."""
+    df = PROBES["p_ds_q13_or_bands"].fn(spark, SF_ORACLE)
+    plan = explain_str(df)
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "Or(" in pushed and "l_discount" in pushed and "l_quantity" in pushed, pushed
+    simple = explain_str(df, "simple")
+    assert simple.count("Scan parquet") == 1, "OR must not split into a scan union"
+
+
+def test_ds_q98_window_reads_grouped_agg_not_rejoin(spark):
+    """The class total must come from a window over the grouped aggregate —
+    one scan, one agg, one window — never a re-join of two aggregates."""
+    plan = explain_str(PROBES["p_ds_q98_class_share"].fn(spark, SF_ORACLE), "simple")
+    assert plan.count("Scan parquet") == 2, plan  # lineitem + part dim, once each
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ds_q66_pivot_single_aggregate(spark):
+    """Twelve conditional month sums must collapse into ONE grouped
+    aggregation (partial + final), not twelve."""
+    plan = explain_str(PROBES["p_ds_q66_monthly_pivot"].fn(spark, SF_ORACLE), "simple")
+    assert plan.count("HashAggregate") == 2, plan.count("HashAggregate")
+
+
+def test_ds_q36_grouping_rank_has_expand_feeding_window(spark):
+    """ROLLUP + GROUPING()-keyed rank: Expand must appear below the Window
+    (grouping metadata becomes window partition keys, no intermediate
+    materialization)."""
+    plan = explain_str(PROBES["p_ds_q36_grouping_rank"].fn(spark, SF_ORACLE))
+    assert "Expand" in plan and "Window" in plan

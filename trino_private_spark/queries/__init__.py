@@ -98,6 +98,8 @@ def _load_modules() -> None:
         subqueries,
         temporal_probes,
         tpcds_shapes,
+        tpcds_shapes2,
+        tpcds_shapes3,
         tpch_shapes,
         tpch_shapes2,
         windows,
