@@ -113,3 +113,41 @@ def test_click_view_join_stream_equals_batch(spark, batch_events):
         output_mode="append",
     ).toPandas()
     compare_frames(got, batch, "click-view join stream==batch")
+
+
+def test_stream_static_enrich_equals_batch(spark, batch_events):
+    """Stream-static broadcast join == identical batch join; the static dim
+    must never force a stream shuffle."""
+    from trino_private_spark.streaming.events import enrich_with_dim
+
+    dim = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    batch = (
+        enrich_with_dim(batch_events, dim)
+        .select("event_id", "c_mktsegment")
+        .toPandas()
+    )
+    got = run_stream_to_memory(
+        spark,
+        enrich_with_dim(events_stream(spark, SF_SMOKE), dim).select(
+            "event_id", "c_mktsegment"
+        ),
+        "t_enrich",
+        output_mode="append",
+    ).toPandas()
+    compare_frames(got, batch, "stream-static enrich")
+
+
+def test_parquet_sink_exactly_once_round_trip(spark, batch_events, tmp_path):
+    """availableNow drain to a parquet sink: committed rows == source rows,
+    and a second drain of the same (fully consumed) source commits nothing
+    new — the checkpoint makes the sink idempotent."""
+    from trino_private_spark.streaming.events import parquet_sink
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    parquet_sink(events_stream(spark, SF_SMOKE), out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == batch_events.count()
+    parquet_sink(events_stream(spark, SF_SMOKE), out, ckpt)
+    assert spark.read.parquet(out).count() == n1

@@ -174,3 +174,43 @@ def click_view_join(
     return clicks.join(views, cond, "inner").select(
         "click_id", "view_id", "c_user", "click_ts", "view_ts"
     )
+
+
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    event_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join each event to a slowly
+    changing dim table. The static side is explicitly broadcast — at 100 TB
+    of stream the dim join must never shuffle the stream; Spark re-reads
+    the static side per micro-batch, so dim updates between batches are
+    picked up for free. Works identically on batch frames (same join)."""
+    return events.join(
+        F.broadcast(dim), F.col(event_key) == F.col(dim_key), how
+    )
+
+
+def parquet_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    timeout_s: int = 120,
+):
+    """Exactly-once parquet sink: append mode + checkpointLocation gives
+    atomic per-batch commits via the sink's _spark_metadata log — a
+    restarted query never duplicates a committed batch. availableNow
+    drains the backlog then stops (use processingTime triggers for a
+    resident pipeline)."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
