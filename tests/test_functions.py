@@ -323,3 +323,44 @@ def test_interval_sum_avg(spark):
     assert row.s == datetime.timedelta(days=6)
     assert row.a == datetime.timedelta(days=2)
     assert row.m == datetime.timedelta(days=1)
+
+
+def test_translate_array_literals_and_subscripts(spark):
+    """Trino ARRAY[..] literals and 1-based subscripts (SqlBase.g4
+    arrayConstructor / subscript; ArraySubscriptOperator) run unchanged
+    through translate()."""
+    from trino_private_spark.plans.translate import translate
+
+    out = translate("SELECT ARRAY[10,20,30][2] AS x")
+    assert out == "SELECT element_at(array(10,20,30), 2) AS x"
+    assert spark.sql(out).collect()[0].x == 20
+    nested = translate("SELECT ARRAY[ARRAY[1,2],ARRAY[3]][1][2] AS x")
+    assert spark.sql(nested).collect()[0].x == 2
+    fncall = translate("SELECT split('a,b,c', ',')[3] AS x")
+    assert spark.sql(fncall).collect()[0].x == "c"
+    mapsub = translate("SELECT map('k', 7)['k'] AS x")
+    assert spark.sql(mapsub).collect()[0].x == 7
+
+
+def test_translate_element_at_is_null_on_miss(spark):
+    """Trino element_at returns NULL past the end (ElementAt.java) while
+    a[i] throws; the translation keeps both behaviors distinct."""
+    from trino_private_spark.plans.translate import translate
+
+    out = translate("SELECT element_at(ARRAY[1], 5) AS x")
+    assert spark.sql(out).collect()[0].x is None
+
+
+def test_translate_identifiers_types_tablesample(spark):
+    from trino_private_spark.plans.translate import translate
+
+    out = translate('SELECT "My Col" FROM (SELECT 1 AS "My Col")')
+    assert "`My Col`" in out
+    assert spark.sql(out).collect()[0][0] == 1
+    out2 = translate("SELECT CAST('ab' AS varbinary) AS b, CAST(1.5 AS real) AS r")
+    row = spark.sql(out2).collect()[0]
+    assert bytes(row.b) == b"ab" and abs(row.r - 1.5) < 1e-6
+    out3 = translate("SELECT x FROM t TABLESAMPLE BERNOULLI (50)")
+    assert "TABLESAMPLE (50 PERCENT)" in out3
+    out4 = translate("SELECT CAST(1 AS double precision) AS d")
+    assert spark.sql(out4).collect()[0].d == 1.0

@@ -29,7 +29,9 @@ def test_translate_preserves_string_literals(s):
     out = translate(sql)
     # literal contents survive untouched even when they contain fn names
     assert f"'{lit}'" in out
-    assert out.startswith("SELECT instr(x, ")
+    # strpos -> instr, wrapped to keep Trino's BIGINT return width
+    assert out.startswith("SELECT CAST(instr(x, ")
+    assert out.endswith(") AS BIGINT) FROM t")
 
 
 @settings(max_examples=10, deadline=None)

@@ -51,6 +51,11 @@ _FN_RENAMES = {
     "all_match": "forall",
     "contains": "array_contains",
     "cardinality": "size",
+    # Trino element_at is null-on-miss (ElementAt.java); Spark's throws
+    # under ANSI mode, so the forgiving variant is the correct mapping.
+    # (1-based subscripts a[i], which DO throw in Trino, become Spark
+    # element_at below — also throwing under ANSI. Semantics preserved.)
+    "element_at": "try_element_at",
 }
 
 _UNIT = r"'(millisecond|second|minute|hour|day|week|month|quarter|year)'"
@@ -71,6 +76,112 @@ def _shield_strings(sql: str):
         return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], s)
 
     return shielded, restore
+
+
+def _rewrite_array_literals(s: str) -> str:
+    """ARRAY[...] -> array(...) (SqlBase.g4 arrayConstructor). One pass
+    converts outermost occurrences; the caller loops to fixpoint so nested
+    ARRAY[ARRAY[..]] literals converge."""
+    pat = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
+    out, i = [], 0
+    while True:
+        m = pat.search(s, i)
+        if not m:
+            out.append(s[i:])
+            return "".join(out)
+        out.append(s[i : m.start()])
+        out.append("array(")
+        depth, j = 1, m.end()
+        while j < len(s) and depth:
+            if s[j] == "[":
+                depth += 1
+            elif s[j] == "]":
+                depth -= 1
+            if depth:
+                out.append(s[j])
+            j += 1
+        out.append(")")
+        i = j
+
+
+def _rewrite_subscripts(s: str) -> str:
+    """Postfix subscript base[idx] -> element_at(base, idx): Trino
+    subscripts are 1-based (ArraySubscriptOperator) and so is Spark's
+    element_at; both throw on out-of-range (Spark under ANSI mode).
+    Handles chained a[1][2] and parenthesized bases by re-scanning after
+    each rewrite."""
+    changed = True
+    while changed:
+        changed = False
+        for m in re.finditer(r"\[", s):
+            k = m.start()
+            p = k - 1
+            while p >= 0 and s[p].isspace():
+                p -= 1
+            if p < 0:
+                continue
+            if s[p] == ")":
+                depth, q = 1, p - 1
+                while q >= 0 and depth:
+                    if s[q] == ")":
+                        depth += 1
+                    elif s[q] == "(":
+                        depth -= 1
+                    q -= 1
+                while q >= 0 and (s[q].isalnum() or s[q] in "_.`"):
+                    q -= 1
+                base_start = q + 1
+            elif s[p].isalnum() or s[p] in "_`":
+                q = p
+                while q >= 0 and (s[q].isalnum() or s[q] in "_.`"):
+                    q -= 1
+                base_start = q + 1
+            else:
+                continue
+            base = s[base_start : p + 1]
+            depth, j = 1, k + 1
+            while j < len(s) and depth:
+                if s[j] == "[":
+                    depth += 1
+                elif s[j] == "]":
+                    depth -= 1
+                j += 1
+            idx = s[k + 1 : j - 1]
+            s = f"{s[:base_start]}element_at({base}, {idx}){s[j:]}"
+            changed = True
+            break
+    return s
+
+
+# Renamed targets whose Spark return type is INT where Trino declares
+# BIGINT (StringFunctions.java strpos/length/codepoint return bigint;
+# ArrayFunctions cardinality returns bigint). Wrapped in CAST so the
+# translated query's schema matches Trino's.
+_BIGINT_CALLS = ("instr", "size", "ascii", "length")
+
+
+def _cast_calls_bigint(s: str, names=_BIGINT_CALLS) -> str:
+    """Wrap name(...) calls in CAST(... AS BIGINT), scanning balanced
+    parens so nested arguments survive."""
+    for name in names:
+        pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+        i = 0
+        while True:
+            m = pat.search(s, i)
+            if not m:
+                break
+            depth, j = 1, m.end()
+            while j < len(s) and depth:
+                if s[j] == "(":
+                    depth += 1
+                elif s[j] == ")":
+                    depth -= 1
+                j += 1
+            call = s[m.start() : j]
+            wrapped = f"CAST({call} AS BIGINT)"
+            s = s[: m.start()] + wrapped + s[j:]
+            i = m.start() + len(wrapped)
+    return s
 
 
 def translate(sql: str) -> str:
@@ -140,6 +251,37 @@ def translate(sql: str) -> str:
         s = re.sub(
             rf"\b{trino_name}\s*\(", f"{spark_name}(", s, flags=re.IGNORECASE
         )
+
+    # bigint-returning Trino scalars whose Spark rename returns INT
+    s = _cast_calls_bigint(s)
+
+    # ARRAY[..] literals, then 1-based subscripts (order matters: the
+    # literal rewrite consumes its brackets so subscript detection only
+    # sees genuine postfix access).
+    prev = None
+    while prev != s:
+        prev, s = s, _rewrite_array_literals(s)
+    s = _rewrite_subscripts(s)
+
+    # Trino type names in CAST targets (Types.java) -> Spark type names.
+    s = re.sub(r"\bAS\s+varbinary\b", "AS binary", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bAS\s+real\b", "AS float", s, flags=re.IGNORECASE)
+    s = re.sub(
+        r"\bAS\s+double\s+precision\b", "AS double", s, flags=re.IGNORECASE
+    )
+
+    # TABLESAMPLE BERNOULLI(p)/SYSTEM(p) -> Spark's percent sampling.
+    s = re.sub(
+        r"\bTABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*([\d.]+)\s*\)",
+        r"TABLESAMPLE (\1 PERCENT)",
+        s,
+        flags=re.IGNORECASE,
+    )
+
+    # Trino delimited identifiers are double-quoted (SqlBase.g4
+    # quotedIdentifier); Spark uses backticks. String literals are already
+    # shielded, so any remaining double quotes delimit identifiers.
+    s = re.sub(r'"([^"]+)"', r"`\1`", s)
 
     # Trino TRY(expr) -> try-variants can't be inferred generically; map the
     # common arithmetic cases.

@@ -87,6 +87,7 @@ def _load_modules() -> None:
     from trino_private_spark.queries import (  # noqa: F401
         aggregates,
         approx,
+        dialect_probes,
         edge_probes,
         events_probes,
         functions_probes,
@@ -100,6 +101,7 @@ def _load_modules() -> None:
         tpcds_shapes,
         tpcds_shapes2,
         tpcds_shapes3,
+        tpcds_shapes4,
         tpch_shapes,
         tpch_shapes2,
         windows,
