@@ -260,3 +260,12 @@ def test_ds_q36_grouping_rank_has_expand_feeding_window(spark):
     materialization)."""
     plan = explain_str(PROBES["p_ds_q36_grouping_rank"].fn(spark, SF_ORACLE))
     assert "Expand" in plan and "Window" in plan
+
+
+def test_ds_q45_or_compiles_to_existence_join(spark):
+    """A local predicate OR'd with IN-subquery membership cannot be a plain
+    semi join (it would drop rows matching only the local arm); Catalyst
+    must produce an ExistenceJoin flag feeding the OR."""
+    df = PROBES["p_ds_q45_existence_or"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistenceJoin" in plan, plan

@@ -38,14 +38,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): read as long nanos (see
-        # engine conf nanosAsLong) and truncate to µs — the same value DuckDB
-        # sees after its own ns->µs truncation (FIXTURES.md).
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (read as
+        # long nanos under nanosAsLong, truncated to µs here) and native
+        # TIMESTAMP(MICROS) (used as-is). Handle either so the engine works
+        # against any vintage of the fixture data.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+            )
+        # native µs files read as TIMESTAMP_NTZ; normalize to TimestampType
+        # (session TZ is UTC, so the instant is unchanged) so every probe
+        # sees one ts type regardless of fixture vintage
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -1,0 +1,94 @@
+"""Tile-bucketed spatial join — the SpatialJoinOperator shape, Spark-first.
+
+The reference executes spatial predicate joins by building an R-tree over
+one side and probing it per row (operator/SpatialJoinOperator.java,
+PagesRTreeIndex.java), optionally pre-partitioned by a KdbTree
+(SpatialPartitioningAggregateFunction). On Spark the same join becomes an
+EQUI-join on a space-filling bucket key:
+
+- build side (typically the smaller point set / the "hubs"): one Bing tile
+  per row at a chosen zoom (``bing_tile_at``);
+- probe side: the array of tiles covering the predicate region (for a
+  radius predicate: ``tiles_covering_radius``), exploded;
+- equi-join on the encoded tile + residual exact predicate
+  (``great_circle_distance <= radius``).
+
+Because the build row maps to exactly ONE tile and the probe cover contains
+every tile the disk touches, each qualifying pair joins exactly once — no
+dedup pass. The plan is a plain hash join (broadcast when the build side is
+small), never a nested loop: at 100 TB the probe side shuffles by tile key
+only, and tile cardinality (4^zoom) gives uniform buckets that AQE can
+coalesce or split. Zoom picks the bucket granularity: higher zoom = more,
+smaller buckets (more probe-side row expansion), lower zoom = fewer buckets
+(more residual-filter work). zoom 8-12 suits radii of 10-500 km.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from trino_private_spark.functions.geo import (
+    bing_tile_at,
+    great_circle_distance,
+    tiles_covering_radius,
+)
+
+
+def distance_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_lat: str,
+    probe_lon: str,
+    build_lat: str,
+    build_lon: str,
+    radius_km: float,
+    zoom: int = 10,
+    broadcast_build: bool = True,
+) -> DataFrame:
+    """All (probe, build) pairs within radius_km, with a distance_km column.
+
+    Output columns: every probe column, every build column, distance_km.
+    Column names must not collide across the two inputs.
+    """
+    z = F.lit(zoom)
+    p = probe.withColumn(
+        "__tile",
+        F.explode(
+            tiles_covering_radius(
+                F.col(probe_lat), F.col(probe_lon), z, F.lit(radius_km)
+            )
+        ),
+    )
+    b = build.withColumn(
+        "__tile", bing_tile_at(F.col(build_lat), F.col(build_lon), z)
+    )
+    if broadcast_build:
+        b = F.broadcast(b)
+    dist = great_circle_distance(
+        F.col(probe_lat), F.col(probe_lon), F.col(build_lat), F.col(build_lon)
+    )
+    return (
+        p.join(b, on="__tile", how="inner")
+        .where(dist <= F.lit(radius_km))
+        .drop("__tile")
+        .withColumn("distance_km", dist)
+    )
+
+
+def within_distance(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_lat: str,
+    probe_lon: str,
+    build_lat: str,
+    build_lon: str,
+    radius_km: float,
+    zoom: int = 10,
+) -> DataFrame:
+    """Semi-join form: probe rows having ANY build point within radius_km."""
+    joined = distance_join(
+        probe, build.select(build_lat, build_lon), probe_lat, probe_lon,
+        build_lat, build_lon, radius_km, zoom,
+    )
+    return joined.select(probe.columns).dropDuplicates(probe.columns)

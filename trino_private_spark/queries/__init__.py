@@ -91,6 +91,7 @@ def _load_modules() -> None:
         edge_probes,
         events_probes,
         functions_probes,
+        geo_probes,
         llm,
         map_aggs,
         misc_probes,
@@ -98,10 +99,12 @@ def _load_modules() -> None:
         relational,
         subqueries,
         temporal_probes,
+        time_probes,
         tpcds_shapes,
         tpcds_shapes2,
         tpcds_shapes3,
         tpcds_shapes4,
+        tpcds_shapes5,
         tpch_shapes,
         tpch_shapes2,
         windows,

@@ -1,0 +1,59 @@
+"""TIME(p) probes: the picos-of-day BIGINT stand-in for Trino's TIME type
+(functions/timeofday.py; reference operator/scalar/time/TimeFunctions.java).
+The oracle replicates the picos arithmetic directly in DuckDB SQL."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trino_private_spark.functions import timeofday as tod
+from trino_private_spark.queries import T, probe
+
+
+@probe(
+    "p_time_of_day",
+    oracle="""
+    WITH t AS (
+      SELECT event_id,
+             (epoch_us(ts) % 86400000000) * 1000000 AS p
+      FROM events WHERE event_id <= 500)
+    SELECT event_id,
+           p AS t_picos,
+           p // 3600000000000000 AS hh,
+           (p // 60000000000000) % 60 AS mi,
+           (p // 1000000000000) % 60 AS ss,
+           (p // 1000000000) % 1000 AS ms,
+           (p // 60000000000000) * 60000000000000 AS t_minute,
+           (p + 7 * 3600000000000000) % 86400000000000000 AS t_plus7h,
+           (p - 0) // 60000000000000 AS mins_since_midnight,
+           lpad(CAST(p // 3600000000000000 AS VARCHAR), 2, '0') || ':' ||
+           lpad(CAST((p // 60000000000000) % 60 AS VARCHAR), 2, '0') || ':' ||
+           lpad(CAST((p // 1000000000000) % 60 AS VARCHAR), 2, '0') || '.' ||
+           substr(lpad(CAST(p % 1000000000000 AS VARCHAR), 12, '0'), 1, 3) AS fmt
+    FROM t ORDER BY event_id
+    """,
+    tags=("time",),
+)
+def p_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME extraction / trunc / wrap-add / diff / format over events.ts.
+    Ref: TimeFunctions.java:47-168 (hour..millisecond, date_trunc,
+    date_add mod-day wrap, date_diff)."""
+    t = T(spark, sf_dir)
+    p = tod.time_from_timestamp(F.col("ts"))
+    return (
+        t.events.where(F.col("event_id") <= 500)
+        .select(
+            "event_id",
+            p.alias("t_picos"),
+            tod.hour(p).alias("hh"),
+            tod.minute(p).alias("mi"),
+            tod.second(p).alias("ss"),
+            tod.millisecond(p).alias("ms"),
+            tod.time_trunc("minute", p).alias("t_minute"),
+            tod.time_add("hour", F.lit(7), p).alias("t_plus7h"),
+            tod.time_diff("minute", F.lit(0), p).alias("mins_since_midnight"),
+            tod.time_format(p, 3).alias("fmt"),
+        )
+        .orderBy("event_id")
+    )

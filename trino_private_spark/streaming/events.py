@@ -19,29 +19,36 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# ts is parquet TIMESTAMP(NANOS): declared bigint under nanosAsLong and
-# converted to a µs timestamp below — same convention as catalog.load_table.
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema must be explicit
-    for streaming reads; pathGlobFilter isolates the one table file)."""
+    for streaming reads; pathGlobFilter isolates the one table file).
+
+    ts has shipped both as parquet TIMESTAMP(NANOS) (bigint under
+    nanosAsLong, truncated to µs) and native TIMESTAMP(MICROS); sniff the
+    batch-read schema and declare the matching streaming schema."""
+    from pyspark.sql.types import LongType
+
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    nanos = isinstance(probe.schema["ts"].dataType, LongType)
+    ts_decl = "bigint" if nanos else "timestamp_ntz"
+    schema = (
+        f"event_id bigint, ts {ts_decl}, user_id bigint, event_type string, "
+        "value double, props string"
+    )
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
-    )
+    if nanos:
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(
