@@ -223,3 +223,49 @@ def test_curate_corpus_end_to_end(spark):
     )
     ids2 = {r.doc_id for r in res2.curated.select("doc_id").collect()}
     assert ids == ids2
+
+
+def test_sq8_quantize_roundtrip_and_recall(spark, embeddings):
+    """SQ8 codes bounded, reconstruction error bounded by half a step per
+    dimension, and quantize-then-rerank recall@5 near-perfect (exact
+    rescore of an oversampled candidate set)."""
+    from trino_private_spark.llm.quantize import (
+        fit_sq8,
+        sq8_decode,
+        sq8_encode,
+        sq8_topk,
+    )
+    from trino_private_spark.llm.similarity import brute_force_topk
+
+    mins, maxs = fit_sq8(embeddings, "embedding", 64)
+    codes = sq8_encode(F.col("embedding"), mins, maxs)
+    bounds = embeddings.select(
+        F.array_min(codes).alias("lo"), F.array_max(codes).alias("hi")
+    ).agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")).collect()[0]
+    assert bounds.lo >= 0 and bounds.hi <= 255
+
+    # max abs reconstruction error <= step/2 (+ float noise) per dimension
+    recon = sq8_decode(codes, mins, maxs)
+    step = max(
+        (mx - mn) / 255.0 for mn, mx in zip(mins, maxs) if mx > mn
+    )
+    err = embeddings.select(
+        F.array_max(
+            F.zip_with(
+                F.col("embedding"), recon, lambda x, r: F.abs(x.cast("double") - r)
+            )
+        ).alias("e")
+    ).agg(F.max("e")).collect()[0][0]
+    assert err <= step / 2 + 1e-9, (err, step)
+
+    queries = embeddings.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(embeddings, queries, k=5).collect()
+    approx = sq8_topk(embeddings, queries, k=5, oversample=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.9, f"SQ8 rerank recall {recall}"
+    self_hits = {r.query_id for r in approx if r.neighbor_id == r.query_id}
+    assert len(self_hits) == 10

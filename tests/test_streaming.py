@@ -151,3 +151,27 @@ def test_parquet_sink_exactly_once_round_trip(spark, batch_events, tmp_path):
     assert n1 == batch_events.count()
     parquet_sink(events_stream(spark, SF_SMOKE), out, ckpt)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_windowed_approx_distinct_stream_equals_batch(spark, batch_events):
+    """Streaming HLL windows must equal the batch HLL of the same data AND
+    sit within 5% of the exact per-window distinct count."""
+    from trino_private_spark.streaming.events import windowed_approx_distinct
+
+    batch = windowed_approx_distinct(batch_events).toPandas()
+    stream = events_stream(spark, SF_SMOKE)
+    got = run_stream_to_memory(
+        spark, windowed_approx_distinct(stream), "t_whll"
+    ).toPandas()
+    compare_frames(got, batch, "windowed_approx_distinct stream==batch")
+
+    exact = (
+        batch_events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .toPandas()
+    )
+    merged = batch.merge(exact, on=["window_start", "event_type"])
+    assert len(merged) == len(batch)
+    rel = (merged["approx_users"] - merged["n"]).abs() / merged["n"].clip(lower=1)
+    assert rel.max() <= 0.05, rel.max()

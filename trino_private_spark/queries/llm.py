@@ -321,3 +321,49 @@ def p_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
     )
     return res.curated.select("doc_id").orderBy("doc_id")
+
+
+@probe(
+    "p_sq8_quantize",
+    oracle="""
+    WITH elems AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(1, 65)) AS r(i)),
+    dims AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM elems GROUP BY i),
+    codes AS (
+      SELECT vec_id,
+             CASE WHEN mx = mn THEN 0
+                  ELSE CAST(round(LEAST(GREATEST((x - mn) / (mx - mn), 0), 1) * 255)
+                       AS BIGINT) END AS code
+      FROM elems e JOIN dims d ON e.i = d.i)
+    SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
+           MIN(code) AS code_min, MAX(code) AS code_max
+    FROM codes WHERE vec_id <= 100
+    GROUP BY vec_id ORDER BY vec_id
+    """,
+    tags=("llm",),
+)
+def p_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization of the embedding column (llm/quantize.py):
+    per-dimension bounds fit over the FULL corpus in one aggregate, codes
+    computed JVM-side; the probe checksums each vector's codes. The oracle
+    replays the identical fit+encode arithmetic relationally. The 4x
+    storage shrink is the similarity-search scale path (SCALE.md)."""
+    from trino_private_spark.llm.quantize import fit_sq8, sq8_encode
+
+    t = T(spark, sf_dir)
+    emb = t.embeddings
+    mins, maxs = fit_sq8(emb, "embedding", 64)
+    codes = sq8_encode(F.col("embedding"), mins, maxs)
+    return (
+        emb.where(F.col("vec_id") <= 100)
+        .select(
+            "vec_id",
+            F.aggregate(
+                codes, F.lit(0).cast("long"), lambda acc, c: acc + c.cast("long")
+            ).alias("code_sum"),
+            F.array_min(codes).cast("long").alias("code_min"),
+            F.array_max(codes).cast("long").alias("code_max"),
+        )
+        .orderBy("vec_id")
+    )

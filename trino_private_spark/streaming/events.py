@@ -221,3 +221,25 @@ def parquet_sink(
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def windowed_approx_distinct(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window distinct-user estimate via mergeable HLL sketches.
+
+    The 100 TB streaming shape: per-window per-partition sketches merge
+    inside the stateful aggregation, so state and shuffle carry KB-sized
+    sketches instead of user-id sets — the same reason the batch layer
+    keeps HLL columns (p_hll_sketch_column). Works identically on a batch
+    frame (Structured Streaming parity contract)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            F.hll_sketch_estimate("sk").alias("approx_users"),
+        )
+    )
