@@ -181,3 +181,22 @@ def test_spatial_join_plan_is_hash_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_envelope_to_bing_tiles(spark):
+    """Envelope cover contains the tile of every interior sample point and
+    nothing outside the envelope's tile bbox."""
+    cover = one(
+        spark,
+        geo.envelope_to_bing_tiles(
+            F.lit(40.0), F.lit(-75.0), F.lit(42.0), F.lit(-72.0), F.lit(8)
+        ),
+    )
+    assert len(cover) == len(set(cover)) > 0
+    inside = one(
+        spark, geo.bing_tile_at(F.lit(41.0), F.lit(-73.5), F.lit(8))
+    )
+    assert inside in cover
+    corner_nw = one(spark, geo.bing_tile_at(F.lit(42.0), F.lit(-75.0), F.lit(8)))
+    corner_se = one(spark, geo.bing_tile_at(F.lit(40.0), F.lit(-72.0), F.lit(8)))
+    assert corner_nw in cover and corner_se in cover

@@ -269,3 +269,16 @@ def test_ds_q45_or_compiles_to_existence_join(spark):
     df = PROBES["p_ds_q45_existence_or"].fn(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "ExistenceJoin" in plan, plan
+
+
+def test_ds_q96_predicates_all_pushed(spark):
+    """Every conjunct of the narrow-band count must reach the parquet scan
+    as a pushed filter (at 100 TB this is what keeps row groups on disk)."""
+    df = PROBES["p_ds_q96_narrow_band_count"].fn(spark, SF_ORACLE)
+    plan = explain_str(df)
+    import re
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    for col in ("l_quantity", "l_discount", "l_returnflag", "l_linestatus", "l_shipdate"):
+        assert col in pushed, (col, pushed)

@@ -387,3 +387,26 @@ def st_contains_envelope(min_x, min_y, max_x, max_y, p) -> Column:
         & (g["y"] >= _c(min_y))
         & (g["y"] <= _c(max_y))
     )
+
+
+def envelope_to_bing_tiles(min_lat, min_lon, max_lat, max_lon, zoom) -> Column:
+    """All tiles covering a lat/lon envelope — the geometry_to_bing_tiles
+    shape for rectangle geometries (BingTileFunctions.java:347; general
+    polygons reduce to their envelope cover here, a superset).
+
+    The tile count is ((x2-x1)+1) * ((y2-y1)+1); callers pick zoom so the
+    cover stays small (the reference enforces <= 1M tiles likewise)."""
+    zoom_c = _c(zoom)
+    x1 = longitude_to_tile_x(min_lon, zoom_c)
+    x2 = longitude_to_tile_x(max_lon, zoom_c)
+    y1 = latitude_to_tile_y(max_lat, zoom_c)  # north edge = smaller tile y
+    y2 = latitude_to_tile_y(min_lat, zoom_c)
+    return F.flatten(
+        F.transform(
+            F.sequence(x1, x2),
+            lambda x: F.transform(
+                F.sequence(y1, y2),
+                lambda y: bing_tile(x, y, zoom_c),
+            ),
+        )
+    )

@@ -105,6 +105,7 @@ def _load_modules() -> None:
         tpcds_shapes3,
         tpcds_shapes4,
         tpcds_shapes5,
+        tpcds_shapes6,
         tpch_shapes,
         tpch_shapes2,
         windows,
