@@ -364,3 +364,21 @@ def test_translate_identifiers_types_tablesample(spark):
     assert "TABLESAMPLE (50 PERCENT)" in out3
     out4 = translate("SELECT CAST(1 AS double precision) AS d")
     assert spark.sql(out4).collect()[0].d == 1.0
+
+
+def test_translate_at_time_zone(spark):
+    """Trino `expr AT TIME ZONE 'z'` -> convert_timezone from the UTC
+    session zone (SqlBase.g4 AT TIME ZONE clause)."""
+    from trino_private_spark.plans.translate import translate
+
+    out = translate("SELECT ts AT TIME ZONE 'America/New_York' AS est FROM t")
+    assert "convert_timezone('UTC', 'America/New_York', ts)" in out
+    spark.sql("SELECT timestamp'2024-06-01 12:00:00' AS ts").createOrReplaceTempView(
+        "__tz_t"
+    )
+    r = spark.sql(
+        translate(
+            "SELECT CAST(ts AT TIME ZONE 'America/New_York' AS STRING) AS est FROM __tz_t"
+        )
+    ).collect()[0]
+    assert r.est == "2024-06-01 08:00:00"

@@ -292,6 +292,16 @@ def translate(sql: str) -> str:
         flags=re.IGNORECASE,
     )
 
+    # expr AT TIME ZONE <shielded literal> -> convert_timezone from the UTC
+    # session zone (SqlBase.g4 AT TIME ZONE; scalar/timestamptz/AtTimeZone).
+    # String literals are shielded as \x00<n>\x00 placeholders at this point.
+    s = re.sub(
+        r"(\w+(?:\([^()]*\))?)\s+AT\s+TIME\s+ZONE\s+(\x00\d+\x00)",
+        r"convert_timezone('UTC', \2, \1)",
+        s,
+        flags=re.IGNORECASE,
+    )
+
     s = _spell_null_ordering(s)
 
     return restore(s)

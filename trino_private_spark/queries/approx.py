@@ -87,10 +87,25 @@ def p_hll_sketch_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@probe("p_approx_most_frequent", oracle=None, tags=("approx",))
+@probe(
+    "p_approx_most_frequent",
+    oracle="""
+    SELECT l_returnflag, l_partkey, cnt FROM (
+      SELECT l_returnflag, l_partkey, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, l_partkey) AS rnk
+      FROM lineitem GROUP BY l_returnflag, l_partkey)
+    WHERE rnk <= 3
+    ORDER BY l_returnflag, cnt DESC, l_partkey
+    """,
+    tags=("approx",),
+)
 def p_approx_most_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters per group. Ref: BigintApproximateMostFrequent.java:630.
-    Rows-only driver check; exactness property-tested."""
+    Our realization is the exact two-phase count + deterministic top-k
+    (functions/sketches.approx_most_frequent), so the probe carries a full
+    hash oracle — a strict upgrade over the reference's SpaceSaving
+    estimate at equal shuffle cost."""
     from trino_private_spark.functions.sketches import approx_most_frequent
 
     t = T(spark, sf_dir)
