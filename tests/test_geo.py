@@ -200,3 +200,43 @@ def test_envelope_to_bing_tiles(spark):
     corner_nw = one(spark, geo.bing_tile_at(F.lit(42.0), F.lit(-75.0), F.lit(8)))
     corner_se = one(spark, geo.bing_tile_at(F.lit(40.0), F.lit(-72.0), F.lit(8)))
     assert corner_nw in cover and corner_se in cover
+
+
+def test_encoded_polyline_google_vector_and_roundtrip(spark):
+    """The spec's documented vector: [(38.5,-120.2),(40.7,-120.95),
+    (43.252,-126.453)] <-> '_p~iF~ps|U_ulLnnqC_mqNvxq`@'; plus a
+    DataFrame-level roundtrip on derived points.
+    Ref: EncodedPolylineFunctions.java (from/to_encoded_polyline)."""
+    from trino_private_spark.functions import polyline as pl
+
+    vec = "_p~iF~ps|U_ulLnnqC_mqNvxq`@"
+    assert pl.encode_points([(38.5, -120.2), (40.7, -120.95), (43.252, -126.453)]) == vec
+    assert pl.decode_string(vec) == [(38.5, -120.2), (40.7, -120.95), (43.252, -126.453)]
+
+    df = spark.range(1, 50).select(
+        F.col("id").alias("pid"),
+        pl.linestring(
+            F.col("id") % 170 / 2.0 - 40.0,
+            F.col("id") * 7 % 360 - 180.0,
+            F.col("id") % 170 / 2.0 - 39.0,
+            F.col("id") * 7 % 360 - 179.0,
+        ).alias("line"),
+    )
+    rt = df.select(
+        "pid",
+        "line",
+        pl.from_encoded_polyline(pl.to_encoded_polyline(F.col("line"))).alias("back"),
+    )
+    # 1e-5 fixed point: roundtrip exact for 5-decimal inputs
+    bad = rt.where(
+        F.exists(
+            F.zip_with(
+                F.col("line"),
+                F.col("back"),
+                lambda a, b: (F.abs(a["lat"] - b["lat"]) > 1e-9)
+                | (F.abs(a["lon"] - b["lon"]) > 1e-9),
+            ),
+            lambda x: x,
+        )
+    ).count()
+    assert bad == 0

@@ -176,3 +176,56 @@ def p_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hub")
     )
+
+
+@probe(
+    "p_kdb_spatial_join",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey, {_LAT} AS lat, {_LON} AS lon FROM customer),
+    hubs AS (
+      SELECT s_suppkey AS hub_id,
+             (s_suppkey * 13 % 1201) / 10.0 - 60.0 AS hlat,
+             (s_suppkey * 29 % 3600) / 10.0 - 180.0 AS hlon
+      FROM supplier WHERE s_suppkey <= 40),
+    pairs AS (
+      SELECT hub_id,
+        atan2(
+          sqrt(pow(cos(radians(hlat)) * sin(radians(lon) - radians(hlon)), 2)
+             + pow(cos(radians(lat)) * sin(radians(hlat))
+                 - sin(radians(lat)) * cos(radians(hlat)) * cos(radians(lon) - radians(hlon)), 2)),
+          sin(radians(lat)) * sin(radians(hlat))
+            + cos(radians(lat)) * cos(radians(hlat)) * cos(radians(lon) - radians(hlon))
+        ) * 6371.01 AS km
+      FROM pts CROSS JOIN hubs)
+    SELECT hub_id, COUNT(*) AS n, ROUND(MIN(km), 3) AS nearest_km
+    FROM pairs WHERE km <= 600.0
+    GROUP BY hub_id ORDER BY hub_id
+    """,
+    tags=("geo",),
+)
+def p_kdb_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-x-large radius join via KdbTree spatial partitioning
+    (operators/spatial_partition.py): both sides shuffle once on the
+    sampled-tree leaf id — no broadcast requirement, no nested loop.
+    Ref: SpatialPartitioningAggregateFunction + KdbTree.java:272."""
+    from trino_private_spark.operators.spatial_partition import kdb_distance_join
+
+    t = T(spark, sf_dir)
+    hubs = t.supplier.where(F.col("s_suppkey") <= 40).select(
+        F.col("s_suppkey").alias("hub_id"),
+        (F.col("s_suppkey") * 13 % 1201 / 10.0 - 60.0).alias("hlat"),
+        (F.col("s_suppkey") * 29 % 3600 / 10.0 - 180.0).alias("hlon"),
+    )
+    joined = kdb_distance_join(
+        _points(t), hubs, "lat", "lon", "hlat", "hlon",
+        radius_km=600.0, max_per_leaf=8, sample_n=512,
+    )
+    return (
+        joined.groupBy("hub_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("distance_km"), 3).alias("nearest_km"),
+        )
+        .orderBy("hub_id")
+    )
