@@ -106,6 +106,7 @@ def _load_modules() -> None:
         tpcds_shapes4,
         tpcds_shapes5,
         tpcds_shapes6,
+        tpcds_shapes7,
         tpch_shapes,
         tpch_shapes2,
         windows,
