@@ -1,0 +1,288 @@
+"""Planar geometry kernel (functions/geometry.py) — parity with the
+reference's GeoFunctions.java ST_* semantics on hand-computed fixtures,
+plus the Spark pandas-UDF layer end-to-end."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from trino_private_spark.functions import geometry as G
+
+
+def g(w: str) -> G.Geom:
+    return G.parse_wkt(w)
+
+
+SQUARE = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+SQUARE_HOLE = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+LSHAPE = "POLYGON ((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))"
+CONCAVE = "POLYGON ((0 0, 4 0, 4 4, 2 2, 0 4, 0 0))"
+
+
+class TestParseFormat:
+    def test_roundtrip_polygon(self):
+        assert G.to_wkt(g(SQUARE)) == SQUARE
+
+    def test_roundtrip_multipolygon(self):
+        w = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))"
+        assert G.to_wkt(g(w)) == w
+
+    def test_ring_auto_close(self):
+        # unclosed ring input is closed on parse (reference rejects; we repair)
+        gg = g("POLYGON ((0 0, 4 0, 4 4, 0 4))")
+        assert np.array_equal(gg.rings[0][0], gg.rings[0][-1])
+
+    def test_empty_forms(self):
+        for w in ("POINT EMPTY", "LINESTRING EMPTY", "POLYGON EMPTY", "MULTIPOLYGON EMPTY"):
+            assert g(w).is_empty()
+            assert G.to_wkt(g(w)) == w
+
+    def test_collection(self):
+        w = "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))"
+        assert G.to_wkt(g(w)) == w
+
+    def test_multipoint_both_syntaxes(self):
+        assert G.to_wkt(g("MULTIPOINT ((1 2), (3 4))")) == "MULTIPOINT (1 2, 3 4)"
+        assert G.to_wkt(g("MULTIPOINT (1 2, 3 4)")) == "MULTIPOINT (1 2, 3 4)"
+
+    def test_parse_error(self):
+        with pytest.raises(ValueError):
+            g("POLYGON 0 0")
+
+
+class TestMeasures:
+    def test_area_square(self):
+        assert G.geom_area(g(SQUARE)) == 16.0
+
+    def test_area_hole(self):
+        assert G.geom_area(g(SQUARE_HOLE)) == 15.0
+
+    def test_area_orientation_insensitive(self):
+        cw = "POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))"
+        assert G.geom_area(g(cw)) == 16.0
+
+    def test_area_multipolygon(self):
+        w = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))"
+        assert G.geom_area(g(w)) == 5.0
+
+    def test_length(self):
+        assert G.geom_length(g("LINESTRING (0 0, 3 4)")) == 5.0
+        assert G.geom_length(g("MULTILINESTRING ((0 0, 1 0), (0 0, 0 2))")) == 3.0
+
+    def test_perimeter(self):
+        assert G._perimeter(g(SQUARE)) == 16.0
+
+    def test_centroid_square(self):
+        assert G.geom_centroid(g(SQUARE)) == (2.0, 2.0)
+
+    def test_centroid_lshape(self):
+        # L-shape = union of [0,2]x[0,1] (area 2, c=(1,0.5)) and [0,1]x[1,2]
+        # (area 1, c=(0.5,1.5)) -> ((2*1+1*0.5)/3, (2*0.5+1*1.5)/3)
+        cx, cy = G.geom_centroid(g(LSHAPE))
+        assert math.isclose(cx, 2.5 / 3)
+        assert math.isclose(cy, 2.5 / 3)
+
+    def test_centroid_with_hole(self):
+        # symmetric hole at center keeps centroid at center
+        w = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+        cx, cy = G.geom_centroid(g(w))
+        assert math.isclose(cx, 2.0) and math.isclose(cy, 2.0)
+
+    def test_centroid_linestring_length_weighted(self):
+        cx, cy = G.geom_centroid(g("LINESTRING (0 0, 2 0, 2 1)"))
+        # segments: len 2 mid (1,0); len 1 mid (2,0.5)
+        assert math.isclose(cx, (2 * 1 + 1 * 2) / 3)
+        assert math.isclose(cy, (2 * 0 + 1 * 0.5) / 3)
+
+    def test_centroid_multipoint(self):
+        assert G.geom_centroid(g("MULTIPOINT (0 0, 2 0, 2 2, 0 2)")) == (1.0, 1.0)
+
+
+class TestPredicates:
+    def test_point_in_polygon(self):
+        assert G.geom_contains(g(SQUARE), g("POINT (2 2)"))
+        assert not G.geom_contains(g(SQUARE), g("POINT (5 2)"))
+
+    def test_point_on_boundary_not_contained_but_intersects(self):
+        assert not G.geom_contains(g(SQUARE), g("POINT (0 2)"))
+        assert G.geom_intersects(g(SQUARE), g("POINT (0 2)"))
+
+    def test_point_in_hole(self):
+        assert not G.geom_contains(g(SQUARE_HOLE), g("POINT (1.5 1.5)"))
+        assert G.geom_contains(g(SQUARE_HOLE), g("POINT (3 3)"))
+
+    def test_concave_containment(self):
+        assert G.geom_contains(g(CONCAVE), g("POINT (2 1)"))
+        assert not G.geom_contains(g(CONCAVE), g("POINT (2 3)"))  # in the notch
+
+    def test_polygon_in_polygon(self):
+        inner = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+        assert G.geom_contains(g(SQUARE), g(inner))
+        assert not G.geom_contains(g(inner), g(SQUARE))
+
+    def test_polygon_straddling_hole_not_contained(self):
+        straddle = "POLYGON ((1.2 1.2, 1.8 1.2, 1.8 1.8, 1.2 1.8, 1.2 1.2))"
+        assert not G.geom_contains(g(SQUARE_HOLE), g(straddle))
+
+    def test_line_in_polygon(self):
+        assert G.geom_contains(g(SQUARE), g("LINESTRING (1 1, 3 3)"))
+        assert not G.geom_contains(g(SQUARE), g("LINESTRING (1 1, 5 5)"))
+
+    def test_intersects_overlapping_squares(self):
+        other = "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"
+        assert G.geom_intersects(g(SQUARE), g(other))
+        assert G.geom_overlaps(g(SQUARE), g(other))
+        assert not G.geom_contains(g(SQUARE), g(other))
+
+    def test_disjoint(self):
+        far = "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))"
+        assert not G.geom_intersects(g(SQUARE), g(far))
+
+    def test_edge_crossing_without_vertex_containment(self):
+        # plus-sign style cross: neither's vertices inside the other
+        horiz = "POLYGON ((-1 1, 5 1, 5 3, -1 3, -1 1))"
+        vert = "POLYGON ((1 -1, 3 -1, 3 5, 1 5, 1 -1))"
+        assert G.geom_intersects(g(horiz), g(vert))
+        assert G.geom_overlaps(g(horiz), g(vert))
+
+    def test_touches_edge_adjacent(self):
+        right = "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))"
+        assert G.geom_touches(g(SQUARE), g(right))
+        assert G.geom_intersects(g(SQUARE), g(right))
+        assert not G.geom_overlaps(g(SQUARE), g(right))
+
+    def test_touches_corner(self):
+        corner = "POLYGON ((4 4, 5 4, 5 5, 4 5, 4 4))"
+        assert G.geom_touches(g(SQUARE), g(corner))
+
+    def test_not_touches_when_overlapping(self):
+        other = "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"
+        assert not G.geom_touches(g(SQUARE), g(other))
+
+    def test_crosses_line_polygon(self):
+        assert G.geom_crosses(g("LINESTRING (-1 2, 5 2)"), g(SQUARE))
+        assert not G.geom_crosses(g("LINESTRING (1 1, 3 3)"), g(SQUARE))  # within
+
+    def test_crosses_lines(self):
+        assert G.geom_crosses(g("LINESTRING (0 0, 2 2)"), g("LINESTRING (0 2, 2 0)"))
+        assert not G.geom_crosses(g("LINESTRING (0 0, 1 1)"), g("LINESTRING (2 2, 3 3)"))
+
+    def test_equals_rotated_ring(self):
+        r1 = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+        r2 = "POLYGON ((4 0, 4 4, 0 4, 0 0, 4 0))"
+        assert G.geom_equals(g(r1), g(r2))
+        assert not G.geom_equals(g(r1), g(SQUARE_HOLE))
+
+    def test_is_valid(self):
+        assert G.geom_is_valid(g(SQUARE))
+        bowtie = "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))"
+        assert not G.geom_is_valid(g(bowtie))
+
+
+class TestDistance:
+    def test_point_point(self):
+        assert G.geom_distance(g("POINT (0 0)"), g("POINT (3 4)")) == 5.0
+
+    def test_point_segment(self):
+        assert G.geom_distance(g("POINT (2 3)"), g("LINESTRING (0 0, 4 0)")) == 3.0
+
+    def test_point_segment_endpoint(self):
+        assert G.geom_distance(g("POINT (7 4)"), g("LINESTRING (0 0, 4 0)")) == 5.0
+
+    def test_polygon_polygon(self):
+        far = "POLYGON ((7 0, 9 0, 9 2, 7 2, 7 0))"
+        assert G.geom_distance(g(SQUARE), g(far)) == 3.0
+
+    def test_zero_when_intersecting(self):
+        assert G.geom_distance(g(SQUARE), g("POINT (1 1)")) == 0.0
+
+
+class TestConstructions:
+    def test_envelope(self):
+        w = G.to_wkt(G.geom_envelope(g("LINESTRING (1 2, 5 -1, 3 4)")))
+        assert w == "POLYGON ((1 -1, 5 -1, 5 4, 1 4, 1 -1))"
+
+    def test_boundary_polygon(self):
+        assert G.to_wkt(G.geom_boundary(g(SQUARE))) == "LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)"
+
+    def test_boundary_line(self):
+        w = G.to_wkt(G.geom_boundary(g("LINESTRING (0 0, 1 1)")))
+        assert w == "MULTIPOINT (0 0, 1 1)"
+
+    def test_convex_hull_square_plus_inner(self):
+        w = "MULTIPOINT (0 0, 4 0, 4 4, 0 4, 2 2, 1 3)"
+        hull = G.geom_convex_hull(g(w))
+        assert G.geom_area(hull) == 16.0
+        assert G.geom_equals(hull, g(SQUARE))
+
+    def test_convex_hull_collinear(self):
+        hull = G.geom_convex_hull(g("MULTIPOINT (0 0, 1 1, 2 2)"))
+        assert hull.kind == "LineString"
+
+    def test_convex_hull_concave_polygon(self):
+        hull = G.geom_convex_hull(g(CONCAVE))
+        assert G.geom_area(hull) == 16.0
+
+
+class TestSparkLayer:
+    @pytest.fixture(autouse=True)
+    def _register(self, spark):
+        G.register_geometry_udfs(spark)
+
+    def test_sql_end_to_end(self, spark):
+        df = spark.createDataFrame(
+            [(1, SQUARE), (2, SQUARE_HOLE), (3, LSHAPE)], ["id", "wkt"]
+        )
+        df.createOrReplaceTempView("shapes")
+        rows = spark.sql(
+            """
+            SELECT id, st_area(wkt) a, st_perimeter(wkt) p,
+                   st_num_interior_ring(wkt) h, st_centroid(wkt) c,
+                   st_geometry_type(wkt) t
+            FROM shapes ORDER BY id
+            """
+        ).collect()
+        assert [r.a for r in rows] == [16.0, 15.0, 3.0]
+        assert rows[0].p == 16.0
+        assert [r.h for r in rows] == [0, 1, 0]
+        assert rows[0].c == "POINT (2 2)"
+        assert rows[0].t == "ST_Polygon"
+
+    def test_sql_predicates(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, SQUARE, "POINT (2 2)"),
+                (2, SQUARE, "POINT (9 9)"),
+                (3, SQUARE, "POINT (0 2)"),
+            ],
+            ["id", "poly", "pt"],
+        )
+        df.createOrReplaceTempView("pairs")
+        rows = spark.sql(
+            """SELECT id, st_contains(poly, pt) c, st_intersects(poly, pt) i,
+                      st_distance_planar(poly, pt) d
+               FROM pairs ORDER BY id"""
+        ).collect()
+        assert [r.c for r in rows] == [True, False, False]
+        assert [r.i for r in rows] == [True, False, True]
+        assert rows[1].d == math.hypot(5, 5)
+
+    def test_sql_accessors(self, spark):
+        rows = spark.sql(
+            """SELECT st_point_n('LINESTRING (0 0, 1 1, 2 4)', 2) p2,
+                      st_geometry_n('MULTIPOINT (5 5, 6 6)', 1) g1,
+                      st_start_point('LINESTRING (9 9, 0 0)') sp,
+                      st_num_points('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') np,
+                      st_xmax('LINESTRING (1 2, 5 -1)') xmx,
+                      st_is_ring('LINESTRING (0 0, 1 0, 1 1, 0 0)') ir
+            """
+        ).collect()[0]
+        assert rows.p2 == "POINT (1 1)"
+        assert rows.g1 == "POINT (5 5)"
+        assert rows.sp == "POINT (9 9)"
+        assert rows.np == 4
+        assert rows.xmx == 5.0
+        assert rows.ir is True

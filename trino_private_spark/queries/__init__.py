@@ -92,6 +92,7 @@ def _load_modules() -> None:
         events_probes,
         functions_probes,
         geo_probes,
+        geom_probes,
         llm,
         map_aggs,
         misc_probes,
@@ -107,6 +108,7 @@ def _load_modules() -> None:
         tpcds_shapes5,
         tpcds_shapes6,
         tpcds_shapes7,
+        tpcds_shapes8,
         tpch_shapes,
         tpch_shapes2,
         windows,

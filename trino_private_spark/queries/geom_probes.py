@@ -1,0 +1,239 @@
+"""Polygon-algebra probes (functions/geometry.py — the GeoFunctions.java
+ST_* surface beyond points/tiles).
+
+Oracle strategy: geometries are axis-aligned squares and quarter-grid point
+sets derived from table keys, so every measure/predicate has a closed-form
+arithmetic answer DuckDB can compute without a spatial extension — while the
+Spark side goes through the full WKT-parse -> computational-geometry kernel.
+All coordinates are exact binary fractions (quarters/eighths), so float
+arithmetic is exact on both engines; distances are compared as 64*d^2 which
+is an exact integer by construction.
+
+The contains-join probe mirrors the scale split the reference makes in
+SpatialJoinOperator: a cheap JVM-side bounding-box prejoin produces the
+candidate pairs, the exact pandas-UDF predicate runs only as the residual
+filter.  At 100 TB the prejoin becomes the tile/KdbTree bucketing of
+operators/spatial_join.py / spatial_partition.py; the residual stays as-is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trino_private_spark.functions import geometry as G
+from trino_private_spark.queries import T, probe
+
+
+def _sq_wkt(cx, cy, s):
+    """Axis-aligned square WKT built JVM-side from numeric columns."""
+
+    def n(c):
+        return F.cast("string", c)
+
+    x0, x1 = cx - s, cx + s
+    y0, y1 = cy - s, cy + s
+    return F.concat(
+        F.lit("POLYGON (("),
+        n(x0), F.lit(" "), n(y0), F.lit(", "),
+        n(x1), F.lit(" "), n(y0), F.lit(", "),
+        n(x1), F.lit(" "), n(y1), F.lit(", "),
+        n(x0), F.lit(" "), n(y1), F.lit(", "),
+        n(x0), F.lit(" "), n(y0),
+        F.lit("))"),
+    )
+
+
+def _squares(t) -> DataFrame:
+    """One square per supplier: center on the quarter grid, half-size in
+    {0.25, 0.5, 0.75, 1.0} — all measures closed-form."""
+    return t.supplier.select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 160 / 4.0).alias("cx"),
+        (F.col("s_suppkey") * 3 % 160 / 4.0).alias("cy"),
+        ((F.col("s_suppkey") % 4 + 1) / 4.0).alias("s"),
+    )
+
+
+def _points(t, limit_key: int) -> DataFrame:
+    """Quarter-grid points nudged by 1/8 so they never sit on a square edge."""
+    return (
+        t.customer.where(F.col("c_custkey") <= limit_key)
+        .select(
+            "c_custkey",
+            (F.col("c_custkey") % 160 / 4.0 + 0.125).alias("px"),
+            (F.col("c_custkey") * 7 % 160 / 4.0 + 0.125).alias("py"),
+        )
+    )
+
+
+@probe(
+    "p_geom_measures",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(ROUND((2 * ((s_suppkey % 4 + 1) / 4.0)) * (2 * ((s_suppkey % 4 + 1) / 4.0)) * 16) AS BIGINT) AS area16,
+           CAST(ROUND(8 * ((s_suppkey % 4 + 1) / 4.0) * 4) AS BIGINT) AS perim4,
+           CAST(ROUND((s_suppkey % 160) / 4.0 * 4) AS BIGINT) AS cx4,
+           CAST(ROUND((s_suppkey * 3 % 160) / 4.0 * 4) AS BIGINT) AS cy4,
+           CAST(4 AS BIGINT) AS npts,
+           'ST_Polygon' AS gtype
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    tags=("geometry",),
+)
+def p_geom_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Area / ST_Perimeter / ST_Centroid / ST_NumPoints / ST_GeometryType
+    through the WKT kernel vs closed-form square arithmetic
+    (GeoFunctions.java stArea/stCentroid/stNumPoints parity)."""
+    t = T(spark, sf_dir)
+    sq = _squares(t).withColumn("wkt", _sq_wkt(F.col("cx"), F.col("cy"), F.col("s")))
+    cen = G.GEOMETRY_UDFS["st_centroid"]
+    return (
+        sq.select(
+            "s_suppkey",
+            F.round(G.st_area(F.col("wkt")) * 16).cast("long").alias("area16"),
+            F.round(G.st_perimeter(F.col("wkt")) * 4).cast("long").alias("perim4"),
+            F.round(G.st_x_wkt(cen(F.col("wkt"))) * 4).cast("long").alias("cx4"),
+            F.round(G.st_y_wkt(cen(F.col("wkt"))) * 4).cast("long").alias("cy4"),
+            G.st_num_points(F.col("wkt")).alias("npts"),
+            G.st_geometry_type(F.col("wkt")).alias("gtype"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@probe(
+    "p_geom_contains_join",
+    oracle="""
+    SELECT s.s_suppkey,
+           COUNT(*) AS n_inside
+    FROM supplier s
+    JOIN (SELECT c_custkey,
+                 (c_custkey % 160) / 4.0 + 0.125 AS px,
+                 (c_custkey * 7 % 160) / 4.0 + 0.125 AS py
+          FROM customer WHERE c_custkey <= 600) p
+      ON abs(p.px - (s.s_suppkey % 160) / 4.0) < (s.s_suppkey % 4 + 1) / 4.0
+     AND abs(p.py - (s.s_suppkey * 3 % 160) / 4.0) < (s.s_suppkey % 4 + 1) / 4.0
+    GROUP BY s.s_suppkey
+    ORDER BY s.s_suppkey
+    """,
+    tags=("geometry", "join"),
+)
+def p_geom_contains_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial containment join: JVM bbox prejoin + exact ST_Contains residual
+    (the SpatialJoinOperator candidate/residual split).  Points carry a 1/8
+    nudge so none touches a boundary — strict containment == bbox test."""
+    t = T(spark, sf_dir)
+    sq = _squares(t).withColumn("wkt", _sq_wkt(F.col("cx"), F.col("cy"), F.col("s")))
+    pts = _points(t, 600).withColumn(
+        "pt_wkt",
+        F.concat(
+            F.lit("POINT ("),
+            F.cast("string", F.col("px")),
+            F.lit(" "),
+            F.cast("string", F.col("py")),
+            F.lit(")"),
+        ),
+    )
+    # bbox prejoin stays JVM-side; the pandas-UDF predicate only sees survivors
+    cand = F.broadcast(sq).join(
+        pts,
+        (F.abs(pts.px - sq.cx) <= sq.s) & (F.abs(pts.py - sq.cy) <= sq.s),
+    )
+    return (
+        cand.where(G.st_contains(F.col("wkt"), F.col("pt_wkt")))
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_inside"))
+        .orderBy("s_suppkey")
+    )
+
+
+@probe(
+    "p_geom_distance_grid",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ROUND((
+             POW(GREATEST(abs(((c_custkey % 160) / 4.0 + 0.125) - 20.0) - 10.0, 0), 2) +
+             POW(GREATEST(abs(((c_custkey * 7 % 160) / 4.0 + 0.125) - 20.0) - 10.0, 0), 2)
+           ) * 64) AS BIGINT) AS d2_64
+    FROM customer WHERE c_custkey <= 400
+    ORDER BY c_custkey
+    """,
+    tags=("geometry",),
+)
+def p_geom_distance_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Distance point-to-polygon vs the closed-form box distance; compared
+    as 64*d^2, an exact integer on the eighth-grid (GeoFunctions.java
+    stDistance planar parity)."""
+    t = T(spark, sf_dir)
+    box = "POLYGON ((10 10, 30 10, 30 30, 10 30, 10 10))"
+    pts = _points(t, 400).withColumn(
+        "pt_wkt",
+        F.concat(
+            F.lit("POINT ("),
+            F.cast("string", F.col("px")),
+            F.lit(" "),
+            F.cast("string", F.col("py")),
+            F.lit(")"),
+        ),
+    )
+    d = G.st_distance_planar(F.lit(box), F.col("pt_wkt"))
+    return pts.select(
+        "c_custkey",
+        F.round(d * d * 64).cast("long").alias("d2_64"),
+    ).orderBy("c_custkey")
+
+
+@probe(
+    "p_geom_envelope_groups",
+    oracle="""
+    WITH p AS (
+      SELECT c_nationkey,
+             (c_custkey % 160) / 4.0 AS px,
+             (c_custkey * 7 % 160) / 4.0 AS py
+      FROM customer WHERE c_custkey <= 800)
+    SELECT c_nationkey,
+           CAST(ROUND((max(px) - min(px)) * (max(py) - min(py)) * 16) AS BIGINT) AS env_area16,
+           CAST(ROUND(min(px) * 4) AS BIGINT) AS xmin4,
+           CAST(ROUND(max(py) * 4) AS BIGINT) AS ymax4,
+           COUNT(*) AS npts
+    FROM p GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    tags=("geometry", "aggregate"),
+)
+def p_geom_envelope_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation MULTIPOINT assembled with collect_list, then
+    ST_Envelope/ST_Area/ST_XMin/ST_YMax through the kernel vs grouped
+    min/max arithmetic (GeoFunctions.java stEnvelope parity)."""
+    t = T(spark, sf_dir)
+    pts = (
+        t.customer.where(F.col("c_custkey") <= 800)
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            (F.col("c_custkey") % 160 / 4.0).alias("px"),
+            (F.col("c_custkey") * 7 % 160 / 4.0).alias("py"),
+        )
+        .withColumn(
+            "pt",
+            F.concat(
+                F.cast("string", F.col("px")), F.lit(" "), F.cast("string", F.col("py"))
+            ),
+        )
+    )
+    mp = pts.groupBy("c_nationkey").agg(
+        F.concat(
+            F.lit("MULTIPOINT ("), F.concat_ws(", ", F.collect_list("pt")), F.lit(")")
+        ).alias("wkt"),
+        F.count("*").alias("npts"),
+    )
+    env = G.GEOMETRY_UDFS["st_envelope"](F.col("wkt"))
+    return mp.select(
+        "c_nationkey",
+        F.round(G.st_area(env) * 16).cast("long").alias("env_area16"),
+        F.round(G.st_xmin(F.col("wkt")) * 4).cast("long").alias("xmin4"),
+        F.round(G.st_ymax(F.col("wkt")) * 4).cast("long").alias("ymax4"),
+        "npts",
+    ).orderBy("c_nationkey")
