@@ -109,6 +109,7 @@ def _load_modules() -> None:
         tpcds_shapes6,
         tpcds_shapes7,
         tpcds_shapes8,
+        tpcds_shapes9,
         tpch_shapes,
         tpch_shapes2,
         windows,
