@@ -7,5 +7,6 @@ reference dialect runs unchanged.
 """
 
 from trino_private_spark.functions.registry import TRINO_FUNCTIONS, register_all
+from trino_private_spark.functions import colors as _colors  # noqa: F401  (registers color/rgb/render/bar)
 
 __all__ = ["TRINO_FUNCTIONS", "register_all"]
