@@ -110,6 +110,7 @@ def _load_modules() -> None:
         tpcds_shapes7,
         tpcds_shapes8,
         tpcds_shapes9,
+        tpcds_shapes10,
         tpch_shapes,
         tpch_shapes2,
         windows,

@@ -65,11 +65,20 @@ def p_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@probe("p_hll_sketch_column", oracle=None, tags=("approx",))
+@probe(
+    "p_hll_sketch_column",
+    oracle="SELECT TRUE AS merged_ok, TRUE AS direct_ok",
+    tags=("approx",),
+)
 def p_hll_sketch_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketch column (approx_set / merge / cardinality):
     per-status sketches merged to a global — the partial/final split a
     100 TB rollup needs (sketches, not raw keys, cross the shuffle).
+    The oracle checks the ERROR BOUND: both the merged and the directly
+    built estimate must land within 5% of the exact distinct count
+    (HLL lgK=12 gives ~1.6% standard error), so a broken merge or
+    estimator fails the hash even though the estimate itself is not
+    SQL-reproducible.
     Ref: ApproximateSetAggregation.java, MergeHyperLogLogAggregation.java."""
     from trino_private_spark.functions.sketches import (
         hll_cardinality,
@@ -81,9 +90,24 @@ def p_hll_sketch_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_status = t.orders.groupBy("o_orderstatus").agg(
         approx_set("o_custkey").alias("sk")
     )
+    merged = per_status.agg(merge_hll("sk").alias("m")).select(
+        hll_cardinality("m").cast("bigint").alias("est")
+    )
+    direct = t.orders.agg(approx_set("o_custkey").alias("d")).select(
+        hll_cardinality("d").cast("bigint").alias("dest")
+    )
+    exact = t.orders.agg(F.countDistinct("o_custkey").alias("exact"))
     return (
-        per_status.agg(merge_hll("sk").alias("merged"))
-        .select(hll_cardinality("merged").cast("bigint").alias("est"))
+        merged.crossJoin(direct)
+        .crossJoin(exact)
+        .select(
+            (F.abs(F.col("est") - F.col("exact")) / F.col("exact") <= 0.05).alias(
+                "merged_ok"
+            ),
+            (F.abs(F.col("dest") - F.col("exact")) / F.col("exact") <= 0.05).alias(
+                "direct_ok"
+            ),
+        )
     )
 
 
@@ -114,9 +138,23 @@ def p_approx_most_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag", F.col("cnt").desc(), "l_partkey")
 
 
-@probe("p_setdigest_jaccard", oracle=None, tags=("approx",))
+@probe(
+    "p_setdigest_jaccard",
+    oracle="""
+    SELECT a.o_orderstatus AS st_a, b.o_orderstatus AS st_b, TRUE AS jaccard_ok
+    FROM (SELECT DISTINCT o_orderstatus FROM orders) a
+    JOIN (SELECT DISTINCT o_orderstatus FROM orders) b
+      ON a.o_orderstatus < b.o_orderstatus
+    ORDER BY st_a, st_b
+    """,
+    tags=("approx",),
+)
 def p_setdigest_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SetDigest jaccard_index between per-status customer sets.
+    """SetDigest jaccard_index between per-status customer sets, checked
+    per pair against the EXACT Jaccard computed relationally (distinct-set
+    intersection join).  64 MinHash rows give sigma ~= 0.125; the oracle
+    asserts every estimate lands within 0.2 of truth — the signature is
+    seed-fixed so the check is deterministic.
     Ref: setdigest/SetDigestFunctions.java (jaccard_index,
     intersection_cardinality)."""
     from trino_private_spark.functions.sketches import jaccard_index, setdigest_agg
@@ -136,30 +174,88 @@ def p_setdigest_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sig").alias("sig_b"),
         F.col("card").alias("card_b"),
     )
+    est = a.join(b, F.col("st_a") < F.col("st_b")).select(
+        "st_a",
+        "st_b",
+        "card_a",
+        "card_b",
+        jaccard_index(F.col("sig_a"), F.col("sig_b")).alias("j_est"),
+    )
+    # exact jaccard: |A n B| via a distinct-key self-join per status pair
+    sets = t.orders.select("o_orderstatus", "o_custkey").distinct()
+    inter = (
+        sets.select(F.col("o_orderstatus").alias("st_a"), "o_custkey")
+        .join(
+            sets.select(F.col("o_orderstatus").alias("st_b"), "o_custkey"),
+            "o_custkey",
+        )
+        .where(F.col("st_a") < F.col("st_b"))
+        .groupBy("st_a", "st_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
     return (
-        a.join(b, F.col("st_a") < F.col("st_b"))
+        est.join(inter, ["st_a", "st_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
         .select(
             "st_a",
             "st_b",
-            F.round(jaccard_index(F.col("sig_a"), F.col("sig_b")), 4).alias("j"),
+            (
+                F.abs(
+                    F.col("j_est")
+                    - F.col("n_inter")
+                    / (F.col("card_a") + F.col("card_b") - F.col("n_inter"))
+                )
+                <= 0.2
+            ).alias("jaccard_ok"),
         )
         .orderBy("st_a", "st_b")
     )
 
 
-@probe("p_quantile_sketch", oracle=None, tags=("approx",))
+@probe(
+    "p_quantile_sketch",
+    oracle="""
+    SELECT o_orderstatus, TRUE AS p50_ok, TRUE AS p90_ok
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("approx",),
+)
 def p_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable quantile-sketch column (qdigest/tdigest stand-in):
-    per-status binary sketches -> median extraction.
-    Ref: QuantileDigestFunctions.java:499, TDigestFunctions.java:500."""
-    from trino_private_spark.functions.sketches import reservoir_agg, sketch_quantile
+    """Mergeable t-digest column (functions/tdigest.py): per-status binary
+    sketches via the two-phase mapInPandas/applyInPandas path, quantiles
+    extracted and checked against the EXACT empirical rank relationally —
+    the oracle asserts the rank error stays inside the digest's bound
+    (adaptive for small groups: max(0.01, 2/n)).
+    Ref: TDigestFunctions.java:39, TDigestAggregationFunction.java."""
+    from trino_private_spark.functions.tdigest import tdigest_agg, value_at_quantile
 
     t = T(spark, sf_dir)
-    sk = reservoir_agg(t.orders, "o_totalprice", ["o_orderstatus"])
-    return sk.select(
+    sk = tdigest_agg(t.orders, "o_totalprice", ["o_orderstatus"])
+    est = sk.select(
         "o_orderstatus",
-        F.round(sketch_quantile(F.col("sketch"), 0.5), 0).alias("median_est"),
-    ).orderBy("o_orderstatus")
+        value_at_quantile(F.col("tdigest"), 0.5).alias("e50"),
+        value_at_quantile(F.col("tdigest"), 0.9).alias("e90"),
+    )
+    joined = t.orders.join(F.broadcast(est), "o_orderstatus")
+    bound = F.greatest(F.lit(0.01), 2.0 / F.count("*"))
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            (
+                F.abs(
+                    F.avg((F.col("o_totalprice") <= F.col("e50")).cast("double")) - 0.5
+                )
+                <= bound
+            ).alias("p50_ok"),
+            (
+                F.abs(
+                    F.avg((F.col("o_totalprice") <= F.col("e90")).cast("double")) - 0.9
+                )
+                <= bound
+            ).alias("p90_ok"),
+        )
+        .orderBy("o_orderstatus")
+    )
 
 
 @probe(

@@ -128,30 +128,75 @@ def p_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.1).orderBy("doc_a", "doc_b")
 
 
-@probe("p_minhash_lsh", oracle=None, tags=("llm",))
+@probe(
+    "p_minhash_lsh",
+    oracle="SELECT TRUE AS has_truth, TRUE AS recall_ok",
+    tags=("llm",),
+)
 def p_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (llm/dedup.minhash_lsh_candidates).
-    No DuckDB oracle: the signature depends on Spark's xxhash64, which has
-    no DuckDB equivalent — correctness is property-tested against exact
-    Jaccard (recall at threshold) in tests/test_llm_ops.py."""
-    from trino_private_spark.llm.dedup import minhash_lsh_candidates
+    The signature depends on Spark's xxhash64 (no DuckDB equivalent), so
+    the oracle checks the RECALL PROPERTY instead: every exact-Jaccard
+    >= 0.8 pair (computed relationally by ngram_jaccard_pairs) must be
+    recovered by the banded candidates — deterministic for the fixed
+    seed, so a regression in the banding or signature math flips the
+    hash."""
+    from trino_private_spark.llm.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
 
     t = T(spark, sf_dir)
     docs = t.documents.where(F.col("doc_id") < 200)
-    return minhash_lsh_candidates(docs, num_hashes=32, bands=8).orderBy(
-        "doc_a", "doc_b"
+    cand = minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    truth = ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    n_truth = truth.count()
+    n_found = truth.join(cand, ["doc_a", "doc_b"]).count()
+    return spark.createDataFrame(
+        [(n_truth > 0, n_truth > 0 and n_found >= 0.9 * n_truth)],
+        "has_truth boolean, recall_ok boolean",
     )
 
 
-@probe("p_simhash", oracle=None, tags=("llm",))
+@probe(
+    "p_simhash",
+    oracle="SELECT TRUE AS near_tight, TRUE AS separated",
+    tags=("llm",),
+)
 def p_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (llm/dedup.simhash64); xxhash64-based, so
-    property-tested (hamming distance separates near-dups from random
-    pairs) rather than oracle-diffed."""
-    from trino_private_spark.llm.dedup import simhash64
+    """SimHash signatures (llm/dedup.simhash64); xxhash64-based, so the
+    oracle checks the SEPARATION PROPERTY: every exact-Jaccard >= 0.6
+    pair stays within hamming distance 12 while the all-pairs average
+    sits far above it — deterministic for the fixed hash, so a broken
+    bit-vote flips the hash."""
+    from trino_private_spark.llm.dedup import hamming64, ngram_jaccard_pairs, simhash64
 
     t = T(spark, sf_dir)
-    return simhash64(t.documents.where(F.col("doc_id") < 100)).orderBy("doc_id")
+    docs = t.documents.where(F.col("doc_id") < 300)
+    sims = simhash64(docs)
+    pa = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    pb = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    near = ngram_jaccard_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
+    near_ham = (
+        near.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .agg(
+            F.max(hamming64(F.col("ha"), F.col("hb"))).alias("mx"),
+            F.avg(hamming64(F.col("ha"), F.col("hb"))).alias("av"),
+            F.count("*").alias("n"),
+        )
+    ).collect()[0]
+    all_avg = (
+        pa.crossJoin(pb)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .agg(F.avg(hamming64(F.col("ha"), F.col("hb"))).alias("av"))
+    ).collect()[0].av
+    return spark.createDataFrame(
+        [
+            (
+                near_ham.n > 0 and near_ham.mx <= 12,
+                near_ham.n > 0 and near_ham.av < all_avg,
+            )
+        ],
+        "near_tight boolean, separated boolean",
+    )
 
 
 @probe(
@@ -188,18 +233,52 @@ def p_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=10).orderBy("query_id", "rank")
 
 
-@probe("p_lsh_ann", oracle=None, tags=("llm",))
+@probe(
+    "p_lsh_ann",
+    oracle="SELECT TRUE AS scores_exact, TRUE AS recall_ok",
+    tags=("llm",),
+)
 def p_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate NN (llm/similarity.lsh_ann_topk) — the scale
-    path for similarity search. Recall vs brute force is property-tested."""
-    from trino_private_spark.llm.similarity import lsh_ann_topk
+    path for similarity search.  The oracle checks two properties: every
+    returned score equals the exact cosine for that (query, neighbor) pair
+    (the bucketing may drop neighbors but must never corrupt a score), and
+    recall@10 vs brute force stays above the single-probe floor (>= 0.1,
+    deterministic for the fixed hyperplane seed)."""
+    from trino_private_spark.llm.similarity import (
+        brute_force_topk,
+        cosine,
+        lsh_ann_topk,
+    )
 
     t = T(spark, sf_dir)
     emb = t.embeddings
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_ann_topk(emb, queries, k=10, n_planes=6).orderBy("query_id", "rank")
+    ann = lsh_ann_topk(emb, queries, k=10, n_planes=6)
+    bf = brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    n_bf = bf.count()
+    n_hit = bf.join(ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]).count()
+    # re-score every ANN pair exactly and compare
+    rescored = (
+        ann.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")),
+            "neighbor_id",
+        )
+        .join(
+            queries.select("query_id", F.col("embedding").alias("qv")),
+            "query_id",
+        )
+        .select(
+            (F.abs(F.col("score") - F.round(cosine(F.col("qv"), F.col("nv")), 6)) <= 1e-6).alias("ok")
+        )
+        .agg(F.min("ok").alias("all_ok"))
+    ).collect()[0].all_ok
+    return spark.createDataFrame(
+        [(bool(rescored), n_hit >= 0.1 * n_bf)],
+        "scores_exact boolean, recall_ok boolean",
+    )
 
 
 @probe(
@@ -286,33 +365,59 @@ def p_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@probe("p_multimodal_features", oracle=None, tags=("llm",))
+@probe(
+    "p_multimodal_features",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS media_id,
+           CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(128 + (i % 5) * 32 AS BIGINT) AS n_bytes,
+           TRUE AS f0_ok
+    FROM range(48) t(i) ORDER BY media_id
+    """,
+    tags=("llm",),
+)
 def p_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic binary media -> Arrow-batched feature
     extraction via mapInPandas (llm/multimodal.extract_features; decode
-    kernel stubbed, pipeline real). Rows-only driver check; determinism is
-    unit-tested."""
+    kernel stubbed, pipeline real).  The oracle replays the deterministic
+    media-table shape (kind cycle, payload length 128 + (id%5)*32) and
+    asserts the extracted feature vector is present and finite — so the
+    mapInPandas schema/batching path is hash-gated end to end."""
     from trino_private_spark.llm.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, n=48)
     feats = extract_features(media)
+    f0 = F.element_at("feature", 1)
     return feats.select(
-        "media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        (f0.isNotNull() & ~F.isnan(f0)).alias("f0_ok"),
     ).orderBy("media_id")
 
 
-@probe("p_curate_corpus", oracle=None, tags=("llm",))
+@probe(
+    "p_curate_corpus",
+    oracle="SELECT TRUE AS nonempty, TRUE AS no_exact_dups, TRUE AS subset_ok",
+    tags=("llm",),
+)
 def p_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation recipe (llm/pipeline.curate_corpus): gates ->
-    exact dedup -> LSH-discovered, jaccard-verified near dedup. Rows-only
-    driver check (the LSH/connected-components stages are not reasonably
-    SQL-expressible); stage semantics are unit-tested with injected
-    duplicates in test_llm_ops."""
+    exact dedup -> LSH-discovered, jaccard-verified near dedup.  The
+    LSH/connected-components stages are not SQL-expressible, so the oracle
+    gates the pipeline INVARIANTS instead: output nonempty, zero exact
+    duplicates survive (exact_duplicates over the curated set is empty),
+    and the curated ids are a subset of the input ids.  Stage semantics
+    are additionally unit-tested with injected duplicates in
+    test_llm_ops."""
+    from trino_private_spark.llm.dedup import exact_duplicates
     from trino_private_spark.llm.pipeline import curate_corpus
 
     t = T(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
     res = curate_corpus(
-        t.documents.select("doc_id", "text"),
+        docs,
         languages=("en",),
         min_tokens=1,
         min_quality=0.0,
@@ -320,7 +425,16 @@ def p_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=16,
         bands=4,
     )
-    return res.curated.select("doc_id").orderBy("doc_id")
+    curated = res.curated.select("doc_id", "text")
+    n = curated.count()
+    n_dup_groups = exact_duplicates(curated).count()
+    n_orphans = (
+        curated.select("doc_id").join(docs.select("doc_id"), "doc_id", "left_anti").count()
+    )
+    return spark.createDataFrame(
+        [(n > 0, n_dup_groups == 0, n_orphans == 0)],
+        "nonempty boolean, no_exact_dups boolean, subset_ok boolean",
+    )
 
 
 @probe(
