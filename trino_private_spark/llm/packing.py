@@ -1,0 +1,112 @@
+"""Sequence packing + stratified sampling for training-data pipelines.
+
+Two operators a 100 TB pretraining-data pipeline needs downstream of
+dedup/curation (beyond-the-reference north-star surface, like llm/dedup.py):
+
+- ``pack_sequences``: greedy first-fit-decreasing packing of documents into
+  fixed token-budget bins (the "sequence packing" step that turns a curated
+  corpus into dense training rows).  Packing is done PER PARTITION with
+  mapInPandas — no shuffle, no global coordination; bin ids are made
+  globally unique by a partition-id prefix.  FFD within a partition wastes
+  at most one partially-filled bin per partition-and-residue class, so
+  utilization stays near-optimal while the operator scales linearly.
+
+- ``stratified_sample``: deterministic per-stratum quota sampling — rank
+  rows inside each stratum by xxhash64(id, seed) and keep the first
+  ``quota``.  Exactly min(quota, |stratum|) rows survive (closed form, so
+  the probe carries a full arithmetic oracle), the choice is uniform-ish
+  and stable under re-runs, and the plan is one hash-partitioned window,
+  no collect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["pack_sequences", "stratified_sample"]
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+) -> DataFrame:
+    """Assign each document to a packing bin: returns (id, n_tokens, bin_id,
+    bin_fill) with every bin's total <= budget (documents longer than the
+    budget get a dedicated overflow bin each, flagged by bin_fill > budget
+    so the caller can truncate).
+
+    Greedy first-fit-decreasing per partition via mapInPandas: sort the
+    partition's docs by token count descending, drop each into the first
+    bin that still fits.  One scan, zero shuffles; bin ids are unique
+    across partitions (pid * 2^40 + local index).
+    """
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        pdf = pd.concat(list(batches), ignore_index=True) if batches else None
+        if pdf is None or len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(
+            [tokens_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        fills: list[int] = []
+        assign: list[int] = []
+        for tok in pdf[tokens_col]:
+            placed = -1
+            for bi, fill in enumerate(fills):
+                if fill + tok <= budget:
+                    placed = bi
+                    break
+            if placed < 0:
+                fills.append(int(tok))
+                placed = len(fills) - 1
+            else:
+                fills[placed] += int(tok)
+            assign.append(placed)
+        base = pid << 40
+        out = pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                tokens_col: pdf[tokens_col].to_numpy(),
+                "bin_id": [base + a for a in assign],
+                "bin_fill": [fills[a] for a in assign],
+            }
+        )
+        yield out
+
+    id_t = dict(df.dtypes)[id_col]
+    tok_t = dict(df.dtypes)[tokens_col]
+    return df.select(id_col, tokens_col).mapInPandas(
+        pack, f"{id_col} {id_t}, {tokens_col} {tok_t}, bin_id bigint, bin_fill bigint"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep exactly min(quota, stratum size) rows per stratum,
+    deterministically: rank by xxhash64(id, seed) inside each stratum and
+    keep rank <= quota.  One window over a hash shuffle on the stratum key;
+    survivor counts are closed-form, so the operation is fully
+    oracle-checkable."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= quota)
+        .drop("_rk")
+    )

@@ -111,6 +111,7 @@ def _load_modules() -> None:
         tpcds_shapes8,
         tpcds_shapes9,
         tpcds_shapes10,
+        tpcds_shapes11,
         tpch_shapes,
         tpch_shapes2,
         windows,

@@ -1,9 +1,11 @@
 """LLM-data-pipeline probes over documents/embeddings (SURVEY.md §7 step 8).
 
-Deterministic, SQL-expressible ops carry a DuckDB oracle; hash-seeded
-approximate ops (MinHash/SimHash — their xxhash64 base has no DuckDB twin)
-are registered without an oracle (driver does a rows-only check) and get
-recall/error property tests in tests/test_llm_ops.py instead.
+Deterministic, SQL-expressible ops carry a value-level DuckDB oracle.
+Hash-seeded approximate ops (MinHash/SimHash/LSH-ANN — their xxhash64 base
+has no DuckDB twin) compute their recall/error/invariant PROPERTIES
+relationally inside the probe and emit booleans hash-checked against a
+TRUE oracle — a property regression flips the driver's t2 gate. Deeper
+distribution tests live in tests/test_llm_ops.py.
 """
 
 from __future__ import annotations
@@ -480,4 +482,77 @@ def p_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(codes).cast("long").alias("code_max"),
         )
         .orderBy("vec_id")
+    )
+
+
+@probe(
+    "p_stratified_sample",
+    oracle="""
+    SELECT lang, CAST(LEAST(CAST(COUNT(*) AS BIGINT), 40) AS BIGINT) AS n_sampled
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm",),
+)
+def p_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum quota sampling (llm/packing.
+    stratified_sample): rank by xxhash64 within each language, keep 40.
+    Survivor counts are closed-form (min(quota, stratum size)), so the
+    probe carries a full arithmetic oracle even though the selection hash
+    has no DuckDB equivalent."""
+    from trino_private_spark.llm.packing import stratified_sample
+
+    t = T(spark, sf_dir)
+    out = stratified_sample(t.documents, "lang", quota=40)
+    return (
+        out.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+@probe(
+    "p_pack_sequences",
+    oracle="SELECT TRUE AS all_assigned, TRUE AS no_overflow, TRUE AS fill_consistent",
+    tags=("llm",),
+)
+def p_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (llm/packing.pack_sequences): greedy
+    FFD per partition, zero shuffles.  The oracle gates the packing
+    invariants relationally: every doc assigned exactly once, no bin over
+    the budget (docs themselves never exceed it here), and the reported
+    bin_fill equals the actual per-bin token sum."""
+    from trino_private_spark.llm.packing import pack_sequences
+    from trino_private_spark.llm.text import token_count
+
+    t = T(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    ).where(F.col("n_tokens") <= 2048)
+    n_docs = docs.count()
+    packed = pack_sequences(docs, budget=2048)
+    stats = packed.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_ids"),
+    ).collect()[0]
+    per_bin = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("actual"),
+        F.max("bin_fill").alias("reported"),
+        F.min("bin_fill").alias("reported_min"),
+    )
+    checks = per_bin.agg(
+        F.max("actual").alias("max_fill"),
+        F.min(
+            (F.col("actual") == F.col("reported"))
+            & (F.col("reported") == F.col("reported_min"))
+        ).alias("consistent"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                stats.n_rows == n_docs and stats.n_ids == n_docs,
+                bool(checks.max_fill <= 2048),
+                bool(checks.consistent),
+            )
+        ],
+        "all_assigned boolean, no_overflow boolean, fill_consistent boolean",
     )
