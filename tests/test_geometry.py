@@ -286,3 +286,25 @@ class TestSparkLayer:
         assert rows.np == 4
         assert rows.xmx == 5.0
         assert rows.ir is True
+
+
+class TestEngineRegistration:
+    def test_register_all_exposes_st_and_tdigest(self, spark):
+        import pyspark.sql.functions as F
+        from trino_private_spark.functions import register_all
+        from trino_private_spark.functions.tdigest import tdigest_agg
+
+        register_all(spark)
+        spark.createDataFrame([(1, SQUARE)], ["id", "wkt"]).createOrReplaceTempView(
+            "reg_g"
+        )
+        row = spark.sql(
+            "SELECT ST_Area(wkt) a, ST_Contains(wkt, 'POINT (1 1)') c FROM reg_g"
+        ).collect()[0]
+        assert row.a == 16.0 and row.c is True
+        df = spark.range(0, 5000).select((F.col("id") % 100).cast("double").alias("v"))
+        tdigest_agg(df, "v", None).createOrReplaceTempView("reg_sk")
+        p50 = spark.sql(
+            "SELECT value_at_quantile(tdigest, 0.5) p FROM reg_sk"
+        ).collect()[0].p
+        assert abs(p50 - 49.5) < 5

@@ -269,3 +269,25 @@ def test_sq8_quantize_roundtrip_and_recall(spark, embeddings):
     assert recall >= 0.9, f"SQ8 rerank recall {recall}"
     self_hits = {r.query_id for r in approx if r.neighbor_id == r.query_id}
     assert len(self_hits) == 10
+
+
+def test_lsh_ann_multi_table_improves_recall(spark, embeddings):
+    from trino_private_spark.llm.similarity import brute_force_topk, lsh_ann_topk
+
+    queries = embeddings.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(embeddings, queries, k=5).collect()}
+
+    def recall(n_tables):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_ann_topk(
+                embeddings, queries, k=5, n_planes=6, n_tables=n_tables
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r1, r8 = recall(1), recall(8)
+    assert r8 >= r1, f"multi-table did not help: {r1} -> {r8}"
+    assert r8 >= 0.3, f"8-table recall {r8}"

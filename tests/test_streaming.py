@@ -175,3 +175,39 @@ def test_windowed_approx_distinct_stream_equals_batch(spark, batch_events):
     assert len(merged) == len(batch)
     rel = (merged["approx_users"] - merged["n"]).abs() / merged["n"].clip(lower=1)
     assert rel.max() <= 0.05, rel.max()
+
+
+def test_windowed_quantile_sketch_stateful(spark, batch_events):
+    """Streaming t-digest state: last emission per (type, window) must agree
+    with the exact batch quantiles within the digest's rank-error bound."""
+    import os
+    from trino_private_spark.streaming.stateful import windowed_quantile_sketch
+
+    stream = events_stream(spark, SF_SMOKE)
+    out = windowed_quantile_sketch(stream, width_s=86400 * 7)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_win_quant")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/tps_ckpt_quant_{os.getpid()}")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_win_quant").toPandas()
+    assert len(got) > 0
+    # keep the highest-n (latest) emission per key
+    last = got.sort_values("n").groupby(["event_type", "window_start"]).tail(1)
+    batch = batch_events.toPandas()
+    batch["window_start"] = (
+        batch.ts.astype("int64") // 10**9 // (86400 * 7) * (86400 * 7)
+    ).astype("datetime64[s]")
+    for _, row in last.iterrows():
+        vals = batch[
+            (batch.event_type == row.event_type)
+            & (batch.window_start == row.window_start)
+        ].value.to_numpy()
+        assert len(vals) == row.n
+        for q_, est in ((0.5, row.p50), (0.9, row.p90)):
+            err = abs((vals <= est).mean() - q_)
+            assert err <= max(0.011, 2.0 / len(vals)), (row.event_type, q_, err)

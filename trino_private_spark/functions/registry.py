@@ -1021,6 +1021,26 @@ def register_all(spark: SparkSession) -> int:
             n += 1
         except Exception:
             pass
+    # the ST_* planar-geometry family over WKT columns (Spark resolves
+    # function names case-insensitively, so ST_Area(...) works as written
+    # in the reference dialect)
+    try:
+        from trino_private_spark.functions.geometry import register_geometry_udfs
+
+        register_geometry_udfs(spark)
+        n += len(__import__(
+            "trino_private_spark.functions.geometry", fromlist=["GEOMETRY_UDFS"]
+        ).GEOMETRY_UDFS)
+    except Exception:
+        pass
+    # t-digest scalar: SQL-callable 2-arg form over a binary sketch column
+    try:
+        from trino_private_spark.functions.tdigest import value_at_quantile_sql
+
+        spark.udf.register("value_at_quantile", value_at_quantile_sql)
+        n += 1
+    except Exception:
+        pass
     return n
 
 

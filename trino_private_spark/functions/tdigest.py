@@ -272,6 +272,19 @@ def values_at_quantiles(sketch_col, qs: list[float]):
     return _vaqs(sketch_col)
 
 
+@pandas_udf(DoubleType())
+def value_at_quantile_sql(sk: pd.Series, q: pd.Series) -> pd.Series:
+    """SQL-registrable 2-arg form: value_at_quantile(tdigest, q)."""
+    return pd.Series(
+        [
+            None
+            if b is None
+            else TDigest.deserialize(bytes(b)).value_at_quantile(float(x))
+            for b, x in zip(sk, q)
+        ]
+    )
+
+
 def merge_tdigests(df: DataFrame, sketch_col: str, group_cols: list[str]) -> DataFrame:
     """merge(tdigest) aggregate over stored sketch columns."""
     gschema = df.select(*group_cols).schema

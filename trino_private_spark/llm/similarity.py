@@ -113,27 +113,53 @@ def lsh_ann_topk(
     k: int = 10,
     dim: int = 64,
     n_planes: int = 8,
+    n_tables: int = 1,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k: corpus and queries are hashed to sign-LSH buckets;
-    scoring happens only within a query's bucket. Shuffle profile: one hash
-    shuffle of (bucket, vector) on each side — recall tunes with n_planes
-    (fewer planes -> bigger buckets -> higher recall, more compute)."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    scoring happens only within a query's bucket.
+
+    Recall tuning: fewer planes -> bigger buckets -> higher recall, more
+    compute; ``n_tables`` independent hash tables (distinct hyperplane
+    seeds) multiply recall the way classic multi-table LSH does — a true
+    neighbor is found if ANY table buckets it with the query.  Shuffle
+    profile: each side is exploded n_tables times and hash-shuffled on
+    (table, bucket); candidate pairs are deduplicated before scoring so a
+    pair found by several tables is scored once."""
+    tables = [
+        (ti, _hyperplanes(dim, n_planes, seed + 1000 * ti)) for ti in range(n_tables)
+    ]
+
+    def hashed(df: DataFrame, ident: str, out_id: str, vec_out: str) -> DataFrame:
+        return df.select(
+            F.col(ident).alias(out_id),
+            F.col(vec_col).alias(vec_out),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(ti).alias("tbl"),
+                            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+                        )
+                        for ti, planes in tables
+                    ]
+                )
+            ).alias("tb"),
+        ).select(
+            out_id, vec_out, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+        )
+
+    c = hashed(corpus, id_col, "neighbor_id", "cv")
+    q = hashed(queries, query_id_col, "query_id", "qv")
+    pairs = (
+        q.join(c, ["tbl", "bucket"])
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    scored = q.join(c, "bucket").select(
+    scored = pairs.select(
         "query_id",
         "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),

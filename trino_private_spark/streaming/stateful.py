@@ -15,6 +15,7 @@ from collections.abc import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
@@ -78,5 +79,80 @@ def budget_sessionize(
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming windowed quantiles over a mergeable t-digest state
+# --------------------------------------------------------------------------
+
+QUANTILE_OUTPUT_SCHEMA = (
+    "event_type string, window_start timestamp, p50 double, p90 double, n bigint"
+)
+QUANTILE_STATE_SCHEMA = "sketch binary, n bigint"
+
+
+def windowed_quantile_sketch(
+    events: DataFrame,
+    width_s: int = 3600,
+    idle_timeout_ms: int = 10 * 60 * 1000,
+) -> DataFrame:
+    """Per-(event_type, tumbling window) value quantiles via a t-digest held
+    in streaming state (functions/tdigest.TDigest).
+
+    The 100 TB streaming shape: state per key is the ~KB digest, never the
+    raw values — the same partial/merge split the batch tdigest_agg uses,
+    lifted into applyInPandasWithState.  Runs in update mode: every trigger
+    re-emits the key's current quantiles (a dashboard sink keeps the latest
+    row per key); idle keys are evicted by timeout after a final emission.
+    Batch parity: the last emission per key must agree with the exact batch
+    quantiles within the digest's rank-error bound
+    (tests/test_streaming.test_windowed_quantile_sketch_stateful).
+    """
+    from trino_private_spark.functions.tdigest import TDigest
+
+    def fn(key, pdfs, state: GroupState):
+        event_type, wstart = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            sk, n = state.get
+            td = TDigest.deserialize(bytes(sk))
+        else:
+            td, n = TDigest(100.0), 0
+        for pdf in pdfs:
+            vals = pdf["value"].astype(float).to_numpy()
+            td.add(vals)
+            n += len(vals)
+        state.update((td.serialize(), n))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": event_type,
+                    "window_start": pd.Timestamp(wstart),
+                    "p50": td.value_at_quantile(0.5),
+                    "p90": td.value_at_quantile(0.9),
+                    "n": n,
+                }
+            ]
+        )
+
+    keyed = events.select(
+        "event_type",
+        (
+            (F.unix_timestamp("ts") - F.unix_timestamp("ts") % width_s).cast(
+                "timestamp"
+            )
+        ).alias("window_start"),
+        "value",
+    )
+    return keyed.groupBy("event_type", "window_start").applyInPandasWithState(
+        fn,
+        outputStructType=QUANTILE_OUTPUT_SCHEMA,
+        stateStructType=QUANTILE_STATE_SCHEMA,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
