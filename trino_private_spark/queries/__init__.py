@@ -112,6 +112,10 @@ def _load_modules() -> None:
         tpcds_shapes9,
         tpcds_shapes10,
         tpcds_shapes11,
+        tpcds_shapes12,
+        tpcds_shapes13,
+        tpcds_shapes14,
+        tpcds_shapes15,
         tpch_shapes,
         tpch_shapes2,
         windows,

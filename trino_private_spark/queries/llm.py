@@ -99,7 +99,7 @@ def p_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p_ngram_jaccard",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents WHERE doc_id < 60),
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents WHERE doc_id < 250),
     sh AS (
       SELECT DISTINCT doc_id,
              t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -124,7 +124,7 @@ def p_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trino_private_spark.llm.dedup import ngram_jaccard_pairs
 
     t = T(spark, sf_dir)
-    docs = t.documents.where(F.col("doc_id") < 60).select(
+    docs = t.documents.where(F.col("doc_id") < 250).select(
         "doc_id", F.lower(F.col("text")).alias("text")
     )
     return ngram_jaccard_pairs(docs, threshold=0.1).orderBy("doc_a", "doc_b")

@@ -404,7 +404,8 @@ def p_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @probe(
     "p_except",
     oracle="""
-    SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders
+    SELECT c_custkey AS k FROM customer EXCEPT
+    SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
     ORDER BY k LIMIT 100
     """,
     tags=("core",),
@@ -415,7 +416,10 @@ def p_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = T(spark, sf_dir)
     return (
         t.customer.select(F.col("c_custkey").alias("k"))
-        .subtract(t.orders.select(F.col("o_custkey").alias("k")))
+        .subtract(
+            t.orders.where(F.year("o_orderdate") == 1995)
+            .select(F.col("o_custkey").alias("k"))
+        )
         .orderBy("k")
         .limit(100)
     )

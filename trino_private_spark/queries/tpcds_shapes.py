@@ -377,7 +377,7 @@ def p_ds_q51_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT c_nationkey, COUNT(*) AS cnt, ROUND(SUM(c_acctbal), 2) AS bal
     FROM customer
     WHERE c_custkey IN (SELECT o_custkey FROM orders
-                        WHERE EXTRACT(YEAR FROM o_orderdate) = 1994)
+                        WHERE EXTRACT(YEAR FROM o_orderdate) = 1995)
        OR c_custkey IN (SELECT o_custkey FROM orders
                         WHERE o_orderpriority = '1-URGENT')
     GROUP BY c_nationkey ORDER BY c_nationkey
@@ -392,7 +392,7 @@ def p_ds_q35_exists_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the OR of semijoins is a union of build sides, never two passes over
     the probe side)."""
     t = T(spark, sf_dir)
-    chan_a = t.orders.filter(F.year("o_orderdate") == 1994).select(
+    chan_a = t.orders.filter(F.year("o_orderdate") == 1995).select(
         F.col("o_custkey").alias("k")
     )
     chan_b = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
@@ -574,9 +574,9 @@ def p_ds_q54_revenue_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a1.nk AS nk, a2.osum / a1.osum AS o_growth,
            b2.lsum / b1.lsum AS l_growth
     FROM o_year a1
-    JOIN o_year a2 ON a1.nk = a2.nk AND a1.yr = 1994 AND a2.yr = 1995
-    JOIN l_year b1 ON b1.nk = a1.nk AND b1.yr = 1994
-    JOIN l_year b2 ON b2.nk = a1.nk AND b2.yr = 1995
+    JOIN o_year a2 ON a1.nk = a2.nk AND a1.yr = 1995 AND a2.yr = 1996
+    JOIN l_year b1 ON b1.nk = a1.nk AND b1.yr = 1995
+    JOIN l_year b2 ON b2.nk = a1.nk AND b2.yr = 1996
     WHERE a2.osum / a1.osum > b2.lsum / b1.lsum
     ORDER BY nk
     """,
@@ -606,10 +606,10 @@ def p_ds_q31_dual_series_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dround(F.sum("l_extendedprice"), 2).alias("lsum"))
     )
-    a1 = o_year.where(F.col("yr") == 1994).select("nk", F.col("osum").alias("o94"))
-    a2 = o_year.where(F.col("yr") == 1995).select("nk", F.col("osum").alias("o95"))
-    b1 = l_year.where(F.col("yr") == 1994).select("nk", F.col("lsum").alias("l94"))
-    b2 = l_year.where(F.col("yr") == 1995).select("nk", F.col("lsum").alias("l95"))
+    a1 = o_year.where(F.col("yr") == 1995).select("nk", F.col("osum").alias("o94"))
+    a2 = o_year.where(F.col("yr") == 1996).select("nk", F.col("osum").alias("o95"))
+    b1 = l_year.where(F.col("yr") == 1995).select("nk", F.col("lsum").alias("l94"))
+    b2 = l_year.where(F.col("yr") == 1996).select("nk", F.col("lsum").alias("l95"))
     og = F.col("o95") / F.col("o94")
     lg = F.col("l95") / F.col("l94")
     return (

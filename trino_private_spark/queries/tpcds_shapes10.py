@@ -82,7 +82,7 @@ def p_ds_q10_above_group_avg_detail(spark: SparkSession, sf_dir: str) -> DataFra
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    WHERE EXTRACT(YEAR FROM o.o_orderdate) IN (1994, 1995)
+    WHERE EXTRACT(YEAR FROM o.o_orderdate) IN (1995, 1996)
     GROUP BY ROLLUP (c.c_nationkey, EXTRACT(YEAR FROM o.o_orderdate))
     ORDER BY c_nationkey NULLS FIRST, yr NULLS FIRST
     """,
@@ -95,7 +95,7 @@ def p_ds_q18_rollup_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ref corpus: tpcds.yaml q18."""
     t = T(spark, sf_dir)
     j = (
-        t.orders.where(F.year("o_orderdate").isin(1994, 1995))
+        t.orders.where(F.year("o_orderdate").isin(1995, 1996))
         .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_nationkey",

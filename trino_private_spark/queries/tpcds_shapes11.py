@@ -35,12 +35,12 @@ from trino_private_spark.queries.tpcds_shapes2 import _cents
     WITH blocks AS (
       SELECT 'order' AS channel, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-      FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) IN (1994, 1995)
+      FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)
       UNION ALL
       SELECT 'return' AS channel, CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS yr,
              -CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
       FROM lineitem WHERE l_returnflag = 'R'
-        AND EXTRACT(YEAR FROM l_shipdate) IN (1994, 1995))
+        AND EXTRACT(YEAR FROM l_shipdate) IN (1995, 1996))
     SELECT channel, yr, CAST(SUM(cents) AS BIGINT) / 100.0 AS net,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM blocks
@@ -54,13 +54,13 @@ def p_ds_q5_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with UNION ALL and rolled up to channel and grand totals in one
     aggregation. Ref corpus: tpcds.yaml q5."""
     t = T(spark, sf_dir)
-    sales = t.orders.where(F.year("o_orderdate").isin(1994, 1995)).select(
+    sales = t.orders.where(F.year("o_orderdate").isin(1995, 1996)).select(
         F.lit("order").alias("channel"),
         F.year("o_orderdate").cast("long").alias("yr"),
         _cents(F.col("o_totalprice")).alias("cents"),
     )
     returns = t.lineitem.where(
-        (F.col("l_returnflag") == "R") & F.year("l_shipdate").isin(1994, 1995)
+        (F.col("l_returnflag") == "R") & F.year("l_shipdate").isin(1995, 1996)
     ).select(
         F.lit("return").alias("channel"),
         F.year("l_shipdate").cast("long").alias("yr"),
@@ -132,13 +132,13 @@ def p_ds_q57_centered_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS yr,
              CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      WHERE EXTRACT(YEAR FROM o.o_orderdate) IN (1994, 1995)
+      WHERE EXTRACT(YEAR FROM o.o_orderdate) IN (1995, 1996)
       GROUP BY 1, 2, 3)
     SELECT a.o_custkey AS custkey, a.l_partkey AS partkey,
-           a.cents / 100.0 AS sales_1994, b.cents / 100.0 AS sales_1995
+           a.cents / 100.0 AS sales_1995, b.cents / 100.0 AS sales_1996
     FROM cp a JOIN cp b
       ON a.o_custkey = b.o_custkey AND a.l_partkey = b.l_partkey
-    WHERE a.yr = 1994 AND b.yr = 1995 AND b.cents > a.cents
+    WHERE a.yr = 1995 AND b.yr = 1996 AND b.cents > a.cents
     ORDER BY custkey, partkey
     """,
     tags=("tpcds",),
@@ -151,7 +151,7 @@ def p_ds_q64_two_period_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = T(spark, sf_dir)
     cp = (
         t.lineitem.join(
-            t.orders.where(F.year("o_orderdate").isin(1994, 1995)).select(
+            t.orders.where(F.year("o_orderdate").isin(1995, 1996)).select(
                 "o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias("yr")
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -159,8 +159,8 @@ def p_ds_q64_two_period_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey", "l_partkey", "yr")
         .agg(F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias("cents"))
     )
-    a = cp.where(F.col("yr") == 1994).alias("a")
-    b = cp.where(F.col("yr") == 1995).alias("b")
+    a = cp.where(F.col("yr") == 1995).alias("a")
+    b = cp.where(F.col("yr") == 1996).alias("b")
     return (
         a.join(
             b,
@@ -171,8 +171,8 @@ def p_ds_q64_two_period_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.o_custkey").alias("custkey"),
             F.col("a.l_partkey").alias("partkey"),
-            (F.col("a.cents") / 100.0).alias("sales_1994"),
-            (F.col("b.cents") / 100.0).alias("sales_1995"),
+            (F.col("a.cents") / 100.0).alias("sales_1995"),
+            (F.col("b.cents") / 100.0).alias("sales_1996"),
         )
         .orderBy("custkey", "partkey")
     )

@@ -131,16 +131,16 @@ def p_ds_q45_existence_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH a AS (
       SELECT l_partkey,
              CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
-      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-                      AND l_shipdate <  TIMESTAMP '1995-01-01'
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                      AND l_shipdate <  TIMESTAMP '1996-01-01'
       GROUP BY l_partkey),
     b AS (
       SELECT l_partkey,
              CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
-      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-                      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                      AND l_shipdate <  TIMESTAMP '1997-01-01'
       GROUP BY l_partkey)
-    SELECT a.l_partkey, a.rev / 100.0 AS rev_1994, b.rev / 100.0 AS rev_1995
+    SELECT a.l_partkey, a.rev / 100.0 AS rev_a, b.rev / 100.0 AS rev_b
     FROM a JOIN b ON a.l_partkey = b.l_partkey
     WHERE 10 * a.rev BETWEEN 9 * b.rev AND 11 * b.rev
       AND 10 * b.rev BETWEEN 9 * a.rev AND 11 * a.rev
@@ -165,8 +165,8 @@ def p_ds_q58_equal_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(_cents(F.col("l_extendedprice"))).alias(f"rev_{y}c"))
         )
 
-    a, b = year_rev(1994), year_rev(1995)
-    ac, bc = F.col("rev_1994c"), F.col("rev_1995c")
+    a, b = year_rev(1995), year_rev(1996)
+    ac, bc = F.col("rev_1995c"), F.col("rev_1996c")
     return (
         a.join(b, on="l_partkey")
         .where(
@@ -174,8 +174,8 @@ def p_ds_q58_equal_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_partkey",
-            (ac / 100.0).alias("rev_1994"),
-            (bc / 100.0).alias("rev_1995"),
+            (ac / 100.0).alias("rev_a"),
+            (bc / 100.0).alias("rev_b"),
         )
         .orderBy("l_partkey")
     )
@@ -190,10 +190,10 @@ def p_ds_q58_equal_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
       FROM orders GROUP BY 1, 2)
     SELECT a.wk,
-           a.rev / 100.0 AS rev_1994,
-           b.rev / 100.0 AS rev_1995,
+           a.rev / 100.0 AS rev_a,
+           b.rev / 100.0 AS rev_b,
            ROUND(CAST(b.rev AS DOUBLE) / a.rev, 4) AS ratio
-    FROM wk a JOIN wk b ON a.wk = b.wk AND a.yr = 1994 AND b.yr = 1995
+    FROM wk a JOIN wk b ON a.wk = b.wk AND a.yr = 1995 AND b.yr = 1996
     WHERE a.rev > 0
     ORDER BY a.wk
     """,
@@ -210,15 +210,15 @@ def p_ds_q59_wow_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("long").alias("yr"),
         F.weekofyear("o_orderdate").cast("long").alias("wk"),
     ).agg(F.sum(_cents(F.col("o_totalprice"))).alias("rev"))
-    a = wk.where(F.col("yr") == 1994).select("wk", F.col("rev").alias("rev_a"))
-    b = wk.where(F.col("yr") == 1995).select("wk", F.col("rev").alias("rev_b"))
+    a = wk.where(F.col("yr") == 1995).select("wk", F.col("rev").alias("rev_a"))
+    b = wk.where(F.col("yr") == 1996).select("wk", F.col("rev").alias("rev_b"))
     return (
         a.join(b, on="wk")
         .where(F.col("rev_a") > 0)
         .select(
             "wk",
-            (F.col("rev_a") / 100.0).alias("rev_1994"),
-            (F.col("rev_b") / 100.0).alias("rev_1995"),
+            (F.col("rev_a") / 100.0).alias("rev_a"),
+            (F.col("rev_b") / 100.0).alias("rev_b"),
             F.round(F.col("rev_b").cast("double") / F.col("rev_a"), 4).alias("ratio"),
         )
         .orderBy("wk")

@@ -31,16 +31,16 @@ from trino_private_spark.queries.tpcds_shapes2 import _cents
              CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'pri'
                   ELSE 'std' END AS chan,
              CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
-      FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) IN (1994, 1995)
+      FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)
       GROUP BY 1, 2, 3)
     SELECT p1.o_custkey AS custkey,
-           p1.cents / 100.0 AS pri_1994, p2.cents / 100.0 AS pri_1995,
-           s1.cents / 100.0 AS std_1994, s2.cents / 100.0 AS std_1995
+           p1.cents / 100.0 AS pri_1995, p2.cents / 100.0 AS pri_1996,
+           s1.cents / 100.0 AS std_1995, s2.cents / 100.0 AS std_1996
     FROM yr p1 JOIN yr p2 ON p1.o_custkey = p2.o_custkey
                JOIN yr s1 ON p1.o_custkey = s1.o_custkey
                JOIN yr s2 ON p1.o_custkey = s2.o_custkey
-    WHERE p1.chan = 'pri' AND p1.yr = 1994 AND p2.chan = 'pri' AND p2.yr = 1995
-      AND s1.chan = 'std' AND s1.yr = 1994 AND s2.chan = 'std' AND s2.yr = 1995
+    WHERE p1.chan = 'pri' AND p1.yr = 1995 AND p2.chan = 'pri' AND p2.yr = 1996
+      AND s1.chan = 'std' AND s1.yr = 1995 AND s2.chan = 'std' AND s2.yr = 1996
       AND p2.cents * s1.cents > p1.cents * s2.cents
     ORDER BY custkey
     """,
@@ -53,7 +53,7 @@ def p_ds_q4_growth_across_channels(spark: SparkSession, sf_dir: str) -> DataFram
     cross-multiplied in exact integers. Ref corpus: tpcds.yaml q4."""
     t = T(spark, sf_dir)
     yr = (
-        t.orders.where(F.year("o_orderdate").isin(1994, 1995))
+        t.orders.where(F.year("o_orderdate").isin(1995, 1996))
         .groupBy(
             "o_custkey",
             F.year("o_orderdate").cast("long").alias("yr"),
@@ -71,8 +71,8 @@ def p_ds_q4_growth_across_channels(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("o_custkey").alias(f"k_{alias}"), F.col("cents").alias(alias)
         )
 
-    p1, p2 = slice_("pri", 1994, "p1"), slice_("pri", 1995, "p2")
-    s1, s2 = slice_("std", 1994, "s1"), slice_("std", 1995, "s2")
+    p1, p2 = slice_("pri", 1995, "p1"), slice_("pri", 1996, "p2")
+    s1, s2 = slice_("std", 1995, "s1"), slice_("std", 1996, "s2")
     return (
         p1.join(p2, F.col("k_p1") == F.col("k_p2"))
         .join(s1, F.col("k_p1") == F.col("k_s1"))
@@ -80,10 +80,10 @@ def p_ds_q4_growth_across_channels(spark: SparkSession, sf_dir: str) -> DataFram
         .where(F.col("p2") * F.col("s1") > F.col("p1") * F.col("s2"))
         .select(
             F.col("k_p1").alias("custkey"),
-            (F.col("p1") / 100.0).alias("pri_1994"),
-            (F.col("p2") / 100.0).alias("pri_1995"),
-            (F.col("s1") / 100.0).alias("std_1994"),
-            (F.col("s2") / 100.0).alias("std_1995"),
+            (F.col("p1") / 100.0).alias("pri_1995"),
+            (F.col("p2") / 100.0).alias("pri_1996"),
+            (F.col("s1") / 100.0).alias("std_1995"),
+            (F.col("s2") / 100.0).alias("std_1996"),
         )
         .orderBy("custkey")
     )

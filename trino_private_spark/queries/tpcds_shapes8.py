@@ -34,20 +34,20 @@ from trino_private_spark.queries.tpcds_shapes2 import _cents
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lost
     FROM (
       SELECT DISTINCT o_custkey FROM orders
-      WHERE EXTRACT(YEAR FROM o_orderdate) = 1994
-      EXCEPT
-      SELECT DISTINCT o_custkey FROM orders
       WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
       EXCEPT
       SELECT DISTINCT o_custkey FROM orders
       WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
     )
     """,
     tags=("tpcds", "setop"),
 )
 def p_ds_q87_except_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q87 shape: chained EXCEPT of period key-sets collapsed to one
-    scalar count (customers active in 1994 but gone both following years).
+    scalar count (customers active in 1995 but gone both following years).
     Ref corpus: tpcds.yaml q87."""
     t = T(spark, sf_dir)
 
@@ -58,7 +58,7 @@ def p_ds_q87_except_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    lost = keys(1994).exceptAll(keys(1995)).exceptAll(keys(1996))
+    lost = keys(1995).exceptAll(keys(1996)).exceptAll(keys(1997))
     # exceptAll on distinct inputs == set EXCEPT; stays a hash anti join
     return lost.agg(F.count("*").cast("long").alias("n_lost"))
 

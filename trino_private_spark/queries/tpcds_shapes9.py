@@ -41,15 +41,15 @@ from trino_private_spark.queries.tpcds_shapes2 import _cents
              CAST(weekofyear(o_orderdate) AS BIGINT) AS wk,
              CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM orders
-      WHERE EXTRACT(YEAR FROM o_orderdate) IN (1994, 1995)
+      WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)
         AND weekofyear(o_orderdate) BETWEEN 2 AND 50
       GROUP BY 1, 2)
     SELECT a.wk AS wk,
-           a.cents / 100.0 AS sales_1994,
-           b.cents / 100.0 AS sales_1995,
+           a.cents / 100.0 AS sales_1995,
+           b.cents / 100.0 AS sales_1996,
            ROUND(CAST(b.cents AS DOUBLE) / a.cents, 6) AS ratio
     FROM wk a JOIN wk b ON a.wk = b.wk
-    WHERE a.yr = 1994 AND b.yr = 1995
+    WHERE a.yr = 1995 AND b.yr = 1996
     ORDER BY wk
     """,
     tags=("tpcds",),
@@ -62,7 +62,7 @@ def p_ds_q2_week_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = T(spark, sf_dir)
     wk = (
         t.orders.where(
-            F.year("o_orderdate").isin(1994, 1995)
+            F.year("o_orderdate").isin(1995, 1996)
             & F.weekofyear("o_orderdate").between(2, 50)
         )
         .groupBy(
@@ -71,14 +71,14 @@ def p_ds_q2_week_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("cents"))
     )
-    a = wk.where(F.col("yr") == 1994).alias("a")
-    b = wk.where(F.col("yr") == 1995).alias("b")
+    a = wk.where(F.col("yr") == 1995).alias("a")
+    b = wk.where(F.col("yr") == 1996).alias("b")
     return (
         a.join(b, F.col("a.wk") == F.col("b.wk"))
         .select(
             F.col("a.wk").alias("wk"),
-            (F.col("a.cents") / 100.0).alias("sales_1994"),
-            (F.col("b.cents") / 100.0).alias("sales_1995"),
+            (F.col("a.cents") / 100.0).alias("sales_1995"),
+            (F.col("b.cents") / 100.0).alias("sales_1996"),
             F.round(F.col("b.cents").cast("double") / F.col("a.cents"), 6).alias("ratio"),
         )
         .orderBy("wk")
@@ -185,7 +185,7 @@ def p_ds_q25_three_channel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_partkey
       HAVING SUM(CAST(l_quantity AS BIGINT)) BETWEEN 60 AND 200) f
       ON p.p_partkey = f.l_partkey
-    WHERE CAST(ROUND(p.p_retailprice * 100) AS BIGINT) BETWEEN 120000 AND 160000
+    WHERE CAST(ROUND(p.p_retailprice * 100) AS BIGINT) BETWEEN 90000 AND 94999
     ORDER BY p.p_partkey
     """,
     tags=("tpcds",),
@@ -204,7 +204,7 @@ def p_ds_q37_attr_and_fact_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
         .where(F.col("q").between(60, 200))
     )
-    dim = t.part.where(_cents(F.col("p_retailprice")).between(120000, 160000))
+    dim = t.part.where(_cents(F.col("p_retailprice")).between(90000, 94999))
     return (
         dim.join(fact, F.col("p_partkey") == F.col("l_partkey"))
         .select("p_partkey", "p_name")

@@ -457,7 +457,8 @@ def p_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(c_acctbal), 2) AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     GROUP BY c_nationkey
     ORDER BY c_nationkey
     """,
@@ -465,7 +466,9 @@ def p_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS anti-join +
-    grouped agg (c_nationkey stands in for the absent phone country code).
+    grouped agg (c_nationkey stands in for the absent phone country code;
+    the NOT EXISTS arm is the urgent-order slice so the anti join is
+    non-vacuous on the fixture, where every customer has some order).
     The scalar avg broadcasts as a literal after its own 1-row agg; the
     anti join hash-shuffles on custkey; at 100 TB the orders side is
     key+null-free so bloom-filter reduction applies."""
@@ -479,7 +482,11 @@ def p_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(F.broadcast(avg_bal))
         .where(F.col("c_acctbal") > F.col("a"))
-        .join(t.orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(
+            t.orders.where(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
