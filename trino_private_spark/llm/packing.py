@@ -110,3 +110,29 @@ def stratified_sample(
         .where(F.col("_rk") <= quota)
         .drop("_rk")
     )
+
+
+def token_budget_take(
+    df: DataFrame,
+    strata_col: str,
+    tokens_col: str = "n_tokens",
+    budget: int = 100_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mixture construction: per stratum (source/language), take the
+    deterministic id-ordered prefix whose running token total stays within
+    ``budget`` — how a training mixture hits per-source token quotas.
+
+    One hash shuffle on the stratum key + one running-sum window; the
+    cumulative total rides along as ``cum_tokens``.  Entirely relational
+    (no data-dependent hashing), so the operation is fully oracle-checkable
+    on any engine."""
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(tokens_col).over(w))
+        .where(F.col("cum_tokens") <= budget)
+    )

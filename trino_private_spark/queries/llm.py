@@ -557,3 +557,43 @@ def p_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "all_assigned boolean, no_overflow boolean, fill_consistent boolean",
     )
+
+
+@probe(
+    "p_token_budget_mix",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tok_total
+    FROM cum WHERE cum_tokens <= 2000
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm",),
+)
+def p_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture quota fill (llm/packing.token_budget_take): per
+    language, the id-ordered document prefix within a 2000-token budget —
+    one shuffle + one running-sum window, fully oracle-checked."""
+    from trino_private_spark.llm.packing import token_budget_take
+    from trino_private_spark.llm.text import token_count
+
+    t = T(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", "lang", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    took = token_budget_take(docs, "lang", budget=2000)
+    return (
+        took.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tok_total"),
+        )
+        .orderBy("lang")
+    )
