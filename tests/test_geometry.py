@@ -308,3 +308,88 @@ class TestEngineRegistration:
             "SELECT value_at_quantile(tdigest, 0.5) p FROM reg_sk"
         ).collect()[0].p
         assert abs(p50 - 49.5) < 5
+
+
+class TestPropertyBased:
+    """Randomized invariants over the geometry kernel (hypothesis)."""
+
+    def _rect(self, x0, y0, w, h):
+        x1, y1 = x0 + w, y0 + h
+        return G.parse_wkt(
+            f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))"
+        )
+
+    def test_rect_invariants(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        coords = st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False)
+        sides = st.floats(0.001, 1e3, allow_nan=False, allow_infinity=False)
+
+        @settings(max_examples=60, deadline=None)
+        @given(coords, coords, sides, sides)
+        def check(x0, y0, w, h):
+            r = self._rect(x0, y0, w, h)
+            assert abs(G.geom_area(r) - w * h) <= 1e-6 * max(1.0, w * h)
+            assert abs(G._perimeter(r) - 2 * (w + h)) <= 1e-6 * max(1.0, w + h)
+            cx, cy = G.geom_centroid(r)
+            assert abs(cx - (x0 + w / 2)) <= 1e-6 * max(1.0, abs(x0) + w)
+            assert abs(cy - (y0 + h / 2)) <= 1e-6 * max(1.0, abs(y0) + h)
+            # centroid strictly inside => contains
+            assert G.geom_contains(r, G.parse_wkt(f"POINT ({cx} {cy})"))
+            # hull of a convex polygon is itself
+            assert G.geom_equals(G.geom_convex_hull(r), r)
+
+        check()
+
+    def test_containment_consistency(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        unit = st.floats(0.0, 100.0, allow_nan=False, allow_infinity=False)
+
+        @settings(max_examples=60, deadline=None)
+        @given(unit, unit, st.floats(1.0, 20.0), unit, unit)
+        def check(x0, y0, s, px, py):
+            # the kernel snaps points within ~1e-12 of an edge to the
+            # boundary (intentional); only test clearly-separated points
+            margin = 1e-6
+            dx = min(abs(px - x0), abs(px - (x0 + s)))
+            dy = min(abs(py - y0), abs(py - (y0 + s)))
+            if dx < margin or dy < margin:
+                return
+            r = self._rect(x0, y0, s, s)
+            p = G.parse_wkt(f"POINT ({px} {py})")
+            inside = x0 < px < x0 + s and y0 < py < y0 + s
+            if inside:
+                assert G.geom_contains(r, p)
+                assert G.geom_intersects(r, p)
+                assert G.geom_distance(r, p) == 0.0
+            else:
+                assert not G.geom_contains(r, p)
+                assert not G.geom_intersects(r, p)
+                assert G.geom_distance(r, p) > 0.0
+
+        check()
+
+    def test_wkt_roundtrip_random_polylines(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        pts = st.lists(
+            st.tuples(st.floats(-50, 50, allow_nan=False), st.floats(-50, 50, allow_nan=False)),
+            min_size=2,
+            max_size=12,
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(pts)
+        def check(coords):
+            w = "LINESTRING (" + ", ".join(f"{G._fmt(x)} {G._fmt(y)}" for x, y in coords) + ")"
+            gg = G.parse_wkt(w)
+            assert G.to_wkt(G.parse_wkt(G.to_wkt(gg))) == G.to_wkt(gg)
+            # length is order-reversal invariant
+            rev = G.Geom("LineString", coords=gg.coords[::-1].copy())
+            assert abs(G.geom_length(gg) - G.geom_length(rev)) <= 1e-9
+
+        check()

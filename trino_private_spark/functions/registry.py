@@ -1011,6 +1011,10 @@ def register_all(spark: SparkSession) -> int:
         "is_nan": "CREATE OR REPLACE TEMPORARY FUNCTION is_nan(x DOUBLE) RETURNS BOOLEAN RETURN isnan(x)",
         "infinity": "CREATE OR REPLACE TEMPORARY FUNCTION infinity() RETURNS DOUBLE RETURN cast('Infinity' AS DOUBLE)",
         "geometric_mean_sql": None,
+        # WKT constructors so reference-dialect SQL like
+        # ST_Contains(poly, ST_Point(x, y)) composes with the geometry kernel
+        "st_point": "CREATE OR REPLACE TEMPORARY FUNCTION st_point(x DOUBLE, y DOUBLE) RETURNS STRING RETURN concat('POINT (', cast(x AS STRING), ' ', cast(y AS STRING), ')')",
+        "st_geometry_to_text": "CREATE OR REPLACE TEMPORARY FUNCTION st_geometry_to_text(g STRING) RETURNS STRING RETURN g",
     }
     n = 0
     for stmt in ddl.values():
