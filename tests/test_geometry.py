@@ -393,3 +393,53 @@ class TestPropertyBased:
             assert abs(G.geom_length(gg) - G.geom_length(rev)) <= 1e-9
 
         check()
+
+
+class TestConvexClip:
+    def test_overlapping_squares(self):
+        a = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+        b = g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+        inter = G.geom_intersection(a, b)
+        assert G.geom_area(inter) == 4.0
+        assert G.geom_equals(inter, g("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))"))
+
+    def test_contained_square(self):
+        a = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+        b = g("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+        assert G.geom_area(G.geom_intersection(a, b)) == 1.0
+
+    def test_disjoint_gives_empty(self):
+        a = g("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        b = g("POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))")
+        assert G.geom_intersection(a, b).is_empty()
+
+    def test_triangle_square(self):
+        tri = g("POLYGON ((0 0, 4 0, 0 4, 0 0))")
+        sq = g("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        # triangle x >= 0, y >= 0, x+y <= 4 clipped to [0,2]^2: area 4 - 0 = ?
+        # inside square, region x+y<=4 covers all but the corner triangle
+        # above x+y=4: corners (2,2) only touches the line -> full square
+        assert G.geom_area(G.geom_intersection(tri, sq)) == 4.0
+
+    def test_triangle_square_partial(self):
+        tri = g("POLYGON ((0 0, 2 0, 0 2, 0 0))")
+        sq = g("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        assert G.geom_area(G.geom_intersection(tri, sq)) == 2.0
+
+    def test_clockwise_inputs_normalized(self):
+        a = g("POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))")  # CW
+        b = g("POLYGON ((2 2, 2 6, 6 6, 6 2, 2 2))")  # CW
+        assert G.geom_area(G.geom_intersection(a, b)) == 4.0
+
+    def test_non_convex_raises(self):
+        concave = g(CONCAVE)
+        sq = g(SQUARE)
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            G.geom_intersection(concave, sq)
+
+    def test_point_cases(self):
+        sq = g(SQUARE)
+        assert G.to_wkt(G.geom_intersection(g("POINT (1 1)"), sq)) == "POINT (1 1)"
+        assert G.geom_intersection(g("POINT (9 9)"), sq).is_empty()

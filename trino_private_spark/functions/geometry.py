@@ -29,11 +29,14 @@ Implemented (GeoFunctions.java parity, planar semantics):
   subset), ST_Overlaps (area subset), ST_Crosses (dim-mixing subset)
 - measures: ST_Area, ST_Length, ST_Distance, ST_Centroid
 - constructions: ST_Envelope, ST_EnvelopeAsPts, ST_Boundary, ST_ConvexHull
+- set ops: ST_Intersection for the convex x convex / point x any subset
+  (Sutherland-Hodgman clip; raises for non-convex inputs)
 
 Out of scope (needs a curve-set-operation engine; documented in SURVEY §1.2):
-ST_Buffer, ST_Union, ST_Intersection, ST_Difference, ST_SymDifference,
-ST_Relate, ST_IsSimple beyond rings, ST_GeomFromBinary/ST_AsBinary (no ESRI
-shape codec), geodetic variants (great-circle lives in functions/geo.py).
+ST_Buffer, ST_Union, non-convex ST_Intersection, ST_Difference,
+ST_SymDifference, ST_Relate, ST_IsSimple beyond rings,
+ST_GeomFromBinary/ST_AsBinary (no ESRI shape codec), geodetic variants
+(great-circle lives in functions/geo.py).
 
 Predicate semantics follow OGC (as the reference's ESRI engine does):
 boundary points are not interior — contains(polygon, point-on-edge) is
@@ -1082,3 +1085,94 @@ def register_geometry_udfs(spark) -> None:
     """Make the ST_ family SQL-callable (spark.sql('SELECT st_area(wkt)...'))."""
     for name, udf in GEOMETRY_UDFS.items():
         spark.udf.register(name, udf)
+
+
+# --------------------------------------------------------------------------
+# Convex clipping — ST_Intersection for the convex subset
+# --------------------------------------------------------------------------
+
+
+def _is_convex_ring(r: np.ndarray) -> bool:
+    n = len(r) - 1
+    if n < 3:
+        return False
+    sign = 0.0
+    for i in range(n):
+        c = _orient(r[i], r[(i + 1) % n], r[(i + 2) % n])
+        if c != 0:
+            if sign == 0:
+                sign = c
+            elif (c > 0) != (sign > 0):
+                return False
+    return True
+
+
+def _ccw(r: np.ndarray) -> np.ndarray:
+    return r if _ring_signed_area(r) >= 0 else r[::-1].copy()
+
+
+def _clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray | None:
+    """Sutherland-Hodgman: clip a convex subject ring by a convex clip ring
+    (both closed; orientation normalized to CCW). Returns a closed CCW ring
+    or None when the intersection is empty/degenerate."""
+    subject, clip = _ccw(subject), _ccw(clip)
+    out = [tuple(p) for p in subject[:-1]]
+    for i in range(len(clip) - 1):
+        a, b = clip[i], clip[i + 1]
+        if not out:
+            return None
+        inp, out = out, []
+        for j, s in enumerate(inp):
+            e = inp[(j + 1) % len(inp)]
+            s_in = _orient(a, b, s) >= 0
+            e_in = _orient(a, b, e) >= 0
+            if s_in:
+                out.append(s)
+                if not e_in:
+                    out.append(_line_intersect(a, b, s, e))
+            elif e_in:
+                out.append(_line_intersect(a, b, s, e))
+    if len(out) < 3:
+        return None
+    ring = np.array(out + [out[0]], dtype=float)
+    if abs(_ring_signed_area(ring)) < 1e-300:
+        return None
+    return ring
+
+
+def _line_intersect(a, b, s, e):
+    """Intersection of infinite line (a,b) with segment line (s,e)."""
+    dax, day = b[0] - a[0], b[1] - a[1]
+    dsx, dsy = e[0] - s[0], e[1] - s[1]
+    denom = dax * dsy - day * dsx
+    t = ((s[0] - a[0]) * day - (s[1] - a[1]) * dax) / denom
+    return (s[0] + t * dsx, s[1] + t * dsy)
+
+
+def geom_intersection(g1: Geom, g2: Geom) -> Geom:
+    """ST_Intersection for the documented subset: convex polygon x convex
+    polygon (Sutherland-Hodgman clip), point x any, any x point.  Raises
+    for non-convex polygon pairs (the reference delegates those to the ESRI
+    clipper; out of scope here — SURVEY §1.2)."""
+    if g1.is_empty() or g2.is_empty() or not geom_intersects(g1, g2):
+        return Geom("Polygon")
+    if g1.kind == "Point":
+        return g1 if _point_in_geom(g1.pt, g2) else Geom("Point")
+    if g2.kind == "Point":
+        return g2 if _point_in_geom(g2.pt, g1) else Geom("Point")
+    if g1.kind == "Polygon" and g2.kind == "Polygon":
+        if len(g1.rings) > 1 or len(g2.rings) > 1:
+            raise ValueError("st_intersection supports hole-free polygons only")
+        if not (_is_convex_ring(g1.rings[0]) and _is_convex_ring(g2.rings[0])):
+            raise ValueError("st_intersection supports convex polygons only")
+        ring = _clip_convex(g1.rings[0], g2.rings[0])
+        if ring is None:
+            return Geom("Polygon")
+        return Geom("Polygon", rings=[ring])
+    raise ValueError(f"st_intersection unsupported for {g1.kind} x {g2.kind}")
+
+
+st_intersection = _reg("st_intersection", _u2("string", lambda a, b: to_wkt(geom_intersection(a, b))))
+st_intersection_area = _reg(
+    "st_intersection_area", _u2("double", lambda a, b: geom_area(geom_intersection(a, b)))
+)

@@ -237,3 +237,36 @@ def p_geom_envelope_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(G.st_ymax(F.col("wkt")) * 4).cast("long").alias("ymax4"),
         "npts",
     ).orderBy("c_nationkey")
+
+
+@probe(
+    "p_geom_intersection",
+    oracle="""
+    WITH sq AS (
+      SELECT s_suppkey,
+             (s_suppkey % 160) / 4.0 AS cx,
+             (s_suppkey * 3 % 160) / 4.0 AS cy,
+             (s_suppkey % 4 + 1) / 4.0 AS s
+      FROM supplier)
+    SELECT s_suppkey,
+           CAST(ROUND(
+             GREATEST(LEAST(cx + s, 30.0) - GREATEST(cx - s, 10.0), 0) *
+             GREATEST(LEAST(cy + s, 30.0) - GREATEST(cy - s, 10.0), 0) * 16
+           ) AS BIGINT) AS inter_area16
+    FROM sq ORDER BY s_suppkey
+    """,
+    tags=("geometry",),
+)
+def p_geom_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersection (convex Sutherland-Hodgman clip) of each supplier
+    square against a fixed window, verified as the closed-form overlap
+    rectangle area in exact 16ths (GeoFunctions.java stIntersection,
+    convex subset)."""
+    t = T(spark, sf_dir)
+    window = "POLYGON ((10 10, 30 10, 30 30, 10 30, 10 10))"
+    sq = _squares(t).withColumn("wkt", _sq_wkt(F.col("cx"), F.col("cy"), F.col("s")))
+    inter_area = G.GEOMETRY_UDFS["st_intersection_area"](F.col("wkt"), F.lit(window))
+    return sq.select(
+        "s_suppkey",
+        F.round(inter_area * 16).cast("long").alias("inter_area16"),
+    ).orderBy("s_suppkey")
