@@ -443,3 +443,18 @@ class TestConvexClip:
         sq = g(SQUARE)
         assert G.to_wkt(G.geom_intersection(g("POINT (1 1)"), sq)) == "POINT (1 1)"
         assert G.geom_intersection(g("POINT (9 9)"), sq).is_empty()
+
+
+class TestTypedConstructors:
+    def test_st_polygon_and_line_from_text(self, spark):
+        G.register_geometry_udfs(spark)
+        row = spark.sql(
+            """SELECT st_polygon('POLYGON ((0 0, 1 0, 1 1, 0 0))') p,
+                      st_line_from_text('LINESTRING (0 0, 2 2)') l"""
+        ).collect()[0]
+        assert row.p == "POLYGON ((0 0, 1 0, 1 1, 0 0))"
+        assert row.l == "LINESTRING (0 0, 2 2)"
+        import pytest as _pt
+
+        with _pt.raises(Exception):
+            spark.sql("SELECT st_polygon('POINT (1 1)')").collect()

@@ -1074,11 +1074,33 @@ def st_geometry_from_text_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda w: None if w is None else to_wkt(parse_wkt(w)))
 
 
+def _typed_parse_udf(expected_kinds, fn_name):
+    """Typed WKT constructor (ST_Polygon / ST_LineFromText take WKT text in
+    the reference dialect — GeoFunctions.java stPolygon/stLineFromText):
+    parse, validate the geometry type, re-emit canonical WKT."""
+
+    @pandas_udf("string")
+    def udf(s: pd.Series) -> pd.Series:
+        def go(w):
+            if w is None:
+                return None
+            g = parse_wkt(w)
+            if g.kind not in expected_kinds:
+                raise ValueError(f"{fn_name} requires {expected_kinds}, got {g.kind}")
+            return to_wkt(g)
+
+        return s.map(go)
+
+    return udf
+
+
 GEOMETRY_UDFS["st_point_n"] = st_point_n_udf
 GEOMETRY_UDFS["st_geometry_n"] = st_geometry_n_udf
 GEOMETRY_UDFS["st_interior_ring_n"] = st_interior_ring_n_udf
 GEOMETRY_UDFS["st_geometry_from_text"] = st_geometry_from_text_udf
 GEOMETRY_UDFS["st_astext"] = st_geometry_from_text_udf
+GEOMETRY_UDFS["st_polygon"] = _typed_parse_udf(("Polygon",), "ST_Polygon")
+GEOMETRY_UDFS["st_line_from_text"] = _typed_parse_udf(("LineString",), "ST_LineFromText")
 
 
 def register_geometry_udfs(spark) -> None:
