@@ -291,3 +291,24 @@ def test_lsh_ann_multi_table_improves_recall(spark, embeddings):
     r1, r8 = recall(1), recall(8)
     assert r8 >= r1, f"multi-table did not help: {r1} -> {r8}"
     assert r8 >= 0.3, f"8-table recall {r8}"
+
+
+def test_contamination_flags_self_and_clean(spark):
+    from trino_private_spark.llm.dedup import contamination_flags
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different words about astronomy and physics research"),
+            (3, "the quick brown fox jumps over the lazy dog again and again"),
+        ],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        ["eval_id", "text"],
+    )
+    hits = {(r.doc_id, r.eval_id): r.n_shared for r in contamination_flags(corpus, evals, min_shared=3).collect()}
+    assert (1, 100) in hits      # exact copy flags
+    assert (3, 100) in hits      # near-copy shares the long prefix
+    assert (2, 100) not in hits  # unrelated doc stays clean

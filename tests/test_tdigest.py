@@ -165,3 +165,40 @@ class TestSparkPath:
         for g in (0, 1):
             vals = pdf[pdf.g == g].v.to_numpy()
             assert rel_rank_error(vals, got[g], 0.9) < 0.015
+
+
+class TestInverseQuery:
+    def test_quantile_at_value_roundtrip(self):
+        rng = np.random.RandomState(17)
+        vals = rng.uniform(0, 1000, 30_000)
+        td = TDigest(delta=100).add(vals)
+        for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+            v = td.value_at_quantile(q)
+            assert abs(td.quantile_at_value(v) - q) < 0.02, q
+
+    def test_inverse_matches_empirical_rank(self):
+        rng = np.random.RandomState(19)
+        vals = rng.lognormal(0, 1, 30_000)
+        td = TDigest(delta=100).add(vals)
+        for v in (0.5, 1.0, 2.0, 5.0):
+            est = td.quantile_at_value(v)
+            truth = (vals <= v).mean()
+            assert abs(est - truth) < 0.01, v
+
+    def test_bounds(self):
+        td = TDigest().add([1.0, 2.0, 3.0])
+        assert td.quantile_at_value(0.0) == 0.0
+        assert td.quantile_at_value(99.0) == 1.0
+
+    def test_sql_registration(self, spark):
+        import pyspark.sql.functions as F
+        from trino_private_spark.functions import register_all
+        from trino_private_spark.functions.tdigest import tdigest_agg
+
+        register_all(spark)
+        df = spark.range(0, 10000).select((F.col("id") % 100).cast("double").alias("v"))
+        tdigest_agg(df, "v", None).createOrReplaceTempView("qav_sk")
+        row = spark.sql(
+            "SELECT quantile_at_value(tdigest, 50.0) q FROM qav_sk"
+        ).collect()[0]
+        assert abs(row.q - 0.505) < 0.02

@@ -1039,10 +1039,14 @@ def register_all(spark: SparkSession) -> int:
         pass
     # t-digest scalar: SQL-callable 2-arg form over a binary sketch column
     try:
-        from trino_private_spark.functions.tdigest import value_at_quantile_sql
+        from trino_private_spark.functions.tdigest import (
+            quantile_at_value_sql,
+            value_at_quantile_sql,
+        )
 
         spark.udf.register("value_at_quantile", value_at_quantile_sql)
-        n += 1
+        spark.udf.register("quantile_at_value", quantile_at_value_sql)
+        n += 2
     except Exception:
         pass
     return n

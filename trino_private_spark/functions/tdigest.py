@@ -153,6 +153,31 @@ class TDigest:
     def values_at_quantiles(self, qs) -> list[float]:
         return [self.value_at_quantile(q) for q in qs]
 
+    def quantile_at_value(self, v: float) -> float:
+        """Inverse query: estimated rank of v in [0, 1]
+        (TDigestFunctions.java quantile_at_value)."""
+        self._compress()
+        n = self.weights.sum()
+        if n == 0:
+            return math.nan
+        if v <= self.vmin:
+            return 0.0
+        if v >= self.vmax:
+            return 1.0
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        idx = int(np.searchsorted(self.means, v))
+        if idx == 0:
+            lo, hi = self.vmin, float(self.means[0])
+            frac = (v - lo) / (hi - lo) if hi > lo else 0.5
+            return float(frac * cum[0] / n)
+        if idx >= self.means.size:
+            lo, hi = float(self.means[-1]), self.vmax
+            frac = (v - lo) / (hi - lo) if hi > lo else 0.5
+            return float((cum[-1] + frac * (n - cum[-1])) / n)
+        m0, m1 = float(self.means[idx - 1]), float(self.means[idx])
+        frac = (v - m0) / (m1 - m0) if m1 > m0 else 0.5
+        return float((cum[idx - 1] + frac * (cum[idx] - cum[idx - 1])) / n)
+
     # -- serde -------------------------------------------------------------
 
     def serialize(self) -> bytes:
@@ -283,6 +308,33 @@ def value_at_quantile_sql(sk: pd.Series, q: pd.Series) -> pd.Series:
             for b, x in zip(sk, q)
         ]
     )
+
+
+@pandas_udf(DoubleType())
+def quantile_at_value_sql(sk: pd.Series, v: pd.Series) -> pd.Series:
+    """SQL-registrable inverse form: quantile_at_value(tdigest, v)."""
+    return pd.Series(
+        [
+            None
+            if b is None
+            else TDigest.deserialize(bytes(b)).quantile_at_value(float(x))
+            for b, x in zip(sk, v)
+        ]
+    )
+
+
+def quantile_at_value(sketch_col, v: float):
+    """Column form of the inverse query (TDigestFunctions.java)."""
+
+    @pandas_udf(DoubleType())
+    def _qav(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: None
+            if b is None
+            else TDigest.deserialize(bytes(b)).quantile_at_value(v)
+        )
+
+    return _qav(sketch_col)
 
 
 def merge_tdigests(df: DataFrame, sketch_col: str, group_cols: list[str]) -> DataFrame:

@@ -331,3 +331,34 @@ def dedup_keep_list(
         F.col("id").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    n: int = 3,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing >= ``min_shared``
+    distinct word n-gram shingles with any eval/benchmark document.
+
+    Returns (id, eval_id, n_shared) pairs above the threshold — the rows a
+    pipeline drops (or flags) before training.  The eval set is tiny next
+    to a 100 TB corpus, so its exploded shingle index BROADCASTS; the
+    corpus side streams through one scan + one aggregation keyed on
+    (doc, eval) — never a doc x doc comparison."""
+    c = with_shingles(corpus.select(id_col, text_col), text_col, n).select(
+        F.col(id_col), F.explode(F.array_distinct("shingles")).alias("s")
+    )
+    e = with_shingles(eval_docs.select(eval_id_col, text_col), text_col, n).select(
+        F.col(eval_id_col), F.explode(F.array_distinct("shingles")).alias("s")
+    )
+    return (
+        c.join(F.broadcast(e), "s")
+        .groupBy(id_col, eval_id_col)
+        .agg(F.countDistinct("s").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -597,3 +597,42 @@ def p_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@probe(
+    "p_decontaminate",
+    oracle="""
+    WITH ctoks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    csh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM ctoks, UNNEST(range(1, GREATEST(len(t) - 1, 1))) AS r(i)),
+    etoks AS (
+      SELECT doc_id AS eval_id, string_split(lower(text), ' ') AS t
+      FROM documents WHERE doc_id < 5),
+    esh AS (
+      SELECT DISTINCT eval_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM etoks, UNNEST(range(1, GREATEST(len(t) - 1, 1))) AS r(i))
+    SELECT c.doc_id, e.eval_id, CAST(COUNT(DISTINCT c.s) AS BIGINT) AS n_shared
+    FROM csh c JOIN esh e ON c.s = e.s
+    GROUP BY 1, 2 HAVING COUNT(DISTINCT c.s) >= 5
+    ORDER BY doc_id, eval_id
+    """,
+    tags=("llm",),
+)
+def p_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (llm/dedup.contamination_flags): corpus
+    docs sharing >= 5 distinct 3-gram shingles with any doc of a small
+    eval set (here: the first five documents).  The eval shingle index
+    broadcasts; fully oracle-checked via the relational shingle join."""
+    from trino_private_spark.llm.dedup import contamination_flags
+
+    t = T(spark, sf_dir)
+    corpus = t.documents.select("doc_id", F.lower(F.col("text")).alias("text"))
+    evals = (
+        t.documents.where(F.col("doc_id") < 5)
+        .select(F.col("doc_id").alias("eval_id"), F.lower(F.col("text")).alias("text"))
+    )
+    return contamination_flags(corpus, evals, min_shared=5).orderBy(
+        "doc_id", "eval_id"
+    )
