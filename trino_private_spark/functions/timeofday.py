@@ -128,3 +128,93 @@ def time_format(t, precision: int = 3) -> Column:
         F.lpad(frac_picos.cast("string"), 12, "0"), 1, precision
     )
     return F.concat(base, F.lit("."), digits)
+
+
+# --------------------------------------------------------------------------
+# TIME(p) WITH TIME ZONE stand-in
+# --------------------------------------------------------------------------
+#
+# The reference packs time-with-zone values as (picos-of-day, offset-minutes)
+# (core/trino-spi/.../type/TimeWithTimeZoneType, LongTimeWithTimeZone:
+# picos + offsetMinutes; scalar ops in operator/scalar/timetz/*).  We adopt
+# the same decomposition as a STRUCT<picos: BIGINT, offset_minutes: INT>.
+# Semantics carried over:
+# - comparison/ordering is by the UTC-normalized instant
+#   (picos - offset*MINUTE), exactly the reference's normalizePicos;
+# - AT TIME ZONE re-expresses the same instant at a new offset
+#   (timetz/AtTimeZone.java);
+# - extraction (hour/minute/...) reads the LOCAL field, not the UTC one;
+# - timezone_hour/timezone_minute expose the offset components.
+# Everything is JVM Column arithmetic over the struct fields — the struct
+# groups/joins/sorts like any pair of numeric keys at 100 TB.
+
+OFFSET_PICOS = PICOS_PER_MINUTE
+
+
+def timetz(picos, offset_minutes) -> Column:
+    """Construct a TIME WITH TIME ZONE value."""
+    return F.struct(
+        _c(picos).cast("bigint").alias("picos"),
+        _c(offset_minutes).cast("int").alias("offset_minutes"),
+    )
+
+
+def parse_timetz(s) -> Column:
+    """'HH:MM:SS[.fff](+|-)HH:MM' -> struct (TimeWithTimeZoneParser)."""
+    c = _c(s)
+    local = parse_time(F.regexp_extract(c, r"^([0-9:.]+)", 1))
+    sign = F.when(F.regexp_extract(c, r"([+-])\d{2}:\d{2}$", 1) == "-", -1).otherwise(1)
+    oh = F.regexp_extract(c, r"[+-](\d{2}):\d{2}$", 1).cast("int")
+    om = F.regexp_extract(c, r"[+-]\d{2}:(\d{2})$", 1).cast("int")
+    return timetz(local, sign * (oh * 60 + om))
+
+
+def timetz_to_utc_picos(t) -> Column:
+    """Normalized instant for comparison/ordering (floor-mod one day)."""
+    c = _c(t)
+    raw = c["picos"] - c["offset_minutes"].cast("bigint") * OFFSET_PICOS
+    return ((raw % PICOS_PER_DAY) + PICOS_PER_DAY) % PICOS_PER_DAY
+
+
+def timetz_at_offset(t, new_offset_minutes) -> Column:
+    """AT TIME ZONE: same instant, new offset (timetz/AtTimeZone.java)."""
+    c = _c(t)
+    off = _c(new_offset_minutes).cast("int")
+    utc = c["picos"] - c["offset_minutes"].cast("bigint") * OFFSET_PICOS
+    local = utc + off.cast("bigint") * OFFSET_PICOS
+    wrapped = ((local % PICOS_PER_DAY) + PICOS_PER_DAY) % PICOS_PER_DAY
+    return F.struct(wrapped.alias("picos"), off.alias("offset_minutes"))
+
+
+def timetz_hour(t) -> Column:
+    return hour(_c(t)["picos"])
+
+
+def timetz_minute(t) -> Column:
+    return minute(_c(t)["picos"])
+
+
+def timetz_timezone_hour(t) -> Column:
+    """timezone_hour: truncates toward zero (DateTimeFunctions.java)."""
+    off = _c(t)["offset_minutes"]
+    return (off.cast("double") / 60).cast("int")
+
+
+def timetz_timezone_minute(t) -> Column:
+    off = _c(t)["offset_minutes"]
+    return off - ((off.cast("double") / 60).cast("int") * 60)
+
+
+def timetz_format(t) -> Column:
+    """Canonical 'HH:MM:SS.mmm(+|-)HH:MM' rendering."""
+    c = _c(t)
+    off = c["offset_minutes"]
+    sign = F.when(off < 0, "-").otherwise("+")
+    ao = F.abs(off)
+    return F.concat(
+        time_format(c["picos"]),
+        sign,
+        F.lpad((ao.cast("double") / 60).cast("int").cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((ao % 60).cast("string"), 2, "0"),
+    )

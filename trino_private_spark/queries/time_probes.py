@@ -57,3 +57,46 @@ def p_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@probe(
+    "p_timetz",
+    oracle="""
+    WITH v AS (
+      SELECT c_custkey,
+             c_custkey % 86400 AS local_sec,
+             (c_custkey % 53 - 26) * 30 AS off_min
+      FROM customer WHERE c_custkey <= 500)
+    SELECT c_custkey,
+           CAST(local_sec // 3600 AS BIGINT) AS local_hour,
+           CAST(((local_sec - off_min * 60) % 86400 + 86400) % 86400 AS BIGINT) AS utc_sec,
+           CAST(TRUNC(off_min / 60.0) AS INT) AS tz_hour,
+           CAST(off_min - TRUNC(off_min / 60.0) * 60 AS INT) AS tz_min
+    FROM v ORDER BY c_custkey
+    """,
+    tags=("time",),
+)
+def p_timetz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME WITH TIME ZONE stand-in (functions/timeofday.py timetz family —
+    the reference's LongTimeWithTimeZone picos+offsetMinutes packing):
+    local extraction, UTC normalization with day wraparound, and
+    truncate-toward-zero timezone_hour/minute, verified against
+    closed-form integer arithmetic."""
+    from trino_private_spark.functions import timeofday as TOD
+
+    t = T(spark, sf_dir)
+    v = t.customer.where(F.col("c_custkey") <= 500).select(
+        "c_custkey",
+        ((F.col("c_custkey") % 86400) * TOD.PICOS_PER_SECOND).alias("local_picos"),
+        ((F.col("c_custkey") % 53 - 26) * 30).alias("off_min"),
+    )
+    tz = TOD.timetz(F.col("local_picos"), F.col("off_min"))
+    return v.select(
+        "c_custkey",
+        TOD.timetz_hour(tz).cast("long").alias("local_hour"),
+        (TOD.timetz_to_utc_picos(tz) / TOD.PICOS_PER_SECOND)
+        .cast("long")
+        .alias("utc_sec"),
+        TOD.timetz_timezone_hour(tz).cast("int").alias("tz_hour"),
+        TOD.timetz_timezone_minute(tz).cast("int").alias("tz_min"),
+    ).orderBy("c_custkey")
