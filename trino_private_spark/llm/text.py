@@ -130,3 +130,22 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+def repeated_ngram_ratio(text: Column, n: int = 3) -> Column:
+    """Intra-document repetition: 1 - distinct/total over word n-grams —
+    the "repeated n-gram fraction" quality gate (high values flag boilerplate
+    and degenerate repetition). Pure JVM HOF math, scan-only."""
+    toks = F.split(F.lower(text), " ")
+    k = F.size(toks) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array())
+    total = F.size(grams)
+    return F.when(total > 0, 1.0 - F.size(F.array_distinct(grams)) / total).otherwise(
+        0.0
+    )

@@ -636,3 +636,40 @@ def p_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(corpus, evals, min_shared=5).orderBy(
         "doc_id", "eval_id"
     )
+
+
+@probe(
+    "p_repetition_ratio",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        FOR i IN range(1, len(w) - 1)]
+                  ELSE [] END AS grams
+      FROM t)
+    SELECT doc_id,
+           ROUND(CASE WHEN len(grams) > 0
+                 THEN 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS rep_ratio
+    FROM g ORDER BY doc_id LIMIT 400
+    """,
+    tags=("llm",),
+)
+def p_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-3-gram fraction (llm/text.
+    repeated_ngram_ratio) — the boilerplate/degeneration quality gate,
+    computed as scan-only HOF math and fully oracle-checked."""
+    from trino_private_spark.llm.text import repeated_ngram_ratio
+
+    t = T(spark, sf_dir)
+    return (
+        t.documents.select(
+            "doc_id",
+            F.round(repeated_ngram_ratio(F.col("text")), 6).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+        .limit(400)
+    )
