@@ -458,3 +458,40 @@ class TestTypedConstructors:
 
         with _pt.raises(Exception):
             spark.sql("SELECT st_polygon('POINT (1 1)')").collect()
+
+
+class TestUnion:
+    def test_disjoint_polygons(self):
+        a = g("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        b = g("POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))")
+        u = G.geom_union(a, b)
+        assert u.kind == "MultiPolygon"
+        assert G.geom_area(u) == 2.0
+
+    def test_contained(self):
+        outer = g(SQUARE)
+        inner = g("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+        assert G.geom_equals(G.geom_union(outer, inner), outer)
+        assert G.geom_equals(G.geom_union(inner, outer), outer)
+
+    def test_points(self):
+        u = G.geom_union(g("POINT (1 1)"), g("POINT (2 2)"))
+        assert G.to_wkt(u) == "MULTIPOINT (1 1, 2 2)"
+
+    def test_empty_identity(self):
+        assert G.geom_equals(G.geom_union(g(SQUARE), g("POLYGON EMPTY")), g(SQUARE))
+
+    def test_overlapping_raises(self):
+        a = g(SQUARE)
+        b = g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            G.geom_union(a, b)
+
+    def test_union_area_inclusion_exclusion(self):
+        # convex overlap: area via inclusion-exclusion with the convex clip
+        a = g(SQUARE)
+        b = g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+        area = G.geom_area(a) + G.geom_area(b) - G.geom_area(G.geom_intersection(a, b))
+        assert area == 16.0 + 16.0 - 4.0

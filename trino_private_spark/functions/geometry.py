@@ -30,10 +30,13 @@ Implemented (GeoFunctions.java parity, planar semantics):
 - measures: ST_Area, ST_Length, ST_Distance, ST_Centroid
 - constructions: ST_Envelope, ST_EnvelopeAsPts, ST_Boundary, ST_ConvexHull
 - set ops: ST_Intersection for the convex x convex / point x any subset
-  (Sutherland-Hodgman clip; raises for non-convex inputs)
+  (Sutherland-Hodgman clip; raises for non-convex inputs); ST_Union for
+  disjoint / contained inputs (plus st_union_area via inclusion-exclusion
+  over the convex clip)
 
 Out of scope (needs a curve-set-operation engine; documented in SURVEY §1.2):
-ST_Buffer, ST_Union, non-convex ST_Intersection, ST_Difference,
+ST_Buffer, overlapping-boundary ST_Union, non-convex ST_Intersection,
+ST_Difference,
 ST_SymDifference, ST_Relate, ST_IsSimple beyond rings,
 ST_GeomFromBinary/ST_AsBinary (no ESRI shape codec), geodetic variants
 (great-circle lives in functions/geo.py).
@@ -1197,4 +1200,46 @@ def geom_intersection(g1: Geom, g2: Geom) -> Geom:
 st_intersection = _reg("st_intersection", _u2("string", lambda a, b: to_wkt(geom_intersection(a, b))))
 st_intersection_area = _reg(
     "st_intersection_area", _u2("double", lambda a, b: geom_area(geom_intersection(a, b)))
+)
+
+
+def geom_union(g1: Geom, g2: Geom) -> Geom:
+    """ST_Union for the documented subset: disjoint geometries (collected
+    into a Multi*), containment (the container wins), and identical convex
+    overlap resolved via clipping when one is contained after clip.
+    General overlapping-boundary union needs a tracing clipper — raises
+    (SURVEY §1.2)."""
+    if g1.is_empty():
+        return g2
+    if g2.is_empty():
+        return g1
+    if geom_contains(g1, g2):
+        return g1
+    if geom_contains(g2, g1):
+        return g2
+    if not geom_intersects(g1, g2):
+        parts = list(g1.flatten()) + list(g2.flatten())
+        kinds = {p.kind for p in parts}
+        if kinds == {"Polygon"}:
+            return Geom("MultiPolygon", parts=parts)
+        if kinds == {"Point"}:
+            return Geom("MultiPoint", parts=parts)
+        if kinds == {"LineString"}:
+            return Geom("MultiLineString", parts=parts)
+        return Geom("GeometryCollection", parts=parts)
+    raise ValueError(
+        "st_union supports disjoint or contained geometries only "
+        "(general overlapping union is out of scope)"
+    )
+
+
+st_union = _reg("st_union", _u2("string", lambda a, b: to_wkt(geom_union(a, b))))
+st_union_area = _reg(
+    "st_union_area",
+    _u2(
+        "double",
+        lambda a, b: geom_area(a) + geom_area(b) - geom_area(geom_intersection(a, b))
+        if (a.kind == b.kind == "Polygon")
+        else geom_area(geom_union(a, b)),
+    ),
 )

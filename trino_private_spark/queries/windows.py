@@ -320,3 +320,52 @@ def p_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(1000)
     )
+
+
+@probe(
+    "p_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+      FROM orders WHERE o_custkey <= 300),
+    grp AS (
+      SELECT o_custkey, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY d) AS INT) AS anchor
+      FROM days),
+    islands AS (
+      SELECT o_custkey, anchor, CAST(COUNT(*) AS BIGINT) AS len
+      FROM grp GROUP BY o_custkey, anchor)
+    SELECT o_custkey,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_islands
+    FROM islands GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    tags=("window",),
+)
+def p_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks via the
+    date-minus-row_number anchor trick — one window + one aggregation,
+    the canonical islands detection every reference-engine user writes
+    (grammar-only shape; no dedicated operator exists in either engine)."""
+    t = T(spark, sf_dir)
+    days = (
+        t.orders.where(F.col("o_custkey") <= 300)
+        .select("o_custkey", F.col("o_orderdate").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    islands = grp.groupBy("o_custkey", "anchor").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    return (
+        islands.groupBy("o_custkey")
+        .agg(
+            F.max("len").cast("long").alias("longest_streak"),
+            F.count("*").cast("long").alias("n_islands"),
+        )
+        .orderBy("o_custkey")
+    )
