@@ -495,3 +495,50 @@ class TestUnion:
         b = g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
         area = G.geom_area(a) + G.geom_area(b) - G.geom_area(G.geom_intersection(a, b))
         assert area == 16.0 + 16.0 - 4.0
+
+
+class TestTriangulatedAreas:
+    def test_lshape_in_square(self):
+        sq = g("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        assert G.geom_intersection_area(g(LSHAPE), sq) == 3.0
+
+    def test_concave_fully_covered(self):
+        big = g("POLYGON ((-1 -1, 5 -1, 5 5, -1 5, -1 -1))")
+        assert G.geom_intersection_area(g(CONCAVE), big) == G.geom_area(g(CONCAVE))
+
+    def test_hole_respected_both_sides(self):
+        shift = g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+        hole = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))")
+        # overlap region [2,4]^2 (4) minus hole part [2,3]^2 (1)
+        assert G.geom_intersection_area(hole, shift) == 3.0
+
+    def test_partial_lshape(self):
+        shifted = g("POLYGON ((0.5 0.5, 3 0.5, 3 3, 0.5 3, 0.5 0.5))")
+        assert G.geom_intersection_area(g(LSHAPE), shifted) == 1.25
+
+    def test_disjoint_zero(self):
+        far = g("POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))")
+        assert G.geom_intersection_area(g(LSHAPE), far) == 0.0
+
+    def test_union_and_difference_areas(self):
+        a = g(SQUARE)
+        b = g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+        assert G.geom_union_area(a, b) == 28.0
+        assert G.geom_difference_area(a, b) == 12.0
+
+    def test_matches_convex_clip_on_convex_inputs(self):
+        a = g(SQUARE)
+        b = g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+        via_clip = G.geom_area(G.geom_intersection(a, b))
+        assert abs(G.geom_intersection_area(a, b) - via_clip) < 1e-9
+
+    def test_triangulation_covers_area(self):
+        import numpy as np
+
+        for wkt in (SQUARE, LSHAPE, CONCAVE):
+            gg = g(wkt)
+            tris = G._triangulate(gg.rings[0])
+            tot = sum(
+                abs(G._ring_signed_area(np.vstack([t, t[:1]]))) for t in tris
+            )
+            assert abs(tot - abs(G._ring_signed_area(gg.rings[0]))) < 1e-9, wkt

@@ -29,14 +29,16 @@ Implemented (GeoFunctions.java parity, planar semantics):
   subset), ST_Overlaps (area subset), ST_Crosses (dim-mixing subset)
 - measures: ST_Area, ST_Length, ST_Distance, ST_Centroid
 - constructions: ST_Envelope, ST_EnvelopeAsPts, ST_Boundary, ST_ConvexHull
-- set ops: ST_Intersection for the convex x convex / point x any subset
-  (Sutherland-Hodgman clip; raises for non-convex inputs); ST_Union for
-  disjoint / contained inputs (plus st_union_area via inclusion-exclusion
-  over the convex clip)
+- set ops: ST_Intersection geometry for the convex x convex / point x any
+  subset (Sutherland-Hodgman clip; raises for non-convex inputs); ST_Union
+  geometry for disjoint / contained inputs; intersection / union /
+  difference AREA for ARBITRARY simple polygons with holes
+  (st_intersection_area / st_union_area / st_difference_area — ear-clipping
+  triangulation + pairwise convex clips with signed shell/hole terms)
 
 Out of scope (needs a curve-set-operation engine; documented in SURVEY §1.2):
-ST_Buffer, overlapping-boundary ST_Union, non-convex ST_Intersection,
-ST_Difference,
+ST_Buffer, GEOMETRY output of overlapping-boundary Union / non-convex
+Intersection / Difference (their AREAS are computed exactly, above),
 ST_SymDifference, ST_Relate, ST_IsSimple beyond rings,
 ST_GeomFromBinary/ST_AsBinary (no ESRI shape codec), geodetic variants
 (great-circle lives in functions/geo.py).
@@ -1243,3 +1245,115 @@ st_union_area = _reg(
         else geom_area(geom_union(a, b)),
     ),
 )
+
+
+# --------------------------------------------------------------------------
+# General intersection AREA via ear-clipping triangulation
+# --------------------------------------------------------------------------
+#
+# Geometry OUTPUT for set ops stays convex-only (clip) / disjoint (union),
+# but the intersection AREA generalizes to arbitrary simple polygons with
+# holes: triangulate every ring (ear clipping — robust, no tracing), clip
+# triangle pairs (convex x convex), and sum signed contributions
+# (shell = +1, hole = -1 on each side; holes lie inside shells, so
+# area(A n B) = sum_{ra, rb} sign(ra) * sign(rb) * area(ra n rb)).
+
+
+def _triangulate(ring: np.ndarray) -> list:
+    """Ear-clipping triangulation of a simple CCW ring (closed ndarray).
+    Returns a list of (3, 2) triangle arrays."""
+    pts = [tuple(p) for p in _ccw(ring)[:-1]]
+    n = len(pts)
+    if n < 3:
+        return []
+    idx = list(range(n))
+    tris = []
+    guard = 0
+    while len(idx) > 3 and guard < 10 * n:
+        guard += 1
+        found = False
+        for k in range(len(idx)):
+            i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % len(idx)]
+            a, b, c = pts[i0], pts[i1], pts[i2]
+            if _orient(a, b, c) <= 0:
+                continue  # reflex or degenerate corner
+            # no other remaining vertex inside OR on the candidate ear —
+            # a reflex vertex sitting exactly on the ear's diagonal would
+            # otherwise be clipped over (boundary counts as blocking)
+            ear = np.array([a, b, c, a])
+            blocked = False
+            for j in idx:
+                if j in (i0, i1, i2):
+                    continue
+                if _point_in_ring(pts[j], ear) >= 1:
+                    blocked = True
+                    break
+            if not blocked:
+                tris.append(np.array([a, b, c]))
+                idx.pop(k)
+                found = True
+                break
+        if not found:
+            break  # degenerate input; fall through with what we have
+    if len(idx) == 3:
+        a, b, c = (pts[i] for i in idx)
+        if _orient(a, b, c) > 0:
+            tris.append(np.array([a, b, c]))
+    return tris
+
+
+def _tri_clip_area(t1: np.ndarray, t2: np.ndarray) -> float:
+    ring = _clip_convex(
+        np.vstack([t1, t1[:1]]), np.vstack([t2, t2[:1]])
+    )
+    return abs(_ring_signed_area(ring)) if ring is not None else 0.0
+
+
+def _signed_rings(g: Geom):
+    for p in g.flatten():
+        if p.kind == "Polygon":
+            for i, r in enumerate(p.rings):
+                yield r, (1.0 if i == 0 else -1.0)
+
+
+def geom_intersection_area(g1: Geom, g2: Geom) -> float:
+    """area(g1 n g2) for arbitrary simple polygons/multipolygons with holes
+    (triangulated signed sum; the GENERAL counterpart of the convex-only
+    geom_intersection)."""
+    if g1.dimension() != 2 or g2.dimension() != 2:
+        return 0.0
+    if _bbox_disjoint(g1, g2):
+        return 0.0
+    tris1 = [(t, s) for r, s in _signed_rings(g1) for t in _triangulate(r)]
+    tris2 = [(t, s) for r, s in _signed_rings(g2) for t in _triangulate(r)]
+    total = 0.0
+    for t1, s1 in tris1:
+        b1 = (t1[:, 0].min(), t1[:, 1].min(), t1[:, 0].max(), t1[:, 1].max())
+        for t2, s2 in tris2:
+            if (
+                b1[2] < t2[:, 0].min()
+                or t2[:, 0].max() < b1[0]
+                or b1[3] < t2[:, 1].min()
+                or t2[:, 1].max() < b1[1]
+            ):
+                continue
+            total += s1 * s2 * _tri_clip_area(t1, t2)
+    return total
+
+
+def geom_union_area(g1: Geom, g2: Geom) -> float:
+    """area(g1 u g2) by inclusion-exclusion — general simple polygons."""
+    return geom_area(g1) + geom_area(g2) - geom_intersection_area(g1, g2)
+
+
+def geom_difference_area(g1: Geom, g2: Geom) -> float:
+    """area(g1 \\ g2) — general simple polygons."""
+    return geom_area(g1) - geom_intersection_area(g1, g2)
+
+
+GEOMETRY_UDFS["st_intersection_area"] = _u2("double", geom_intersection_area)
+st_intersection_area = GEOMETRY_UDFS["st_intersection_area"]
+st_union_area = _reg("st_union_area2", _u2("double", geom_union_area))
+GEOMETRY_UDFS["st_union_area"] = st_union_area
+del GEOMETRY_UDFS["st_union_area2"]
+st_difference_area = _reg("st_difference_area", _u2("double", geom_difference_area))

@@ -270,3 +270,61 @@ def p_geom_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
         F.round(inter_area * 16).cast("long").alias("inter_area16"),
     ).orderBy("s_suppkey")
+
+
+@probe(
+    "p_geom_ring_intersection_area",
+    oracle="""
+    WITH sq AS (
+      SELECT s_suppkey,
+             (s_suppkey % 160) / 4.0 AS cx,
+             (s_suppkey * 3 % 160) / 4.0 AS cy,
+             (s_suppkey % 4 + 1) / 4.0 AS s
+      FROM supplier),
+    ov AS (
+      SELECT s_suppkey,
+             GREATEST(LEAST(cx + s, 30.0) - GREATEST(cx - s, 10.0), 0) *
+             GREATEST(LEAST(cy + s, 30.0) - GREATEST(cy - s, 10.0), 0) AS outer_ov,
+             GREATEST(LEAST(cx + s/2, 30.0) - GREATEST(cx - s/2, 10.0), 0) *
+             GREATEST(LEAST(cy + s/2, 30.0) - GREATEST(cy - s/2, 10.0), 0) AS hole_ov
+      FROM sq)
+    SELECT s_suppkey,
+           CAST(ROUND((outer_ov - hole_ov) * 64) AS BIGINT) AS ring_area64
+    FROM ov ORDER BY s_suppkey
+    """,
+    tags=("geometry",),
+)
+def p_geom_ring_intersection_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General (non-convex capable) intersection AREA: a square ring with
+    a centered hole clipped against a fixed window, computed by the
+    triangulated signed sum (functions/geometry.geom_intersection_area)
+    and verified as outer-overlap minus hole-overlap in exact 64ths."""
+    t = T(spark, sf_dir)
+    window = "POLYGON ((10 10, 30 10, 30 30, 10 30, 10 10))"
+
+    def n(c):
+        return F.cast("string", c)
+
+    cx, cy, s = F.col("cx"), F.col("cy"), F.col("s")
+    h = s / 2
+    ring_wkt = F.concat(
+        F.lit("POLYGON (("),
+        n(cx - s), F.lit(" "), n(cy - s), F.lit(", "),
+        n(cx + s), F.lit(" "), n(cy - s), F.lit(", "),
+        n(cx + s), F.lit(" "), n(cy + s), F.lit(", "),
+        n(cx - s), F.lit(" "), n(cy + s), F.lit(", "),
+        n(cx - s), F.lit(" "), n(cy - s),
+        F.lit("), ("),
+        n(cx - h), F.lit(" "), n(cy - h), F.lit(", "),
+        n(cx + h), F.lit(" "), n(cy - h), F.lit(", "),
+        n(cx + h), F.lit(" "), n(cy + h), F.lit(", "),
+        n(cx - h), F.lit(" "), n(cy + h), F.lit(", "),
+        n(cx - h), F.lit(" "), n(cy - h),
+        F.lit("))"),
+    )
+    sq = _squares(t).withColumn("wkt", ring_wkt)
+    area = G.GEOMETRY_UDFS["st_intersection_area"](F.col("wkt"), F.lit(window))
+    return sq.select(
+        "s_suppkey",
+        F.round(area * 64).cast("long").alias("ring_area64"),
+    ).orderBy("s_suppkey")
