@@ -211,3 +211,42 @@ def test_windowed_quantile_sketch_stateful(spark, batch_events):
         for q_, est in ((0.5, row.p50), (0.9, row.p90)):
             err = abs((vals <= est).mean() - q_)
             assert err <= max(0.011, 2.0 / len(vals)), (row.event_type, q_, err)
+
+
+def test_rising_run_detector_stream_equals_batch(spark, batch_events):
+    """Streaming rising-chain detection must find exactly the chains the
+    batch lag/island query finds (one emission per chain reaching k)."""
+    import os
+    from trino_private_spark.streaming.stateful import (
+        rising_run_detector,
+        rising_runs_batch,
+    )
+
+    k = 3
+    stream = events_stream(spark, SF_SMOKE)
+    out = rising_run_detector(stream, k=k)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_rising")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/tps_ckpt_rising_{os.getpid()}")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("t_rising")
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .set_index("user_id")["count"]
+        .to_dict()
+    )
+    want = (
+        rising_runs_batch(batch_events, k=k)
+        .toPandas()
+        .set_index("user_id")["n_chains"]
+        .to_dict()
+    )
+    assert len(want) > 0
+    assert got == want

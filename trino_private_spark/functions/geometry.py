@@ -851,6 +851,7 @@ import pandas as pd  # noqa: E402
 from pyspark.sql.functions import pandas_udf as _spark_pandas_udf  # noqa: E402
 from pyspark.sql.types import (  # noqa: E402
     ArrayType,
+    BinaryType,
     BooleanType,
     DoubleType,
     IntegerType,
@@ -866,6 +867,7 @@ _TYPES = {
     "int": IntegerType(),
     "long": LongType(),
     "string": StringType(),
+    "binary": BinaryType(),
     "array<string>": ArrayType(StringType()),
 }
 
@@ -1357,3 +1359,113 @@ st_union_area = _reg("st_union_area2", _u2("double", geom_union_area))
 GEOMETRY_UDFS["st_union_area"] = st_union_area
 del GEOMETRY_UDFS["st_union_area2"]
 st_difference_area = _reg("st_difference_area", _u2("double", geom_difference_area))
+
+
+# --------------------------------------------------------------------------
+# WKB codec — ST_AsBinary / ST_GeomFromBinary
+# --------------------------------------------------------------------------
+#
+# The reference's ST_AsBinary/ST_GeomFromBinary speak standard OGC WKB
+# (GeoFunctions.java stAsBinary/stGeomFromBinary -> ESRI fromBinary), which
+# is engine-portable.  Little-endian encoding, 2D, geometry codes 1-7.
+
+import struct as _struct
+
+_WKB_CODE = {
+    "Point": 1,
+    "LineString": 2,
+    "Polygon": 3,
+    "MultiPoint": 4,
+    "MultiLineString": 5,
+    "MultiPolygon": 6,
+    "GeometryCollection": 7,
+}
+_WKB_KIND = {v: k for k, v in _WKB_CODE.items()}
+
+
+def to_wkb(g: Geom) -> bytes:
+    """Serialize to little-endian OGC WKB."""
+    out = bytearray(b"\x01")
+    out += _struct.pack("<I", _WKB_CODE[g.kind])
+    if g.kind == "Point":
+        if g.pt is None:
+            out += _struct.pack("<dd", math.nan, math.nan)
+        else:
+            out += _struct.pack("<dd", g.pt[0], g.pt[1])
+    elif g.kind == "LineString":
+        c = g.coords if g.coords is not None else np.empty((0, 2))
+        out += _struct.pack("<I", len(c))
+        for x, y in c:
+            out += _struct.pack("<dd", x, y)
+    elif g.kind == "Polygon":
+        out += _struct.pack("<I", len(g.rings))
+        for r in g.rings:
+            out += _struct.pack("<I", len(r))
+            for x, y in r:
+                out += _struct.pack("<dd", x, y)
+    else:
+        out += _struct.pack("<I", len(g.parts))
+        for p in g.parts:
+            out += to_wkb(p)
+    return bytes(out)
+
+
+def from_wkb(b: bytes) -> Geom:
+    """Parse little- or big-endian OGC WKB."""
+    geom, offset = _parse_wkb(b, 0)
+    if offset != len(b):
+        raise ValueError("trailing WKB bytes")
+    return geom
+
+
+def _parse_wkb(b: bytes, o: int):
+    endian = "<" if b[o] == 1 else ">"
+    code = _struct.unpack_from(f"{endian}I", b, o + 1)[0]
+    kind = _WKB_KIND.get(code & 0xFF)
+    if kind is None:
+        raise ValueError(f"unsupported WKB geometry code {code}")
+    o += 5
+    if kind == "Point":
+        x, y = _struct.unpack_from(f"{endian}dd", b, o)
+        o += 16
+        if math.isnan(x) and math.isnan(y):
+            return Geom("Point"), o
+        return Geom("Point", pt=(x, y)), o
+    if kind == "LineString":
+        (n,) = _struct.unpack_from(f"{endian}I", b, o)
+        o += 4
+        coords = np.frombuffer(b, dtype=f"{endian}f8", count=2 * n, offset=o).reshape(n, 2)
+        o += 16 * n
+        return Geom("LineString", coords=coords.astype(float)), o
+    if kind == "Polygon":
+        (nr,) = _struct.unpack_from(f"{endian}I", b, o)
+        o += 4
+        rings = []
+        for _ in range(nr):
+            (n,) = _struct.unpack_from(f"{endian}I", b, o)
+            o += 4
+            r = np.frombuffer(b, dtype=f"{endian}f8", count=2 * n, offset=o).reshape(n, 2)
+            o += 16 * n
+            rings.append(_close_ring(r.astype(float)))
+        return Geom("Polygon", rings=rings), o
+    (n,) = _struct.unpack_from(f"{endian}I", b, o)
+    o += 4
+    parts = []
+    for _ in range(n):
+        p, o = _parse_wkb(b, o)
+        parts.append(p)
+    return Geom(kind, parts=parts), o
+
+
+@pandas_udf("binary")
+def st_asbinary_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda w: None if w is None else to_wkb(parse_wkt(w)))
+
+
+@pandas_udf("string")
+def st_geom_from_binary_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda b: None if b is None else to_wkt(from_wkb(bytes(b))))
+
+
+GEOMETRY_UDFS["st_asbinary"] = st_asbinary_udf
+GEOMETRY_UDFS["st_geom_from_binary"] = st_geom_from_binary_udf

@@ -156,3 +156,77 @@ def windowed_quantile_sketch(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming pattern detection — MATCH_RECOGNIZE-lite on an event stream
+# --------------------------------------------------------------------------
+
+RUN_OUTPUT_SCHEMA = "user_id bigint, run_len bigint"
+RUN_STATE_SCHEMA = "last_value double, run_len bigint"
+
+
+def rising_run_detector(events: DataFrame, k: int = 3) -> DataFrame:
+    """Detect strictly-rising value chains of length >= k per user — the
+    streaming counterpart of the batch MATCH_RECOGNIZE 'up{k,}' pattern
+    (operators/match_recognize.py).
+
+    Emits ONE row per chain at the moment it reaches length k (further
+    growth does not re-emit), so a bounded replay produces exactly the
+    chains the equivalent batch lag/island query finds — the parity test in
+    test_streaming compares the two.  State per key is two scalars; rows
+    inside a micro-batch are processed in event-time order."""
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last, run_len = state.get if state.exists else (None, 0)
+        hits = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        for v in pdf["value"].astype(float):
+            if last is not None and v > last:
+                run_len += 1
+                if run_len == k:
+                    hits.append({"user_id": user_id, "run_len": run_len})
+            else:
+                run_len = 1
+            last = v
+        state.update((float(last), int(run_len)))
+        state.setTimeoutDuration(30 * 60 * 1000)
+        if hits:
+            yield pd.DataFrame(hits)
+
+    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=RUN_OUTPUT_SCHEMA,
+        stateStructType=RUN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def rising_runs_batch(events: DataFrame, k: int = 3) -> DataFrame:
+    """Batch twin of rising_run_detector: per user, count of strictly-rising
+    chains reaching length >= k, via the lag-flag + islands rewrite."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        events.select("user_id", "ts", "event_id", "value")
+        .withColumn("prev", F.lag("value").over(w))
+        .withColumn("up", (F.col("prev").isNotNull() & (F.col("value") > F.col("prev"))).cast("int"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    ups = flagged.where(F.col("up") == 1)
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    islands = ups.withColumn("anchor", F.col("rn") - F.row_number().over(w2))
+    return (
+        islands.groupBy("user_id", "anchor")
+        .agg((F.count("*") + 1).alias("chain_len"))
+        .where(F.col("chain_len") >= k)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_chains"))
+    )
