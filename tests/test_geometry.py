@@ -599,3 +599,31 @@ class TestWkb:
             "SELECT ST_Area(ST_GeomFromWKB(?))", [b]
         ).fetchone()[0]
         assert area == 16.0
+
+
+class TestBufferAndSymDifference:
+    def test_point_buffer_properties(self):
+        import math
+
+        buf = G.geom_buffer_point(g("POINT (3 4)"), 2.0)
+        # regular 32-gon: exact area formula, ~99.36% of the disk
+        want = 0.5 * 32 * 4.0 * math.sin(2 * math.pi / 32)
+        assert abs(G.geom_area(buf) - want) < 1e-9
+        assert G.geom_area(buf) > math.pi * 4.0 * 0.99
+        assert G.geom_contains(buf, g("POINT (3 4)"))
+        # all vertices at distance r from the center
+        for x, y in buf.rings[0][:-1]:
+            assert abs(math.hypot(x - 3, y - 4) - 2.0) < 1e-9
+
+    def test_buffer_rejects_non_points(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            G.geom_buffer_point(g(SQUARE), 1.0)
+
+    def test_sym_difference_area(self):
+        a = g(SQUARE)
+        b = g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+        # union 28, intersection 4 -> xor 24
+        assert G.geom_sym_difference_area(a, b) == 24.0
+        assert G.geom_sym_difference_area(a, a) == 0.0

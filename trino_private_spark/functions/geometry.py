@@ -1469,3 +1469,48 @@ def st_geom_from_binary_udf(s: pd.Series) -> pd.Series:
 
 GEOMETRY_UDFS["st_asbinary"] = st_asbinary_udf
 GEOMETRY_UDFS["st_geom_from_binary"] = st_geom_from_binary_udf
+
+
+def geom_sym_difference_area(g1: Geom, g2: Geom) -> float:
+    """area(g1 xor g2) = union - intersection — general simple polygons."""
+    return geom_union_area(g1, g2) - geom_intersection_area(g1, g2)
+
+
+st_sym_difference_area = _reg(
+    "st_sym_difference_area", _u2("double", geom_sym_difference_area)
+)
+
+
+def geom_buffer_point(g: Geom, radius: float, segments: int = 32) -> Geom:
+    """ST_Buffer for POINT inputs: a regular ``segments``-gon approximation
+    of the radius disk (area = pi*r^2 * (n/2pi) * sin(2pi/n) -> 99.5% of the
+    disk at n=32; the reference's ESRI buffer uses the same polygonal
+    approximation at its own tolerance). Other geometry kinds raise —
+    line/polygon buffering needs offset curves (SURVEY §1.2)."""
+    if g.kind != "Point" or g.pt is None:
+        raise ValueError("st_buffer supports POINT inputs only")
+    if radius <= 0:
+        raise ValueError("buffer radius must be positive")
+    cx, cy = g.pt
+    pts = [
+        (
+            cx + radius * math.cos(2 * math.pi * i / segments),
+            cy + radius * math.sin(2 * math.pi * i / segments),
+        )
+        for i in range(segments)
+    ]
+    ring = np.array(pts + [pts[0]], dtype=float)
+    return Geom("Polygon", rings=[ring])
+
+
+@pandas_udf("string")
+def st_buffer_udf(s: pd.Series, r: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if w is None else to_wkt(geom_buffer_point(parse_wkt(w), float(x)))
+            for w, x in zip(s, r)
+        ]
+    )
+
+
+GEOMETRY_UDFS["st_buffer"] = st_buffer_udf

@@ -328,3 +328,40 @@ def p_geom_ring_intersection_area(spark: SparkSession, sf_dir: str) -> DataFrame
         "s_suppkey",
         F.round(area * 64).cast("long").alias("ring_area64"),
     ).orderBy("s_suppkey")
+
+
+@probe(
+    "p_geom_buffer",
+    oracle="SELECT TRUE AS area_ok, TRUE AS contains_center, TRUE AS radius_ok",
+    tags=("geometry",),
+)
+def p_geom_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Buffer (point subset): per-customer radius disks; the oracle
+    gates the approximation invariants relationally — 32-gon area within
+    1% of pi*r^2, center contained, every hull vertex on the radius
+    (checked via st_distance from the center point)."""
+    import math
+
+    pts = _points(T(spark, sf_dir), 200)
+    r = (F.col("c_custkey") % 3 + 1).cast("double")
+    pt_wkt = F.concat(
+        F.lit("POINT ("), F.cast("string", F.col("px")), F.lit(" "),
+        F.cast("string", F.col("py")), F.lit(")"),
+    )
+    buf = G.GEOMETRY_UDFS["st_buffer"](pt_wkt, r)
+    checked = pts.select(
+        (
+            (F.abs(G.st_area(buf) - math.pi * r * r) / (math.pi * r * r)) < 0.01
+        ).alias("a_ok"),
+        G.st_contains(buf, pt_wkt).alias("c_ok"),
+        (
+            F.abs(
+                (G.st_xmax(buf) - G.st_xmin(buf)) / 2 - r
+            ) < 1e-9
+        ).alias("r_ok"),
+    )
+    return checked.agg(
+        F.min("a_ok").alias("area_ok"),
+        F.min("c_ok").alias("contains_center"),
+        F.min("r_ok").alias("radius_ok"),
+    )
