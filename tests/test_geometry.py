@@ -431,13 +431,11 @@ class TestConvexClip:
         b = g("POLYGON ((2 2, 2 6, 6 6, 6 2, 2 2))")  # CW
         assert G.geom_area(G.geom_intersection(a, b)) == 4.0
 
-    def test_non_convex_raises(self):
+    def test_non_convex_falls_through_to_general_clipper(self):
         concave = g(CONCAVE)
         sq = g(SQUARE)
-        import pytest as _pt
-
-        with _pt.raises(ValueError):
-            G.geom_intersection(concave, sq)
+        out = G.geom_intersection(concave, sq)
+        assert abs(G.geom_area(out) - G.geom_intersection_area(concave, sq)) < 1e-9
 
     def test_point_cases(self):
         sq = g(SQUARE)
@@ -481,13 +479,11 @@ class TestUnion:
     def test_empty_identity(self):
         assert G.geom_equals(G.geom_union(g(SQUARE), g("POLYGON EMPTY")), g(SQUARE))
 
-    def test_overlapping_raises(self):
+    def test_overlapping_union_general(self):
         a = g(SQUARE)
         b = g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
-        import pytest as _pt
-
-        with _pt.raises(ValueError):
-            G.geom_union(a, b)
+        # union 28 = 16 + 16 - 4 via the convex-decomposition clipper
+        assert abs(G.geom_area(G.geom_union(a, b)) - 28.0) < 1e-9
 
     def test_union_area_inclusion_exclusion(self):
         # convex overlap: area via inclusion-exclusion with the convex clip
@@ -627,3 +623,105 @@ class TestBufferAndSymDifference:
         # union 28, intersection 4 -> xor 24
         assert G.geom_sym_difference_area(a, b) == 24.0
         assert G.geom_sym_difference_area(a, a) == 0.0
+
+
+class TestGeneralSetOps:
+    """GEOMETRY output of set ops on arbitrary simple polygons — the
+    convex-decomposition clipper (reference: GeoFunctions.java
+    stIntersection/stUnion/stDifference/stSymDifference via the ESRI
+    topological clipper)."""
+
+    L = "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"  # area 12, non-convex
+    R = "POLYGON ((1 1, 5 1, 5 3, 1 3, 1 1))"  # area 8; overlap 4
+
+    def test_nonconvex_intersection_geometry(self):
+        out = G.geom_intersection(g(self.L), g(self.R))
+        assert out.kind in ("Polygon", "MultiPolygon")
+        assert abs(G.geom_area(out) - 4.0) < 1e-9
+        # matches the triangulated closed-form area path
+        assert abs(G.geom_area(out) - G.geom_intersection_area(g(self.L), g(self.R))) < 1e-9
+
+    def test_nonconvex_union_difference_sym(self):
+        a, b = g(self.L), g(self.R)
+        assert abs(G.geom_area(G.geom_union(a, b)) - 16.0) < 1e-9
+        assert abs(G.geom_area(G.geom_difference(a, b)) - 8.0) < 1e-9
+        assert abs(G.geom_area(G.geom_sym_difference(a, b)) - 12.0) < 1e-9
+
+    def test_holed_set_ops(self):
+        ring = g(
+            "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"
+        )  # area 32
+        cover = g("POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))")  # 16; hole overlap 4
+        assert abs(G.geom_area(G.geom_intersection(ring, cover)) - 12.0) < 1e-9
+        assert abs(G.geom_area(G.geom_difference(ring, cover)) - 20.0) < 1e-9
+        assert abs(G.geom_area(G.geom_union(ring, cover)) - 36.0) < 1e-9
+
+    def test_contains_sees_holes(self):
+        ring = g(
+            "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"
+        )
+        cover = g("POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))")
+        # cover spans the hole -> part of it is in ring's exterior
+        assert not G.geom_contains(ring, cover)
+        # away from the hole containment still holds
+        assert G.geom_contains(ring, g("POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))"))
+
+    def test_intersection_pieces_inside_both(self):
+        out = G.geom_intersection(g(self.L), g(self.R))
+        parts = out.parts if out.kind == "MultiPolygon" else [out]
+        for p in parts:
+            c = G.geom_centroid(p)
+            pt = G.Geom("Point", pt=c)
+            assert G.geom_contains(g(self.L), pt)
+            assert G.geom_contains(g(self.R), pt)
+
+    def test_difference_disjoint_from_subtrahend_interior(self):
+        out = G.geom_difference(g(self.L), g(self.R))
+        parts = out.parts if out.kind == "MultiPolygon" else [out]
+        for p in parts:
+            c = G.geom_centroid(p)
+            assert not G.geom_contains(g(self.R), G.Geom("Point", pt=c))
+
+    def test_convex_fast_path_still_single_ring(self):
+        a = g(SQUARE)
+        b = g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+        out = G.geom_intersection(a, b)
+        assert out.kind == "Polygon" and len(out.rings) == 1
+        assert G.geom_area(out) == 4.0
+
+
+class TestGeneralBuffer:
+    def test_line_buffer_closed_form(self):
+        buf = G.geom_buffer(g("LINESTRING (0 0, 10 0)"), 2.0)
+        want = 2 * 2.0 * 10 + 0.5 * 32 * 4.0 * math.sin(2 * math.pi / 32)
+        assert abs(G.geom_area(buf) - want) < 1e-9
+        assert G.geom_contains(buf, g("POINT (5 0)"))
+        assert not G.geom_contains(buf, g("POINT (5 2.5)"))
+
+    def test_polygon_buffer_closed_form(self):
+        buf = G.geom_buffer(g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"), 1.0)
+        cap32 = 0.5 * 32 * 1.0 * math.sin(2 * math.pi / 32)
+        assert abs(G.geom_area(buf) - (100 + 40 + cap32)) < 1e-9
+        assert G.geom_contains(buf, g("POINT (10.9 5)"))
+        assert not G.geom_contains(buf, g("POINT (11.05 11.05)"))
+
+    def test_holed_polygon_buffer_fills_small_hole(self):
+        holed = g(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+        )
+        plain = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        # every point of the 2x2 hole is within 1 of its boundary
+        assert abs(G.geom_area(G.geom_buffer(holed, 1.0)) - G.geom_area(G.geom_buffer(plain, 1.0))) < 1e-6
+
+    def test_multipoint_buffer_merges_overlap(self):
+        a32 = 0.5 * 32 * 1.0 * math.sin(2 * math.pi / 32)
+        area = G.geom_area(G.geom_buffer(g("MULTIPOINT ((0 0), (1 0))"), 1.0))
+        assert a32 < area < 2 * a32  # overlapping disks counted once
+
+    def test_negative_radius_rejected(self):
+        with pytest.raises(ValueError):
+            G.geom_buffer(g("LINESTRING (0 0, 1 0)"), -1.0)
+
+    def test_zero_radius_identity(self):
+        out = G.geom_buffer(g(SQUARE), 0.0)
+        assert G.to_wkt(out) == SQUARE

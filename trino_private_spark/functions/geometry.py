@@ -29,19 +29,24 @@ Implemented (GeoFunctions.java parity, planar semantics):
   subset), ST_Overlaps (area subset), ST_Crosses (dim-mixing subset)
 - measures: ST_Area, ST_Length, ST_Distance, ST_Centroid
 - constructions: ST_Envelope, ST_EnvelopeAsPts, ST_Boundary, ST_ConvexHull
-- set ops: ST_Intersection geometry for the convex x convex / point x any
-  subset (Sutherland-Hodgman clip; raises for non-convex inputs); ST_Union
-  geometry for disjoint / contained inputs; intersection / union /
-  difference AREA for ARBITRARY simple polygons with holes
-  (st_intersection_area / st_union_area / st_difference_area — ear-clipping
-  triangulation + pairwise convex clips with signed shell/hole terms)
+- set ops: ST_Intersection / ST_Union / ST_Difference / ST_SymDifference
+  GEOMETRY output for ARBITRARY simple polygons/multipolygons with holes via
+  the convex-decomposition clipper (ear-clipping triangulation + incremental
+  half-plane difference; convex x convex and disjoint/contained inputs keep
+  their canonical single-ring forms).  The general output is an area-exact
+  MULTIPOLYGON of convex pieces (pieces may share edges); the matching
+  closed-form AREAS are also exposed directly (st_intersection_area /
+  st_union_area / st_difference_area / st_sym_difference_area)
+- ST_Buffer for Point/MultiPoint/LineString/MultiLineString/Polygon/
+  MultiPolygon: Minkowski sum with a 32-gon disk (per-segment capsule hulls
+  made disjoint against the original convex shapes)
 
 Out of scope (needs a curve-set-operation engine; documented in SURVEY §1.2):
-ST_Buffer, GEOMETRY output of overlapping-boundary Union / non-convex
-Intersection / Difference (their AREAS are computed exactly, above),
-ST_SymDifference, ST_Relate, ST_IsSimple beyond rings,
-ST_GeomFromBinary/ST_AsBinary (no ESRI shape codec), geodetic variants
-(great-circle lives in functions/geo.py).
+canonical (traced single-ring) boundary output for overlapping non-convex
+set ops (areas and point sets are exact via the piece representation),
+negative/inward ST_Buffer, ST_Relate beyond the named predicates,
+ST_IsSimple beyond rings, geodetic variants (great-circle lives in
+functions/geo.py).
 
 Predicate semantics follow OGC (as the reference's ESRI engine does):
 boundary points are not interior — contains(polygon, point-on-edge) is
@@ -559,6 +564,23 @@ def geom_contains(g1: Geom, g2: Geom) -> bool:
             mid = ((c[0] + d[0]) / 2.0, (c[1] + d[1]) / 2.0)
             if _point_in_geom(mid, g1) == 2:
                 interior_hit = True
+    # a hole of g1 strictly inside a 2-D g2 means part of g1's exterior is
+    # inside g2 (every hole-boundary neighborhood meets the exterior) — e.g.
+    # contains(ring, square-covering-the-hole) must be false even though all
+    # of g2's samples are interior and no boundaries cross
+    if g2.dimension() == 2:
+        for part in g1.flatten():
+            if part.kind != "Polygon":
+                continue
+            for hole in part.rings[1:]:
+                pts = [tuple(p) for p in hole[:-1]]
+                mids = [
+                    ((hole[i][0] + hole[i + 1][0]) / 2.0, (hole[i][1] + hole[i + 1][1]) / 2.0)
+                    for i in range(len(hole) - 1)
+                ]
+                for q in pts + mids:
+                    if _point_in_geom(q, g2) == 2:
+                        return False
     if not interior_hit and g2.dimension() == 2 and g1.dimension() == 2:
         cen = geom_centroid(g2)
         if cen is not None and _point_in_geom(cen, g1) == 2:
@@ -1179,10 +1201,10 @@ def _line_intersect(a, b, s, e):
 
 
 def geom_intersection(g1: Geom, g2: Geom) -> Geom:
-    """ST_Intersection for the documented subset: convex polygon x convex
-    polygon (Sutherland-Hodgman clip), point x any, any x point.  Raises
-    for non-convex polygon pairs (the reference delegates those to the ESRI
-    clipper; out of scope here — SURVEY §1.2)."""
+    """ST_Intersection (GeoFunctions.java stIntersection): point x any,
+    any x point, convex x convex (canonical Sutherland-Hodgman ring), and
+    ARBITRARY simple polygons/multipolygons with holes via the
+    convex-decomposition clipper (area-exact piece representation)."""
     if g1.is_empty() or g2.is_empty() or not geom_intersects(g1, g2):
         return Geom("Polygon")
     if g1.kind == "Point":
@@ -1190,14 +1212,20 @@ def geom_intersection(g1: Geom, g2: Geom) -> Geom:
     if g2.kind == "Point":
         return g2 if _point_in_geom(g2.pt, g1) else Geom("Point")
     if g1.kind == "Polygon" and g2.kind == "Polygon":
-        if len(g1.rings) > 1 or len(g2.rings) > 1:
-            raise ValueError("st_intersection supports hole-free polygons only")
-        if not (_is_convex_ring(g1.rings[0]) and _is_convex_ring(g2.rings[0])):
-            raise ValueError("st_intersection supports convex polygons only")
-        ring = _clip_convex(g1.rings[0], g2.rings[0])
-        if ring is None:
-            return Geom("Polygon")
-        return Geom("Polygon", rings=[ring])
+        if (
+            len(g1.rings) == 1
+            and len(g2.rings) == 1
+            and _is_convex_ring(g1.rings[0])
+            and _is_convex_ring(g2.rings[0])
+        ):
+            # canonical single-ring fast path
+            ring = _clip_convex(g1.rings[0], g2.rings[0])
+            if ring is None:
+                return Geom("Polygon")
+            return Geom("Polygon", rings=[ring])
+    if g1.dimension() == 2 and g2.dimension() == 2:
+        # general simple polygons with holes -> convex-piece decomposition
+        return geom_intersection_general(g1, g2)
     raise ValueError(f"st_intersection unsupported for {g1.kind} x {g2.kind}")
 
 
@@ -1208,11 +1236,10 @@ st_intersection_area = _reg(
 
 
 def geom_union(g1: Geom, g2: Geom) -> Geom:
-    """ST_Union for the documented subset: disjoint geometries (collected
-    into a Multi*), containment (the container wins), and identical convex
-    overlap resolved via clipping when one is contained after clip.
-    General overlapping-boundary union needs a tracing clipper — raises
-    (SURVEY §1.2)."""
+    """ST_Union (GeoFunctions.java stUnion): disjoint geometries collect
+    into a Multi*, containment returns the container (canonical forms), and
+    overlapping polygons fall through to the convex-decomposition clipper
+    (area-exact piece representation)."""
     if g1.is_empty():
         return g2
     if g2.is_empty():
@@ -1231,10 +1258,10 @@ def geom_union(g1: Geom, g2: Geom) -> Geom:
         if kinds == {"LineString"}:
             return Geom("MultiLineString", parts=parts)
         return Geom("GeometryCollection", parts=parts)
-    raise ValueError(
-        "st_union supports disjoint or contained geometries only "
-        "(general overlapping union is out of scope)"
-    )
+    if g1.dimension() == 2 and g2.dimension() == 2:
+        # overlapping simple polygons -> convex-piece decomposition
+        return geom_union_general(g1, g2)
+    raise ValueError(f"st_union unsupported for {g1.kind} x {g2.kind}")
 
 
 st_union = _reg("st_union", _u2("string", lambda a, b: to_wkt(geom_union(a, b))))
@@ -1514,3 +1541,282 @@ def st_buffer_udf(s: pd.Series, r: pd.Series) -> pd.Series:
 
 
 GEOMETRY_UDFS["st_buffer"] = st_buffer_udf
+
+
+# --------------------------------------------------------------------------
+# General set-op GEOMETRY output — convex decomposition clipper
+# --------------------------------------------------------------------------
+#
+# The reference delegates overlapping non-convex set ops to the ESRI
+# topological clipper (GeoFunctions.java stIntersection/stUnion/stDifference
+# -> OperatorIntersection/Union/Difference).  Here the same point sets are
+# produced WITHOUT a boundary-tracing engine: decompose each polygon
+# (with holes) into disjoint convex pieces (ear-clipping triangles, holes
+# subtracted via half-plane decomposition), then
+#   A n B  = pairwise convex clips of the pieces,
+#   A \ B  = sequential convex-minus-convex over B's triangles,
+#   A u B  = (A \ B) + pieces(B),  A xor B = (A\B) + (B\A).
+# The result is an area-exact MULTIPOLYGON of convex pieces covering the
+# same point set as the canonical answer (pieces may share edges — the
+# boundary between adjacent pieces is interior to the result, which keeps
+# ST_Area / containment / point-in-polygon semantics exact while avoiding
+# the tracing clipper).  Costs are per-row and bbox-pruned; at scale these
+# run as narrow Arrow-batched maps, never in a join hot loop (see module
+# docstring).
+
+_TINY_AREA = 1e-12
+
+
+def _clip_halfplane(ring: np.ndarray, a, b, keep_left: bool = True):
+    """Clip a convex closed ring by the half-plane of directed line a->b.
+    keep_left keeps orient >= 0 (the CCW inside); otherwise orient <= 0.
+    Returns a closed CCW ring or None when empty."""
+    pts = [tuple(p) for p in ring[:-1]]
+    out = []
+    n = len(pts)
+    for j, s in enumerate(pts):
+        e = pts[(j + 1) % n]
+        so, eo = _orient(a, b, s), _orient(a, b, e)
+        if not keep_left:
+            so, eo = -so, -eo
+        if so >= 0:
+            out.append(s)
+            if eo < 0:
+                out.append(_line_intersect(a, b, s, e))
+        elif eo > 0:
+            out.append(_line_intersect(a, b, s, e))
+    out = [p for p in out if math.isfinite(p[0]) and math.isfinite(p[1])]
+    # drop consecutive duplicates (incl. wraparound) — a zero-length edge in
+    # a later subtrahend pass would otherwise disable that pass entirely
+    dedup = []
+    for p in out:
+        if not dedup or (p[0] != dedup[-1][0] or p[1] != dedup[-1][1]):
+            dedup.append(p)
+    while len(dedup) > 1 and dedup[0] == dedup[-1]:
+        dedup.pop()
+    out = dedup
+    if len(out) < 3:
+        return None
+    r = np.array(out + [out[0]], dtype=float)
+    if abs(_ring_signed_area(r)) < _TINY_AREA:
+        return None
+    return r
+
+
+def convex_minus_convex(P: np.ndarray, Q: np.ndarray) -> list:
+    """Disjoint convex pieces covering P \\ Q (both convex closed rings).
+    Half-plane decomposition of the complement of Q, computed incrementally
+    in ONE pass (O(|P|·|Q|), not O(|P|·|Q|²)): keep the running remainder
+    R_i = P ∩ H_0 ∩ … ∩ H_{i-1}; piece_i = R_i ∩ H̄_i; R_{i+1} = R_i ∩ H_i."""
+    P, Q = _ccw(P), _ccw(Q)
+    if _rings_disjoint(_ring_bbox(P), _ring_bbox(Q)):
+        return [P]
+    pieces = []
+    R = P
+    for i in range(len(Q) - 1):
+        a, b = Q[i], Q[i + 1]
+        if a[0] == b[0] and a[1] == b[1]:
+            continue  # zero-length edge defines no half-plane
+        piece = _clip_halfplane(R, a, b, keep_left=False)
+        if piece is not None:
+            pieces.append(piece)
+        R = _clip_halfplane(R, a, b, keep_left=True)
+        if R is None:
+            break
+    return pieces
+
+
+def _polygon_convex_pieces(g: Geom) -> list:
+    """Disjoint convex CCW closed rings covering a Polygon/MultiPolygon
+    (holes subtracted)."""
+    pieces = []
+    for p in g.flatten():
+        if p.kind != "Polygon" or not p.rings:
+            continue
+        part = [np.vstack([t, t[:1]]) for t in _triangulate(p.rings[0])]
+        for hole in p.rings[1:]:
+            for t in _triangulate(hole):
+                tr = np.vstack([t, t[:1]])
+                part = [q for pc in part for q in convex_minus_convex(pc, tr)]
+        pieces.extend(part)
+    return pieces
+
+
+def _ring_bbox(r: np.ndarray):
+    return r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()
+
+
+def _rings_disjoint(b1, b2) -> bool:
+    return b1[2] < b2[0] or b2[2] < b1[0] or b1[3] < b2[1] or b2[3] < b1[1]
+
+
+def _assemble_pieces(pieces: list) -> Geom:
+    pieces = [r for r in pieces if abs(_ring_signed_area(r)) >= _TINY_AREA]
+    if not pieces:
+        return Geom("Polygon")
+    if len(pieces) == 1:
+        return Geom("Polygon", rings=[pieces[0]])
+    return Geom(
+        "MultiPolygon", parts=[Geom("Polygon", rings=[r]) for r in pieces]
+    )
+
+
+def _pieces_difference(pa: list, pb: list) -> list:
+    """Disjoint convex pieces of (U pa) \\ (U pb)."""
+    out = []
+    pb_boxed = [(q, _ring_bbox(q)) for q in pb]
+    for p in pa:
+        frags = [p]
+        bp = _ring_bbox(p)
+        for q, bq in pb_boxed:
+            if _rings_disjoint(bp, bq) or not frags:
+                continue
+            frags = [r for f in frags for r in convex_minus_convex(f, q)]
+        out.extend(frags)
+    return out
+
+
+def geom_intersection_general(g1: Geom, g2: Geom) -> Geom:
+    pa, pb = _polygon_convex_pieces(g1), _polygon_convex_pieces(g2)
+    out = []
+    pb_boxed = [(q, _ring_bbox(q)) for q in pb]
+    for p in pa:
+        bp = _ring_bbox(p)
+        for q, bq in pb_boxed:
+            if _rings_disjoint(bp, bq):
+                continue
+            r = _clip_convex(p, q)
+            if r is not None:
+                out.append(r)
+    return _assemble_pieces(out)
+
+
+def geom_difference(g1: Geom, g2: Geom) -> Geom:
+    """ST_Difference for arbitrary simple polygons/multipolygons with holes
+    (reference: GeoFunctions.java stDifference).  Point/line minus polygon
+    also supported for the disjoint/contained cases."""
+    if g1.is_empty() or g2.is_empty() or not geom_intersects(g1, g2):
+        return g1
+    if g1.dimension() == 2 and g2.dimension() == 2:
+        return _assemble_pieces(
+            _pieces_difference(_polygon_convex_pieces(g1), _polygon_convex_pieces(g2))
+        )
+    if g1.kind == "Point":
+        return Geom("Point") if _point_in_geom(g1.pt, g2) else g1
+    raise ValueError(f"st_difference unsupported for {g1.kind} x {g2.kind}")
+
+
+def geom_union_general(g1: Geom, g2: Geom) -> Geom:
+    pa, pb = _polygon_convex_pieces(g1), _polygon_convex_pieces(g2)
+    return _assemble_pieces(_pieces_difference(pa, pb) + pb)
+
+
+def geom_sym_difference(g1: Geom, g2: Geom) -> Geom:
+    """ST_SymDifference for arbitrary simple polygons (piece-wise)."""
+    if g1.is_empty():
+        return g2
+    if g2.is_empty():
+        return g1
+    if g1.dimension() == 2 and g2.dimension() == 2:
+        pa, pb = _polygon_convex_pieces(g1), _polygon_convex_pieces(g2)
+        return _assemble_pieces(
+            _pieces_difference(pa, pb) + _pieces_difference(pb, pa)
+        )
+    if not geom_intersects(g1, g2):
+        return geom_union(g1, g2)
+    raise ValueError(f"st_symdifference unsupported for {g1.kind} x {g2.kind}")
+
+
+st_difference = _reg("st_difference", _u2("string", lambda a, b: to_wkt(geom_difference(a, b))))
+st_symdifference = _reg(
+    "st_symdifference", _u2("string", lambda a, b: to_wkt(geom_sym_difference(a, b)))
+)
+
+
+# --------------------------------------------------------------------------
+# ST_Buffer — lines and polygons (Minkowski sum with a 32-gon disk)
+# --------------------------------------------------------------------------
+
+
+def _capsule_hull(a, b, radius: float, segments: int) -> np.ndarray:
+    """Convex hull of two radius-disks (segments-gon) centered at a and b —
+    the polygonal capsule of segment ab."""
+    pts = []
+    for cx, cy in (a, b):
+        for i in range(segments):
+            ang = 2 * math.pi * i / segments
+            pts.append((cx + radius * math.cos(ang), cy + radius * math.sin(ang)))
+    hull = geom_convex_hull(Geom("MultiPoint", parts=[Geom("Point", pt=p) for p in pts]))
+    return hull.rings[0]
+
+
+def geom_buffer(g: Geom, radius: float, segments: int = 32) -> Geom:
+    """ST_Buffer (positive radius) for Point/MultiPoint/LineString/
+    MultiLineString/Polygon/MultiPolygon (reference GeoFunctions.java
+    stBuffer; ESRI uses the same polygonal-arc approximation at its own
+    tolerance).  Output is the disjoint-convex-piece representation of the
+    Minkowski sum with a ``segments``-gon disk: per-segment capsule hulls
+    (plus the polygon's own pieces), made disjoint by sequential
+    convex-minus-convex subtraction.  Negative radii raise (the reference
+    rejects them too: 'buffer distance is negative')."""
+    if radius < 0:
+        raise ValueError("buffer distance is negative")
+    if radius == 0:
+        return g
+    if g.kind == "Point":
+        return geom_buffer_point(g, radius, segments)
+    if g.kind == "MultiPoint":
+        # each disk is a single convex 32-gon ring — no need to triangulate.
+        # Disjointness: subtract only the ORIGINAL disks seen so far (exactly
+        # convex); subtracting derived fragments compounds numeric slivers.
+        disks = [
+            geom_buffer_point(p, radius, segments).rings[0]
+            for p in g.flatten()
+            if p.pt is not None
+        ]
+        out = []
+        for i, d in enumerate(disks):
+            out.extend(_pieces_difference([d], disks[:i]))
+        return _assemble_pieces(out)
+
+    segs = []
+    if g.kind in ("LineString", "MultiLineString"):
+        for part in g.flatten():
+            c = part.coords
+            segs.extend((tuple(c[i]), tuple(c[i + 1])) for i in range(len(c) - 1))
+        base: list = []
+    elif g.kind in ("Polygon", "MultiPolygon"):
+        for part in g.flatten():
+            for ring in part.rings:
+                segs.extend(
+                    (tuple(ring[i]), tuple(ring[i + 1])) for i in range(len(ring) - 1)
+                )
+        base = _polygon_convex_pieces(g)
+    else:
+        raise ValueError(f"st_buffer unsupported for {g.kind}")
+
+    # Disjointness by subtracting only ORIGINAL convex shapes (base triangles
+    # + earlier capsule hulls) — derived fragments are numerically slightly
+    # non-convex and must never be used as subtrahends (their half-plane
+    # "decomposition" would overlap and inflate the area).
+    out = list(base)
+    prior = list(base)
+    for a, b in segs:
+        cap = _capsule_hull(a, b, radius, segments)
+        out.extend(_pieces_difference([cap], prior))
+        prior.append(cap)
+    return _assemble_pieces(out)
+
+
+@pandas_udf("string")
+def _st_buffer_general_udf(s: pd.Series, r: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if w is None else to_wkt(geom_buffer(parse_wkt(w), float(x)))
+            for w, x in zip(s, r)
+        ]
+    )
+
+
+GEOMETRY_UDFS["st_buffer"] = _st_buffer_general_udf
+st_buffer_udf = _st_buffer_general_udf

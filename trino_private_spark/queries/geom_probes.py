@@ -365,3 +365,126 @@ def p_geom_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_ok").alias("contains_center"),
         F.min("r_ok").alias("radius_ok"),
     )
+
+
+@probe(
+    "p_geom_setops_general",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(4 * s * s AS BIGINT)  AS inter_a,
+           CAST(16 * s * s AS BIGINT) AS union_a,
+           CAST(8 * s * s AS BIGINT)  AS diff_a,
+           CAST(12 * s * s AS BIGINT) AS sym_a,
+           CAST(20 * s * s AS BIGINT) AS diff_holed_a
+    FROM (SELECT s_suppkey, s_suppkey % 3 + 1 AS s FROM supplier WHERE s_suppkey <= 200)
+    ORDER BY s_suppkey
+    """,
+    tags=("geometry",),
+)
+def p_geom_setops_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRY output of set ops on NON-CONVEX / holed polygons (the
+    convex-decomposition clipper — GeoFunctions.java stIntersection/stUnion/
+    stDifference/stSymDifference for arbitrary simple polygons).  Per
+    supplier an L-shape (area 12 s^2) against an offset rectangle
+    (area 8 s^2): every set-op AREA has the closed form 4/16/8/12 s^2;
+    the holed column differences a ringed square (32 s^2) against a
+    square covering its hole (-> 20 s^2).  All coordinates are integers,
+    so the piece areas are exact."""
+
+    def n(c):
+        return F.cast("string", c)
+
+    t = T(spark, sf_dir)
+    base = t.supplier.where(F.col("s_suppkey") <= 200).select(
+        "s_suppkey", (F.col("s_suppkey") % 3 + 1).cast("int").alias("s")
+    )
+    s = F.col("s")
+    lshape = F.concat(
+        F.lit("POLYGON ((0 0, "), n(4 * s), F.lit(" 0, "), n(4 * s), F.lit(" "),
+        n(2 * s), F.lit(", "), n(2 * s), F.lit(" "), n(2 * s), F.lit(", "),
+        n(2 * s), F.lit(" "), n(4 * s), F.lit(", 0 "), n(4 * s), F.lit(", 0 0))"),
+    )
+    rect = F.concat(
+        F.lit("POLYGON (("), n(s), F.lit(" "), n(s), F.lit(", "), n(5 * s),
+        F.lit(" "), n(s), F.lit(", "), n(5 * s), F.lit(" "), n(3 * s),
+        F.lit(", "), n(s), F.lit(" "), n(3 * s), F.lit(", "), n(s), F.lit(" "),
+        n(s), F.lit("))"),
+    )
+    holed = F.concat(
+        F.lit("POLYGON ((0 0, "), n(6 * s), F.lit(" 0, "), n(6 * s), F.lit(" "),
+        n(6 * s), F.lit(", 0 "), n(6 * s), F.lit(", 0 0), ("), n(2 * s),
+        F.lit(" "), n(2 * s), F.lit(", "), n(4 * s), F.lit(" "), n(2 * s),
+        F.lit(", "), n(4 * s), F.lit(" "), n(4 * s), F.lit(", "), n(2 * s),
+        F.lit(" "), n(4 * s), F.lit(", "), n(2 * s), F.lit(" "), n(2 * s),
+        F.lit("))"),
+    )
+    cover = F.concat(
+        F.lit("POLYGON (("), n(s), F.lit(" "), n(s), F.lit(", "), n(5 * s),
+        F.lit(" "), n(s), F.lit(", "), n(5 * s), F.lit(" "), n(5 * s),
+        F.lit(", "), n(s), F.lit(" "), n(5 * s), F.lit(", "), n(s), F.lit(" "),
+        n(s), F.lit("))"),
+    )
+
+    def a(col):
+        return F.round(G.st_area(col)).cast("long")
+
+    inter = G.GEOMETRY_UDFS["st_intersection"](lshape, rect)
+    union = G.GEOMETRY_UDFS["st_union"](lshape, rect)
+    diff = G.GEOMETRY_UDFS["st_difference"](lshape, rect)
+    sym = G.GEOMETRY_UDFS["st_symdifference"](lshape, rect)
+    dhol = G.GEOMETRY_UDFS["st_difference"](holed, cover)
+    return base.select(
+        "s_suppkey",
+        a(inter).alias("inter_a"),
+        a(union).alias("union_a"),
+        a(diff).alias("diff_a"),
+        a(sym).alias("sym_a"),
+        a(dhol).alias("diff_holed_a"),
+    ).orderBy("s_suppkey")
+
+
+@probe(
+    "p_geom_buffer_line",
+    oracle="""
+    SELECT TRUE AS area_ok, TRUE AS contains_ok, TRUE AS extent_ok,
+           (SELECT COUNT(*) FROM supplier WHERE s_suppkey <= 200) AS n_checked
+    """,
+    tags=("geometry",),
+)
+def p_geom_buffer_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Buffer over LINESTRING inputs (Minkowski capsule).  The 32-gon
+    capsule of a length-L segment has the closed form
+    2*r*L + 16*r^2*sin(pi/16); the oracle gates area (to 1e-6), midpoint
+    containment, and the exact bbox extent (the 32-gon has vertices at
+    angles 0/90/180/270, so xmax-xmin = L + 2r exactly)."""
+    import math
+
+    t = T(spark, sf_dir)
+    base = t.supplier.where(F.col("s_suppkey") <= 200).select(
+        "s_suppkey",
+        ((F.col("s_suppkey") % 5 + 1) * 8).cast("double").alias("L"),
+        (F.col("s_suppkey") % 3 + 1).cast("double").alias("r"),
+    )
+    Lc, rc = F.col("L"), F.col("r")
+    line = F.concat(
+        F.lit("LINESTRING (0 0, "), F.cast("string", Lc), F.lit(" 0)")
+    )
+    mid = F.concat(
+        F.lit("POINT ("), F.cast("string", Lc / 2), F.lit(" 0)")
+    )
+    buf = G.GEOMETRY_UDFS["st_buffer"](line, rc)
+    closed_form = 2 * rc * Lc + 16 * rc * rc * math.sin(math.pi / 16)
+    checked = base.select(
+        (F.abs(G.st_area(buf) - closed_form) < 1e-6).alias("a_ok"),
+        G.st_contains(buf, mid).alias("c_ok"),
+        (
+            (F.abs((G.st_xmax(buf) - G.st_xmin(buf)) - (Lc + 2 * rc)) < 1e-9)
+            & (F.abs((G.st_ymax(buf) - G.st_ymin(buf)) - 2 * rc) < 1e-9)
+        ).alias("e_ok"),
+    )
+    return checked.agg(
+        F.min("a_ok").alias("area_ok"),
+        F.min("c_ok").alias("contains_ok"),
+        F.min("e_ok").alias("extent_ok"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
