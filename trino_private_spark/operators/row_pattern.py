@@ -1,0 +1,497 @@
+"""General MATCH_RECOGNIZE row-pattern engine.
+
+Reference: the full SQL/RPR surface of PatternRecognitionNode —
+pattern grammar ``core/trino-parser/.../tree/Pattern*.java`` (concatenation,
+alternation ``|``, grouping, quantifiers ``? * + {n} {n,} {n,m}`` with
+reluctant variants, ``PERMUTE``, anchors ``^ $``), the NFA compiler/runtime
+``operator/window/matcher/Program.java`` / ``Matcher.java`` (Thompson
+construction with thread priority = greedy/reluctant order), skip modes
+``AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO [FIRST|LAST] <sym>``
+(``sql/analyzer/PatternRecognitionAnalyzer.java``), and output modes
+``ONE ROW PER MATCH | ALL ROWS PER MATCH`` with ``CLASSIFIER()`` /
+``MATCH_NUMBER()`` measures.
+
+Spark has no row-pattern operator, so this is the sanctioned pandas path
+(SURVEY §2.1 #37): one shuffle on PARTITION BY, per-group ordering in
+pandas inside ``applyInPandas``, then a small NFA per group — the same
+dataflow as the reference, which runs its matcher inside the window
+operator over a materialized partition (PagesIndex).
+
+Semantics model: DEFINE predicates are callables over
+``(cur_row, prev_row)`` in INPUT order (the ``PREV(col)`` navigation that
+real patterns use).  Row classification is therefore context-free, which
+lets the matcher precompute one boolean vector per symbol (vectorized
+pandas, Arrow-batched) and run a priority DFS with (state, position)
+failure memoization — leftmost-greedy matching identical to the
+reference's priority-threaded NFA, linear-ish per partition in practice.
+
+Scale: state per in-flight match is O(pattern); the partition is the
+memory bound exactly as in the reference.  The shuffle is the only
+exchange; partitions stream through Arrow.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+__all__ = ["compile_pattern", "PatternMatcher", "match_recognize_general"]
+
+
+# --------------------------------------------------------------------------
+# Pattern AST + parser
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _Node:
+    kind: str  # sym | seq | alt | quant | anchor_start | anchor_end | empty
+    sym: str | None = None
+    children: list = field(default_factory=list)
+    lo: int = 1
+    hi: int | None = 1  # None = unbounded
+    greedy: bool = True
+
+
+class _Parser:
+    """Recursive-descent parser for the SQL/RPR pattern grammar subset:
+    ``A B | C (D E)+ F{2,4} G*? PERMUTE(H, I) ^ $``."""
+
+    def __init__(self, text: str):
+        self.toks = self._lex(text)
+        self.i = 0
+
+    @staticmethod
+    def _lex(text: str) -> list[str]:
+        toks, i, n = [], 0, len(text)
+        while i < n:
+            c = text[i]
+            if c.isspace():
+                i += 1
+            elif c in "()|^$?*+,":
+                toks.append(c)
+                i += 1
+            elif c == "{":
+                j = text.index("}", i)
+                toks.append(text[i : j + 1])
+                i = j + 1
+            elif c.isalpha() or c == "_":
+                j = i
+                while j < n and (text[j].isalnum() or text[j] == "_"):
+                    j += 1
+                toks.append(text[i:j])
+                i = j
+            else:
+                raise ValueError(f"bad pattern character {c!r}")
+        return toks
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def parse(self) -> _Node:
+        node = self._alt()
+        if self._peek() is not None:
+            raise ValueError(f"trailing tokens at {self.toks[self.i:]}")
+        return node
+
+    def _alt(self) -> _Node:
+        branches = [self._seq()]
+        while self._peek() == "|":
+            self._next()
+            branches.append(self._seq())
+        if len(branches) == 1:
+            return branches[0]
+        return _Node("alt", children=branches)
+
+    def _seq(self) -> _Node:
+        items = []
+        while True:
+            t = self._peek()
+            if t is None or t in ("|", ")", ","):
+                break
+            items.append(self._quantified())
+        if not items:
+            return _Node("empty")
+        if len(items) == 1:
+            return items[0]
+        return _Node("seq", children=items)
+
+    def _quantified(self) -> _Node:
+        atom = self._atom()
+        t = self._peek()
+        lo, hi = None, None
+        if t == "?":
+            lo, hi = 0, 1
+        elif t == "*":
+            lo, hi = 0, None
+        elif t == "+":
+            lo, hi = 1, None
+        elif t is not None and t.startswith("{"):
+            body = t[1:-1].strip()
+            if "," in body:
+                a, b = body.split(",", 1)
+                lo = int(a) if a.strip() else 0
+                hi = int(b) if b.strip() else None
+            else:
+                lo = hi = int(body)
+        if lo is None:
+            return atom
+        self._next()
+        greedy = True
+        if self._peek() == "?":
+            self._next()
+            greedy = False
+        return _Node("quant", children=[atom], lo=lo, hi=hi, greedy=greedy)
+
+    def _atom(self) -> _Node:
+        t = self._next()
+        if t == "(":
+            node = self._alt()
+            if self._next() != ")":
+                raise ValueError("unbalanced parens")
+            return node
+        if t == "^":
+            return _Node("anchor_start")
+        if t == "$":
+            return _Node("anchor_end")
+        if t is not None and t.upper() == "PERMUTE":
+            if self._next() != "(":
+                raise ValueError("PERMUTE needs parens")
+            parts = [self._alt()]
+            while self._peek() == ",":
+                self._next()
+                parts.append(self._alt())
+            if self._next() != ")":
+                raise ValueError("unbalanced PERMUTE parens")
+            # reference expands PERMUTE to the alternation of permutations
+            # in lexicographic order (PatternRecognitionAnalyzer)
+            import itertools
+
+            branches = [
+                _Node("seq", children=list(perm))
+                for perm in itertools.permutations(parts)
+            ]
+            return _Node("alt", children=branches)
+        if t is None or not (t[0].isalpha() or t[0] == "_"):
+            raise ValueError(f"unexpected token {t!r}")
+        return _Node("sym", sym=t)
+
+
+# --------------------------------------------------------------------------
+# Thompson NFA with priority (greedy = preferred-branch-first, like
+# Program.java's instruction order)
+# --------------------------------------------------------------------------
+#
+# States are integers; transitions:
+#   ("sym", symbol, next)  — consume one row classified as `symbol`
+#   ("split", [n1, n2...]) — epsilon branches in PRIORITY order
+#   ("jmp", next)
+#   ("anchor_start"/"anchor_end", next)
+#   ("match",)
+
+
+class _NFA:
+    def __init__(self):
+        self.prog: list[tuple] = []
+
+    def _emit(self, instr) -> int:
+        self.prog.append(instr)
+        return len(self.prog) - 1
+
+
+def _compile(node: _Node, nfa: _NFA) -> tuple[int, list[int]]:
+    """Returns (entry_pc, dangling_exits) with patchable exits."""
+    if node.kind == "empty":
+        pc = nfa._emit(["jmp", None])
+        return pc, [pc]
+    if node.kind == "sym":
+        pc = nfa._emit(["sym", node.sym, None])
+        return pc, [pc]
+    if node.kind in ("anchor_start", "anchor_end"):
+        pc = nfa._emit([node.kind, None])
+        return pc, [pc]
+    if node.kind == "seq":
+        entry = None
+        exits: list[int] = []
+        for child in node.children:
+            c_entry, c_exits = _compile(child, nfa)
+            if entry is None:
+                entry = c_entry
+            for e in exits:
+                nfa.prog[e][-1] = c_entry
+            exits = c_exits
+        return entry, exits
+    if node.kind == "alt":
+        split = nfa._emit(["split", []])
+        all_exits: list[int] = []
+        for child in node.children:
+            c_entry, c_exits = _compile(child, nfa)
+            nfa.prog[split][1].append(c_entry)
+            all_exits.extend(c_exits)
+        return split, all_exits
+    if node.kind == "quant":
+        child = node.children[0]
+        lo, hi, greedy = node.lo, node.hi, node.greedy
+        entry = None
+        exits: list[int] = []
+        # mandatory copies
+        for _ in range(lo):
+            c_entry, c_exits = _compile(child, nfa)
+            if entry is None:
+                entry = c_entry
+            for e in exits:
+                nfa.prog[e][-1] = c_entry
+            exits = c_exits
+        if hi is None:
+            # loop: split -> (child -> back to split) | out
+            split = nfa._emit(["split", []])
+            if entry is None:
+                entry = split
+            for e in exits:
+                nfa.prog[e][-1] = split
+            c_entry, c_exits = _compile(child, nfa)
+            for e in c_exits:
+                nfa.prog[e][-1] = split
+            out = nfa._emit(["jmp", None])
+            branches = [c_entry, out] if greedy else [out, c_entry]
+            nfa.prog[split][1] = branches
+            return entry, [out]
+        # bounded optional copies
+        outs: list[int] = []
+        for _ in range(hi - lo):
+            split = nfa._emit(["split", []])
+            if entry is None:
+                entry = split
+            for e in exits:
+                nfa.prog[e][-1] = split
+            out = nfa._emit(["jmp", None])
+            c_entry, c_exits = _compile(child, nfa)
+            branches = [c_entry, out] if greedy else [out, c_entry]
+            nfa.prog[split][1] = branches
+            outs.append(out)
+            exits = c_exits
+        if entry is None:  # lo == hi == 0
+            pc = nfa._emit(["jmp", None])
+            return pc, [pc]
+        return entry, exits + outs
+
+
+def compile_pattern(text: str):
+    """Compile a pattern string to an NFA program (list of instructions)."""
+    ast = _Parser(text).parse()
+    nfa = _NFA()
+    entry, exits = _compile(ast, nfa)
+    match_pc = nfa._emit(["match"])
+    for e in exits:
+        nfa.prog[e][-1] = match_pc
+    return entry, nfa.prog
+
+
+# --------------------------------------------------------------------------
+# Matcher
+# --------------------------------------------------------------------------
+
+
+class PatternMatcher:
+    """Executes a compiled pattern over one ordered partition.
+
+    ``defines``: symbol -> predicate(cur_row: pd.Series, prev_row) -> bool.
+    Undefined symbols are TRUE (reference: undefined label matches any row).
+    """
+
+    def __init__(self, pattern: str, defines: dict):
+        self.entry, self.prog = compile_pattern(pattern)
+        self.defines = defines
+        self.symbols = sorted(
+            {ins[1] for ins in self.prog if ins[0] == "sym"}
+        )
+
+    def _classify(self, pdf: pd.DataFrame) -> dict[str, np.ndarray]:
+        """Precompute the per-symbol boolean vector (context-free DEFINEs)."""
+        out = {}
+        n = len(pdf)
+        rows = [pdf.iloc[k] for k in range(n)]
+        for s in self.symbols:
+            pred = self.defines.get(s)
+            if pred is None:
+                out[s] = np.ones(n, dtype=bool)
+            else:
+                out[s] = np.array(
+                    [
+                        bool(pred(rows[k], rows[k - 1] if k > 0 else None))
+                        for k in range(n)
+                    ]
+                )
+        return out
+
+    def _match_at(self, start: int, n: int, cls: dict) -> list[str] | None:
+        """Leftmost-greedy match starting at ``start``; returns the label
+        sequence (one symbol per consumed row) or None.  Priority DFS with
+        (pc, pos) failure memo — sound because classification is
+        context-free."""
+        failed: set[tuple[int, int]] = set()
+        labels: list[str] = []
+
+        def dfs(pc: int, pos: int) -> bool:
+            if (pc, pos) in failed:
+                return False
+            ins = self.prog[pc]
+            op = ins[0]
+            if op == "match":
+                return True
+            ok = False
+            if op == "jmp":
+                ok = dfs(ins[1], pos)
+            elif op == "split":
+                for nxt in ins[1]:
+                    if dfs(nxt, pos):
+                        ok = True
+                        break
+            elif op == "anchor_start":
+                ok = pos == 0 and dfs(ins[1], pos)
+            elif op == "anchor_end":
+                ok = pos == n and dfs(ins[1], pos)
+            elif op == "sym":
+                if pos < n and cls[ins[1]][pos]:
+                    labels.append(ins[1])
+                    if dfs(ins[2], pos + 1):
+                        ok = True
+                    else:
+                        labels.pop()
+            if not ok:
+                failed.add((pc, pos))
+            return ok
+
+        return labels if dfs(self.entry, start) else None
+
+    def find_matches(self, pdf: pd.DataFrame, skip: str = "past_last_row"):
+        """Yields (match_number starting at 1, start_idx, labels list).
+
+        skip: 'past_last_row' | 'to_next_row' | ('to_first', sym) |
+        ('to_last', sym) — AFTER MATCH SKIP semantics.  Empty matches
+        advance by one row (reference behavior for zero-length matches)."""
+        n = len(pdf)
+        cls = self._classify(pdf)
+        i, match_no = 0, 0
+        while i < n:
+            labels = self._match_at(i, n, cls)
+            if labels is None:
+                i += 1
+                continue
+            match_no += 1
+            yield match_no, i, labels
+            if not labels:
+                i += 1
+                continue
+            if skip == "past_last_row":
+                i = i + len(labels)
+            elif skip == "to_next_row":
+                i = i + 1
+            elif isinstance(skip, tuple) and skip[0] in ("to_first", "to_last"):
+                which, sym = skip
+                idxs = [k for k, s in enumerate(labels) if s == sym]
+                if not idxs:
+                    raise ValueError(f"skip target {sym} not in match")
+                rel = idxs[0] if which == "to_first" else idxs[-1]
+                if rel == 0:
+                    # reference raises: skipping to the first row would loop
+                    raise ValueError("AFTER MATCH SKIP cannot target first row")
+                i = i + rel
+            else:
+                raise ValueError(f"bad skip mode {skip!r}")
+
+
+def match_recognize_general(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    pattern: str,
+    defines: dict,
+    mode: str = "one",  # 'one' | 'all'
+    skip: str | tuple = "past_last_row",
+    measures: dict[str, Callable[[pd.DataFrame, list[str]], object]] | None = None,
+    measure_schema: str = "",
+) -> DataFrame:
+    """General MATCH_RECOGNIZE over a DataFrame.
+
+    ONE ROW PER MATCH emits: partition keys, match_number, start/end
+    positions (0-based within partition order), n_rows, plus user measures
+    (callables over the matched sub-frame and its label vector).
+    ALL ROWS PER MATCH emits every matched row with match_number and
+    classifier() (the reference's per-row label).
+    """
+    measures = measures or {}
+    key_schema = ", ".join(f"{c} string" for c in partition_by)
+    if mode == "one":
+        out_schema = (
+            f"{key_schema}, match_number bigint, start_pos bigint, "
+            f"end_pos bigint, n_rows bigint"
+        )
+        if measure_schema:
+            out_schema += ", " + measure_schema
+    else:
+        out_schema = (
+            f"{key_schema}, match_number bigint, row_pos bigint, "
+            f"classifier string"
+        )
+        if measure_schema:
+            out_schema += ", " + measure_schema
+
+    matcher = PatternMatcher(pattern, defines)
+
+    def _key_str(v) -> str:
+        # integral keys may surface as float in pandas — canonicalize so a
+        # later .cast('long') round-trips ("41", not "41.0")
+        try:
+            f = float(v)
+            if f.is_integer():
+                return str(int(f))
+        except (TypeError, ValueError):
+            pass
+        return str(v)
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+        keys = (
+            {c: _key_str(pdf.iloc[0][c]) for c in partition_by} if len(pdf) else {}
+        )
+        rows = []
+        for match_no, start, labels in matcher.find_matches(pdf, skip=skip):
+            frame = pdf.iloc[start : start + len(labels)]
+            if mode == "one":
+                row = dict(keys)
+                row.update(
+                    match_number=match_no,
+                    start_pos=start,
+                    end_pos=start + len(labels) - 1,
+                    n_rows=len(labels),
+                )
+                for name, fn in measures.items():
+                    row[name] = fn(frame, labels)
+                rows.append(row)
+            else:
+                for k, lab in enumerate(labels):
+                    row = dict(keys)
+                    row.update(
+                        match_number=match_no, row_pos=start + k, classifier=lab
+                    )
+                    for name, fn in measures.items():
+                        row[name] = fn(frame.iloc[: k + 1], labels[: k + 1])
+                    rows.append(row)
+        cols = [s.split()[0] for s in out_schema.split(", ")]
+        return pd.DataFrame(rows, columns=cols)
+
+    return (
+        df.repartition(*[df[c] for c in partition_by])
+        .groupBy(*partition_by)
+        .applyInPandas(run_group, schema=out_schema)
+    )

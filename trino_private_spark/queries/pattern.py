@@ -79,3 +79,206 @@ def p_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
         pattern=[up, down],
         measure_col="o_orderkey",
     ).orderBy(F.col("cust").cast("bigint"), "match_id")
+
+
+# --------------------------------------------------------------------------
+# General row-pattern engine probes (operators/row_pattern.py — alternation,
+# ranged/reluctant quantifiers, skip modes, ALL ROWS PER MATCH + CLASSIFIER;
+# reference Matcher.java / PatternRecognitionAnalyzer.java).  Each pattern
+# is chosen to have a closed relational form so DuckDB can oracle the full
+# hash: greedy maximal-run semantics turn into gaps-and-islands SQL.
+# --------------------------------------------------------------------------
+
+
+def _mr_base(spark: SparkSession, sf_dir: str):
+    t = T(spark, sf_dir)
+    return t.orders.where(F.col("o_custkey") <= 300).select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+def _dir_defines():
+    return {
+        "u": lambda cur, prev: prev is not None
+        and cur["o_totalprice"] > prev["o_totalprice"],
+        "d": lambda cur, prev: prev is not None
+        and cur["o_totalprice"] < prev["o_totalprice"],
+    }
+
+
+@probe(
+    "p_mr_alternation",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey AS ck, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
+             CASE WHEN o_totalprice > LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) THEN 'u'
+                  WHEN o_totalprice < LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) THEN 'd' END AS dir
+      FROM orders WHERE o_custkey <= 300),
+    isl AS (
+      SELECT ck, dir, rn, rn - ROW_NUMBER() OVER (PARTITION BY ck, dir ORDER BY rn) AS grp
+      FROM seq WHERE dir IS NOT NULL),
+    runs AS (SELECT ck, dir, COUNT(*) AS len FROM isl GROUP BY ck, dir, grp)
+    SELECT ck AS o_custkey,
+           CAST(SUM(CASE WHEN dir='u' THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+           CAST(SUM(CASE WHEN dir='d' THEN 1 ELSE 0 END) AS BIGINT) AS n_dn,
+           CAST(SUM(CASE WHEN dir='u' THEN len ELSE 0 END) AS BIGINT) AS rows_up,
+           CAST(SUM(CASE WHEN dir='d' THEN len ELSE 0 END) AS BIGINT) AS rows_dn
+    FROM runs WHERE len >= 2 GROUP BY ck ORDER BY ck
+    """,
+    tags=("custom",),
+)
+def p_mr_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern ``u{2,} | d{2,}`` (alternation of unbounded ranged
+    quantifiers), SKIP PAST LAST ROW.  Greedy maximal-run consumption makes
+    each match exactly one maximal same-direction island of length >= 2."""
+    from trino_private_spark.operators.row_pattern import match_recognize_general
+
+    mr = match_recognize_general(
+        _mr_base(spark, sf_dir),
+        partition_by=["o_custkey"],
+        order_by=["o_orderkey"],
+        pattern="u{2,} | d{2,}",
+        defines=_dir_defines(),
+        mode="one",
+        measures={"kind": lambda fr, labs: labs[0]},
+        measure_schema="kind string",
+    )
+    k = F.col("kind")
+    return (
+        mr.groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(k == "u", 1).otherwise(0)).alias("n_up"),
+            F.sum(F.when(k == "d", 1).otherwise(0)).alias("n_dn"),
+            F.sum(F.when(k == "u", F.col("n_rows")).otherwise(0)).alias("rows_up"),
+            F.sum(F.when(k == "d", F.col("n_rows")).otherwise(0)).alias("rows_dn"),
+        )
+        .withColumn("o_custkey", F.col("o_custkey").cast("long"))
+        .orderBy("o_custkey")
+    )
+
+
+@probe(
+    "p_mr_ranged_quantifier",
+    oracle="""
+    WITH full_seq AS (
+      SELECT o_custkey AS ck, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
+             CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS hi
+      FROM orders WHERE o_custkey <= 300),
+    isl AS (SELECT ck, rn, rn - ROW_NUMBER() OVER (PARTITION BY ck ORDER BY rn) AS grp
+            FROM full_seq WHERE hi = 1),
+    runs AS (SELECT ck, COUNT(*) AS len FROM isl GROUP BY ck, grp)
+    SELECT ck AS o_custkey,
+           CAST(SUM((len // 5) + CASE WHEN len % 5 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+           CAST(SUM(5 * (len // 5) + CASE WHEN len % 5 >= 3 THEN len % 5 ELSE 0 END) AS BIGINT) AS matched_rows
+    FROM runs GROUP BY ck
+    HAVING SUM((len // 5) + CASE WHEN len % 5 >= 3 THEN 1 ELSE 0 END) > 0
+    ORDER BY ck
+    """,
+    tags=("custom",),
+)
+def p_mr_ranged_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern ``h{3,5}`` (bounded ranged quantifier), SKIP PAST LAST ROW.
+    Greedy chunking of each maximal high-price run of length L yields
+    L//5 + (1 if L%5>=3) matches — a closed arithmetic form."""
+    from trino_private_spark.operators.row_pattern import match_recognize_general
+
+    mr = match_recognize_general(
+        _mr_base(spark, sf_dir),
+        partition_by=["o_custkey"],
+        order_by=["o_orderkey"],
+        pattern="h{3,5}",
+        defines={"h": lambda cur, prev: cur["o_totalprice"] > 250000},
+        mode="one",
+    )
+    return (
+        mr.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sum("n_rows").alias("matched_rows"),
+        )
+        .withColumn("o_custkey", F.col("o_custkey").cast("long"))
+        .orderBy("o_custkey")
+    )
+
+
+@probe(
+    "p_mr_skip_to_next",
+    oracle="""
+    SELECT ck AS o_custkey, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM (
+      SELECT o_custkey AS ck, o_totalprice AS cur,
+             LAG(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS pp,
+             LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS np
+      FROM orders WHERE o_custkey <= 300)
+    WHERE pp IS NOT NULL AND cur > pp AND np IS NOT NULL AND np > cur
+    GROUP BY ck ORDER BY ck
+    """,
+    tags=("custom",),
+)
+def p_mr_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern ``u{2}`` with AFTER MATCH SKIP TO NEXT ROW: overlapping
+    matches — one per position whose next two direction flags are both
+    'up'.  Oracle counts rising adjacent pairs with lag/lead."""
+    from trino_private_spark.operators.row_pattern import match_recognize_general
+
+    mr = match_recognize_general(
+        _mr_base(spark, sf_dir),
+        partition_by=["o_custkey"],
+        order_by=["o_orderkey"],
+        pattern="u{2}",
+        defines=_dir_defines(),
+        mode="one",
+        skip="to_next_row",
+    )
+    return (
+        mr.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .withColumn("o_custkey", F.col("o_custkey").cast("long"))
+        .orderBy("o_custkey")
+    )
+
+
+@probe(
+    "p_mr_all_rows",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey AS ck,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
+             CASE WHEN o_totalprice > LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) THEN 'u'
+                  WHEN o_totalprice < LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) THEN 'd' END AS dir
+      FROM orders WHERE o_custkey <= 300),
+    isl AS (SELECT ck, rn, rn - ROW_NUMBER() OVER (PARTITION BY ck ORDER BY rn) AS grp
+            FROM seq WHERE dir = 'u'),
+    runs AS (SELECT ck, grp, MIN(rn) AS srt FROM isl GROUP BY ck, grp HAVING COUNT(*) >= 2),
+    numbered AS (SELECT ck, grp, ROW_NUMBER() OVER (PARTITION BY ck ORDER BY srt) AS mn FROM runs)
+    SELECT i.ck AS o_custkey, CAST(i.rn - 1 AS BIGINT) AS row_pos,
+           'u' AS classifier, CAST(n.mn AS BIGINT) AS match_number
+    FROM isl i JOIN numbered n ON i.ck = n.ck AND i.grp = n.grp
+    ORDER BY o_custkey, row_pos
+    """,
+    tags=("custom",),
+)
+def p_mr_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL ROWS PER MATCH with CLASSIFIER() and MATCH_NUMBER() for pattern
+    ``u{2,}``: every row of each rising island of length >= 2 is emitted
+    with its label and per-partition match ordinal."""
+    from trino_private_spark.operators.row_pattern import match_recognize_general
+
+    mr = match_recognize_general(
+        _mr_base(spark, sf_dir),
+        partition_by=["o_custkey"],
+        order_by=["o_orderkey"],
+        pattern="u{2,}",
+        defines=_dir_defines(),
+        mode="all",
+    )
+    return (
+        mr.select(
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            "row_pos",
+            "classifier",
+            "match_number",
+        ).orderBy("o_custkey", "row_pos")
+    )
