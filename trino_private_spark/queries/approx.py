@@ -274,3 +274,61 @@ def p_tablesample_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigma = math.sqrt(total * 0.1 * 0.9)
     ok = abs(sampled - total * 0.1) <= 4 * sigma
     return spark.createDataFrame([(bool(ok),)], "in_bounds boolean")
+
+
+@probe(
+    "p_kll_quantile",
+    oracle="""
+    SELECT o_orderstatus, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS rank_ok
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("approx",),
+)
+def p_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL sketch column (functions/kll.py — the real
+    qdigest-family aggregate, QuantileDigestAggregationFunction /
+    QuantileDigestFunctions.java): per-status binary sketches via the
+    two-phase mapInPandas/applyInPandas path; value_at_quantile estimates
+    checked against the EXACT empirical rank relationally, and
+    quantile_at_value(median estimate) must sit near 0.5."""
+    from trino_private_spark.functions.kll import (
+        kll_agg,
+        kll_quantile_at_value,
+        kll_value_at_quantile,
+    )
+
+    t = T(spark, sf_dir)
+    sk = kll_agg(t.orders, "o_totalprice", ["o_orderstatus"])
+    est = sk.select(
+        "o_orderstatus",
+        kll_value_at_quantile(F.col("kll"), 0.5).alias("e50"),
+        kll_value_at_quantile(F.col("kll"), 0.9).alias("e90"),
+        kll_quantile_at_value(F.col("kll"), 300000.0).alias("r300k"),
+    )
+    joined = t.orders.join(F.broadcast(est), "o_orderstatus")
+    bound = F.greatest(F.lit(0.015), 2.0 / F.count("*"))
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            (
+                F.abs(
+                    F.avg((F.col("o_totalprice") <= F.col("e50")).cast("double")) - 0.5
+                )
+                <= bound
+            ).alias("p50_ok"),
+            (
+                F.abs(
+                    F.avg((F.col("o_totalprice") <= F.col("e90")).cast("double")) - 0.9
+                )
+                <= bound
+            ).alias("p90_ok"),
+            (
+                F.abs(
+                    F.avg((F.col("o_totalprice") < 300000.0).cast("double"))
+                    - F.first("r300k")
+                )
+                <= bound
+            ).alias("rank_ok"),
+        )
+        .orderBy("o_orderstatus")
+    )
