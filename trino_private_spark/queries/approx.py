@@ -332,3 +332,55 @@ def p_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@probe(
+    "p_space_saving_exact",
+    oracle="""
+    SELECT o_orderpriority AS item, CAST(COUNT(*) AS BIGINT) AS est,
+           CAST(0 AS BIGINT) AS err,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, o_orderpriority) AS INT) AS rank
+    FROM orders GROUP BY o_orderpriority ORDER BY rank
+    """,
+    tags=("approx",),
+)
+def p_space_saving_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_most_frequent via the real SpaceSaving sketch
+    (functions/spacesaving.py — BigintApproximateMostFrequent.java's
+    ApproximateMostFrequentHistogram).  With capacity above the distinct
+    count the sketch is EXACT (zero error), so this probe carries a full
+    hash oracle: top-5 priorities with their true counts."""
+    from trino_private_spark.functions.spacesaving import approx_most_frequent_sketch
+
+    t = T(spark, sf_dir)
+    return approx_most_frequent_sketch(
+        t.orders, "o_orderpriority", buckets=5, capacity=32
+    ).orderBy("rank")
+
+
+@probe(
+    "p_space_saving_bounds",
+    oracle="SELECT TRUE AS overestimates, TRUE AS bound_ok, TRUE AS n_ok",
+    tags=("approx",),
+)
+def p_space_saving_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpaceSaving under truncation (capacity 64 << distinct custkeys):
+    the classic invariants are checked RELATIONALLY against exact counts —
+    every estimate overestimates, and the slack is bounded by
+    n/capacity."""
+    from trino_private_spark.functions.spacesaving import approx_most_frequent_sketch
+
+    t = T(spark, sf_dir)
+    n = t.orders.count()
+    sk = approx_most_frequent_sketch(
+        t.orders, "o_custkey", buckets=64, capacity=64
+    )
+    exact = t.orders.groupBy(F.col("o_custkey").cast("string").alias("item")).agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    joined = sk.join(F.broadcast(exact), "item", "left").fillna(0, ["true_cnt"])
+    return joined.agg(
+        F.min(F.col("est") >= F.col("true_cnt")).alias("overestimates"),
+        F.min((F.col("est") - F.col("true_cnt")) <= (n / 64 + 1)).alias("bound_ok"),
+        (F.count(F.lit(1)) == 64).alias("n_ok"),
+    )
