@@ -673,3 +673,116 @@ def p_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(400)
     )
+
+
+# --------------------------------------------------------------------------
+# trino-ml plugin probes (functions/ml.py — LearnClassifierAggregation,
+# ClassifyFunction, LearnRegressorAggregation, RegressFunction,
+# EvaluateClassifierPredictionsAggregation)
+# --------------------------------------------------------------------------
+
+
+@probe(
+    "p_ml_evaluate",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END AS actual,
+             CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 1 ELSE 0 END AS predicted
+      FROM embeddings),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN actual=1 AND predicted=1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN actual=0 AND predicted=1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN actual=1 AND predicted=0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN actual=0 AND predicted=0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM scored)
+    SELECT tp, fp, fn, tn,
+           ROUND((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy,
+           ROUND(tp / CAST(GREATEST(tp + fp, 1) AS DOUBLE), 6) AS precision,
+           ROUND(tp / CAST(GREATEST(tp + fn, 1) AS DOUBLE), 6) AS recall,
+           ROUND(2 * tp / CAST(GREATEST(2 * tp + fp + fn, 1) AS DOUBLE), 6) AS f1
+    FROM agg
+    """,
+    tags=("llm",),
+)
+def p_ml_evaluate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """evaluate_classifier_predictions with FULL hash oracle: actual and
+    predicted labels are deterministic sign rules over embedding dims, so
+    DuckDB reproduces tp/fp/fn/tn and all four metrics exactly."""
+    from trino_private_spark.functions.ml import evaluate_classifier_predictions
+
+    t = T(spark, sf_dir)
+    scored = t.embeddings.select(
+        (F.element_at("embedding", 1).cast("double") > 0).cast("int").alias("actual"),
+        (F.element_at("embedding", 2).cast("double") > 0).cast("int").alias("predicted"),
+    )
+    return evaluate_classifier_predictions(scored, "actual", "predicted")
+
+
+@probe(
+    "p_ml_classifier",
+    oracle="""
+    SELECT TRUE AS acc_ok,
+           (SELECT COUNT(*) FROM embeddings) AS n_scored
+    """,
+    tags=("llm",),
+)
+def p_ml_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """learn_classifier + classify end-to-end: labels follow a linear sign
+    rule over three embedding dims (separable by construction), the model
+    is trained with the distributed gradient pass and must score >= 90%
+    training accuracy; scoring is pure JVM-side."""
+    from trino_private_spark.functions.ml import classify, learn_classifier
+
+    t = T(spark, sf_dir)
+    labeled = t.embeddings.select(
+        "vec_id",
+        "embedding",
+        (
+            (
+                F.element_at("embedding", 1).cast("double")
+                + F.element_at("embedding", 2).cast("double")
+                - F.element_at("embedding", 3).cast("double")
+            )
+            > 0
+        )
+        .cast("int")
+        .alias("y"),
+    )
+    model = learn_classifier(labeled, "y", "embedding", iterations=60, lr=1.0)
+    scored = labeled.select(
+        "y", classify(F.col("embedding"), model).alias("pred")
+    )
+    return scored.agg(
+        (F.avg((F.col("y") == F.col("pred")).cast("double")) >= 0.9).alias("acc_ok"),
+        F.count(F.lit(1)).alias("n_scored"),
+    )
+
+
+@probe(
+    "p_ml_regressor",
+    oracle="SELECT TRUE AS resid_ok, TRUE AS bias_ok",
+    tags=("llm",),
+)
+def p_ml_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """learn_regressor + regress: the target is an exact linear function of
+    two embedding dims, so the one-pass normal-equations solve must recover
+    it to float precision (max residual < 1e-3, bias within 1e-3 of 1)."""
+    from trino_private_spark.functions.ml import learn_regressor, regress
+
+    t = T(spark, sf_dir)
+    labeled = t.embeddings.select(
+        "embedding",
+        (
+            2.0 * F.element_at("embedding", 1).cast("double")
+            - 3.0 * F.element_at("embedding", 2).cast("double")
+            + 1.0
+        ).alias("target"),
+    )
+    model = learn_regressor(labeled, "target", "embedding")
+    scored = labeled.select(
+        "target", regress(F.col("embedding"), model).alias("pred")
+    )
+    return scored.agg(
+        (F.max(F.abs(F.col("target") - F.col("pred"))) < 1e-3).alias("resid_ok"),
+        F.lit(abs(model.bias - 1.0) < 1e-3).alias("bias_ok"),
+    )
