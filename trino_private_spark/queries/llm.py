@@ -786,3 +786,40 @@ def p_ml_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max(F.abs(F.col("target") - F.col("pred"))) < 1e-3).alias("resid_ok"),
         F.lit(abs(model.bias - 1.0) < 1e-3).alias("bias_ok"),
     )
+
+
+@probe(
+    "p_substring_dedup",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                 array_to_string(toks[u.i:u.i+4], ' ') AS gram
+          FROM d, UNNEST(range(1, GREATEST(len(toks) - 4, 0) + 1)) AS u(i)),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+                 a.pos - b.pos AS diag
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    isl AS (SELECT *, pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+            FROM m)
+    SELECT doc_a, doc_b,
+           CAST(MIN(pa) AS BIGINT) AS a_start,
+           CAST(MIN(pb) AS BIGINT) AS b_start,
+           CAST(MAX(pa) - MIN(pa) + 5 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_a, doc_b, diag, grp
+    HAVING MAX(pa) - MIN(pa) + 5 >= 8
+    ORDER BY doc_a, doc_b, a_start, b_start
+    """,
+    tags=("llm",),
+)
+def p_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT SUBSTRING dedup (llm/substring_dedup.py — the
+    Lee et al. ACL'22 op as a k-gram hash-join + diagonal island merge):
+    maximal verbatim spans of >= 8 tokens shared between documents.  The
+    whole pipeline is relational, so DuckDB replays it exactly — FULL hash
+    oracle (the fixture's documents contain real injected near-duplicates,
+    so the result is non-empty)."""
+    from trino_private_spark.llm.substring_dedup import shared_spans
+
+    t = T(spark, sf_dir)
+    return shared_spans(t.documents, "text", "doc_id", k=5, min_tokens=8).orderBy(
+        "doc_a", "doc_b", "a_start", "b_start"
+    )
