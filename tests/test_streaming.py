@@ -250,3 +250,69 @@ def test_rising_run_detector_stream_equals_batch(spark, batch_events):
     )
     assert len(want) > 0
     assert got == want
+
+
+def test_click_view_left_outer_stream_equals_batch(spark, batch_events, tmp_path):
+    """LEFT OUTER stream-stream join: unmatched clicks emit null-padded
+    rows only after the watermark passes their match window, so the stream
+    is split into TWO microbatches (maxFilesPerTrigger=1) — batch 2's
+    events advance the watermark and flush batch 1's unmatched state.  The
+    comparison is restricted to the watermark-CLOSED region, where stream
+    output must equal the plain batch left range join exactly."""
+    import os
+
+    from trino_private_spark.streaming.events import (
+        click_view_join_outer,
+        run_stream_to_memory,
+    )
+
+    stream_dir = str(tmp_path / "two_batch_events")
+    os.makedirs(stream_dir, exist_ok=True)
+    bounds = batch_events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).head()
+    lo, hi = bounds["lo"], bounds["hi"]
+    split = lo + (hi - lo) * 6 // 10 if isinstance(hi, int) else lo + (hi - lo) * 0.6
+    early = batch_events.where(F.col("ts") <= F.lit(split))
+    late = batch_events.where(F.col("ts") > F.lit(split))
+    assert early.count() > 0 and late.count() > 0
+    for i, part in enumerate((early, late)):
+        sub = str(tmp_path / f"w{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(sub)
+        src = next(
+            f for f in os.listdir(sub) if f.endswith(".parquet") and f.startswith("part-")
+        )
+        dst = os.path.join(stream_dir, f"{i}_batch.parquet")
+        os.replace(os.path.join(sub, src), dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    schema = spark.read.parquet(stream_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    got = run_stream_to_memory(
+        spark,
+        click_view_join_outer(stream),
+        "t_cv_outer",
+        output_mode="append",
+    ).toPandas()
+
+    batch = click_view_join_outer(batch_events).toPandas()
+    # closed region: watermark after batch 1 = max(early.ts) - 2h; clicks
+    # whose whole match window is older than that (minus the 1h horizon)
+    # are fully resolved in the stream output
+    wm1 = early.agg(F.max("ts")).head()[0]
+    import pandas as pd
+
+    cutoff = pd.Timestamp(wm1) - pd.Timedelta(hours=3, minutes=5)
+    got_c = got[pd.to_datetime(got["click_ts"]) <= cutoff]
+    batch_c = batch[pd.to_datetime(batch["click_ts"]) <= cutoff]
+    assert len(batch_c) > 0, "closed region must be non-trivial"
+    assert (batch_c["view_id"].isna().sum()) > 0, "need real unmatched clicks"
+    compare_frames(
+        got_c.sort_values(["click_id", "view_id"]).reset_index(drop=True),
+        batch_c.sort_values(["click_id", "view_id"]).reset_index(drop=True),
+        "click_view_left_outer (closed region)",
+    )

@@ -823,3 +823,34 @@ def p_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_spans(t.documents, "text", "doc_id", k=5, min_tokens=8).orderBy(
         "doc_a", "doc_b", "a_start", "b_start"
     )
+
+
+@probe(
+    "p_ivf_ann",
+    oracle="SELECT TRUE AS recall_ok, TRUE AS k_ok",
+    tags=("llm",),
+)
+def p_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (llm/similarity.ivf_topk — deterministic centroid
+    sample, broadcast assignment, n_probe-cell search).  The oracle gates
+    recall@10 vs brute force (>= 0.5 with 4/16 cells probed,
+    deterministic) and that every query returns exactly k neighbors."""
+    from trino_private_spark.llm.similarity import brute_force_topk, ivf_topk
+
+    t = T(spark, sf_dir)
+    emb = t.embeddings
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+    bf = brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    n_bf = bf.count()
+    n_hit = bf.join(
+        ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    per_q = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("c"))
+    k_ok = per_q.agg(F.min(F.col("c") == 10).alias("ok")).collect()[0]["ok"]
+    return spark.createDataFrame(
+        [(n_hit >= 0.5 * n_bf, bool(k_ok))],
+        "recall_ok boolean, k_ok boolean",
+    )

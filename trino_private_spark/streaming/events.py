@@ -243,3 +243,38 @@ def windowed_approx_distinct(
             F.hll_sketch_estimate("sk").alias("approx_users"),
         )
     )
+
+
+def click_view_join_outer(
+    events: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: like click_view_join, but clicks with
+    no matching view emit one null-padded row once the watermark passes the
+    end of their match window (Spark holds the click in state until no
+    future view can satisfy the time-range predicate, then releases it —
+    the unmatched row is late by design, never wrong).  On batch frames the
+    identical expression is a plain left range join, so the stream output
+    over the watermark-closed region must equal the batch result there."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        views = views.withWatermark("view_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {horizon}"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+    )
+    return clicks.join(views, cond, "left_outer").select(
+        "click_id", "view_id", "c_user", "click_ts", "view_ts"
+    )
