@@ -202,3 +202,30 @@ class TestInverseQuery:
             "SELECT quantile_at_value(tdigest, 50.0) q FROM qav_sk"
         ).collect()[0]
         assert abs(row.q - 0.505) < 0.02
+
+
+class TestWeighted:
+    def test_weighted_equals_repeated(self):
+        import numpy as np
+
+        from trino_private_spark.functions.tdigest import TDigest
+
+        rng = np.random.default_rng(5)
+        vals = rng.uniform(0, 1000, 5000)
+        wts = rng.integers(1, 6, 5000)
+        wd = TDigest().add_weighted(vals, wts.astype(float))
+        repeated = np.repeat(vals, wts)
+        repeated.sort()
+        for q in (0.1, 0.5, 0.9):
+            est = wd.value_at_quantile(q)
+            rank = np.searchsorted(repeated, est) / len(repeated)
+            assert abs(rank - q) < 0.02, q
+
+    def test_weighted_skips_nonpositive_and_nan(self):
+        import math
+
+        from trino_private_spark.functions.tdigest import TDigest
+
+        td = TDigest().add_weighted([1.0, 2.0, 3.0], [1.0, 0.0, math.nan])
+        assert td.total_weight == 1.0
+        assert td.value_at_quantile(0.5) == 1.0

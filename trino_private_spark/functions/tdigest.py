@@ -67,6 +67,24 @@ class TDigest:
                 self._compress()
         return self
 
+    def add_weighted(self, values, weights) -> "TDigest":
+        """Weighted insert — the reference's approx_percentile(x, w, p) /
+        tdigest_agg(x, w) weight argument (TDigestAggregationFunction
+        weighted input function): weight w is the multiplicity of x.
+        Centroids already carry weights, so the values enter directly."""
+        v = np.asarray(values, dtype=float)
+        w = np.asarray(weights, dtype=float)
+        keep = ~np.isnan(v) & ~np.isnan(w) & (w > 0)
+        v, w = v[keep], w[keep]
+        if v.size:
+            self._compress()
+            self.means = np.concatenate([self.means, v])
+            self.weights = np.concatenate([self.weights, w])
+            self.vmin = min(self.vmin, float(v.min()))
+            self.vmax = max(self.vmax, float(v.max()))
+            self._merge_centroids()
+        return self
+
     def merge(self, other: "TDigest") -> "TDigest":
         self._compress()
         other._compress()
@@ -210,6 +228,7 @@ def tdigest_agg(
     value_col: str,
     group_cols: list[str] | None = None,
     delta: float = 100.0,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Distributed tdigest_agg: one binary `tdigest` column per group.
 
@@ -217,6 +236,8 @@ def tdigest_agg(
     partition into one digest per group seen in that partition.
     Phase 2: shuffle only the ~KB digests, applyInPandas merges per group.
     Mirrors TDigestAggregationFunction's partial/final state split.
+    ``weight_col`` selects the weighted variant (approx_percentile(x, w, p)
+    semantics: weight = multiplicity).
     """
     group_cols = group_cols or []
     gschema = (
@@ -229,15 +250,21 @@ def tdigest_agg(
     )
     out_schema = f"{gfields}tdigest binary"
 
+    def _feed(td: TDigest, grp: pd.DataFrame) -> None:
+        if weight_col is None:
+            td.add(grp[value_col].to_numpy())
+        else:
+            td.add_weighted(grp[value_col].to_numpy(), grp[weight_col].to_numpy())
+
     def partial(batches):
         acc: dict[tuple, TDigest] = {}
         for pdf in batches:
             if group_cols:
                 for key, grp in pdf.groupby(group_cols, sort=False, dropna=False):
                     k = key if isinstance(key, tuple) else (key,)
-                    acc.setdefault(k, TDigest(delta)).add(grp[value_col].to_numpy())
+                    _feed(acc.setdefault(k, TDigest(delta)), grp)
             else:
-                acc.setdefault((), TDigest(delta)).add(pdf[value_col].to_numpy())
+                _feed(acc.setdefault((), TDigest(delta)), pdf)
         rows = [
             dict(zip(group_cols, k)) | {"tdigest": td.serialize()}
             for k, td in acc.items()
@@ -245,7 +272,8 @@ def tdigest_agg(
         if rows:
             yield pd.DataFrame(rows)
 
-    partials = df.select(*group_cols, value_col).mapInPandas(partial, out_schema)
+    cols = [*group_cols, value_col] + ([weight_col] if weight_col else [])
+    partials = df.select(*cols).mapInPandas(partial, out_schema)
 
     if not group_cols:
         # single global digest: merge the per-partition states on one task

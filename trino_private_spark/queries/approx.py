@@ -384,3 +384,52 @@ def p_space_saving_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min((F.col("est") - F.col("true_cnt")) <= (n / 64 + 1)).alias("bound_ok"),
         (F.count(F.lit(1)) == 64).alias("n_ok"),
     )
+
+
+@probe(
+    "p_weighted_percentile",
+    oracle="""
+    SELECT o_orderstatus, TRUE AS w50_ok, TRUE AS w90_ok
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("approx",),
+)
+def p_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED approx_percentile(x, w, p) (FunctionRegistry.java:435-443
+    weighted variants; TDigestAggregationFunction weighted input): weight =
+    multiplicity.  Estimates are checked against the exact WEIGHTED rank
+    computed relationally — sum(w FILTER x <= est) / sum(w) must sit within
+    the digest bound of p."""
+    from trino_private_spark.functions.tdigest import tdigest_agg, value_at_quantile
+
+    t = T(spark, sf_dir)
+    weighted = t.orders.withColumn("wgt", (F.col("o_custkey") % 5 + 1).cast("double"))
+    sk = tdigest_agg(weighted, "o_totalprice", ["o_orderstatus"], weight_col="wgt")
+    est = sk.select(
+        "o_orderstatus",
+        value_at_quantile(F.col("tdigest"), 0.5).alias("e50"),
+        value_at_quantile(F.col("tdigest"), 0.9).alias("e90"),
+    )
+    joined = weighted.join(F.broadcast(est), "o_orderstatus")
+    wsum = F.sum("wgt")
+    bound = F.lit(0.015)
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            (
+                F.abs(
+                    F.sum(F.when(F.col("o_totalprice") <= F.col("e50"), F.col("wgt")).otherwise(0.0)) / wsum
+                    - 0.5
+                )
+                <= bound
+            ).alias("w50_ok"),
+            (
+                F.abs(
+                    F.sum(F.when(F.col("o_totalprice") <= F.col("e90"), F.col("wgt")).otherwise(0.0)) / wsum
+                    - 0.9
+                )
+                <= bound
+            ).alias("w90_ok"),
+        )
+        .orderBy("o_orderstatus")
+    )
