@@ -100,3 +100,52 @@ def p_timetz(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOD.timetz_timezone_hour(tz).cast("int").alias("tz_hour"),
         TOD.timetz_timezone_minute(tz).cast("int").alias("tz_min"),
     ).orderBy("c_custkey")
+
+
+@probe(
+    "p_timestamp_hp",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS sec_str,
+             (o_orderkey * 815365) % 900000000000 AS frac12
+      FROM orders WHERE o_orderkey <= 2000)
+    SELECT o_orderkey,
+           sec_str || '.' || lpad(CAST(frac12 AS VARCHAR), 12, '0') AS hp_str,
+           CAST(frac12 // 1000 AS BIGINT) AS nanos,
+           CAST(frac12 % 1000000 AS BIGINT) AS pico_rem,
+           sec_str || '.' || lpad(CAST(frac12 // 1000 + o_orderkey % 1000 AS VARCHAR), 9, '0') AS plus_ns
+    FROM base ORDER BY o_orderkey
+    """,
+    tags=("temporal",),
+)
+def p_timestamp_hp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP(12) via the LongTimestamp struct layout
+    (functions/timestamp_hp.py — spi/type/LongTimestamp.java epochMicros +
+    picosOfMicro): parse -> format round trip, picosecond extract,
+    date_diff('picosecond') against the microsecond truncation, and
+    date_add('nanosecond') — every output is closed-form string/integer
+    arithmetic DuckDB replays exactly (fraction kept below 9e11 so the
+    nanosecond add never carries into seconds)."""
+    from trino_private_spark.functions import timestamp_hp as H
+
+    t = T(spark, sf_dir)
+    base = t.orders.where(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("sec_str"),
+        ((F.col("o_orderkey") * 815365) % 900000000000).alias("frac12"),
+    )
+    s = F.concat(
+        F.col("sec_str"), F.lit("."),
+        F.lpad(F.col("frac12").cast("string"), 12, "0"),
+    )
+    hp = H.ts_hp_parse(s)
+    return base.select(
+        "o_orderkey",
+        H.ts_hp_format(hp).alias("hp_str"),
+        H.ts_hp_extract("nanosecond", hp).alias("nanos"),
+        H.ts_hp_diff("picosecond", H.ts_hp_trunc("microsecond", hp), hp).alias("pico_rem"),
+        H.ts_hp_format(
+            H.ts_hp_add("nanosecond", F.col("o_orderkey") % 1000, hp), 9
+        ).alias("plus_ns"),
+    ).orderBy("o_orderkey")
