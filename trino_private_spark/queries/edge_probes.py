@@ -114,3 +114,73 @@ def p_percentile_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("q", 2), 4).alias("p50"),
         F.round(F.element_at("q", 3), 4).alias("p75"),
     )
+
+
+@probe(
+    "p_unnest_multi",
+    oracle="""
+    WITH u AS (
+      SELECT n_nationkey,
+             unnest(range(1, n_nationkey % 4 + 2)) AS v1,
+             unnest(range(10, 11 + n_nationkey % 3)) AS v2
+      FROM nation)
+    SELECT n_nationkey,
+           CAST(COALESCE(v1, v2 - 9) AS BIGINT) AS ord,
+           CAST(v1 AS BIGINT) AS v1, CAST(v2 AS BIGINT) AS v2
+    FROM u ORDER BY n_nationkey, ord
+    """,
+    tags=("relational",),
+)
+def p_unnest_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-argument UNNEST(a1, a2) WITH ORDINALITY — the reference zips
+    arrays positionally, null-padding to the longest
+    (operator/unnest/UnnestOperator.java multi-channel unnesters).  Spark:
+    arrays_zip + posexplode.  DuckDB's parallel unnest has identical
+    zip semantics, so the probe carries a full hash oracle."""
+    t = T(spark, sf_dir)
+    base = t.nation.select(
+        "n_nationkey",
+        F.sequence(F.lit(1), F.col("n_nationkey") % 4 + 1).alias("a1"),
+        F.sequence(F.lit(10), F.col("n_nationkey") % 3 + 10).alias("a2"),
+    )
+    z = base.select(
+        "n_nationkey", F.posexplode(F.arrays_zip("a1", "a2")).alias("pos", "z")
+    )
+    return z.select(
+        "n_nationkey",
+        (F.col("pos") + 1).cast("long").alias("ord"),
+        F.col("z.a1").cast("long").alias("v1"),
+        F.col("z.a2").cast("long").alias("v2"),
+    ).orderBy("n_nationkey", "ord")
+
+
+@probe(
+    "p_unnest_map",
+    oracle="""
+    WITH u AS (
+      SELECT n_nationkey, unnest(range(1, n_nationkey % 4 + 2)) AS k
+      FROM nation)
+    SELECT n_nationkey, CAST(k AS BIGINT) AS k,
+           CAST(k * 100 + n_nationkey AS BIGINT) AS v
+    FROM u ORDER BY n_nationkey, k
+    """,
+    tags=("relational",),
+)
+def p_unnest_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST(map) -> (key, value) rows (MapUnnester in
+    operator/unnest/).  Spark: explode over a map column; the map is built
+    per row with map_from_arrays so DuckDB reproduces the pairs
+    relationally."""
+    t = T(spark, sf_dir)
+    keys = F.sequence(F.lit(1), F.col("n_nationkey") % 4 + 1)
+    vals = F.transform(keys, lambda k: k * 100 + F.col("n_nationkey"))
+    base = t.nation.select(
+        "n_nationkey", F.map_from_arrays(keys, vals).alias("m")
+    )
+    return (
+        base.select("n_nationkey", F.explode("m").alias("k", "v"))
+        .select(
+            "n_nationkey", F.col("k").cast("long").alias("k"), F.col("v").cast("long").alias("v")
+        )
+        .orderBy("n_nationkey", "k")
+    )
