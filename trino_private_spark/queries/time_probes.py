@@ -149,3 +149,66 @@ def p_timestamp_hp(spark: SparkSession, sf_dir: str) -> DataFrame:
             H.ts_hp_add("nanosecond", F.col("o_orderkey") % 1000, hp), 9
         ).alias("plus_ns"),
     ).orderBy("o_orderkey")
+
+
+@probe(
+    "p_timestamptz",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS sec_str,
+             (o_orderkey % 27 - 13) * 45 AS off_min,
+             o_orderkey % 1000 AS ms
+      FROM orders WHERE o_orderkey <= 2000),
+    b2 AS (
+      SELECT *,
+             epoch_ms(strptime(sec_str, '%Y-%m-%d %H:%M:%S')) + ms
+               - off_min * 60000 AS utc_ms
+      FROM base)
+    SELECT o_orderkey,
+           sec_str || '.' || lpad(CAST(ms AS VARCHAR), 3, '0')
+             || CASE WHEN off_min < 0 THEN '-' ELSE '+' END
+             || lpad(CAST(abs(off_min) // 60 AS VARCHAR), 2, '0') || ':'
+             || lpad(CAST(abs(off_min) % 60 AS VARCHAR), 2, '0') AS tz_str,
+           CAST(utc_ms AS BIGINT) AS instant_ms,
+           CAST((utc_ms // 3600000) % 24 AS BIGINT) AS utc_hour,
+           CAST(off_min // 60 AS INT) AS tz_hour,
+           CAST(off_min % 60 AS INT) AS tz_min
+    FROM b2 ORDER BY o_orderkey
+    """,
+    tags=("temporal",),
+)
+def p_timestamptz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-value TIMESTAMP WITH TIME ZONE (functions/timestamptz.py — the
+    TimestampWithTimeZoneType epochMillis + per-value zone packing, fixed
+    offsets): parse -> canonical format round trip, the UTC instant, an
+    hour extracted AFTER AT TIME ZONE '+00:00' (= UTC wall hour), and
+    truncate-toward-zero timezone_hour/timezone_minute — all closed-form
+    integer/string arithmetic for DuckDB.  Offsets span -9:45..+9:45 in
+    45-minute steps, so sub-hour zones are exercised."""
+    from trino_private_spark.functions import timestamptz as Z
+
+    t = T(spark, sf_dir)
+    base = t.orders.where(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("sec_str"),
+        ((F.col("o_orderkey") % 27 - 13) * 45).alias("off_min"),
+        (F.col("o_orderkey") % 1000).alias("ms"),
+    )
+    off = F.col("off_min")
+    s = F.concat(
+        F.col("sec_str"), F.lit("."), F.lpad(F.col("ms").cast("string"), 3, "0"),
+        F.when(off < 0, "-").otherwise("+"),
+        F.lpad((F.abs(off) / 60).cast("int").cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((F.abs(off) % 60).cast("string"), 2, "0"),
+    )
+    z = Z.parse_tstz(s)
+    return base.select(
+        "o_orderkey",
+        Z.tstz_format(z).alias("tz_str"),
+        Z.tstz_instant_millis(z).alias("instant_ms"),
+        Z.tstz_extract("hour", Z.tstz_at_timezone(z, F.lit(0))).cast("long").alias("utc_hour"),
+        Z.tstz_timezone_hour(z).alias("tz_hour"),
+        Z.tstz_timezone_minute(z).alias("tz_min"),
+    ).orderBy("o_orderkey")
