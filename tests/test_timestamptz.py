@@ -89,3 +89,40 @@ class TestArithmetic:
             Z.tstz_add("month", F.lit(1), t)
         with pytest.raises(ValueError):
             Z.tstz_diff("year", t, t)
+
+
+class TestNamedZones:
+    def test_parse_format_roundtrip(self, spark):
+        s = "2023-07-01 12:30:45.120 America/New_York"
+        got = one(spark, Z.tstz_named_format(Z.parse_tstz_named(F.lit(s))))
+        assert got == s
+
+    def test_dst_offsets(self, spark):
+        summer = Z.parse_tstz_named(F.lit("2023-07-01 12:00:00 America/New_York"))
+        winter = Z.parse_tstz_named(F.lit("2023-01-01 12:00:00 America/New_York"))
+        assert one(spark, Z.tstz_named_offset_minutes(summer)) == -240  # EDT
+        assert one(spark, Z.tstz_named_offset_minutes(winter)) == -300  # EST
+
+    def test_instant_is_utc(self, spark):
+        # 12:00 EDT == 16:00 UTC
+        v = one(spark, Z.parse_tstz_named(F.lit("2023-07-01 12:00:00 America/New_York")))
+        u = one(spark, Z.parse_tstz(F.lit("2023-07-01 16:00:00+00:00")))
+        assert v["millis"] == u["millis"]
+
+    def test_at_timezone_across_zones(self, spark):
+        t = Z.parse_tstz_named(F.lit("2023-07-01 12:00:00 America/New_York"))
+        moved = Z.tstz_named_at_timezone(t, F.lit("Asia/Kolkata"))
+        # 16:00 UTC -> 21:30 IST
+        assert one(spark, Z.tstz_named_format(moved)) == "2023-07-01 21:30:00.000 Asia/Kolkata"
+
+    def test_extract_local_dst_aware(self, spark):
+        t = Z.parse_tstz_named(F.lit("2023-07-01 23:30:00 Europe/Paris"))
+        assert one(spark, Z.tstz_named_extract("hour", t)) == 23
+        assert one(spark, Z.tstz_named_extract("day", t)) == 1
+        # same instant in UTC is 21:30 the same day
+        u = Z.tstz_named_at_timezone(t, F.lit("UTC"))
+        assert one(spark, Z.tstz_named_extract("hour", u)) == 21
+
+    def test_half_hour_zone(self, spark):
+        t = Z.parse_tstz_named(F.lit("2023-01-01 00:00:00 Asia/Kolkata"))
+        assert one(spark, Z.tstz_named_offset_minutes(t)) == 330

@@ -183,3 +183,91 @@ def tstz_to_timestamp(t) -> Column:
     """The instant as a native (session-zone) timestamp — per-value zone
     dropped, as a cast to plain timestamp does in the reference."""
     return F.timestamp_millis(_c(t)["millis"])
+
+
+# --------------------------------------------------------------------------
+# NAMED-zone variant — STRUCT<millis BIGINT, zone STRING>
+# --------------------------------------------------------------------------
+#
+# The reference's TimeZoneKey registry covers named tz-database zones with
+# DST rules.  Spark's JVM carries the same tzdb, and from_utc_timestamp /
+# to_utc_timestamp accept a PER-ROW zone column — so per-value named zones
+# work entirely JVM-side: the struct stores the UTC instant plus the zone
+# id string, and every local-clock operation routes through the tzdb at
+# the value's own instant (DST-correct).
+
+
+def tstz_named(millis, zone) -> Column:
+    return F.struct(
+        _c(millis).cast("bigint").alias("millis"),
+        _c(zone).cast("string").alias("zone"),
+    )
+
+
+def _render_naive(instant) -> Column:
+    """date_format that is independent of the session timezone: shift by
+    -session_offset so the session rendering shows the instant's UTC wall
+    clock."""
+    return F.to_utc_timestamp(instant, F.current_timezone())
+
+
+def _named_local_instant(t) -> Column:
+    c = _c(t)
+    return F.from_utc_timestamp(F.timestamp_millis(c["millis"]), c["zone"])
+
+
+def parse_tstz_named(s) -> Column:
+    """'YYYY-MM-DD HH:MM:SS[.fff] <Zone/Id>' -> struct.  The wall clock is
+    resolved through the zone's rules at that local time (ambiguous DST
+    times resolve as the JVM does — same stance as the reference's
+    unpackZoneKey path)."""
+    c = _c(s)
+    local = F.regexp_extract(
+        c, r"^(\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(?:\.\d{1,3})?) ", 1
+    )
+    zone = F.regexp_extract(c, r" ([A-Za-z_+\-0-9/]+)$", 1)
+    naive = F.to_timestamp(
+        F.concat(F.translate(local, "T", " "), F.lit("+00:00")),
+        "yyyy-MM-dd HH:mm:ss[.SSS][.SS][.S]XXX",
+    )
+    utc = F.to_utc_timestamp(naive, zone)
+    return F.when(
+        (local != "") & (zone != ""), tstz_named(F.unix_millis(utc), zone)
+    )
+
+
+def tstz_named_format(t) -> Column:
+    """'YYYY-MM-DD HH:MM:SS.mmm Zone/Id' in the value's own zone."""
+    c = _c(t)
+    return F.concat(
+        F.date_format(_render_naive(_named_local_instant(t)), "yyyy-MM-dd HH:mm:ss.SSS"),
+        F.lit(" "),
+        c["zone"],
+    )
+
+
+def tstz_named_at_timezone(t, zone) -> Column:
+    """AT TIME ZONE 'Zone/Id': same instant, new zone."""
+    return tstz_named(_c(t)["millis"], _c(zone))
+
+
+def tstz_named_extract(field: str, t) -> Column:
+    """extract over the value's local wall clock, DST-aware."""
+    f = field.lower()
+    local = _render_naive(_named_local_instant(t))
+    if f == "millisecond":
+        lm = F.unix_millis(_named_local_instant(t))
+        return (lm % 1000 + 1000) % 1000
+    return F.extract(F.lit(f), local)
+
+
+def tstz_named_offset_minutes(t) -> Column:
+    """The zone's UTC offset AT THIS VALUE'S INSTANT (changes across DST
+    boundaries) in minutes."""
+    c = _c(t)
+    lm = F.unix_millis(_named_local_instant(t))
+    return ((lm - c["millis"]) / MILLIS_PER_MINUTE).cast("int")
+
+
+def tstz_named_instant_millis(t) -> Column:
+    return _c(t)["millis"]

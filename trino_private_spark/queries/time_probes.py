@@ -212,3 +212,71 @@ def p_timestamptz(spark: SparkSession, sf_dir: str) -> DataFrame:
         Z.tstz_timezone_hour(z).alias("tz_hour"),
         Z.tstz_timezone_minute(z).alias("tz_min"),
     ).orderBy("o_orderkey")
+
+
+@probe(
+    "p_timestamptz_named",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 4
+               WHEN 0 THEN 'America/New_York'
+               WHEN 1 THEN 'Europe/Paris'
+               WHEN 2 THEN 'Asia/Kolkata'
+               ELSE 'UTC' END AS zone,
+             CASE WHEN o_orderkey % 2 = 0 THEN '2023-07-01' ELSE '2023-01-01' END AS d,
+             o_orderkey % 24 AS utc_hour
+      FROM orders WHERE o_orderkey <= 1000),
+    expect AS (
+      SELECT *,
+             -- tzdb facts: NY -4h Jul / -5h Jan; Paris +2h Jul / +1h Jan;
+             -- Kolkata +5:30 always; UTC 0
+             CASE zone
+               WHEN 'America/New_York' THEN CASE WHEN d = '2023-07-01' THEN -240 ELSE -300 END
+               WHEN 'Europe/Paris'     THEN CASE WHEN d = '2023-07-01' THEN  120 ELSE   60 END
+               WHEN 'Asia/Kolkata'     THEN 330
+               ELSE 0 END AS off_min
+      FROM base)
+    SELECT o_orderkey, zone,
+           CAST(off_min AS INT) AS offset_minutes,
+           CAST(((utc_hour * 60 + off_min) % 1440 + 1440) % 1440 // 60 AS BIGINT) AS local_hour,
+           CAST(((utc_hour * 60 + off_min) % 1440 + 1440) % 1440 % 60 AS BIGINT) AS local_minute
+    FROM expect ORDER BY o_orderkey
+    """,
+    tags=("temporal",),
+)
+def p_timestamptz_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAMED tz-database zones with per-value DST resolution
+    (functions/timestamptz.py named family — the TimeZoneKey registry
+    path, resolved by the JVM tzdb per row via from_utc_timestamp over a
+    zone COLUMN).  The oracle pins well-known tzdb facts: New York is
+    -4h in July / -5h in January, Paris +2h/+1h, Kolkata +5:30 year-round
+    — offset AND the local wall clock derived from them."""
+    from trino_private_spark.functions import timestamptz as Z
+
+    t = T(spark, sf_dir)
+    base = t.orders.where(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        F.element_at(
+            F.array(
+                F.lit("America/New_York"), F.lit("Europe/Paris"),
+                F.lit("Asia/Kolkata"), F.lit("UTC"),
+            ),
+            (F.col("o_orderkey") % 4 + 1).cast("int"),
+        ).alias("zone"),
+        F.when(F.col("o_orderkey") % 2 == 0, "2023-07-01").otherwise("2023-01-01").alias("d"),
+        (F.col("o_orderkey") % 24).alias("utc_hour"),
+    )
+    utc_str = F.concat(
+        F.col("d"), F.lit(" "),
+        F.lpad(F.col("utc_hour").cast("string"), 2, "0"), F.lit(":00:00+00:00"),
+    )
+    inst = Z.parse_tstz(utc_str)
+    named = Z.tstz_named(Z.tstz_instant_millis(inst), F.col("zone"))
+    return base.select(
+        "o_orderkey",
+        "zone",
+        Z.tstz_named_offset_minutes(named).alias("offset_minutes"),
+        Z.tstz_named_extract("hour", named).cast("long").alias("local_hour"),
+        Z.tstz_named_extract("minute", named).cast("long").alias("local_minute"),
+    ).orderBy("o_orderkey")
