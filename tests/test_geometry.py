@@ -725,3 +725,61 @@ class TestGeneralBuffer:
     def test_zero_radius_identity(self):
         out = G.geom_buffer(g(SQUARE), 0.0)
         assert G.to_wkt(out) == SQUARE
+
+
+class TestClipperFuzz:
+    """Randomized identities for the general set-op clipper: for random
+    simple (star-shaped) polygons, the GEOMETRY outputs' areas must obey
+    inclusion-exclusion against the independent triangulated area path."""
+
+    @staticmethod
+    def _star(seed, cx, cy):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(5, 12))
+        # one angle per equal sector (jittered): strictly increasing and
+        # spanning the full circle, so the radial polygon is ALWAYS simple
+        # (clustered angles would let the closing edge cross the chain)
+        step = 2 * math.pi / n
+        angles = np.arange(n) * step + rng.uniform(0.05, 0.95, n) * step
+        radii = rng.uniform(0.5, 3.0, n)
+        pts = [
+            (cx + r * math.cos(a), cy + r * math.sin(a))
+            for a, r in zip(angles, radii)
+        ]
+        ring = np.array(pts + [pts[0]], dtype=float)
+        return G.Geom("Polygon", rings=[ring])
+
+    def test_random_pairs_identities(self):
+        for seed in range(25):
+            a = self._star(seed * 2 + 1, 0.0, 0.0)
+            b = self._star(seed * 2 + 2, 1.0, 0.5)
+            ia = G.geom_intersection_area(a, b)
+            inter = G.geom_intersection(a, b)
+            union = G.geom_union(a, b)
+            diff = G.geom_difference(a, b)
+            sym = G.geom_sym_difference(a, b)
+            aa, ab = G.geom_area(a), G.geom_area(b)
+            tol = 1e-7 * max(1.0, aa + ab)
+            assert abs(G.geom_area(inter) - ia) < tol, seed
+            assert abs(G.geom_area(union) - (aa + ab - ia)) < tol, seed
+            assert abs(G.geom_area(diff) - (aa - ia)) < tol, seed
+            assert abs(G.geom_area(sym) - (aa + ab - 2 * ia)) < tol, seed
+
+    def test_self_identities(self):
+        for seed in range(10):
+            a = self._star(seed + 100, 0.0, 0.0)
+            aa = G.geom_area(a)
+            tol = 1e-9 * max(1.0, aa)
+            assert abs(G.geom_area(G.geom_intersection(a, a)) - aa) < tol
+            assert abs(G.geom_area(G.geom_difference(a, a))) < tol
+            assert abs(G.geom_area(G.geom_sym_difference(a, a))) < tol
+
+    def test_disjoint_pairs(self):
+        for seed in range(10):
+            a = self._star(seed + 200, 0.0, 0.0)
+            b = self._star(seed + 300, 10.0, 10.0)
+            assert G.geom_intersection(a, b).is_empty()
+            aa, ab = G.geom_area(a), G.geom_area(b)
+            assert abs(G.geom_area(G.geom_union(a, b)) - (aa + ab)) < 1e-9

@@ -1165,37 +1165,30 @@ def _ccw(r: np.ndarray) -> np.ndarray:
 def _clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray | None:
     """Sutherland-Hodgman: clip a convex subject ring by a convex clip ring
     (both closed; orientation normalized to CCW). Returns a closed CCW ring
-    or None when the intersection is empty/degenerate."""
+    or None when the intersection is empty/degenerate.  Implemented as a
+    chain of guarded half-plane clips (_clip_halfplane) so zero-length
+    edges, duplicate vertices, and parallel-edge float noise are all
+    handled in one place."""
     subject, clip = _ccw(subject), _ccw(clip)
-    out = [tuple(p) for p in subject[:-1]]
+    out = subject
     for i in range(len(clip) - 1):
         a, b = clip[i], clip[i + 1]
-        if not out:
+        out = _clip_halfplane(out, a, b, keep_left=True)
+        if out is None:
             return None
-        inp, out = out, []
-        for j, s in enumerate(inp):
-            e = inp[(j + 1) % len(inp)]
-            s_in = _orient(a, b, s) >= 0
-            e_in = _orient(a, b, e) >= 0
-            if s_in:
-                out.append(s)
-                if not e_in:
-                    out.append(_line_intersect(a, b, s, e))
-            elif e_in:
-                out.append(_line_intersect(a, b, s, e))
-    if len(out) < 3:
-        return None
-    ring = np.array(out + [out[0]], dtype=float)
-    if abs(_ring_signed_area(ring)) < 1e-300:
-        return None
-    return ring
+    return out
 
 
 def _line_intersect(a, b, s, e):
-    """Intersection of infinite line (a,b) with segment line (s,e)."""
+    """Intersection of infinite line (a,b) with segment line (s,e).
+    Degenerate (parallel/collinear — only reachable through float noise on
+    near-collinear edges) falls back to the segment end; the tiny-area ring
+    filter downstream absorbs the resulting sliver."""
     dax, day = b[0] - a[0], b[1] - a[1]
     dsx, dsy = e[0] - s[0], e[1] - s[1]
     denom = dax * dsy - day * dsx
+    if denom == 0:
+        return (e[0], e[1])
     t = ((s[0] - a[0]) * day - (s[1] - a[1]) * dax) / denom
     return (s[0] + t * dsx, s[1] + t * dsy)
 
@@ -1290,40 +1283,80 @@ st_union_area = _reg(
 
 def _triangulate(ring: np.ndarray) -> list:
     """Ear-clipping triangulation of a simple CCW ring (closed ndarray).
-    Returns a list of (3, 2) triangle arrays."""
+    Returns a list of (3, 2) triangle arrays.
+
+    Ear validity uses the DIAGONAL criterion — the ear diagonal must not
+    properly cross any remaining edge and its midpoint must lie inside the
+    remaining polygon — rather than the vertex-in-triangle shortcut, which
+    float noise can misclassify on near-degenerate corners (a wrong ear
+    leaves an inverted remainder and overlapping triangles).  Collinear
+    corners are removed without emitting a triangle.  Convex rings take a
+    fan fast path."""
     pts = [tuple(p) for p in _ccw(ring)[:-1]]
+    # drop exact consecutive duplicates (incl. wraparound)
+    dedup = []
+    for p in pts:
+        if not dedup or p != dedup[-1]:
+            dedup.append(p)
+    while len(dedup) > 1 and dedup[0] == dedup[-1]:
+        dedup.pop()
+    pts = dedup
     n = len(pts)
     if n < 3:
         return []
+    if _is_convex_ring(np.array(pts + [pts[0]])):
+        p0 = pts[0]
+        return [
+            np.array([p0, pts[k], pts[k + 1]])
+            for k in range(1, n - 1)
+            if _orient(p0, pts[k], pts[k + 1]) != 0
+        ]
     idx = list(range(n))
     tris = []
     guard = 0
-    while len(idx) > 3 and guard < 10 * n:
+    while len(idx) > 3 and guard < 4 * n * n:
         guard += 1
-        found = False
-        for k in range(len(idx)):
-            i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % len(idx)]
+        chosen = None  # (position, triangle-or-None)
+        m = len(idx)
+        for k in range(m):
+            i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % m]
             a, b, c = pts[i0], pts[i1], pts[i2]
-            if _orient(a, b, c) <= 0:
-                continue  # reflex or degenerate corner
-            # no other remaining vertex inside OR on the candidate ear —
-            # a reflex vertex sitting exactly on the ear's diagonal would
-            # otherwise be clipped over (boundary counts as blocking)
-            ear = np.array([a, b, c, a])
-            blocked = False
-            for j in idx:
-                if j in (i0, i1, i2):
-                    continue
-                if _point_in_ring(pts[j], ear) >= 1:
-                    blocked = True
-                    break
-            if not blocked:
-                tris.append(np.array([a, b, c]))
-                idx.pop(k)
-                found = True
+            o = _orient(a, b, c)
+            if o == 0:
+                chosen = (k, None)  # collinear corner: drop, no triangle
                 break
-        if not found:
+            if o < 0:
+                continue
+            ok = True
+            for t in range(m):
+                j0, j1 = idx[t], idx[(t + 1) % m]
+                if _segments_cross_properly(a, c, pts[j0], pts[j1]):
+                    ok = False
+                    break
+            if ok:
+                # no remaining vertex strictly inside the ear (it would be
+                # orphaned by the clip; edges through the diagonal's own
+                # endpoints never cross it "properly", so the crossing test
+                # alone can miss this)
+                ear = np.array([a, b, c, a])
+                for j in idx:
+                    if j in (i0, i1, i2):
+                        continue
+                    if _point_in_ring(pts[j], ear) == 2:
+                        ok = False
+                        break
+            if ok:
+                rem = np.array([pts[i] for i in idx] + [pts[idx[0]]])
+                mid = ((a[0] + c[0]) / 2.0, (a[1] + c[1]) / 2.0)
+                if _point_in_ring(mid, rem) >= 1:
+                    chosen = (k, (a, b, c))
+                    break
+        if chosen is None:
             break  # degenerate input; fall through with what we have
+        k, tri = chosen
+        if tri is not None:
+            tris.append(np.array(tri))
+        idx.pop(k)
     if len(idx) == 3:
         a, b, c = (pts[i] for i in idx)
         if _orient(a, b, c) > 0:
@@ -1571,6 +1604,8 @@ def _clip_halfplane(ring: np.ndarray, a, b, keep_left: bool = True):
     """Clip a convex closed ring by the half-plane of directed line a->b.
     keep_left keeps orient >= 0 (the CCW inside); otherwise orient <= 0.
     Returns a closed CCW ring or None when empty."""
+    if a[0] == b[0] and a[1] == b[1]:
+        return ring  # zero-length edge defines no half-plane
     pts = [tuple(p) for p in ring[:-1]]
     out = []
     n = len(pts)
