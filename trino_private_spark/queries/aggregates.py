@@ -397,3 +397,83 @@ def p_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("c")).orderBy(
         "l_returnflag"
     )
+
+
+@probe(
+    "p_array_agg_ordered",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(array_agg(o_orderstatus ORDER BY o_orderdate, o_orderkey), ',') AS statuses,
+           array_to_string(array_agg(CAST(o_orderkey AS VARCHAR) ORDER BY o_totalprice DESC, o_orderkey), ',') AS keys_by_price
+    FROM orders WHERE o_custkey <= 150
+    GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    tags=("aggregates",),
+)
+def p_array_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_agg(x ORDER BY y) (AggregationNode ORDER BY inside agg args,
+    AggregationNode.java:84): Spark has no ordered collect, so the rewrite
+    is sort_array(collect_list(struct(sortkeys..., x))).x — deterministic
+    and shuffle-identical to plain collect_list."""
+    t = T(spark, sf_dir)
+    by_date = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("o_orderdate", "o_orderkey", "o_orderstatus"))
+        ),
+        lambda s: s["o_orderstatus"],
+    )
+    by_price = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("o_totalprice")).alias("np"),
+                    "o_orderkey",
+                    F.col("o_orderkey").cast("string").alias("ks"),
+                )
+            )
+        ),
+        lambda s: s["ks"],
+    )
+    return (
+        t.orders.where(F.col("o_custkey") <= 150)
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(by_date, ",").alias("statuses"),
+            F.array_join(by_price, ",").alias("keys_by_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@probe(
+    "p_distinct_filter_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS rich_custs,
+           CAST(COUNT(DISTINCT o_orderpriority) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS even_prios,
+           CAST(SUM(o_orderkey) FILTER (WHERE o_custkey % 10 = 0) AS BIGINT) AS decile_keysum
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("aggregates",),
+)
+def p_distinct_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT + FILTER combined on one aggregate
+    (ImplementFilteredAggregations.java + RewriteDistinctAggregates):
+    count(DISTINCT x) FILTER (WHERE p) compiles through Catalyst's Expand
+    path; mixed with a plain filtered SUM in the same aggregation."""
+    t = T(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("o_totalprice") > 200000, F.col("o_custkey"))
+            ).alias("rich_custs"),
+            F.count_distinct(
+                F.when(F.col("o_orderkey") % 2 == 0, F.col("o_orderpriority"))
+            ).alias("even_prios"),
+            F.sum(
+                F.when(F.col("o_custkey") % 10 == 0, F.col("o_orderkey"))
+            ).alias("decile_keysum"),
+        )
+        .orderBy("o_orderstatus")
+    )
