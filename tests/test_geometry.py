@@ -783,3 +783,77 @@ class TestClipperFuzz:
             assert G.geom_intersection(a, b).is_empty()
             aa, ab = G.geom_area(a), G.geom_area(b)
             assert abs(G.geom_area(G.geom_union(a, b)) - (aa + ab)) < 1e-9
+
+
+class TestSphericalGeography:
+    """stSphericalArea / stSphericalLength (functions/spherical.py)."""
+
+    def test_octant_exact(self):
+        from trino_private_spark.functions.spherical import (
+            EARTH_RADIUS_M,
+            geom_spherical_area,
+        )
+
+        sphere = 4 * math.pi * EARTH_RADIUS_M**2
+        area = geom_spherical_area(g("POLYGON ((0 0, 90 0, 0 90, 0 0))"))
+        assert abs(area - sphere / 8) / (sphere / 8) < 1e-12
+
+    def test_orientation_invariant(self):
+        from trino_private_spark.functions.spherical import geom_spherical_area
+
+        a = geom_spherical_area(g("POLYGON ((0 0, 90 0, 0 90, 0 0))"))
+        b = geom_spherical_area(g("POLYGON ((0 0, 0 90, 90 0, 0 0))"))
+        assert abs(a - b) < 1e-3
+
+    def test_small_square_matches_planar(self):
+        from trino_private_spark.functions.spherical import (
+            EARTH_RADIUS_M,
+            geom_spherical_area,
+        )
+
+        deg = math.pi / 180 * EARTH_RADIUS_M
+        approx = deg * deg * math.cos(math.radians(0.5))
+        area = geom_spherical_area(g("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+        assert abs(area - approx) / approx < 1e-3
+
+    def test_polar_cap_winding_correction(self):
+        from trino_private_spark.functions.spherical import (
+            EARTH_RADIUS_M,
+            geom_spherical_area,
+        )
+
+        pts = ", ".join(f"{lon} 80" for lon in range(0, 360, 10)) + ", 0 80"
+        cap = geom_spherical_area(g(f"POLYGON (({pts}))"))
+        smooth = 2 * math.pi * EARTH_RADIUS_M**2 * (1 - math.sin(math.radians(80)))
+        # 36-gon inscribed cap: slightly smaller than the smooth cap
+        assert 0.97 * smooth < cap < smooth
+
+    def test_hole_subtracts(self):
+        from trino_private_spark.functions.spherical import geom_spherical_area
+
+        full = geom_spherical_area(g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"))
+        hole = geom_spherical_area(g("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))"))
+        holed = geom_spherical_area(
+            g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+        )
+        assert abs(holed - (full - hole)) < 1.0
+
+    def test_length_quarter_equator(self):
+        from trino_private_spark.functions.spherical import (
+            EARTH_RADIUS_M,
+            geom_spherical_length,
+        )
+
+        got = geom_spherical_length(g("LINESTRING (0 0, 90 0)"))
+        assert abs(got - math.pi * EARTH_RADIUS_M / 2) < 1e-3
+
+    def test_kind_checks(self):
+        from trino_private_spark.functions.spherical import (
+            geom_spherical_area,
+            geom_spherical_length,
+        )
+
+        with pytest.raises(ValueError):
+            geom_spherical_area(g("LINESTRING (0 0, 1 1)"))
+        with pytest.raises(ValueError):
+            geom_spherical_length(g(SQUARE))

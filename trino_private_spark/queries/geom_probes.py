@@ -488,3 +488,51 @@ def p_geom_buffer_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("e_ok").alias("extent_ok"),
         F.count(F.lit(1)).alias("n_checked"),
     )
+
+
+@probe(
+    "p_spherical_area",
+    oracle="""
+    SELECT TRUE AS tri_ok, TRUE AS len_ok,
+           (SELECT COUNT(*) FROM supplier WHERE s_suppkey <= 150) AS n_checked
+    """,
+    tags=("geometry",),
+)
+def p_spherical_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SphericalGeography measures (functions/spherical.py —
+    GeoFunctions.java stSphericalArea/stSphericalLength, R = 6371.01 km).
+    Per supplier a pole-equator-equator triangle spanning L degrees of
+    longitude: its spherical area is EXACTLY radians(L) * R^2 (octant =
+    1/8 sphere at L=90), and a meridian arc of length D degrees measures
+    radians(D) * R — both checked to 1e-9 relative."""
+    import math
+
+    from trino_private_spark.functions import spherical as S
+
+    t = T(spark, sf_dir)
+    base = t.supplier.where(F.col("s_suppkey") <= 150).select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 89 + 1).cast("int").alias("L"),
+        (F.col("s_suppkey") % 79 + 1).cast("int").alias("D"),
+    )
+    tri = F.concat(
+        F.lit("POLYGON ((0 0, "), F.cast("string", F.col("L")),
+        F.lit(" 0, 0 90, 0 0))"),
+    )
+    arc = F.concat(
+        F.lit("LINESTRING (10 0, 10 "), F.cast("string", F.col("D")), F.lit(")")
+    )
+    r2 = S.EARTH_RADIUS_M * S.EARTH_RADIUS_M
+    area = S.st_geography_area(tri)
+    length = S.st_geography_length(arc)
+    expect_area = F.radians(F.col("L").cast("double")) * r2
+    expect_len = F.radians(F.col("D").cast("double")) * S.EARTH_RADIUS_M
+    checked = base.select(
+        (F.abs(area - expect_area) / expect_area < 1e-9).alias("a_ok"),
+        (F.abs(length - expect_len) / expect_len < 1e-9).alias("l_ok"),
+    )
+    return checked.agg(
+        F.min("a_ok").alias("tri_ok"),
+        F.min("l_ok").alias("len_ok"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
