@@ -857,3 +857,41 @@ class TestSphericalGeography:
             geom_spherical_area(g("LINESTRING (0 0, 1 1)"))
         with pytest.raises(ValueError):
             geom_spherical_length(g(SQUARE))
+
+
+class TestGeometryAggregates:
+    def test_line_locate_variants(self):
+        from trino_private_spark.functions.geometry_agg import _line_locate
+
+        line = g("LINESTRING (0 0, 10 0)")
+        assert _line_locate(line, g("POINT (3 5)")) == 0.3
+        assert _line_locate(line, g("POINT (-4 1)")) == 0.0
+        assert _line_locate(line, g("POINT (15 0)")) == 1.0
+        ml = g("MULTILINESTRING ((0 0, 4 0), (4 0, 4 4))")
+        assert _line_locate(ml, g("POINT (5 3)")) == 0.875
+        with pytest.raises(ValueError):
+            _line_locate(g(SQUARE), g("POINT (0 0)"))
+        with pytest.raises(ValueError):
+            _line_locate(line, g(SQUARE))
+
+    def test_union_agg_chain(self, spark):
+        from trino_private_spark.functions.geometry_agg import geometry_union_agg
+
+        rows = [
+            ("a", f"POLYGON (({r} {r}, {r+2} {r}, {r+2} {r+2}, {r} {r+2}, {r} {r}))")
+            for r in range(5)
+        ]
+        df = spark.createDataFrame(rows, "grp string, wkt string")
+        out = geometry_union_agg(df, "wkt", ["grp"]).collect()
+        assert len(out) == 1
+        assert abs(G.geom_area(g(out[0]["geom"])) - 16.0) < 1e-9
+
+    def test_hull_agg(self, spark):
+        from trino_private_spark.functions.geometry_agg import convex_hull_agg
+
+        rows = [("a", "POINT (0 0)"), ("a", "POINT (4 0)"), ("a", "POINT (0 4)"),
+                ("a", "POINT (1 1)"), ("b", "LINESTRING (0 0, 2 0)")]
+        df = spark.createDataFrame(rows, "grp string, wkt string")
+        out = {r["grp"]: r["hull"] for r in convex_hull_agg(df, "wkt", ["grp"]).collect()}
+        assert abs(G.geom_area(g(out["a"])) - 8.0) < 1e-9  # right triangle
+        assert G.geom_area(g(out["b"])) == 0.0  # collinear -> degenerate hull

@@ -536,3 +536,80 @@ def p_spherical_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_ok").alias("len_ok"),
         F.count(F.lit(1)).alias("n_checked"),
     )
+
+
+@probe(
+    "p_line_locate",
+    oracle="""
+    SELECT s_suppkey,
+           ROUND(LEAST(GREATEST(CAST(s_suppkey % 11 AS DOUBLE), 0), s_suppkey % 7 + 3)
+                 / (s_suppkey % 7 + 3), 9) AS frac
+    FROM supplier WHERE s_suppkey <= 200 ORDER BY s_suppkey
+    """,
+    tags=("geometry",),
+)
+def p_line_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """line_locate_point (GeoFunctions.java:630): fraction of the line's
+    length at the closest point.  Axis-aligned lines make the projection a
+    clamp — exact closed-form division on both engines."""
+    from trino_private_spark.functions import geometry_agg as GA
+
+    t = T(spark, sf_dir)
+    base = t.supplier.where(F.col("s_suppkey") <= 200).select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 7 + 3).alias("L"),
+        (F.col("s_suppkey") % 11).alias("px"),
+    )
+    line = F.concat(F.lit("LINESTRING (0 0, "), F.cast("string", F.col("L")), F.lit(" 0)"))
+    pt = F.concat(
+        F.lit("POINT ("), F.cast("string", F.col("px")), F.lit(" "),
+        F.cast("string", F.col("s_suppkey") % 3 - 1), F.lit(")"),
+    )
+    return base.select(
+        "s_suppkey",
+        F.round(GA.line_locate_point(line, pt), 9).alias("frac"),
+    ).orderBy("s_suppkey")
+
+
+@probe(
+    "p_spatial_agg",
+    oracle="""
+    SELECT CAST(n_nationkey % 5 AS BIGINT) AS grp,
+           CAST(16 AS BIGINT) AS union_area,
+           CAST(20 AS BIGINT) AS hull_area
+    FROM nation GROUP BY n_nationkey % 5 ORDER BY grp
+    """,
+    tags=("geometry",),
+)
+def p_spatial_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial aggregates (ConvexHullAggregation.java /
+    GeometryUnionAgg.java): five diagonal 2x2 squares per group at offsets
+    r=0..4 — geometry_union_agg area = 4m - (m-1) = 16 (consecutive
+    squares overlap 1x1) and convex_hull_agg area = (m+1)^2 - (m-1)^2 =
+    20, both closed-form."""
+    from trino_private_spark.functions import geometry_agg as GA
+    from trino_private_spark.functions import geometry as G
+
+    t = T(spark, sf_dir)
+    r = (F.col("n_nationkey") / 5).cast("int")
+
+    def n(c):
+        return F.cast("string", c)
+
+    sq = F.concat(
+        F.lit("POLYGON (("),
+        n(r), F.lit(" "), n(r), F.lit(", "),
+        n(r + 2), F.lit(" "), n(r), F.lit(", "),
+        n(r + 2), F.lit(" "), n(r + 2), F.lit(", "),
+        n(r), F.lit(" "), n(r + 2), F.lit(", "),
+        n(r), F.lit(" "), n(r),
+        F.lit("))"),
+    )
+    base = t.nation.select((F.col("n_nationkey") % 5).cast("long").alias("grp"), sq.alias("wkt"))
+    uni = GA.geometry_union_agg(base, "wkt", ["grp"]).select(
+        "grp", F.round(G.st_area(F.col("geom"))).cast("long").alias("union_area")
+    )
+    hull = GA.convex_hull_agg(base, "wkt", ["grp"]).select(
+        "grp", F.round(G.st_area(F.col("hull"))).cast("long").alias("hull_area")
+    )
+    return uni.join(hull, "grp").orderBy("grp")
