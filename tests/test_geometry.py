@@ -895,3 +895,81 @@ class TestGeometryAggregates:
         out = {r["grp"]: r["hull"] for r in convex_hull_agg(df, "wkt", ["grp"]).collect()}
         assert abs(G.geom_area(g(out["a"])) - 8.0) < 1e-9  # right triangle
         assert G.geom_area(g(out["b"])) == 0.0  # collinear -> degenerate hull
+
+
+class TestGeometryExt:
+    def test_geojson_roundtrip(self):
+        from trino_private_spark.functions.geometry_ext import (
+            geom_from_geojson,
+            geom_to_geojson,
+        )
+
+        for w in (
+            "POINT (1 2)",
+            "LINESTRING (0 0, 1 1)",
+            SQUARE_HOLE,
+            "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))",
+            "MULTIPOINT (1 2, 3 4)",
+            "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))",
+        ):
+            assert G.to_wkt(geom_from_geojson(geom_to_geojson(g(w)))) == w
+
+    def test_line_interpolate(self):
+        from trino_private_spark.functions.geometry_ext import line_interpolate
+
+        assert line_interpolate(g("LINESTRING (0 0, 10 0)"), 0.3) == "POINT (3 0)"
+        assert line_interpolate(g("LINESTRING (0 0, 4 0, 4 4)"), 0.75) == "POINT (4 2)"
+        assert line_interpolate(g("LINESTRING (0 0, 10 0)"), 0.0) == "POINT (0 0)"
+        assert line_interpolate(g("LINESTRING (0 0, 10 0)"), 1.0) == "POINT (10 0)"
+        with pytest.raises(ValueError):
+            line_interpolate(g("LINESTRING (0 0, 1 0)"), 1.5)
+        with pytest.raises(ValueError):
+            line_interpolate(g(SQUARE), 0.5)
+
+    def test_simplify(self):
+        from trino_private_spark.functions.geometry_ext import simplify_dp
+
+        out = simplify_dp(g("LINESTRING (0 0, 5 0.1, 10 0)"), 0.5)
+        assert len(out.coords) == 2
+        keep = simplify_dp(g("LINESTRING (0 0, 5 3, 10 0)"), 0.5)
+        assert len(keep.coords) == 3
+        poly = simplify_dp(g("POLYGON ((0 0, 2 0.01, 4 0, 4 4, 0 4, 0 0))"), 0.1)
+        assert G.geom_area(poly) == 16.0
+        with pytest.raises(ValueError):
+            simplify_dp(g(SQUARE), -1.0)
+
+    def test_is_simple_and_invalid_reason(self):
+        from trino_private_spark.functions.geometry_ext import (
+            geom_invalid_reason,
+            geom_is_simple,
+        )
+
+        assert not geom_is_simple(g("LINESTRING (0 0, 2 2, 2 0, 0 2)"))
+        assert geom_is_simple(g("LINESTRING (0 0, 1 1, 2 0)"))
+        assert not geom_is_simple(g("MULTIPOINT (1 1, 1 1)"))
+        assert geom_is_simple(g(SQUARE))
+        assert geom_invalid_reason(g(SQUARE)) is None
+        assert "self-intersecting" in geom_invalid_reason(
+            g("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")
+        )
+        assert "outside shell" in geom_invalid_reason(
+            g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (10 10, 11 10, 11 11, 10 11, 10 10))")
+        )
+
+    def test_nearest_points(self):
+        from trino_private_spark.functions.geometry_ext import nearest_points
+
+        got = nearest_points(g("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"), g("POINT (5 1)"))
+        assert got == ["POINT (2 1)", "POINT (5 1)"]
+        got2 = nearest_points(g("LINESTRING (0 0, 0 4)"), g("LINESTRING (3 1, 6 1)"))
+        assert got2 == ["POINT (0 1)", "POINT (3 1)"]
+
+    def test_geometry_union_list(self):
+        from trino_private_spark.functions.geometry_ext import geometry_union_list
+
+        ws = [
+            "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+            "POLYGON ((1 0, 3 0, 3 2, 1 2, 1 0))",
+            "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))",
+        ]
+        assert abs(G.geom_area(g(geometry_union_list(ws))) - 8.0) < 1e-9

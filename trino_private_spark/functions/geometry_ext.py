@@ -1,0 +1,429 @@
+"""Geospatial surface completion — codecs, line referencing, simplify,
+accessors, diagnostics.
+
+Reference (plugin/trino-geospatial/.../GeoFunctions.java):
+- ``to_geojson_geometry`` / ``from_geojson_geometry`` — GeoJSON codec
+  (RFC 7946; the reference round-trips through ESRI's GeoJson import);
+- ``line_interpolate_point`` / ``line_interpolate_points`` — point(s) at
+  fraction(s) along a LineString's length;
+- ``simplify_geometry`` — Douglas-Peucker with the given tolerance
+  (the reference delegates to ESRI's generalize);
+- ``ST_Geometries`` / ``ST_InteriorRings`` — component/ring arrays;
+- ``geometry_nearest_points`` — the closest point pair between two
+  geometries (ties broken deterministically);
+- ``ST_IsSimple`` (general) and ``geometry_invalid_reason``;
+- ``geometry_union`` — union of an ARRAY of geometries (scalar form of
+  GeometryUnionAgg).
+
+All pure-kernel functions lifted as Arrow-batched pandas UDFs over WKT —
+the same carrier and scale posture as functions/geometry.py.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+import pandas as pd
+
+from trino_private_spark.functions.geometry import (
+    GEOMETRY_UDFS,
+    Geom,
+    _assemble_pieces,
+    _pieces_difference,
+    _point_in_ring,
+    _polygon_convex_pieces,
+    _is_ring_simple,
+    _segments_cross_properly,
+    _u1,
+    _u2,
+    pandas_udf,
+    parse_wkt,
+    to_wkt,
+)
+
+__all__ = [
+    "geom_to_geojson",
+    "geom_from_geojson",
+    "line_interpolate",
+    "simplify_dp",
+    "geom_is_simple",
+    "geom_invalid_reason",
+    "nearest_points",
+    "geometry_union_list",
+]
+
+
+# --------------------------------------------------------------------------
+# GeoJSON codec
+# --------------------------------------------------------------------------
+
+
+def geom_to_geojson(g: Geom) -> str:
+    def ring_coords(r):
+        return [[float(x), float(y)] for x, y in r]
+
+    if g.kind == "Point":
+        return json.dumps(
+            {"type": "Point", "coordinates": [] if g.pt is None else [float(g.pt[0]), float(g.pt[1])]}
+        )
+    if g.kind == "LineString":
+        return json.dumps(
+            {"type": "LineString", "coordinates": ring_coords(g.coords if g.coords is not None else [])}
+        )
+    if g.kind == "Polygon":
+        return json.dumps(
+            {"type": "Polygon", "coordinates": [ring_coords(r) for r in g.rings]}
+        )
+    if g.kind == "MultiPoint":
+        return json.dumps(
+            {"type": "MultiPoint", "coordinates": [[float(p.pt[0]), float(p.pt[1])] for p in g.parts if p.pt is not None]}
+        )
+    if g.kind == "MultiLineString":
+        return json.dumps(
+            {"type": "MultiLineString", "coordinates": [ring_coords(p.coords) for p in g.parts]}
+        )
+    if g.kind == "MultiPolygon":
+        return json.dumps(
+            {"type": "MultiPolygon", "coordinates": [[ring_coords(r) for r in p.rings] for p in g.parts]}
+        )
+    if g.kind == "GeometryCollection":
+        return json.dumps(
+            {"type": "GeometryCollection", "geometries": [json.loads(geom_to_geojson(p)) for p in g.parts]}
+        )
+    raise ValueError(f"cannot encode {g.kind}")
+
+
+def geom_from_geojson(s: str) -> Geom:
+    d = json.loads(s)
+    t = d.get("type")
+    c = d.get("coordinates")
+
+    def ring(arr):
+        return np.array(arr, dtype=float)
+
+    if t == "Point":
+        return Geom("Point", pt=None if not c else (float(c[0]), float(c[1])))
+    if t == "LineString":
+        return Geom("LineString", coords=ring(c))
+    if t == "Polygon":
+        return Geom("Polygon", rings=[ring(r) for r in c])
+    if t == "MultiPoint":
+        return Geom("MultiPoint", parts=[Geom("Point", pt=(float(p[0]), float(p[1]))) for p in c])
+    if t == "MultiLineString":
+        return Geom("MultiLineString", parts=[Geom("LineString", coords=ring(l)) for l in c])
+    if t == "MultiPolygon":
+        return Geom(
+            "MultiPolygon",
+            parts=[Geom("Polygon", rings=[ring(r) for r in poly]) for poly in c],
+        )
+    if t == "GeometryCollection":
+        return Geom(
+            "GeometryCollection",
+            parts=[geom_from_geojson(json.dumps(x)) for x in d.get("geometries", [])],
+        )
+    raise ValueError(f"Invalid GeoJSON: {t}")
+
+
+# --------------------------------------------------------------------------
+# Line interpolation
+# --------------------------------------------------------------------------
+
+
+def line_interpolate(line: Geom, fraction: float):
+    """Point WKT at ``fraction`` of the LineString's length
+    (line_interpolate_point; fraction outside [0,1] raises as in the
+    reference)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"line_interpolate_point: fraction must be in [0, 1]: {fraction}")
+    if line.kind != "LineString":
+        raise ValueError(f"line_interpolate_point only applies to LINE_STRING. Input type is: {line.kind}")
+    c = np.asarray(line.coords, dtype=float)
+    seg_lens = np.hypot(*(c[1:] - c[:-1]).T)
+    total = float(seg_lens.sum())
+    if total == 0:
+        p = c[0]
+        return f"POINT ({p[0]:g} {p[1]:g})"
+    target = fraction * total
+    cum = 0.0
+    for i, seg in enumerate(seg_lens):
+        if cum + seg >= target or i == len(seg_lens) - 1:
+            t = 0.0 if seg == 0 else (target - cum) / seg
+            t = min(max(t, 0.0), 1.0)
+            p = c[i] + t * (c[i + 1] - c[i])
+            return f"POINT ({p[0]:g} {p[1]:g})"
+        cum += seg
+    raise AssertionError("unreachable")
+
+
+# --------------------------------------------------------------------------
+# Douglas-Peucker simplification
+# --------------------------------------------------------------------------
+
+
+def _dp(points: np.ndarray, tol: float) -> np.ndarray:
+    if len(points) < 3:
+        return points
+    a, b = points[0], points[-1]
+    ab = b - a
+    denom = float(np.hypot(*ab))
+    if denom == 0:
+        d = np.hypot(*(points[1:-1] - a).T)
+    else:
+        d = np.abs(np.cross(ab, points[1:-1] - a)) / denom
+    idx = int(np.argmax(d))
+    if d[idx] > tol:
+        left = _dp(points[: idx + 2], tol)
+        right = _dp(points[idx + 1 :], tol)
+        return np.vstack([left[:-1], right])
+    return np.vstack([a, b])
+
+
+def simplify_dp(g: Geom, tolerance: float) -> Geom:
+    """simplify_geometry: Douglas-Peucker per line/ring; rings keep at
+    least 4 points (closed triangle) or collapse to nothing."""
+    if tolerance < 0 or math.isnan(tolerance):
+        raise ValueError("simplification tolerance must be a non-negative finite number")
+    if g.kind == "LineString":
+        return Geom("LineString", coords=_dp(np.asarray(g.coords, dtype=float), tolerance))
+    if g.kind == "Polygon":
+        rings = []
+        for r in g.rings:
+            arr = np.asarray(r, dtype=float)
+            # keep ring closure: simplify the open path, re-close
+            s = _dp(arr, tolerance)
+            if len(s) >= 4:
+                rings.append(s)
+        if not rings:
+            return Geom("Polygon")
+        return Geom("Polygon", rings=rings)
+    if g.kind in ("MultiLineString", "MultiPolygon", "GeometryCollection"):
+        parts = [simplify_dp(p, tolerance) for p in g.parts]
+        return Geom(g.kind, parts=[p for p in parts if not p.is_empty()])
+    return g  # points are already minimal
+
+
+# --------------------------------------------------------------------------
+# Simplicity / validity diagnostics
+# --------------------------------------------------------------------------
+
+
+def geom_is_simple(g: Geom) -> bool:
+    """ST_IsSimple: no anomalous self-intersection.  Points always; a
+    MultiPoint iff no repeated points; lines iff no proper
+    self-crossing; polygons iff every ring is simple."""
+    if g.kind == "Point":
+        return True
+    if g.kind == "MultiPoint":
+        pts = [tuple(p.pt) for p in g.parts if p.pt is not None]
+        return len(pts) == len(set(pts))
+    if g.kind in ("LineString", "MultiLineString"):
+        for part in g.flatten():
+            c = np.asarray(part.coords, dtype=float)
+            segs = [(tuple(c[i]), tuple(c[i + 1])) for i in range(len(c) - 1)]
+            for i in range(len(segs)):
+                for j in range(i + 1, len(segs)):
+                    if _segments_cross_properly(*segs[i], *segs[j]):
+                        return False
+        return True
+    if g.kind in ("Polygon", "MultiPolygon"):
+        for part in g.flatten():
+            for r in part.rings:
+                if not _is_ring_simple(np.asarray(r, dtype=float)):
+                    return False
+        return True
+    return all(geom_is_simple(p) for p in g.parts)
+
+
+def geom_invalid_reason(g: Geom):
+    """geometry_invalid_reason: NULL when valid, else a human-readable
+    cause (self-intersecting ring, hole outside shell, too-few points)."""
+    if g.kind in ("Polygon", "MultiPolygon"):
+        for part in g.flatten():
+            for i, r in enumerate(part.rings):
+                arr = np.asarray(r, dtype=float)
+                if len(arr) < 4:
+                    return "Polygon ring has too few points"
+                if not _is_ring_simple(arr):
+                    which = "Exterior" if i == 0 else "Interior"
+                    return f"{which} ring is self-intersecting"
+            shell = part.rings[0] if part.rings else None
+            for hole in part.rings[1:]:
+                mid = hole[:-1].mean(axis=0)
+                if shell is not None and _point_in_ring((float(mid[0]), float(mid[1])), shell) == 0:
+                    return "Hole lies outside shell"
+    if g.kind in ("LineString", "MultiLineString"):
+        for part in g.flatten():
+            if part.coords is not None and len(part.coords) < 2:
+                return "LineString has too few points"
+    return None
+
+
+# --------------------------------------------------------------------------
+# Nearest points / list union
+# --------------------------------------------------------------------------
+
+
+def _all_segments(g: Geom):
+    for part in g.flatten():
+        if part.kind == "Point" and part.pt is not None:
+            yield (part.pt, part.pt)
+        elif part.kind == "LineString":
+            c = part.coords
+            for i in range(len(c) - 1):
+                yield (tuple(c[i]), tuple(c[i + 1]))
+        elif part.kind == "Polygon":
+            for r in part.rings:
+                for i in range(len(r) - 1):
+                    yield (tuple(r[i]), tuple(r[i + 1]))
+
+
+def _seg_seg_nearest(a, b, c, d):
+    """Closest point pair between segments ab and cd."""
+    cands = []
+
+    def pt_on_seg(p, a, b):
+        ax, ay = a
+        bx, by = b
+        px, py = p
+        dx, dy = bx - ax, by - ay
+        L2 = dx * dx + dy * dy
+        if L2 == 0:
+            return a
+        t = ((px - ax) * dx + (py - ay) * dy) / L2
+        t = min(max(t, 0.0), 1.0)
+        return (ax + t * dx, ay + t * dy)
+
+    for p in (a, b):
+        q = pt_on_seg(p, c, d)
+        cands.append((p, q))
+    for p in (c, d):
+        q = pt_on_seg(p, a, b)
+        cands.append((q, p))
+    best = min(cands, key=lambda pq: (pq[0][0] - pq[1][0]) ** 2 + (pq[0][1] - pq[1][1]) ** 2)
+    return best
+
+
+def nearest_points(g1: Geom, g2: Geom):
+    """geometry_nearest_points: the closest boundary point pair as
+    (POINT wkt, POINT wkt); null for empty inputs."""
+    if g1.is_empty() or g2.is_empty():
+        return None
+    best = None
+    best_d = float("inf")
+    segs2 = list(_all_segments(g2))
+    for s1 in _all_segments(g1):
+        for s2 in segs2:
+            p, q = _seg_seg_nearest(s1[0], s1[1], s2[0], s2[1])
+            d = (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+            if d < best_d:
+                best_d = d
+                best = (p, q)
+    return [f"POINT ({best[0][0]:g} {best[0][1]:g})", f"POINT ({best[1][0]:g} {best[1][1]:g})"]
+
+
+def geometry_union_list(wkts) -> str:
+    """geometry_union(array(Geometry)) — scalar union of a list, via the
+    clipper's disjoint pieces (polygons) or collection semantics."""
+    out_pieces: list = []
+    prior: list = []
+    for w in wkts:
+        if w is None:
+            continue
+        g = parse_wkt(w)
+        pieces = _polygon_convex_pieces(g)
+        out_pieces.extend(_pieces_difference(pieces, prior))
+        prior.extend(pieces)
+    return to_wkt(_assemble_pieces(out_pieces))
+
+
+# --------------------------------------------------------------------------
+# UDF registrations
+# --------------------------------------------------------------------------
+
+to_geojson_geometry = _u1("string", geom_to_geojson)
+GEOMETRY_UDFS["to_geojson_geometry"] = to_geojson_geometry
+
+
+@pandas_udf("string")
+def from_geojson_geometry(s: pd.Series) -> pd.Series:
+    return s.map(lambda w: None if w is None else to_wkt(geom_from_geojson(w)))
+
+
+GEOMETRY_UDFS["from_geojson_geometry"] = from_geojson_geometry
+
+
+@pandas_udf("string")
+def line_interpolate_point(s: pd.Series, f: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if w is None else line_interpolate(parse_wkt(w), float(x))
+            for w, x in zip(s, f)
+        ]
+    )
+
+
+GEOMETRY_UDFS["line_interpolate_point"] = line_interpolate_point
+
+
+@pandas_udf("string")
+def simplify_geometry(s: pd.Series, tol: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if w is None else to_wkt(simplify_dp(parse_wkt(w), float(t)))
+            for w, t in zip(s, tol)
+        ]
+    )
+
+
+GEOMETRY_UDFS["simplify_geometry"] = simplify_geometry
+
+st_is_simple = _u1("boolean", geom_is_simple)
+GEOMETRY_UDFS["st_is_simple"] = st_is_simple
+geometry_invalid_reason_udf = _u1("string", geom_invalid_reason)
+GEOMETRY_UDFS["geometry_invalid_reason"] = geometry_invalid_reason_udf
+geometry_nearest_points = _u2("array<string>", nearest_points)
+GEOMETRY_UDFS["geometry_nearest_points"] = geometry_nearest_points
+
+
+@pandas_udf("string")
+def st_geometries(s: pd.Series) -> pd.Series:
+    def go(w):
+        if w is None:
+            return None
+        g = parse_wkt(w)
+        if g.is_empty():
+            return None
+        return json.dumps([to_wkt(p) for p in (g.flatten() if g.parts else [g])])
+
+    return s.map(go)
+
+
+GEOMETRY_UDFS["st_geometries"] = st_geometries
+
+
+@pandas_udf("string")
+def st_interior_rings(s: pd.Series) -> pd.Series:
+    def go(w):
+        if w is None:
+            return None
+        g = parse_wkt(w)
+        if g.kind != "Polygon":
+            return None
+        return json.dumps(
+            [to_wkt(Geom("LineString", coords=r.copy())) for r in g.rings[1:]]
+        )
+
+    return s.map(go)
+
+
+GEOMETRY_UDFS["st_interior_rings"] = st_interior_rings
+
+
+@pandas_udf("string")
+def geometry_union(arr: pd.Series) -> pd.Series:
+    return arr.map(lambda ws: None if ws is None else geometry_union_list(list(ws)))
+
+
+GEOMETRY_UDFS["geometry_union"] = geometry_union

@@ -613,3 +613,95 @@ def p_spatial_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp", F.round(G.st_area(F.col("hull"))).cast("long").alias("hull_area")
     )
     return uni.join(hull, "grp").orderBy("grp")
+
+
+@probe(
+    "p_geometry_ext",
+    oracle="""
+    SELECT s_suppkey,
+           CAST((s_suppkey % 4 + 1) * (s_suppkey % 6 + 5) AS BIGINT) AS interp_x5,
+           CAST(4 * (s_suppkey % 4 + 1) * (s_suppkey % 4 + 1) AS BIGINT) AS gj_area,
+           CAST(2 AS BIGINT) AS simp_pts,
+           CAST(s_suppkey % 5 + 1 AS BIGINT) AS near_dist,
+           CASE WHEN s_suppkey % 2 = 0 THEN 'Exterior ring is self-intersecting' END AS reason,
+           CAST(2 * ((s_suppkey % 3 + 2) + 1) AS BIGINT) AS chain_union_area
+    FROM supplier WHERE s_suppkey <= 200 ORDER BY s_suppkey
+    """,
+    tags=("geometry",),
+)
+def p_geometry_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial completion surface (functions/geometry_ext.py):
+    line_interpolate_point (axis line, exact fraction k/5),
+    GeoJSON round trip (area preserved), simplify_geometry (noisy midpoint
+    collapses to 2 points), geometry_nearest_points (square-to-point gap),
+    geometry_invalid_reason (bowtie vs valid square), and
+    geometry_union(array) over a 1-offset chain of 2x2 squares
+    (union area = 2*(m+1)) — every column closed-form."""
+    from trino_private_spark.functions import geometry as G
+    from trino_private_spark.functions import geometry_ext as GX
+
+    def n(c):
+        return F.cast("string", c)
+
+    t = T(spark, sf_dir)
+    base = t.supplier.where(F.col("s_suppkey") <= 200).select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 6 + 5).alias("L"),
+        (F.col("s_suppkey") % 4 + 1).alias("k"),   # fraction k/5; square side k
+        (F.col("s_suppkey") % 5 + 1).alias("gap"),
+        (F.col("s_suppkey") % 3 + 2).alias("m"),   # chain length
+    )
+    L, k, gap, m = F.col("L"), F.col("k"), F.col("gap"), F.col("m")
+    line = F.concat(F.lit("LINESTRING (0 0, "), n(L), F.lit(" 0)"))
+    interp = GX.GEOMETRY_UDFS["line_interpolate_point"](line, k.cast("double") / 5)
+    # x-coordinate * 5 = k * L exactly
+    interp_x5 = F.round(G.GEOMETRY_UDFS["st_x_wkt"](interp) * 5).cast("long")
+
+    sq = F.concat(
+        F.lit("POLYGON ((0 0, "), n(2 * k), F.lit(" 0, "), n(2 * k), F.lit(" "),
+        n(2 * k), F.lit(", 0 "), n(2 * k), F.lit(", 0 0))"),
+    )
+    gj_rt = GX.GEOMETRY_UDFS["from_geojson_geometry"](
+        GX.GEOMETRY_UDFS["to_geojson_geometry"](sq)
+    )
+    gj_area = F.round(G.st_area(gj_rt)).cast("long")
+
+    noisy = F.concat(
+        F.lit("LINESTRING (0 0, "), n(L), F.lit(" 0.01, "), n(2 * L), F.lit(" 0)")
+    )
+    simp = GX.GEOMETRY_UDFS["simplify_geometry"](noisy, F.lit(0.5))
+    simp_pts = G.GEOMETRY_UDFS["st_num_points"](simp).cast("long")
+
+    pt = F.concat(F.lit("POINT ("), n(2 * k + gap), F.lit(" 1)"))
+    pair = GX.GEOMETRY_UDFS["geometry_nearest_points"](sq, pt)
+    near_dist = F.round(
+        G.GEOMETRY_UDFS["st_distance_planar"](
+            F.element_at(pair, 1), F.element_at(pair, 2)
+        )
+    ).cast("long")
+
+    bowtie = F.lit("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")
+    reason = GX.GEOMETRY_UDFS["geometry_invalid_reason"](
+        F.when(F.col("s_suppkey") % 2 == 0, bowtie).otherwise(sq)
+    )
+
+    chain = F.transform(
+        F.sequence(F.lit(0), m - 1),
+        lambda r: F.concat(
+            F.lit("POLYGON (("), n(r), F.lit(" 0, "), n(r + 2), F.lit(" 0, "),
+            n(r + 2), F.lit(" 2, "), n(r), F.lit(" 2, "), n(r), F.lit(" 0))"),
+        ),
+    )
+    chain_area = F.round(
+        G.st_area(GX.GEOMETRY_UDFS["geometry_union"](chain))
+    ).cast("long")
+
+    return base.select(
+        "s_suppkey",
+        interp_x5.alias("interp_x5"),
+        gj_area.alias("gj_area"),
+        simp_pts.alias("simp_pts"),
+        near_dist.alias("near_dist"),
+        reason.alias("reason"),
+        chain_area.alias("chain_union_area"),
+    ).orderBy("s_suppkey")
