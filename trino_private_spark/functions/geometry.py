@@ -333,8 +333,11 @@ def to_wkt(g: Geom) -> str:
 
 
 def _ring_signed_area(r: np.ndarray) -> float:
-    x, y = r[:-1, 0], r[:-1, 1]
-    x2, y2 = r[1:, 0], r[1:, 1]
+    # anchored at the first vertex: the raw shoelace cancels
+    # catastrophically for small rings far from the origin
+    ox, oy = r[0, 0], r[0, 1]
+    x, y = r[:-1, 0] - ox, r[:-1, 1] - oy
+    x2, y2 = r[1:, 0] - ox, r[1:, 1] - oy
     return float(np.sum(x * y2 - x2 * y)) / 2.0
 
 
@@ -370,6 +373,16 @@ def geom_centroid(g: Geom) -> tuple[float, float] | None:
     if g.is_empty():
         return None
     if dim == 2:
+        # anchor the shoelace at a local origin: for a small polygon far
+        # from (0,0) the raw x*y2 - x2*y terms cancel catastrophically
+        # (error ~coordinate_magnitude^2 * eps, which dwarfs a tiny area)
+        ox = oy = None
+        for p in g.flatten():
+            if p.kind == "Polygon" and p.rings:
+                ox, oy = float(p.rings[0][0][0]), float(p.rings[0][0][1])
+                break
+        if ox is None:
+            return None
         ax = ay = a = 0.0
         for p in g.flatten():
             if p.kind != "Polygon":
@@ -381,8 +394,8 @@ def geom_centroid(g: Geom) -> tuple[float, float] | None:
                 w = sign * abs(sa)
                 if sa == 0:
                     continue
-                x, y = r[:-1, 0], r[:-1, 1]
-                x2, y2 = r[1:, 0], r[1:, 1]
+                x, y = r[:-1, 0] - ox, r[:-1, 1] - oy
+                x2, y2 = r[1:, 0] - ox, r[1:, 1] - oy
                 cross = x * y2 - x2 * y
                 # centroid formula needs consistent orientation: scale by
                 # signed area then re-sign to shell/hole role
@@ -393,7 +406,7 @@ def geom_centroid(g: Geom) -> tuple[float, float] | None:
                 a += w
         if a == 0:
             return None
-        return (ax / a, ay / a)
+        return (ax / a + ox, ay / a + oy)
     if dim == 1:
         sx = sy = sl = 0.0
         for p in g.flatten():
