@@ -973,3 +973,64 @@ class TestGeometryExt:
             "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))",
         ]
         assert abs(G.geom_area(g(geometry_union_list(ws))) - 8.0) < 1e-9
+
+
+class TestDe9im:
+    """ST_Relate / DE-9IM (functions/geometry_relate.py)."""
+
+    def _m(self, a, b):
+        from trino_private_spark.functions.geometry_relate import de9im
+
+        return de9im(g(a), g(b))
+
+    def test_polygon_configurations(self):
+        sq = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+        assert self._m(sq, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))") == "212101212"
+        assert self._m(sq, "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))") == "FF2FF1212"
+        assert self._m(sq, "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))") == "FF2F11212"
+        assert self._m(sq, "POLYGON ((4 4, 5 4, 5 5, 4 5, 4 4))") == "FF2F01212"
+        assert self._m(sq, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))") == "212FF1FF2"
+        assert self._m(sq, sq) == "2FFF1FFF2"
+
+    def test_point_cases(self):
+        sq = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+        assert self._m("POINT (2 2)", sq) == "0FFFFF212"
+        assert self._m("POINT (0 2)", sq) == "F0FFFF212"
+        assert self._m("POINT (9 9)", sq) == "FF0FFF212"
+
+    def test_line_cases(self):
+        sq = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+        # crossing line: endpoints exterior -> BI=F, BE=0
+        assert self._m("LINESTRING (-1 2, 5 2)", sq) == "101FF0212"
+        # crossing lines (X): interiors meet at a point
+        assert self._m("LINESTRING (0 0, 2 2)", "LINESTRING (0 2, 2 0)") == "0F1FF0102"
+
+    def test_relate_pattern_matching(self):
+        from trino_private_spark.functions.geometry_relate import (
+            relate_pattern,
+            st_relate,
+        )
+
+        sq = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+        other = g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+        assert st_relate(sq, other, "T*T***T**")  # overlaps
+        assert not st_relate(sq, other, "FF*FF****")  # disjoint pattern
+        assert relate_pattern("212101212", "212101212")
+        assert relate_pattern("212101212", "*********")
+        with pytest.raises(ValueError):
+            relate_pattern("212101212", "TT")
+
+    def test_named_predicates_consistency(self):
+        # DE-9IM patterns must agree with the kernel's named predicates
+        from trino_private_spark.functions.geometry_relate import st_relate
+
+        sq = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+        inner = g("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+        touch = g("POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))")
+        assert st_relate(sq, inner, "T*****FF*") == G.geom_contains(sq, inner)
+        # OGC touches = FT******* | F**T***** | F***T****
+        touches_de9im = any(
+            st_relate(sq, touch, p) for p in ("FT*******", "F**T*****", "F***T****")
+        )
+        assert touches_de9im == G.geom_touches(sq, touch)
+        assert st_relate(sq, inner, "T********") == G.geom_intersects(sq, inner)

@@ -705,3 +705,45 @@ def p_geometry_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("reason"),
         chain_area.alias("chain_union_area"),
     ).orderBy("s_suppkey")
+
+
+@probe(
+    "p_st_relate",
+    oracle="""
+    SELECT s_suppkey,
+           CASE s_suppkey % 5
+             WHEN 0 THEN '212101212'  -- overlap
+             WHEN 1 THEN 'FF2FF1212'  -- disjoint
+             WHEN 2 THEN 'FF2F11212'  -- edge touch
+             WHEN 3 THEN '212FF1FF2'  -- contains
+             ELSE '2FFF1FFF2'         -- equals
+           END AS matrix,
+           CAST(s_suppkey % 5 = 0 AS BOOLEAN) AS is_overlap
+    FROM supplier WHERE s_suppkey <= 200 ORDER BY s_suppkey
+    """,
+    tags=("geometry",),
+)
+def p_st_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Relate / DE-9IM (functions/geometry_relate.py — GeoFunctions
+    stRelate): five canonical polygon configurations keyed per row, the
+    full 9-char matrix plus a pattern match — the expected strings are
+    the OGC-standard matrices for overlap / disjoint / edge-touch /
+    containment / equality."""
+    from trino_private_spark.functions import geometry_relate as R
+
+    t = T(spark, sf_dir)
+    a = F.lit("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    cfg = F.col("s_suppkey") % 5
+    b = (
+        F.when(cfg == 0, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+        .when(cfg == 1, "POLYGON ((9 9, 10 9, 10 10, 9 10, 9 9))")
+        .when(cfg == 2, "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))")
+        .when(cfg == 3, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+        .otherwise("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    )
+    base = t.supplier.where(F.col("s_suppkey") <= 200).select("s_suppkey")
+    return base.select(
+        "s_suppkey",
+        R.GEOMETRY_UDFS["geometry_de9im"](a, b).alias("matrix"),
+        R.GEOMETRY_UDFS["st_relate"](a, b, F.lit("T*T***T**")).alias("is_overlap"),
+    ).orderBy("s_suppkey")
