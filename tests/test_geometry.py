@@ -1034,3 +1034,48 @@ class TestDe9im:
         )
         assert touches_de9im == G.geom_touches(sq, touch)
         assert st_relate(sq, inner, "T********") == G.geom_intersects(sq, inner)
+
+
+class TestHadoopShape:
+    def test_roundtrip_all_kinds(self):
+        from trino_private_spark.functions.geometry_ext import (
+            geom_to_hadoop_shape,
+            hadoop_shape_to_geom,
+        )
+
+        for w in (
+            "POINT (3 4)",
+            "MULTIPOINT (1 2, 3 4)",
+            "LINESTRING (0 0, 1 1, 2 0)",
+            "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+            SQUARE,
+            SQUARE_HOLE,
+            "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))",
+        ):
+            gg = g(w)
+            rt = hadoop_shape_to_geom(geom_to_hadoop_shape(gg))
+            assert abs(G.geom_area(rt) - G.geom_area(gg)) < 1e-9, w
+            assert abs(G.geom_length(rt) - G.geom_length(gg)) < 1e-9, w
+            assert G.geom_centroid(rt) == G.geom_centroid(gg), w
+            assert rt.dimension() == gg.dimension(), w
+
+    def test_holes_attach_to_containing_shell(self):
+        from trino_private_spark.functions.geometry_ext import (
+            geom_to_hadoop_shape,
+            hadoop_shape_to_geom,
+        )
+
+        w = (
+            "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1)),"
+            " ((20 20, 30 20, 30 30, 20 30, 20 20), (21 21, 22 21, 22 22, 21 22, 21 21)))"
+        )
+        rt = hadoop_shape_to_geom(geom_to_hadoop_shape(g(w)))
+        assert rt.kind == "MultiPolygon"
+        assert all(len(p.rings) == 2 for p in rt.parts)
+        assert abs(G.geom_area(rt) - 198.0) < 1e-9
+
+    def test_short_input_raises(self):
+        from trino_private_spark.functions.geometry_ext import hadoop_shape_to_geom
+
+        with pytest.raises(ValueError):
+            hadoop_shape_to_geom(b"\x00\x00")

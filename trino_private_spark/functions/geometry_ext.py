@@ -427,3 +427,147 @@ def geometry_union(arr: pd.Series) -> pd.Series:
 
 
 GEOMETRY_UDFS["geometry_union"] = geometry_union
+
+
+# --------------------------------------------------------------------------
+# geometry_from_hadoop_shape — ESRI shapefile record decode
+# --------------------------------------------------------------------------
+#
+# Layout (GeoFunctions.java geometryFromHadoopShape / getShapeByteBuffer):
+# [4-byte WKID][1-byte OGC type tag][shapefile geometry record], where the
+# record follows the PUBLIC ESRI Shapefile spec (little-endian): int32
+# shape type, then per-type payload.  Shape types supported: 0 null,
+# 1 Point, 3 PolyLine, 5 Polygon, 8 MultiPoint.  Shapefile polygons store
+# outer rings CLOCKWISE and holes counter-clockwise; holes are attached to
+# the shell whose ring contains their first vertex.
+
+import struct as _struct
+
+from trino_private_spark.functions.geometry import (
+    _point_in_ring,
+    _ring_signed_area,
+)
+
+
+def hadoop_shape_to_geom(b: bytes) -> Geom:
+    if b is None or len(b) <= 5:
+        raise ValueError("Hadoop shape input is too short")
+    buf = bytes(b)[5:]  # skip WKID + type tag
+
+    def i32(o):
+        return _struct.unpack_from("<i", buf, o)[0]
+
+    def f64(o):
+        return _struct.unpack_from("<d", buf, o)[0]
+
+    stype = i32(0)
+    if stype == 0:
+        return Geom("Polygon")
+    if stype == 1:
+        return Geom("Point", pt=(f64(4), f64(12)))
+    if stype == 8:
+        n = i32(36)
+        pts = [(f64(40 + 16 * i), f64(48 + 16 * i)) for i in range(n)]
+        return Geom("MultiPoint", parts=[Geom("Point", pt=p) for p in pts])
+    if stype in (3, 5):
+        n_parts, n_points = i32(36), i32(40)
+        parts = [i32(44 + 4 * i) for i in range(n_parts)]
+        pts_off = 44 + 4 * n_parts
+        pts = [
+            (f64(pts_off + 16 * i), f64(pts_off + 8 + 16 * i)) for i in range(n_points)
+        ]
+        paths = []
+        for i, start in enumerate(parts):
+            end = parts[i + 1] if i + 1 < n_parts else n_points
+            paths.append(np.array(pts[start:end], dtype=float))
+        if stype == 3:
+            lines = [Geom("LineString", coords=p) for p in paths]
+            return lines[0] if len(lines) == 1 else Geom("MultiLineString", parts=lines)
+        # polygon: CW rings are shells, CCW are holes
+        shells, holes = [], []
+        for p in paths:
+            ring = p if np.array_equal(p[0], p[-1]) else np.vstack([p, p[:1]])
+            (shells if _ring_signed_area(ring) <= 0 else holes).append(ring)
+        if not shells and holes:
+            shells, holes = holes, []  # tolerate reversed orientation
+        polys = [Geom("Polygon", rings=[s]) for s in shells]
+        for h in holes:
+            hp = (float(h[0][0]), float(h[0][1]))
+            target = next(
+                (pl for pl in polys if _point_in_ring(hp, pl.rings[0]) >= 1),
+                polys[0] if polys else None,
+            )
+            if target is not None:
+                target.rings.append(h)
+        if not polys:
+            return Geom("Polygon")
+        return polys[0] if len(polys) == 1 else Geom("MultiPolygon", parts=polys)
+    raise ValueError(f"Invalid Hadoop shape type: {stype}")
+
+
+def geom_to_hadoop_shape(g: Geom, wkid: int = 4326) -> bytes:
+    """Inverse encoder (test harness + interchange; the reference only
+    decodes).  Emits the same [wkid][tag][shapefile record] layout."""
+    head = _struct.pack("<i", wkid)
+
+    def bbox(arrs):
+        xs = np.concatenate([a[:, 0] for a in arrs])
+        ys = np.concatenate([a[:, 1] for a in arrs])
+        return _struct.pack("<4d", xs.min(), ys.min(), xs.max(), ys.max())
+
+    if g.kind == "Point":
+        tag = b"\x01"
+        rec = _struct.pack("<i2d", 1, float(g.pt[0]), float(g.pt[1]))
+        return head + tag + rec
+    if g.kind == "MultiPoint":
+        tag = b"\x02"
+        pts = np.array([p.pt for p in g.parts], dtype=float)
+        rec = _struct.pack("<i", 8) + bbox([pts]) + _struct.pack("<i", len(pts))
+        for x, y in pts:
+            rec += _struct.pack("<2d", x, y)
+        return head + tag + rec
+    if g.kind in ("LineString", "MultiLineString"):
+        tag = b"\x03"
+        paths = [np.asarray(p.coords, dtype=float) for p in g.flatten()]
+        stype = 3
+    elif g.kind in ("Polygon", "MultiPolygon"):
+        tag = b"\x05"
+        paths = []
+        for part in g.flatten():
+            for i, r in enumerate(part.rings):
+                ring = np.asarray(r, dtype=float)
+                # shapefile: shells CW, holes CCW
+                cw = _ring_signed_area(ring) <= 0
+                want_cw = i == 0
+                paths.append(ring if cw == want_cw else ring[::-1].copy())
+        stype = 5
+    else:
+        raise ValueError(f"cannot encode {g.kind}")
+    n_pts = sum(len(p) for p in paths)
+    rec = _struct.pack("<i", stype) + bbox(paths) + _struct.pack("<2i", len(paths), n_pts)
+    off = 0
+    for p in paths:
+        rec += _struct.pack("<i", off)
+        off += len(p)
+    for p in paths:
+        for x, y in p:
+            rec += _struct.pack("<2d", x, y)
+    return head + tag + rec
+
+
+@pandas_udf("string")
+def geometry_from_hadoop_shape(s: pd.Series) -> pd.Series:
+    return s.map(lambda b: None if b is None else to_wkt(hadoop_shape_to_geom(bytes(b))))
+
+
+GEOMETRY_UDFS["geometry_from_hadoop_shape"] = geometry_from_hadoop_shape
+
+
+@pandas_udf("binary")
+def geometry_to_hadoop_shape(s: pd.Series) -> pd.Series:
+    """Inverse encoder (extension; the reference only decodes) — lets a
+    pipeline write the interchange format it can also ingest."""
+    return s.map(lambda w: None if w is None else geom_to_hadoop_shape(parse_wkt(w)))
+
+
+GEOMETRY_UDFS["geometry_to_hadoop_shape"] = geometry_to_hadoop_shape

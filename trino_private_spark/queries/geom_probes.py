@@ -747,3 +747,43 @@ def p_st_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.GEOMETRY_UDFS["geometry_de9im"](a, b).alias("matrix"),
         R.GEOMETRY_UDFS["st_relate"](a, b, F.lit("T*T***T**")).alias("is_overlap"),
     ).orderBy("s_suppkey")
+
+
+@probe(
+    "p_hadoop_shape",
+    oracle="""
+    SELECT s_suppkey,
+           CAST((s_suppkey % 4 + 1) * (s_suppkey % 4 + 1) * 4 AS BIGINT) AS area,
+           'ST_Polygon' AS gtype
+    FROM supplier WHERE s_suppkey <= 200 ORDER BY s_suppkey
+    """,
+    tags=("geometry",),
+)
+def p_hadoop_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geometry_from_hadoop_shape (GeoFunctions.java:321 — the
+    [wkid][tag][ESRI shapefile record] layout): per-row squares encoded to
+    the binary format and decoded back; area and type closed-form."""
+    from trino_private_spark.functions import geometry as G
+    from trino_private_spark.functions import geometry_ext as GX
+
+    def n(c):
+        return F.cast("string", c)
+
+    t = T(spark, sf_dir)
+    k = (F.col("s_suppkey") % 4 + 1).cast("int")
+    sq = F.concat(
+        F.lit("POLYGON ((0 0, "), n(2 * k), F.lit(" 0, "), n(2 * k), F.lit(" "),
+        n(2 * k), F.lit(", 0 "), n(2 * k), F.lit(", 0 0))"),
+    )
+    rt = GX.GEOMETRY_UDFS["geometry_from_hadoop_shape"](
+        GX.GEOMETRY_UDFS["geometry_to_hadoop_shape"](sq)
+    )
+    return (
+        t.supplier.where(F.col("s_suppkey") <= 200)
+        .select(
+            "s_suppkey",
+            F.round(G.st_area(rt)).cast("long").alias("area"),
+            G.GEOMETRY_UDFS["st_geometry_type"](rt).alias("gtype"),
+        )
+        .orderBy("s_suppkey")
+    )
