@@ -149,3 +149,39 @@ def repeated_ngram_ratio(text: Column, n: int = 3) -> Column:
     return F.when(total > 0, 1.0 - F.size(F.array_distinct(grams)) / total).otherwise(
         0.0
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (training-data pipeline hygiene op)
+# --------------------------------------------------------------------------
+
+# Pattern set chosen to be RE2-compatible (no lookaround/backrefs) so the
+# DuckDB oracle replays the identical chain; order matters — cards before
+# phones (a 16-digit card would otherwise part-match the phone pattern),
+# emails before bare domains.
+_PII_RULES = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b(?:\d[ -]?){13,16}\b", "[CC]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    (r"(?:\+?\d{1,2}[ .-]?)?(?:\(\d{3}\)|\d{3})[ .-]?\d{3}[ .-]?\d{4}\b", "[PHONE]"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Mask common PII shapes (emails, card/SSN/phone numbers, IPv4) with
+    typed placeholders — the redaction pass every training-data pipeline
+    runs before tokenization.  A chain of JVM regexp_replace calls: stays
+    in whole-stage codegen, scan-only at 100 TB."""
+    out = text
+    for pat, repl in _PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category match counts (audit/reporting side of the scrub)."""
+    return {
+        repl.strip("[]").lower(): F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for pat, repl in _PII_RULES
+    }

@@ -854,3 +854,44 @@ def p_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_hit >= 0.5 * n_bf, bool(k_ok))],
         "recall_ok boolean, k_ok boolean",
     )
+
+
+@probe(
+    "p_pii_scrub",
+    oracle=r"""
+    WITH synth AS (
+      SELECT doc_id,
+             'user' || CAST(doc_id AS VARCHAR) || '@mail.example.com wrote: '
+               || text || ' call (415) 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+      FROM documents WHERE doc_id <= 100)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b(?:\d[ -]?){13,16}\b', '[CC]', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+             '(?:\+?\d{1,2}[ .-]?)?(?:\(\d{3}\)|\d{3})[ .-]?\d{3}[ .-]?\d{4}\b', '[PHONE]', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS scrubbed
+    FROM synth ORDER BY doc_id
+    """,
+    tags=("llm",),
+)
+def p_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (llm/text.scrub_pii — the redaction pass before
+    tokenization): synthetic emails/phones/IPs injected around real
+    document text, masked by the RE2-compatible JVM regex chain; DuckDB
+    replays the identical chain — full hash oracle."""
+    from trino_private_spark.llm.text import scrub_pii
+
+    t = T(spark, sf_dir)
+    synth = t.documents.where(F.col("doc_id") <= 100).select(
+        "doc_id",
+        F.concat(
+            F.lit("user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com wrote: "), F.col("text"),
+            F.lit(" call (415) 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        ).alias("t"),
+    )
+    return synth.select("doc_id", scrub_pii(F.col("t")).alias("scrubbed")).orderBy("doc_id")
