@@ -1079,3 +1079,27 @@ class TestHadoopShape:
 
         with pytest.raises(ValueError):
             hadoop_shape_to_geom(b"\x00\x00")
+
+
+class TestInterpolatePointsAndSphericalCast:
+    def test_interpolate_points(self):
+        from trino_private_spark.functions.geometry_ext import (
+            line_interpolate_points_list,
+        )
+
+        pts = line_interpolate_points_list(g("LINESTRING (0 0, 10 0)"), 0.25)
+        assert pts == ["POINT (2.5 0)", "POINT (5 0)", "POINT (7.5 0)", "POINT (10 0)"]
+        assert line_interpolate_points_list(g("LINESTRING (0 0, 10 0)"), 1.0) == [
+            "POINT (10 0)"
+        ]
+        with pytest.raises(ValueError):
+            line_interpolate_points_list(g("LINESTRING (0 0, 1 0)"), 0.0)
+
+    def test_to_spherical_geography_validation(self):
+        from trino_private_spark.functions.geometry_ext import validate_spherical
+
+        assert validate_spherical(g("POINT (10 45)")) == "POINT (10 45)"
+        with pytest.raises(ValueError):
+            validate_spherical(g("POINT (200 0)"))
+        with pytest.raises(ValueError):
+            validate_spherical(g("POINT (0 95)"))

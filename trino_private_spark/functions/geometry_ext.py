@@ -571,3 +571,44 @@ def geometry_to_hadoop_shape(s: pd.Series) -> pd.Series:
 
 
 GEOMETRY_UDFS["geometry_to_hadoop_shape"] = geometry_to_hadoop_shape
+
+
+def line_interpolate_points_list(line: Geom, fraction: float) -> list[str]:
+    """line_interpolate_points(line, f): points at f, 2f, 3f, ... 1.0 —
+    the reference emits floor(1/f) evenly spaced points."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(
+            f"line_interpolate_points: fraction must be in (0, 1]: {fraction}"
+        )
+    n = int(1.0 / fraction)
+    return [line_interpolate(line, min(fraction * i, 1.0)) for i in range(1, n + 1)]
+
+
+@pandas_udf("array<string>")
+def line_interpolate_points(s: pd.Series, f: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if w is None else line_interpolate_points_list(parse_wkt(w), float(x))
+            for w, x in zip(s, f)
+        ]
+    )
+
+
+GEOMETRY_UDFS["line_interpolate_points"] = line_interpolate_points
+
+
+def validate_spherical(g: Geom) -> str:
+    """to_spherical_geography's validation (GeoFunctions.java
+    toSphericalGeography): every coordinate must be a valid lon/lat pair.
+    Returns the WKT unchanged (our carrier is WKT either way) or raises."""
+    for x, y in g.all_points():
+        if not (-180.0 <= x <= 180.0) or not (-90.0 <= y <= 90.0):
+            raise ValueError(
+                "Cannot convert Geometry to SphericalGeography: "
+                f"longitude/latitude out of range ({x} {y})"
+            )
+    return to_wkt(g)
+
+
+to_spherical_geography = _u1("string", validate_spherical)
+GEOMETRY_UDFS["to_spherical_geography"] = to_spherical_geography
