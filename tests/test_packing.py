@@ -79,3 +79,65 @@ class TestStratifiedSample:
         a = set(r.doc_id for r in stratified_sample(df, "lang", 50, seed=1).collect())
         b = set(r.doc_id for r in stratified_sample(df, "lang", 50, seed=2).collect())
         assert a != b
+
+
+class TestMediaHeaderDecoding:
+    """REAL container-header parsing (llm/multimodal image_meta/wav_meta) —
+    no external libraries, just the published header layouts."""
+
+    def test_png_real_file(self):
+        import zlib
+
+        from trino_private_spark.llm.multimodal import image_meta_bytes, make_png
+
+        png = make_png(640, 480)
+        assert image_meta_bytes(png) == ("png", 640, 480)
+        # the generated PNG is genuinely decodable: IDAT inflates to
+        # height * (1 + width) filter-prefixed rows
+        idat_off = png.index(b"IDAT") + 4
+        import struct as st
+
+        idat_len = st.unpack_from(">I", png, idat_off - 8)[0]
+        raw = zlib.decompress(png[idat_off : idat_off + idat_len])
+        assert len(raw) == 480 * (1 + 640)
+
+    def test_jpeg_gif_bmp(self):
+        from trino_private_spark.llm.multimodal import (
+            image_meta_bytes,
+            make_bmp,
+            make_gif,
+            make_jpeg,
+        )
+
+        assert image_meta_bytes(make_jpeg(800, 600)) == ("jpeg", 800, 600)
+        assert image_meta_bytes(make_gif(320, 200)) == ("gif", 320, 200)
+        assert image_meta_bytes(make_bmp(100, 50)) == ("bmp", 100, 50)
+        assert image_meta_bytes(make_bmp(100, -50)) == ("bmp", 100, 50)  # top-down
+        assert image_meta_bytes(b"not an image") is None
+
+    def test_wav(self):
+        from trino_private_spark.llm.multimodal import make_wav, wav_meta_bytes
+
+        assert wav_meta_bytes(make_wav(16000, 2, 16000)) == (16000, 2, 16, 1000)
+        assert wav_meta_bytes(make_wav(44100, 1, 22050)) == (44100, 1, 16, 500)
+        assert wav_meta_bytes(b"RIFFxxxx") is None
+
+    def test_spark_udfs(self, spark):
+        from trino_private_spark.llm.multimodal import (
+            image_meta,
+            make_png,
+            make_wav,
+            wav_meta,
+        )
+
+        rows = [(1, make_png(64, 32), make_wav(8000, 1, 4000)),
+                (2, b"junk", b"junk")]
+        df = spark.createDataFrame(rows, "id long, img binary, aud binary")
+        out = (
+            df.select("id", image_meta("img").alias("im"), wav_meta("aud").alias("wm"))
+            .orderBy("id")
+            .collect()
+        )
+        assert out[0]["im"]["width"] == 64 and out[0]["im"]["format"] == "png"
+        assert out[0]["wm"]["duration_ms"] == 500
+        assert out[1]["im"]["format"] is None and out[1]["wm"]["sample_rate"] is None

@@ -895,3 +895,51 @@ def p_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     )
     return synth.select("doc_id", scrub_pii(F.col("t")).alias("scrubbed")).orderBy("doc_id")
+
+
+@probe(
+    "p_media_meta",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(s_suppkey % 512 + 16 AS INT) AS width,
+           CAST(s_suppkey % 256 + 16 AS INT) AS height,
+           'png' AS fmt,
+           CAST(8000 * (s_suppkey % 4 + 1) AS INT) AS sample_rate,
+           CAST(1000 * (s_suppkey % 3 + 1) AS INT) AS duration_ms
+    FROM supplier WHERE s_suppkey <= 150 ORDER BY s_suppkey
+    """,
+    tags=("llm",),
+)
+def p_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal metadata decode (llm/multimodal image_meta /
+    wav_meta — published PNG IHDR and RIFF/WAVE layouts, stdlib only):
+    per-row generated real PNG bytes and WAV streams with key-derived
+    dimensions/rates, decoded back — full closed-form oracle."""
+    from trino_private_spark.llm.multimodal import (
+        image_meta,
+        png_of,
+        wav_meta,
+        wav_of,
+    )
+
+    t = T(spark, sf_dir)
+    base = t.supplier.where(F.col("s_suppkey") <= 150).select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 512 + 16).cast("int").alias("w"),
+        (F.col("s_suppkey") % 256 + 16).cast("int").alias("h"),
+        (8000 * (F.col("s_suppkey") % 4 + 1)).cast("int").alias("rate"),
+        (F.col("s_suppkey") % 3 + 1).cast("int").alias("secs"),
+    )
+    withmeta = base.select(
+        "s_suppkey", "rate", "secs",
+        image_meta(png_of(F.col("w"), F.col("h"))).alias("im"),
+        wav_meta(wav_of(F.col("rate"), F.col("secs"))).alias("wm"),
+    )
+    return withmeta.select(
+        "s_suppkey",
+        F.col("im.width").alias("width"),
+        F.col("im.height").alias("height"),
+        F.col("im.format").alias("fmt"),
+        F.col("wm.sample_rate").alias("sample_rate"),
+        F.col("wm.duration_ms").alias("duration_ms"),
+    ).orderBy("s_suppkey")
