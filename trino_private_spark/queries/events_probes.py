@@ -187,3 +187,55 @@ def p_kafka_count_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     csv_counts = csv_decoded.agg(F.count("user_id").alias("c_csv_user"))
     return counts.crossJoin(csv_counts)
+
+
+@probe(
+    "p_avro_decode",
+    oracle="""
+    SELECT event_id, event_type, ROUND(value, 6) AS value
+    FROM events WHERE event_id <= 500 ORDER BY event_id
+    """,
+    tags=("sources",),
+)
+def p_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVRO record decoder (sources/decoders.decode_avro — pure-Python
+    Avro binary per the public spec; the reference's
+    decoder/avro/AvroRowDecoder.java path): events rows are encoded to
+    Avro binary (zigzag varints, length-prefixed strings, null union) and
+    decoded back — the oracle is simply the original columns."""
+    import json
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from trino_private_spark.sources.decoders import (
+        _EVENT_AVRO_SCHEMA,
+        _avro_event_encoder,
+        decode_avro,
+    )
+
+    t = T(spark, sf_dir)
+    enc = _avro_event_encoder()
+    payload = t.events.where(F.col("event_id") <= 500).select(
+        enc(F.col("event_id"), F.col("event_type"), F.col("value")).alias("b")
+    )
+    target = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    dec = payload.select(
+        decode_avro(F.col("b"), json.dumps(_EVENT_AVRO_SCHEMA), target).alias("r")
+    )
+    return dec.select(
+        F.col("r.event_id").alias("event_id"),
+        F.col("r.event_type").alias("event_type"),
+        F.round(F.col("r.value"), 6).alias("value"),
+    ).orderBy("event_id")
