@@ -5,6 +5,7 @@ CustomRank.java) plus the prepared-statement path (SqlBase.g4:153-155)."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from trino_private_spark.extensions import Extensions
@@ -108,3 +109,67 @@ def test_materialized_view_lifecycle(spark, tmp_path):
     second = {r.o_orderstatus: r.c for r in spark.table("mv_totals").collect()}
     assert first == second  # same definition, same data -> same content
     eng.drop_materialized_view("mv_totals")
+
+
+class TestTimeTravel:
+    """Snapshot versioning + time travel on CoW tables (the Iceberg
+    surface the reference ships: FOR VERSION/TIMESTAMP AS OF, $snapshots,
+    rollback_to_snapshot)."""
+
+    def _mk(self, spark, tmp_path):
+        from trino_private_spark.api import Engine
+
+        eng = Engine(spark)
+        eng.attach(__import__("tests.conftest", fromlist=["SF_SMOKE"]).SF_SMOKE)
+        eng.create_cow_table(
+            "tt_orders", "SELECT * FROM orders WHERE o_orderkey <= 100",
+            str(tmp_path / "tt_orders"),
+        )
+        return eng
+
+    def test_versions_accumulate_and_read_back(self, spark, tmp_path):
+        eng = self._mk(spark, tmp_path)
+        n0 = spark.table("tt_orders").count()
+        eng.delete_from("tt_orders", "o_orderkey <= 50")
+        n1 = spark.table("tt_orders").count()
+        assert n1 < n0
+        # v0 still reads the original rows
+        assert eng.read_version("tt_orders", 0).count() == n0
+        assert eng.read_version("tt_orders", 1).count() == n1
+        with pytest.raises(ValueError):
+            eng.read_version("tt_orders", 9)
+
+    def test_snapshots_metadata(self, spark, tmp_path):
+        eng = self._mk(spark, tmp_path)
+        eng.delete_from("tt_orders", "o_orderkey <= 10")
+        eng.update("tt_orders", {"o_totalprice": "o_totalprice * 2"}, "o_orderkey > 90")
+        snaps = eng.snapshots("tt_orders").orderBy("version").collect()
+        assert [s["operation"] for s in snaps] == ["create", "delete", "update"]
+        assert [s["is_current"] for s in snaps] == [False, False, True]
+        assert all(
+            a["committed_at_ms"] <= b["committed_at_ms"]
+            for a, b in zip(snaps, snaps[1:])
+        )
+
+    def test_timestamp_as_of(self, spark, tmp_path):
+        eng = self._mk(spark, tmp_path)
+        n0 = spark.table("tt_orders").count()
+        t_mid = eng.snapshots("tt_orders").collect()[0]["committed_at_ms"]
+        import time
+
+        time.sleep(0.01)
+        eng.delete_from("tt_orders", "o_orderkey <= 50")
+        assert eng.read_as_of("tt_orders", t_mid).count() == n0
+        with pytest.raises(ValueError):
+            eng.read_as_of("tt_orders", 0)
+
+    def test_rollback_preserves_history(self, spark, tmp_path):
+        eng = self._mk(spark, tmp_path)
+        n0 = spark.table("tt_orders").count()
+        eng.delete_from("tt_orders", "o_orderkey <= 50")
+        eng.rollback_to("tt_orders", 0)
+        assert spark.table("tt_orders").count() == n0
+        snaps = eng.snapshots("tt_orders").orderBy("version").collect()
+        assert snaps[-1]["operation"] == "rollback_to_v0"
+        # the deleted snapshot is still readable
+        assert eng.read_version("tt_orders", 1).count() < n0

@@ -122,10 +122,10 @@ class Engine:
         identical, the rewrite granularity is the table."""
         if not hasattr(self, "_cow"):
             self._cow: dict[str, tuple[str, str, int]] = {}
-        self.sql(text, dialect).write.mode("overwrite").format(fmt).save(
-            f"{root}/v0"
-        )
+        df = self.sql(text, dialect)
+        df.write.mode("overwrite").format(fmt).save(f"{root}/v0")
         self._cow[name] = (root, fmt, 0)
+        self._write_manifest(name, "create", df)
         self._repoint(name)
 
     def _repoint(self, name: str) -> None:
@@ -134,11 +134,81 @@ class Engine:
             name
         )
 
-    def _rewrite(self, name: str, df: DataFrame) -> None:
+    def _rewrite(self, name: str, df: DataFrame, operation: str = "rewrite") -> None:
         root, fmt, v = self._cow[name]
         df.write.mode("overwrite").format(fmt).save(f"{root}/v{v + 1}")
         self._cow[name] = (root, fmt, v + 1)
+        self._write_manifest(name, operation, None)
         self._repoint(name)
+
+    # -- snapshots & time travel (the Iceberg surface the reference ships:
+    # -- FOR VERSION AS OF / FOR TIMESTAMP AS OF, snapshot listing,
+    # -- rollback_to_snapshot; plugin/trino-iceberg) -----------------------
+
+    def _write_manifest(self, name: str, operation: str, df) -> None:
+        import json as _json
+        import os
+        import time as _time
+
+        root, fmt, v = self._cow[name]
+        meta = {
+            "version": v,
+            "operation": operation,
+            "committed_at_ms": int(_time.time() * 1000),
+        }
+        os.makedirs(f"{root}/v{v}", exist_ok=True)
+        with open(f"{root}/v{v}/_manifest.json", "w") as f:
+            _json.dump(meta, f)
+
+    def read_version(self, name: str, version: int) -> DataFrame:
+        """FOR VERSION AS OF: read snapshot ``version`` of a CoW table —
+        old snapshots are immutable directories, so this is just a scan."""
+        root, fmt, cur = self._cow[name]
+        if not 0 <= version <= cur:
+            raise ValueError(f"no snapshot v{version} for {name} (head v{cur})")
+        return self.spark.read.format(fmt).load(f"{root}/v{version}")
+
+    def snapshots(self, name: str) -> DataFrame:
+        """The $snapshots metadata table: version, operation, commit time."""
+        import json as _json
+
+        root, fmt, cur = self._cow[name]
+        rows = []
+        for v in range(cur + 1):
+            try:
+                with open(f"{root}/v{v}/_manifest.json") as f:
+                    m = _json.load(f)
+            except FileNotFoundError:
+                continue
+            rows.append((m["version"], m["operation"], m["committed_at_ms"], v == cur))
+        return self.spark.createDataFrame(
+            rows, "version int, operation string, committed_at_ms long, is_current boolean"
+        )
+
+    def read_as_of(self, name: str, timestamp_ms: int) -> DataFrame:
+        """FOR TIMESTAMP AS OF: the newest snapshot committed at or before
+        the given epoch-millis."""
+        import json as _json
+
+        root, fmt, cur = self._cow[name]
+        best = None
+        for v in range(cur + 1):
+            try:
+                with open(f"{root}/v{v}/_manifest.json") as f:
+                    m = _json.load(f)
+            except FileNotFoundError:
+                continue
+            if m["committed_at_ms"] <= timestamp_ms:
+                best = v
+        if best is None:
+            raise ValueError(f"no snapshot of {name} at or before {timestamp_ms}")
+        return self.read_version(name, best)
+
+    def rollback_to(self, name: str, version: int) -> None:
+        """rollback_to_snapshot: repoint the table to an old snapshot as a
+        NEW commit (the old directories stay immutable; history is
+        preserved, exactly Iceberg's rollback semantics)."""
+        self._rewrite(name, self.read_version(name, version), operation=f"rollback_to_v{version}")
 
     def delete_from(self, name: str, condition: str) -> int:
         """DELETE FROM name WHERE condition; returns rows deleted (the
@@ -149,7 +219,7 @@ class Engine:
         cond = F.expr(condition)
         deleted = cur.where(cond).count()
         if deleted:
-            self._rewrite(name, cur.where(~F.coalesce(cond, F.lit(False))))
+            self._rewrite(name, cur.where(~F.coalesce(cond, F.lit(False))), operation="delete")
         return deleted
 
     def update(self, name: str, assignments: dict[str, str],
@@ -179,7 +249,7 @@ class Engine:
                     )
                 )
             )
-            self._rewrite(name, out)
+            self._rewrite(name, out, operation="update")
         return updated
 
     def vacuum(self, name: str) -> None:
