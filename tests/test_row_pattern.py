@@ -190,3 +190,44 @@ class TestSparkIntegration:
         assert list(out["classifier"]) == ["a", "b", "b"]
         assert list(out["row_pos"]) == [0, 1, 2]
         assert list(out["match_number"]) == [1, 1, 1]
+
+
+class TestVectorizedDefines:
+    def test_vectorized_equals_row_at_a_time(self):
+        from trino_private_spark.operators.row_pattern import vectorized
+
+        rng = random.Random(99)
+        vals = [rng.randint(0, 9) for _ in range(200)]
+        pdf = pd.DataFrame({"v": vals})
+        row_defs = {
+            "u": lambda cur, prev: prev is not None and cur["v"] > prev["v"],
+            "d": lambda cur, prev: prev is not None and cur["v"] < prev["v"],
+        }
+        vec_defs = {
+            "u": vectorized(lambda p: p["v"] > p["v"].shift(1)),
+            "d": vectorized(lambda p: p["v"] < p["v"].shift(1)),
+        }
+        for pat in ("u{2,} | d{2,}", "u{3,5}", "u d u"):
+            a = list(PatternMatcher(pat, row_defs).find_matches(pdf))
+            b = list(PatternMatcher(pat, vec_defs).find_matches(pdf))
+            assert a == b, pat
+
+    def test_vectorized_spark_path(self, spark):
+        from trino_private_spark.operators.row_pattern import (
+            match_recognize_general,
+            vectorized,
+        )
+
+        df = spark.createDataFrame(
+            [("k", i, v) for i, v in enumerate([1, 2, 3, 1, 2, 3, 4])],
+            "k string, ord int, v int",
+        )
+        out = match_recognize_general(
+            df,
+            partition_by=["k"],
+            order_by=["ord"],
+            pattern="up{2,}",
+            defines={"up": vectorized(lambda p: p["v"] > p["v"].shift(1))},
+            mode="one",
+        ).toPandas()
+        assert sorted(out["n_rows"]) == [2, 3]

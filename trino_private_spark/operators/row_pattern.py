@@ -39,7 +39,21 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["compile_pattern", "PatternMatcher", "match_recognize_general"]
+__all__ = [
+    "compile_pattern",
+    "PatternMatcher",
+    "match_recognize_general",
+    "vectorized",
+]
+
+
+def vectorized(fn):
+    """Mark a DEFINE predicate as vectorized: it receives the WHOLE ordered
+    partition (pd.DataFrame) and returns a boolean array — classification
+    then runs as one pandas expression instead of a Python loop per row.
+    Example: ``vectorized(lambda pdf: pdf['v'] > pdf['v'].shift(1))``."""
+    fn._rp_vectorized = True
+    return fn
 
 
 # --------------------------------------------------------------------------
@@ -319,12 +333,19 @@ class PatternMatcher:
         """Precompute the per-symbol boolean vector (context-free DEFINEs)."""
         out = {}
         n = len(pdf)
-        rows = [pdf.iloc[k] for k in range(n)]
+        rows = None
         for s in self.symbols:
             pred = self.defines.get(s)
             if pred is None:
                 out[s] = np.ones(n, dtype=bool)
+            elif getattr(pred, "_rp_vectorized", False):
+                vals = pred(pdf)
+                out[s] = np.asarray(
+                    pd.Series(vals).fillna(False).to_numpy(), dtype=bool
+                )
             else:
+                if rows is None:
+                    rows = [pdf.iloc[k] for k in range(n)]
                 out[s] = np.array(
                     [
                         bool(pred(rows[k], rows[k - 1] if k > 0 else None))

@@ -98,11 +98,11 @@ def _mr_base(spark: SparkSession, sf_dir: str):
 
 
 def _dir_defines():
+    from trino_private_spark.operators.row_pattern import vectorized
+
     return {
-        "u": lambda cur, prev: prev is not None
-        and cur["o_totalprice"] > prev["o_totalprice"],
-        "d": lambda cur, prev: prev is not None
-        and cur["o_totalprice"] < prev["o_totalprice"],
+        "u": vectorized(lambda p: p["o_totalprice"] > p["o_totalprice"].shift(1)),
+        "d": vectorized(lambda p: p["o_totalprice"] < p["o_totalprice"].shift(1)),
     }
 
 
@@ -189,7 +189,12 @@ def p_mr_ranged_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=["o_custkey"],
         order_by=["o_orderkey"],
         pattern="h{3,5}",
-        defines={"h": lambda cur, prev: cur["o_totalprice"] > 250000},
+        defines={
+            "h": __import__(
+                "trino_private_spark.operators.row_pattern",
+                fromlist=["vectorized"],
+            ).vectorized(lambda p: p["o_totalprice"] > 250000)
+        },
         mode="one",
     )
     return (
