@@ -146,7 +146,11 @@ def p_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trino_private_spark.llm.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
 
     t = T(spark, sf_dir)
-    docs = t.documents.where(F.col("doc_id") < 200)
+    # cutoff scales with the table (0.4 * n == 200 at sf0.01) so the
+    # truth set stays non-vacuous at every SF — injected dup partners are
+    # spread uniformly over the id range
+    cut = int(t.documents.count() * 0.4)
+    docs = t.documents.where(F.col("doc_id") < cut)
     cand = minhash_lsh_candidates(docs, num_hashes=32, bands=8)
     truth = ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
     n_truth = truth.count()
@@ -171,7 +175,8 @@ def p_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trino_private_spark.llm.dedup import hamming64, ngram_jaccard_pairs, simhash64
 
     t = T(spark, sf_dir)
-    docs = t.documents.where(F.col("doc_id") < 300)
+    cut = int(t.documents.count() * 0.6)  # == 300 at sf0.01; scales with SF
+    docs = t.documents.where(F.col("doc_id") < cut)
     sims = simhash64(docs)
     pa = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     pb = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
