@@ -184,3 +184,63 @@ def p_unnest_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey", "k")
     )
+
+
+@probe(
+    "p_row_comparison",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority
+    FROM orders
+    WHERE (o_orderstatus, o_orderpriority) > ('O', '3-MEDIUM')
+      AND o_orderkey <= 2000
+    ORDER BY o_orderkey
+    """,
+    tags=("relational",),
+)
+def p_row_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-value constructor comparison (SqlBase.g4 rowConstructor;
+    GenericComparisonOperators over ROW types): lexicographic (a, b) >
+    (x, y).  Spark compares structs lexicographically, DuckDB compares
+    row constructors the same way."""
+    t = T(spark, sf_dir)
+    return (
+        t.orders.where(
+            (F.struct("o_orderstatus", "o_orderpriority") > F.struct(
+                F.lit("O").alias("o_orderstatus"),
+                F.lit("3-MEDIUM").alias("o_orderpriority"),
+            ))
+            & (F.col("o_orderkey") <= 2000)
+        )
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+@probe(
+    "p_between_symmetric",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice BETWEEN 100000 AND 200000 AS BOOLEAN) AS plain,
+           CAST(o_totalprice BETWEEN LEAST(200000, 100000) AND GREATEST(200000, 100000) AS BOOLEAN) AS sym_swapped
+    FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey
+    """,
+    tags=("relational",),
+)
+def p_between_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN SYMMETRIC (SqlBase.g4 predicate; the reference normalizes
+    the bounds) — Spark has no SYMMETRIC keyword, so the engine rewrite is
+    least/greatest normalization, checked against DuckDB computing both
+    the plain and the swapped-bounds form."""
+    t = T(spark, sf_dir)
+    lo, hi = F.lit(200000), F.lit(100000)  # deliberately reversed
+    return (
+        t.orders.where(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").between(100000, 200000).alias("plain"),
+            F.col("o_totalprice")
+            .between(F.least(lo, hi), F.greatest(lo, hi))
+            .alias("sym_swapped"),
+        )
+        .orderBy("o_orderkey")
+    )
