@@ -247,12 +247,12 @@ def p_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH approximate NN (llm/similarity.lsh_ann_topk,
-    8 tables x 6 planes) — the scale path for similarity search.  The
+    16 tables x 5 planes) — the scale path for similarity search.  The
     oracle checks two properties: every returned score equals the exact
     cosine for that (query, neighbor) pair (the bucketing may drop
     neighbors but must never corrupt a score), and recall@10 vs brute
-    force stays above the multi-table floor (>= 0.3, deterministic for
-    the fixed hyperplane seeds)."""
+    force stays above the multi-table floor (>= 0.5 — measured 0.7-0.8
+    across fixture scales; deterministic for the fixed seeds)."""
     from trino_private_spark.llm.similarity import (
         brute_force_topk,
         cosine,
@@ -264,7 +264,7 @@ def p_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    ann = lsh_ann_topk(emb, queries, k=10, n_planes=6, n_tables=8)
+    ann = lsh_ann_topk(emb, queries, k=10, n_planes=5, n_tables=16)
     bf = brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
     n_bf = bf.count()
     n_hit = bf.join(ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]).count()
@@ -284,7 +284,7 @@ def p_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ok").alias("all_ok"))
     ).collect()[0].all_ok
     return spark.createDataFrame(
-        [(bool(rescored), n_hit >= 0.3 * n_bf)],
+        [(bool(rescored), n_hit >= 0.5 * n_bf)],
         "scores_exact boolean, recall_ok boolean",
     )
 
