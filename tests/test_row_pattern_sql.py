@@ -1,0 +1,119 @@
+"""SQL front-end for MATCH_RECOGNIZE (operators/row_pattern_sql.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from trino_private_spark.operators.row_pattern_sql import (
+    _compile_define,
+    parse_match_recognize,
+    sql_match_recognize,
+)
+
+CLAUSE = """
+MATCH_RECOGNIZE (
+  PARTITION BY k
+  ORDER BY ord
+  MEASURES MATCH_NUMBER() AS mn, FIRST(v) AS first_v, LAST(v) AS last_v
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (UP{2,})
+  DEFINE UP AS v > PREV(v)
+)
+"""
+
+
+class TestParser:
+    def test_components(self):
+        spec = parse_match_recognize(CLAUSE)
+        assert spec["partition_by"] == ["k"]
+        assert spec["order_by"] == ["ord"]
+        assert spec["pattern"] == "UP{2,}"
+        assert spec["mode"] == "one"
+        assert spec["skip"] == "past_last_row"
+        assert list(spec["defines"]) == ["UP"]
+        assert [a for _, a in spec["measures"]] == ["mn", "first_v", "last_v"]
+
+    def test_skip_variants(self):
+        c = CLAUSE.replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
+        assert parse_match_recognize(c)["skip"] == "to_next_row"
+        c = CLAUSE.replace("SKIP PAST LAST ROW", "SKIP TO LAST UP")
+        assert parse_match_recognize(c)["skip"] == ("to_last", "UP")
+
+    def test_multiple_defines(self):
+        c = CLAUSE.replace(
+            "DEFINE UP AS v > PREV(v)",
+            "DEFINE UP AS v > PREV(v), DOWN AS v < PREV(v)",
+        ).replace("PATTERN (UP{2,})", "PATTERN (UP+ DOWN)")
+        spec = parse_match_recognize(c)
+        assert set(spec["defines"]) == {"UP", "DOWN"}
+
+    def test_reject_garbage(self):
+        with pytest.raises(ValueError):
+            parse_match_recognize("MATCH_RECOGNIZE (PATTERN (A))")
+
+
+class TestDefineCompiler:
+    def test_prev_comparison(self):
+        pred = _compile_define("v > PREV(v)", ["v"])
+        p = pd.DataFrame({"v": [1, 3, 2, 5]})
+        assert list(pred(p).fillna(False)) == [False, True, False, True]
+
+    def test_boolean_combo_and_literals(self):
+        pred = _compile_define("v > 2 AND NOT (tag = 'x')", ["v", "tag"])
+        p = pd.DataFrame({"v": [1, 5, 5], "tag": ["a", "x", "b"]})
+        assert list(pred(p)) == [False, False, True]
+
+    def test_symbol_prefix_and_next(self):
+        pred = _compile_define("A.v < NEXT(v)", ["v"])
+        p = pd.DataFrame({"v": [1, 3, 2]})
+        assert list(pred(p).fillna(False)) == [True, False, False]
+
+    def test_prev_with_offset(self):
+        pred = _compile_define("v > PREV(v, 2)", ["v"])
+        p = pd.DataFrame({"v": [1, 9, 5, 8]})
+        assert list(pred(p).fillna(False)) == [False, False, True, False]
+
+    def test_unknown_column_rejected(self):
+        with pytest.raises(ValueError):
+            _compile_define("nope > 1", ["v"])
+
+    def test_no_arbitrary_code(self):
+        with pytest.raises(ValueError):
+            _compile_define("__import__('os')", ["v"])
+
+
+class TestEndToEnd:
+    def test_one_row_per_match(self, spark):
+        rows = [("k1", i, v) for i, v in enumerate([1, 2, 3, 1, 2, 9, 9])]
+        df = spark.createDataFrame(rows, "k string, ord int, v int")
+        out = (
+            sql_match_recognize(df, CLAUSE)
+            .toPandas()
+            .sort_values("match_number")
+            .reset_index(drop=True)
+        )
+        # rises: (1,2,3) then (1,2,9)? v=1->2->9 rises; 9->9 not
+        assert list(out["n_rows"]) == [2, 2]
+        assert list(out["first_v"]) == ["2", "2"]
+        assert list(out["last_v"]) == ["3", "9"]
+
+    def test_all_rows_with_classifier(self, spark):
+        clause = """
+        MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ord
+          ALL ROWS PER MATCH
+          PATTERN (UP DOWN)
+          DEFINE UP AS v > PREV(v), DOWN AS v < PREV(v)
+        )
+        """
+        rows = [("k", i, v) for i, v in enumerate([1, 5, 2, 7, 3])]
+        df = spark.createDataFrame(rows, "k string, ord int, v int")
+        out = (
+            sql_match_recognize(df, clause)
+            .toPandas()
+            .sort_values("row_pos")
+            .reset_index(drop=True)
+        )
+        assert list(out["classifier"]) == ["UP", "DOWN", "UP", "DOWN"]

@@ -287,3 +287,48 @@ def p_mr_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "match_number",
         ).orderBy("o_custkey", "row_pos")
     )
+
+
+@probe(
+    "p_mr_sql",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey AS ck, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
+             CASE WHEN o_totalprice > LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) THEN 'u' END AS dir
+      FROM orders WHERE o_custkey <= 300),
+    isl AS (SELECT ck, rn, rn - ROW_NUMBER() OVER (PARTITION BY ck ORDER BY rn) AS grp
+            FROM seq WHERE dir = 'u'),
+    runs AS (SELECT ck, grp, MIN(rn) AS srt, COUNT(*) AS len
+             FROM isl GROUP BY ck, grp HAVING COUNT(*) >= 2)
+    SELECT ck AS o_custkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY ck ORDER BY srt) AS BIGINT) AS match_number,
+           CAST(len AS BIGINT) AS n_rows
+    FROM runs ORDER BY o_custkey, match_number
+    """,
+    tags=("custom",),
+)
+def p_mr_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OWN MATCH_RECOGNIZE SQL syntax end-to-end
+    (operators/row_pattern_sql.py: grammar parse -> DEFINE compiled to
+    vectorized pandas navigation -> NFA engine).  Pattern UP{2,} with
+    PREV() navigation; oracle = rising islands >= 2 via gaps-and-islands."""
+    from trino_private_spark.operators.row_pattern_sql import sql_match_recognize
+
+    clause = """
+    MATCH_RECOGNIZE (
+      PARTITION BY o_custkey
+      ORDER BY o_orderkey
+      MEASURES MATCH_NUMBER() AS mn
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (UP{2,})
+      DEFINE UP AS o_totalprice > PREV(o_totalprice)
+    )
+    """
+    out = sql_match_recognize(_mr_base(spark, sf_dir), clause)
+    return out.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("match_number").cast("long").alias("match_number"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    ).orderBy("o_custkey", "match_number")
