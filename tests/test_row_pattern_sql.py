@@ -117,3 +117,23 @@ class TestEndToEnd:
             .reset_index(drop=True)
         )
         assert list(out["classifier"]) == ["UP", "DOWN", "UP", "DOWN"]
+
+
+class TestEngineSqlRouting:
+    def test_full_statement_through_engine(self, spark):
+        from trino_private_spark.api import Engine
+
+        rows = [("k", i, v) for i, v in enumerate([1, 2, 3, 1, 5, 6])]
+        spark.createDataFrame(rows, "k string, ord int, v int").createOrReplaceTempView(
+            "mr_src"
+        )
+        eng = Engine(spark)
+        out = eng.sql(
+            """SELECT * FROM mr_src MATCH_RECOGNIZE (
+                 PARTITION BY k ORDER BY ord
+                 ONE ROW PER MATCH
+                 PATTERN (UP{2,})
+                 DEFINE UP AS v > PREV(v)
+               )"""
+        ).toPandas()
+        assert sorted(out["n_rows"]) == [2, 2]

@@ -35,7 +35,22 @@ class Engine:
 
     def sql(self, text: str, dialect: str = "trino") -> DataFrame:
         """Run SQL; ``dialect='trino'`` routes through the translator,
-        ``'spark'`` executes verbatim."""
+        ``'spark'`` executes verbatim.  ``SELECT * FROM <table>
+        MATCH_RECOGNIZE (...)`` statements route to the row-pattern engine
+        (Spark has no MATCH_RECOGNIZE; SqlBase.g4 patternRecognition)."""
+        import re as _re
+
+        mr = _re.match(
+            r"\s*SELECT\s+\*\s+FROM\s+([A-Za-z_][\w.]*)\s+(MATCH_RECOGNIZE\s*\(.*\))\s*(?:AS\s+\w+\s*)?$",
+            text,
+            flags=_re.I | _re.S,
+        )
+        if mr:
+            from trino_private_spark.operators.row_pattern_sql import (
+                sql_match_recognize,
+            )
+
+            return sql_match_recognize(self.spark.table(mr.group(1)), mr.group(2))
         if dialect == "trino":
             text = translate(text)
         return self.spark.sql(text)
