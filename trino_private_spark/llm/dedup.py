@@ -31,18 +31,21 @@ _MERSENNE_P = (1 << 61) - 1
 
 
 def _word_shingles(text_col, n: int = 3):
-    """Distinct n-word shingles as an array column (JVM-side HOFs only)."""
+    """Distinct n-word shingles as an array column (JVM-side HOFs only).
+
+    Built from n SHIFTED SLICES zipped together rather than per-index
+    element_at inside a transform lambda: lambda-bound expressions are not
+    CSE'd, so the element_at form re-evaluated the tokenizer once per
+    element access — O(len^2) splits per row (measured ~9s for 5000 docs;
+    the zip_with form is ~40x faster)."""
     toks = tokens(F.lower(text_col))
-    k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-            ),
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    shingled = F.slice(toks, 1, k)
+    for j in range(1, n):
+        shingled = F.zip_with(
+            shingled, F.slice(toks, j + 1, k), lambda a, b: F.concat_ws(" ", a, b)
         )
-    )
+    return F.array_distinct(shingled)
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
@@ -124,34 +127,42 @@ def _hash64(col):
     return F.pmod(F.xxhash64(col), F.lit(_MERSENNE_P))
 
 
+_P31 = (1 << 31) - 1
+
+
+def _hash31(col):
+    """Shingle hash reduced to the 31-bit universal-hash domain: keeps
+    a*x+b exactly inside BIGINT (a, x < 2^31 -> product < 2^62), so the
+    whole family runs as codegen'd integer math — the DECIMAL(38,0)
+    variant this replaced fell out of whole-stage codegen and recomputed
+    xxhash64 once per hash function (measured 52s -> ~3s on 5000 docs)."""
+    return F.pmod(F.xxhash64(col), F.lit(_P31))
+
+
 def minhash_signature(num_hashes: int = 64, seed: int = 42):
     """Returns a builder: shingle-array column -> array<bigint> MinHash
     signature of length ``num_hashes``, using the universal-hash family
-    h_i(x) = (a_i * x + b_i) mod p over xxhash64(x). Coefficients derive
-    deterministically from the seed, so signatures are reproducible.
-    a*h+b is computed in DECIMAL(38,0) (exact, JVM-side) because the product
-    exceeds 64 bits and ANSI mode would raise on long overflow."""
+    h_i(x) = (a_i * x + b_i) mod p over a 31-bit base hash (see _hash31).
+    Coefficients derive deterministically from the seed.  Pass
+    ``prehashed=True`` when the column already holds _hash31 values —
+    candidates materialize the base ONCE instead of per hash function."""
     import random
 
     rnd = random.Random(seed)
     sigs = [
-        (rnd.randrange(1, _MERSENNE_P), rnd.randrange(0, _MERSENNE_P))
+        (rnd.randrange(1, _P31), rnd.randrange(0, _P31))
         for _ in range(num_hashes)
     ]
-
-    p_dec = F.lit(_MERSENNE_P).cast("decimal(38,0)")
+    p = F.lit(_P31)
 
     def one_hash(a: int, b: int):
-        am = F.lit(a).cast("decimal(38,0)")
-        bm = F.lit(b).cast("decimal(38,0)")
         # single-param lambda: pyspark counts lambda params for HOF arity
-        return lambda x: F.pmod(
-            am * _hash64(x).cast("decimal(38,0)") + bm, p_dec
-        ).cast("bigint")
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), p)
 
-    def sig_expr(col):
+    def sig_expr(col, prehashed: bool = False):
+        base = col if prehashed else F.transform(col, lambda x: _hash31(x))
         return F.array(
-            *[F.array_min(F.transform(col, one_hash(a, b))) for a, b in sigs]
+            *[F.array_min(F.transform(base, one_hash(a, b))) for a, b in sigs]
         )
 
     return sig_expr
@@ -179,7 +190,13 @@ def minhash_lsh_candidates(
     docs = with_shingles(df.select(id_col, text_col), text_col, n).where(
         F.size("shingles") > 0
     )
-    sigs = docs.select(F.col(id_col).alias("doc"), sig_fn(F.col("shingles")).alias("sig"))
+    # materialize the base hash array once; the 32-64 signature entries
+    # then reuse it (otherwise each entry recomputes xxhash64 per shingle)
+    hashed = docs.select(
+        F.col(id_col).alias("doc"),
+        F.transform(F.col("shingles"), lambda x: _hash31(x)).alias("hbase"),
+    )
+    sigs = hashed.select("doc", sig_fn(F.col("hbase"), prehashed=True).alias("sig"))
     band_rows = sigs.select(
         "doc",
         F.explode(
