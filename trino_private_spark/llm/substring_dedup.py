@@ -38,21 +38,23 @@ def token_kgrams(
 ) -> DataFrame:
     """One row per (doc, 1-based position): the whitespace-token k-gram
     starting there.  Pure JVM expressions — survives codegen."""
-    # sequence(1, 0) DESCENDS to [1, 0] in Spark (slice start 0 would
-    # throw), and a row-level guard doesn't help — subexpression
-    # elimination evaluates the transform before the AND short-circuits.
-    # So the expression is made total: clamp the sequence end to >= 1,
-    # then drop the out-of-range position for docs shorter than k tokens.
-    n = f"size(split({text_col}, ' '))"
-    grams = F.expr(
-        f"filter(transform(sequence(1, greatest({n} - {k} + 1, 1)),"
-        f" i -> struct(i as pos, array_join(slice(split({text_col}, ' '), i, {k}), ' ') as gram)),"
-        f" s -> s.pos <= {n} - {k} + 1)"
-    )
+    # Built from k SHIFTED SLICES zipped together: a per-index
+    # slice/element_at inside a transform lambda re-evaluates the
+    # tokenizer per element (lambda bodies are not CSE'd) — O(len^2)
+    # splits per row.  The zip form references the token array a constant
+    # k times.  (greatest(...,0) also sidesteps Spark's descending
+    # sequence(1, 0) == [1, 0].)
+    toks = F.split(F.col(text_col), " ")
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
     return (
         df.select(F.col(id_col).alias("doc_id"), grams.alias("_g"))
-        .select("doc_id", F.explode("_g").alias("g"))
-        .select("doc_id", F.col("g.pos").cast("long").alias("pos"), F.col("g.gram").alias("gram"))
+        .select("doc_id", F.posexplode("_g").alias("pos0", "gram"))
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "gram")
     )
 
 

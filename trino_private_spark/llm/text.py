@@ -136,15 +136,15 @@ def repeated_ngram_ratio(text: Column, n: int = 3) -> Column:
     """Intra-document repetition: 1 - distinct/total over word n-grams —
     the "repeated n-gram fraction" quality gate (high values flag boilerplate
     and degenerate repetition). Pure JVM HOF math, scan-only."""
+    # k shifted slices zipped together — slice-per-index inside a transform
+    # lambda re-tokenizes per element (lambda bodies are not CSE'd)
     toks = F.split(F.lower(text), " ")
-    k = F.size(toks) - (n - 1)
-    grams = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array())
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, k)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, j + 1, k), lambda a, b: F.concat_ws(" ", a, b)
+        )
     total = F.size(grams)
     return F.when(total > 0, 1.0 - F.size(F.array_distinct(grams)) / total).otherwise(
         0.0
