@@ -232,25 +232,26 @@ def simhash64(
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, sum +-1 votes of each
     token's xxhash64 bit, sign -> bit. Near-dup docs differ in few bits
-    (compare with hamming distance). Pure per-row HOF math: scan-only."""
-    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    (compare with hamming distance). Pure per-row HOF math: scan-only.
 
-    def vote(i: int):
-        # two-param lambda (acc, h); bit index captured via factory
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_votes = [
-        F.aggregate(hashes, F.lit(0).cast("bigint"), vote(i)) for i in range(64)
-    ]
-    sim = None
-    for i, v in enumerate(bit_votes):
-        bit = F.when(v > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        term = F.shiftleft(bit, i)
-        sim = term if sim is None else sim.bitwiseXOR(term)
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    ONE aggregate pass with a 64-counter array accumulator: the earlier
+    64-separate-aggregate form re-evaluated tokenize+hash once PER BIT
+    per row (64x the hashing work; the SQL expr form is used because
+    pyspark's shiftleft/bit_get wrappers only take literal positions)."""
+    votes_sql = (
+        f"aggregate("
+        f"  transform(array_distinct(split(lower({text_col}), ' ')), t -> xxhash64(t)),"
+        f"  array_repeat(0L, 64),"
+        f"  (acc, h) -> zip_with(acc, sequence(0, 63),"
+        f"    (a, i) -> a + if(getbit(h, cast(i as int)) = 1, 1L, -1L)))"
+    )
+    sim_sql = (
+        f"aggregate("
+        f"  zip_with({votes_sql}, sequence(0, 63),"
+        f"    (v, i) -> if(v > 0, shiftleft(1L, cast(i as int)), 0L)),"
+        f"  0L, (acc, x) -> acc | x)"
+    )
+    return df.select(F.col(id_col), F.expr(sim_sql).alias("simhash"))
 
 
 def hamming64(a, b):
