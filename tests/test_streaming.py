@@ -316,3 +316,76 @@ def test_click_view_left_outer_stream_equals_batch(spark, batch_events, tmp_path
         batch_c.sort_values(["click_id", "view_id"]).reset_index(drop=True),
         "click_view_left_outer (closed region)",
     )
+
+
+def test_streaming_match_recognize_equals_batch(spark, tmp_path):
+    """Streaming MATCH_RECOGNIZE (bounded pattern, stateful tail buffer):
+    the drained two-microbatch stream must equal the batch engine exactly —
+    trailing non-matching rows in batch 2 decide every real match."""
+    import os
+
+    import pandas as pd
+
+    from trino_private_spark.operators.row_pattern import vectorized
+    from trino_private_spark.streaming.stateful import (
+        batch_match_recognize_spans,
+        streaming_match_recognize,
+    )
+
+    defines = {"up": vectorized(lambda p: p["v"] > p["v"].shift(1))}
+    base = pd.Timestamp("2023-01-01")
+    rows1, rows2 = [], []
+    for uid in (1, 2):
+        vals1 = [1, 2, 3, 1, 2, 3, 4, 5, 2] if uid == 1 else [5, 1, 2, 1, 7, 8]
+        for i, v in enumerate(vals1):
+            rows1.append((uid, (base + pd.Timedelta(minutes=i)).to_pydatetime(), float(v)))
+        # trailing strictly-decreasing rows: no 'up' can start or extend here
+        for j in range(6):
+            rows2.append((uid, (base + pd.Timedelta(minutes=100 + j)).to_pydatetime(), float(-j)))
+
+    stream_dir = str(tmp_path / "mr_stream")
+    os.makedirs(stream_dir, exist_ok=True)
+    for i, rows in enumerate((rows1, rows2)):
+        sub = str(tmp_path / f"mrw{i}")
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(sub)
+        src = next(f for f in os.listdir(sub) if f.startswith("part-"))
+        dst = os.path.join(stream_dir, f"{i}_batch.parquet")
+        os.replace(os.path.join(sub, src), dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    schema = spark.read.parquet(stream_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    from trino_private_spark.streaming.events import run_stream_to_memory
+
+    got = run_stream_to_memory(
+        spark,
+        streaming_match_recognize(stream, "up{2,4}", defines),
+        "t_stream_mr",
+        output_mode="append",
+    ).toPandas()
+
+    batch_df = spark.read.parquet(stream_dir)
+    want = batch_match_recognize_spans(batch_df, "up{2,4}", defines).toPandas()
+    key = ["user_id", "match_number", "start_ts", "end_ts", "n_rows"]
+    got_s = got[key].sort_values(key).reset_index(drop=True)
+    want_s = want[key].sort_values(key).reset_index(drop=True)
+    assert len(want_s) > 0
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+
+
+def test_streaming_match_recognize_rejects_unbounded(spark):
+    from trino_private_spark.operators.row_pattern import vectorized
+    from trino_private_spark.streaming.stateful import streaming_match_recognize
+
+    with pytest.raises(ValueError):
+        streaming_match_recognize(
+            spark.readStream.format("rate").load(),
+            "up+",
+            {"up": vectorized(lambda p: p["value"] > 0)},
+        )

@@ -230,3 +230,181 @@ def rising_runs_batch(events: DataFrame, k: int = 3) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").cast("long").alias("n_chains"))
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming MATCH_RECOGNIZE — bounded patterns over a stateful tail buffer
+# --------------------------------------------------------------------------
+#
+# The reference has no streaming runtime at all (SURVEY preamble); this is
+# the Spark-native extension of the general NFA engine
+# (operators/row_pattern.py) to unbounded inputs.  Restriction: the
+# pattern must have a BOUNDED maximum match length L (no unbounded
+# quantifiers) — then a greedy match attempt starting at position s is
+# fully decided once s + L rows are buffered, so per-key state is at most
+# L-1 undecided tail rows plus the match counter.  Each micro-batch:
+# append new rows (assumed per-key ordered — enforce upstream with a
+# watermark + sort), run the matcher up to the decided frontier, emit
+# finished matches, keep the tail.  Idle keys flush their buffer via
+# processing-time timeout, deciding everything that remains.
+
+PATTERN_OUTPUT_SCHEMA = (
+    "user_id bigint, match_number bigint, start_ts timestamp, end_ts timestamp, "
+    "n_rows bigint"
+)
+PATTERN_STATE_SCHEMA = "ts array<timestamp>, vals array<double>, match_no bigint"
+
+
+def _max_match_len(prog, entry) -> int:
+    """Longest row-consuming path through the NFA; raises on cycles
+    (= unbounded quantifiers)."""
+    from functools import lru_cache
+
+    n = len(prog)
+    WHITE, GRAY, BLACK = 0, 1, 2
+    color = [WHITE] * n
+    best = [0] * n
+
+    def dfs(pc: int) -> int:
+        if color[pc] == GRAY:
+            raise ValueError(
+                "streaming MATCH_RECOGNIZE requires a bounded pattern "
+                "(no unbounded quantifiers)"
+            )
+        if color[pc] == BLACK:
+            return best[pc]
+        color[pc] = GRAY
+        ins = prog[pc]
+        if ins[0] == "match":
+            r = 0
+        elif ins[0] == "sym":
+            r = 1 + dfs(ins[2])
+        elif ins[0] == "split":
+            r = max(dfs(x) for x in ins[1])
+        else:  # jmp / anchors
+            r = dfs(ins[1])
+        color[pc] = BLACK
+        best[pc] = r
+        return r
+
+    return dfs(entry)
+
+
+def streaming_match_recognize(
+    events: DataFrame,
+    pattern: str,
+    defines: dict,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    idle_timeout_ms: int = 60_000,
+) -> DataFrame:
+    """Streaming row-pattern detection: one output row per completed match
+    with its time span.  ``defines`` are the engine's (optionally
+    vectorized) predicates over a frame with columns [ts, v]."""
+    from trino_private_spark.operators.row_pattern import PatternMatcher
+
+    matcher = PatternMatcher(pattern, defines)
+    L = _max_match_len(matcher.prog, matcher.entry)
+    if L < 1:
+        raise ValueError("pattern matches only the empty sequence")
+
+    def _run(uid, pdf: pd.DataFrame, match_no: int, final: bool):
+        """Run the matcher over the buffer; emit decided matches; return
+        (rows_out, new_match_no, keep_from)."""
+        n = len(pdf)
+        cutoff = n if final else max(n - L + 1, 0)
+        out = []
+        i = 0
+        for mno, start, labels in matcher.find_matches(pdf):
+            if start >= cutoff:
+                break
+            out.append(
+                {
+                    "user_id": uid,
+                    "match_number": match_no + len(out) + 1,
+                    "start_ts": pdf["ts"].iloc[start],
+                    "end_ts": pdf["ts"].iloc[start + len(labels) - 1],
+                    "n_rows": len(labels),
+                }
+            )
+            i = start + max(len(labels), 1)
+        keep_from = max(i, cutoff) if not final else n
+        return out, match_no + len(out), min(keep_from, n)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (uid,) = key
+        if state.hasTimedOut:
+            ts_list, vals, match_no = state.get
+            state.remove()
+            if ts_list:
+                pdf = pd.DataFrame({"ts": pd.to_datetime(pd.Series(ts_list)), "v": vals})
+                out, _, _ = _run(uid, pdf, match_no, final=True)
+                if out:
+                    yield pd.DataFrame(out)
+            return
+        ts_list, vals, match_no = state.get if state.exists else ([], [], 0)
+        frames = [pd.DataFrame({"ts": pd.to_datetime(pd.Series(ts_list)), "v": vals})] if ts_list else []
+        for pdf in pdfs:
+            frames.append(
+                pdf.sort_values(ts_col).rename(columns={ts_col: "ts", value_col: "v"})[
+                    ["ts", "v"]
+                ]
+            )
+        buf = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame({"ts": [], "v": []})
+        out, match_no, keep_from = _run(uid, buf, match_no, final=False)
+        tail = buf.iloc[keep_from:]
+        # state serializer wants plain datetimes, not pandas Timestamps
+        ts_out = [pd.Timestamp(t).to_pydatetime() for t in tail["ts"]]
+        state.update((ts_out, [float(x) for x in tail["v"]], match_no))
+        state.setTimeoutDuration(idle_timeout_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=PATTERN_OUTPUT_SCHEMA,
+        stateStructType=PATTERN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def batch_match_recognize_spans(
+    events: DataFrame,
+    pattern: str,
+    defines: dict,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """The batch reference semantics for streaming_match_recognize: the
+    general engine over the same frame shape, emitting the same span
+    columns — the stream's drained output must equal this exactly."""
+    from trino_private_spark.operators.row_pattern import match_recognize_general
+
+    src = events.select(
+        F.col(key_col).cast("long").alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    out = match_recognize_general(
+        src,
+        partition_by=["user_id"],
+        order_by=["ts"],
+        pattern=pattern,
+        defines=defines,
+        mode="one",
+        measures={
+            "start_ts": lambda fr, labs: fr["ts"].iloc[0],
+            "end_ts": lambda fr, labs: fr["ts"].iloc[-1],
+        },
+        measure_schema="start_ts timestamp, end_ts timestamp",
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "match_number",
+        "start_ts",
+        "end_ts",
+        "n_rows",
+    )
