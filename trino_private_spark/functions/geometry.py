@@ -1146,7 +1146,13 @@ GEOMETRY_UDFS["st_line_from_text"] = _typed_parse_udf(("LineString",), "ST_LineF
 
 
 def register_geometry_udfs(spark) -> None:
-    """Make the ST_ family SQL-callable (spark.sql('SELECT st_area(wkt)...'))."""
+    """Make the ST_ family SQL-callable (spark.sql('SELECT st_area(wkt)...')).
+    Imports every sibling module that contributes to GEOMETRY_UDFS first, so
+    the whole surface registers regardless of what the caller imported."""
+    import importlib
+
+    for mod in ("geometry_ext", "geometry_agg", "geometry_relate", "spherical"):
+        importlib.import_module(f"trino_private_spark.functions.{mod}")
     for name, udf in GEOMETRY_UDFS.items():
         spark.udf.register(name, udf)
 
