@@ -244,3 +244,82 @@ def p_between_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@probe(
+    "p_ordinal_group_order",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS c
+    FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("relational",),
+)
+def p_ordinal_group_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY / ORDER BY ordinals (SqlBase.g4 sortItem/groupBy INTEGER;
+    the reference resolves positions in the analyzer, Spark via
+    groupByOrdinal/orderByOrdinal which the engine session keeps on)."""
+    t = T(spark, sf_dir)
+    t.orders.createOrReplaceTempView("ord_probe_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+        FROM ord_probe_orders GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    )
+
+
+@probe(
+    "p_having_no_groupby",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(o_totalprice) AS DOUBLE) AS s
+    FROM orders HAVING COUNT(*) > 10
+    """,
+    tags=("relational",),
+)
+def p_having_no_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING without GROUP BY — a global aggregate filtered on itself
+    (the reference's analyzer treats it as a single implicit group)."""
+    t = T(spark, sf_dir)
+    t.orders.createOrReplaceTempView("having_probe_orders")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS c, CAST(SUM(o_totalprice) AS DOUBLE) AS s
+        FROM having_probe_orders HAVING COUNT(*) > 10
+        """
+    )
+
+
+@probe(
+    "p_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+           strftime(o_orderdate - INTERVAL 45 DAY, '%Y-%m-%d') AS minus_45d,
+           strftime(o_orderdate + INTERVAL 1 YEAR + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_14m,
+           CAST(date_diff('day', o_orderdate, o_orderdate + INTERVAL 10 WEEK) AS BIGINT) AS ten_weeks_days
+    FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey
+    """,
+    tags=("temporal",),
+)
+def p_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval literal arithmetic (IntervalYearMonthType /
+    IntervalDayTimeType operators): date +- year-month and day-time
+    intervals, rendered as ISO dates so month-end clamping semantics are
+    compared engine-to-engine."""
+    t = T(spark, sf_dir)
+    d = F.col("o_orderdate")
+    return (
+        t.orders.where(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            F.date_format(F.expr("o_orderdate + INTERVAL 3 MONTH"), "yyyy-MM-dd").alias("plus_3m"),
+            F.date_format(F.expr("o_orderdate - INTERVAL 45 DAY"), "yyyy-MM-dd").alias("minus_45d"),
+            F.date_format(
+                F.expr("o_orderdate + INTERVAL 1 YEAR + INTERVAL 2 MONTH"), "yyyy-MM-dd"
+            ).alias("plus_14m"),
+            F.datediff(
+                F.expr("o_orderdate + INTERVAL 10 WEEK"), d
+            ).cast("long").alias("ten_weeks_days"),
+        )
+        .orderBy("o_orderkey")
+    )
