@@ -323,3 +323,44 @@ def p_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@probe(
+    "p_array_sort_comparator",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id <= 100),
+    u AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    d AS (SELECT DISTINCT doc_id, w FROM u)
+    SELECT doc_id,
+           array_to_string(array_agg(w ORDER BY length(w), w), ',') AS by_len
+    FROM d GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("functions",),
+)
+def p_array_sort_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_sort with a CUSTOM COMPARATOR lambda (ArraySortComparatorFunction
+    in the reference; Spark HOF comparator): sort distinct tokens by length
+    then lexicographically.  DuckDB expresses the same order relationally
+    with array_agg(ORDER BY length, value)."""
+    t = T(spark, sf_dir)
+
+    def cmp(x, y):
+        lx, ly = F.length(x), F.length(y)
+        return (
+            F.when(lx < ly, -1)
+            .when(lx > ly, 1)
+            .when(x < y, -1)
+            .when(x > y, 1)
+            .otherwise(0)
+        )
+
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    return (
+        t.documents.where(F.col("doc_id") <= 100)
+        .select(
+            "doc_id",
+            F.array_join(F.array_sort(toks, cmp), ",").alias("by_len"),
+        )
+        .orderBy("doc_id")
+    )
