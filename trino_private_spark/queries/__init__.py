@@ -97,6 +97,9 @@ def _load_modules() -> None:
         map_aggs,
         misc_probes,
         pattern,
+        reference_suite,
+        reference_suite2,
+        reference_suite3,
         relational,
         subqueries,
         temporal_probes,

@@ -1,0 +1,277 @@
+"""Reference-suite probes: literal test SQL from the reference's own
+correctness suites, executed by this engine.
+
+The reference verifies itself by running SQL from
+``testing/trino-testing/src/main/java/io/trino/testing/AbstractTestQueries.java``
+(+ ``AbstractTestAggregations.java``, ``AbstractTestJoinQueries.java``,
+``AbstractTestWindowQueries.java``) over TPCH-connector tables (unprefixed
+column names, ``plugin/trino-tpch/.../TpchMetadata.java``) against an H2
+oracle (``QueryAssertions.java:101-161``). These probes re-run a
+representative slice of that exact SQL here: each query text is lifted from
+the cited suite line (edits limited to aliasing computed columns, which the
+driver's column-name comparison requires), pushed through
+``plans/translate.translate()``, and executed by ``spark.sql`` over temp
+views that expose the driver fixtures under the TPCH connector's column
+names. The DuckDB oracle runs the SAME query text over a CTE prologue doing
+the identical rename — so both engines parse the reference's own test SQL.
+
+Non-vacuous at sf0.01 (verified: every query returns rows, except the
+agg-over-empty-input case ATA:230 whose single output row IS the tested
+behavior).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from trino_private_spark.plans.translate import translate
+from trino_private_spark.queries import T, probe
+
+# fixture column -> TPCH-connector column (TpchMetadata.java column naming)
+_RENAMES: dict[str, list[tuple[str, str]]] = {
+    "region": [("r_regionkey", "regionkey"), ("r_name", "name")],
+    "nation": [
+        ("n_nationkey", "nationkey"),
+        ("n_name", "name"),
+        ("n_regionkey", "regionkey"),
+    ],
+    "customer": [
+        ("c_custkey", "custkey"),
+        ("c_name", "name"),
+        ("c_nationkey", "nationkey"),
+        ("c_acctbal", "acctbal"),
+        ("c_mktsegment", "mktsegment"),
+    ],
+    "supplier": [
+        ("s_suppkey", "suppkey"),
+        ("s_name", "name"),
+        ("s_nationkey", "nationkey"),
+        ("s_acctbal", "acctbal"),
+    ],
+    "part": [
+        ("p_partkey", "partkey"),
+        ("p_name", "name"),
+        ("p_brand", "brand"),
+        ("p_type", "type"),
+        ("p_size", "size"),
+        ("p_retailprice", "retailprice"),
+    ],
+    "orders": [
+        ("o_orderkey", "orderkey"),
+        ("o_custkey", "custkey"),
+        ("o_orderstatus", "orderstatus"),
+        ("o_totalprice", "totalprice"),
+        ("o_orderdate", "orderdate"),
+        ("o_orderpriority", "orderpriority"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "orderkey"),
+        ("l_partkey", "partkey"),
+        ("l_suppkey", "suppkey"),
+        ("l_linenumber", "linenumber"),
+        ("l_quantity", "quantity"),
+        ("l_extendedprice", "extendedprice"),
+        ("l_discount", "discount"),
+        ("l_tax", "tax"),
+        ("l_returnflag", "returnflag"),
+        ("l_linestatus", "linestatus"),
+        ("l_shipdate", "shipdate"),
+    ],
+}
+
+
+def _register_tpch_views(spark: SparkSession, sf_dir: str) -> None:
+    t = T(spark, sf_dir)
+    for table, cols in _RENAMES.items():
+        getattr(t, table).selectExpr(
+            *[f"{src} AS {dst}" for src, dst in cols]
+        ).createOrReplaceTempView(table)
+
+
+# DuckDB oracle prologue: same rename as the Spark views. `main.` prefix
+# lets the CTE shadow the driver-registered view of the same name.
+_PROLOGUE = "WITH " + ",\n".join(
+    "{t} AS (SELECT {cols} FROM main.{t})".format(
+        t=table, cols=", ".join(f"{src} AS {dst}" for src, dst in cols)
+    )
+    for table, cols in _RENAMES.items()
+)
+
+# (probe name, suite citation, literal suite SQL). ATQ/ATA/ATJ/ATW =
+# AbstractTest{Queries,Aggregations,JoinQueries,WindowQueries}.java.
+_SUITE: list[tuple[str, str, str]] = [
+    (
+        "p_ref_select_distinct_multi",
+        "AbstractTestQueries.java:102",
+        "SELECT DISTINCT custkey, orderstatus FROM orders",
+    ),
+    (
+        "p_ref_limit_intmax",
+        "AbstractTestQueries.java:76",
+        "SELECT orderkey FROM orders LIMIT 2147483647",
+    ),
+    (
+        "p_ref_topn_nation",
+        "AbstractTestQueries.java:174",
+        "SELECT name FROM nation ORDER BY nationkey LIMIT 3",
+    ),
+    (
+        "p_ref_sum_twice",
+        "AbstractTestQueries.java:152",
+        "SELECT SUM(orderkey) AS s1, SUM(orderkey) AS s2 FROM orders",
+    ),
+    (
+        "p_ref_distinct_limit_count",
+        "AbstractTestQueries.java:133",
+        "SELECT COUNT(*) AS c FROM (SELECT DISTINCT orderstatus, custkey FROM orders LIMIT 10)",
+    ),
+    (
+        "p_ref_in_list",
+        "AbstractTestQueries.java:240",
+        "SELECT orderkey FROM orders WHERE orderkey IN (1, 2, 3)",
+    ),
+    (
+        "p_ref_group_limit",
+        "AbstractTestQueries.java:181",
+        "SELECT regionkey, max(name) AS m FROM nation GROUP BY regionkey LIMIT 5",
+    ),
+    (
+        "p_ref_count_true",
+        "AbstractTestAggregations.java:34",
+        "SELECT COUNT(true) AS c FROM orders",
+    ),
+    (
+        "p_ref_tax_lt_discount",
+        "AbstractTestAggregations.java:40",
+        "SELECT COUNT(*) AS c FROM lineitem WHERE tax < discount",
+    ),
+    (
+        "p_ref_nullif_eq",
+        "AbstractTestAggregations.java:74",
+        "SELECT COUNT(*) AS c FROM orders WHERE NULLIF(orderstatus, 'F') = orderstatus",
+    ),
+    (
+        "p_ref_and_bands",
+        "AbstractTestAggregations.java:132",
+        "SELECT COUNT(*) AS c FROM lineitem WHERE tax < discount AND tax > 0.01 AND discount < 0.05",
+    ),
+    (
+        "p_ref_or_bands",
+        "AbstractTestAggregations.java:138",
+        "SELECT COUNT(*) AS c FROM lineitem WHERE tax < 0.01 OR discount > 0.05",
+    ),
+    (
+        "p_ref_nested_agg_count",
+        "AbstractTestAggregations.java:150",
+        "SELECT COUNT(*) AS c FROM (SELECT orderkey, COUNT(*) AS x FROM lineitem GROUP BY orderkey) x",
+    ),
+    (
+        "p_ref_regroup_derived",
+        "AbstractTestAggregations.java:156",
+        "SELECT orderdate, c, count(*) AS cnt FROM (SELECT orderdate, count(*) c FROM orders GROUP BY orderdate) GROUP BY orderdate, c",
+    ),
+    (
+        "p_ref_sum_null_group",
+        "AbstractTestAggregations.java:162",
+        "SELECT orderstatus, sum(CAST(NULL AS BIGINT)) AS s FROM orders GROUP BY orderstatus",
+    ),
+    (
+        "p_ref_lines_histogram",
+        "AbstractTestAggregations.java:223",
+        "SELECT lines, COUNT(*) AS cnt FROM (SELECT orderkey, COUNT(*) lines FROM lineitem GROUP BY orderkey) U GROUP BY lines",
+    ),
+    (
+        "p_ref_count_distinct_expr",
+        "AbstractTestAggregations.java:229",
+        "SELECT COUNT(DISTINCT custkey + 1) AS c FROM orders",
+    ),
+    (
+        "p_ref_agg_empty_input",
+        "AbstractTestAggregations.java:230",
+        "SELECT COUNT(DISTINCT linenumber) AS c1, COUNT(*) AS c2 FROM lineitem WHERE linenumber < 0",
+    ),
+    (
+        "p_ref_multi_distinct_group",
+        "AbstractTestAggregations.java:243",
+        "SELECT custkey, orderstatus, COUNT(DISTINCT orderkey) AS c, SUM(DISTINCT orderkey) AS s FROM orders GROUP BY custkey, orderstatus",
+    ),
+    (
+        "p_ref_sum_distinct_nested",
+        "AbstractTestAggregations.java:253",
+        "SELECT SUM(DISTINCT x) AS s FROM (SELECT custkey, COUNT(DISTINCT orderstatus) x FROM orders GROUP BY custkey) t",
+    ),
+    (
+        "p_ref_global_mixed_distinct",
+        "AbstractTestAggregations.java:299",
+        "SELECT COUNT(DISTINCT orderstatus) AS c, SUM(DISTINCT custkey) AS s FROM orders",
+    ),
+    (
+        "p_ref_filter_clause",
+        "AbstractTestAggregations.java:340",
+        "SELECT count(1) FILTER (WHERE orderstatus = 'O') AS c FROM orders",
+    ),
+    (
+        "p_ref_array_key_group",
+        "AbstractTestAggregations.java:174",
+        "SELECT col[1] AS k, cnt FROM (SELECT ARRAY[custkey] col, COUNT(*) cnt FROM orders GROUP BY 1 ORDER BY 1)",
+    ),
+    (
+        "p_ref_join_distinct_derived",
+        "AbstractTestJoinQueries.java:45",
+        "SELECT orderstatus FROM lineitem JOIN (SELECT DISTINCT orderkey, orderstatus FROM orders) T on lineitem.orderkey = T.orderkey",
+    ),
+    (
+        "p_ref_join_name_filter",
+        "AbstractTestJoinQueries.java:105",
+        "SELECT n.nationkey, r.regionkey FROM region r JOIN nation n ON n.regionkey = r.regionkey AND n.name > r.name AND r.regionkey = 0",
+    ),
+    (
+        "p_ref_join_nonequi",
+        "AbstractTestJoinQueries.java:74",
+        "SELECT l.suppkey, n.nationkey, l.partkey, n.regionkey FROM nation n JOIN lineitem l ON l.suppkey = n.nationkey AND l.partkey < n.regionkey",
+    ),
+    (
+        "p_ref_join_mod_keys",
+        "AbstractTestJoinQueries.java:154",
+        "SELECT count(*) AS c FROM lineitem l JOIN nation n ON l.suppkey % 5 = n.nationkey % 5 AND l.partkey % 3 < n.regionkey AND l.partkey % 3 + 1 < n.regionkey AND l.partkey % 3 + 2 < n.regionkey",
+    ),
+    (
+        "p_ref_join_const_conjunct",
+        "AbstractTestJoinQueries.java:254",
+        "SELECT COUNT(*) AS c FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND 123 = 123",
+    ),
+    (
+        "p_ref_join_key_const",
+        "AbstractTestJoinQueries.java:222",
+        "SELECT COUNT(*) AS c FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.orderkey = 2",
+    ),
+    (
+        "p_ref_join_double_equi",
+        "AbstractTestJoinQueries.java:235",
+        "SELECT COUNT(*) AS c FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.orderkey = orders.custkey",
+    ),
+    (
+        "p_ref_join_len_substr",
+        "AbstractTestJoinQueries.java:119",
+        "SELECT n.nationkey, r.regionkey FROM nation n JOIN region r ON n.regionkey = r.regionkey AND length(n.name) > length(substr(r.name, 5))",
+    ),
+    (
+        "p_ref_window_rownum",
+        "AbstractTestWindowQueries.java:371",
+        "SELECT orderkey, row_number() OVER (ORDER BY orderkey) AS rn FROM orders",
+    ),
+]
+
+
+def _make(sql: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_tpch_views(spark, sf_dir)
+        return spark.sql(translate(sql))
+
+    return fn
+
+
+for _name, _cite, _sql in _SUITE:
+    _fn = _make(_sql)
+    _fn.__doc__ = f"Reference suite SQL ({_cite}), via plans/translate."
+    probe(_name, oracle=f"{_PROLOGUE}\n{_sql}", tags=("refsuite",))(_fn)
