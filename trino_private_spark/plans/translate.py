@@ -184,6 +184,109 @@ def _cast_calls_bigint(s: str, names=_BIGINT_CALLS) -> str:
     return s
 
 
+_ALIAS_STOPWORDS = {
+    "where", "group", "order", "limit", "offset", "fetch", "cross", "join",
+    "left", "right", "full", "inner", "outer", "on", "union", "except",
+    "intersect", "having", "with", "window", "natural", "using", "lateral",
+}
+
+
+def _split_top_commas(s: str) -> list[str]:
+    parts, depth, last = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[last:i])
+            last = i + 1
+    parts.append(s[last:])
+    return [p.strip() for p in parts]
+
+
+def _rewrite_from_unnest(s: str) -> str:
+    """``FROM UNNEST(args) [WITH ORDINALITY] [AS] alias[(cols)]`` as a bare
+    relation (SqlBase.g4 ``relationPrimary: UNNEST '(' expression ... ')'``)
+    -> a Spark derived table over explode/posexplode/inline(arrays_zip).
+    Multi-argument UNNEST null-pads to the longest array (the reference's
+    multi-channel unnesters; ``arrays_zip`` has the same semantics); WITH
+    ORDINALITY appends a 1-based BIGINT position column. A single-argument
+    two-column UNNEST whose expression builds a map (``map_from_arrays`` /
+    ``map(...)``) explodes to (key, value)."""
+    pat = re.compile(r"\bFROM\s+UNNEST\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(s)
+        if not m:
+            return s
+        depth, j = 1, m.end()
+        while j < len(s) and depth:
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+            j += 1
+        args = _split_top_commas(s[m.end() : j - 1])
+        rest = s[j:]
+        ordinality = False
+        om = re.match(r"\s*WITH\s+ORDINALITY\b", rest, re.IGNORECASE)
+        if om:
+            ordinality = True
+            rest = rest[om.end() :]
+        alias, cols = "u0", None
+        am = re.match(r"\s*(?:AS\s+)?(\w+)\s*(?:\(\s*([^)]*?)\s*\))?", rest)
+        if am and am.group(1).lower() not in _ALIAS_STOPWORDS:
+            alias = am.group(1)
+            if am.group(2):
+                cols = [c.strip() for c in am.group(2).split(",")]
+            rest = rest[am.end() :]
+        if cols is None:
+            n = len(args) + (1 if ordinality else 0)
+            cols = ["col"] if n == 1 else [f"c{i}" for i in range(n)]
+        if len(args) == 1:
+            arg = args[0]
+            is_map = bool(re.match(r"\s*map", arg, re.IGNORECASE))
+            if ordinality:
+                vals = cols[:-1] or ["col"]
+                ordn = cols[-1] if len(cols) > 1 else "ord"
+                if is_map and len(vals) == 2:
+                    inner = f"SELECT posexplode({arg}) AS (pos__, {vals[0]}, {vals[1]})"
+                    proj = f"{vals[0]}, {vals[1]}"
+                else:
+                    inner = f"SELECT posexplode({arg}) AS (pos__, {vals[0]})"
+                    proj = vals[0]
+                repl = (
+                    f"FROM (SELECT {proj}, CAST(pos__ + 1 AS BIGINT) AS {ordn} "
+                    f"FROM ({inner})) {alias}"
+                )
+            elif is_map and len(cols) == 2:
+                repl = f"FROM (SELECT explode({arg}) AS ({cols[0]}, {cols[1]})) {alias}"
+            else:
+                repl = f"FROM (SELECT explode({arg}) AS {cols[0]}) {alias}"
+        else:
+            zipped = f"arrays_zip({', '.join(args)})"
+            if ordinality:
+                # index-driven form: robust to arrays_zip field naming.
+                vals, ordn = cols[:-1], cols[-1]
+                sizes = ", ".join(f"size({a})" for a in args)
+                proj = ", ".join(
+                    f"try_element_at({a}, CAST(i__ AS INT)) AS {c}"
+                    for a, c in zip(args, vals)
+                )
+                # sequence(1, 0) would DESCEND (see verify skill notes):
+                # clamp the upper bound to >=1 and filter the empty case.
+                repl = (
+                    f"FROM (SELECT {proj}, CAST(i__ AS BIGINT) AS {ordn} "
+                    f"FROM (SELECT explode(sequence(1, greatest(1, {sizes}))) AS i__) "
+                    f"WHERE i__ <= greatest({sizes})) {alias}"
+                )
+            else:
+                repl = (
+                    f"FROM (SELECT inline({zipped}) AS ({', '.join(cols)})) {alias}"
+                )
+        s = s[: m.start()] + repl + rest
+
+
 def translate(sql: str) -> str:
     """Translate a Trino-dialect SQL string into Spark SQL."""
     # date_add / date_diff keep their unit literal: rewrite BEFORE shielding.
@@ -219,7 +322,23 @@ def translate(sql: str) -> str:
         flags=re.IGNORECASE,
     )
 
-    # CROSS JOIN UNNEST(expr) [AS t(c[, ord])] [WITH ORDINALITY]
+    # TRY(CAST(x AS T)) -> TRY_CAST(x AS T) (TryCastFunction.java)
+    s = re.sub(
+        r"\bTRY\s*\(\s*CAST\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)\s*\)",
+        r"TRY_CAST(\1)",
+        s,
+        flags=re.IGNORECASE,
+    )
+    # Trino two-array map constructor MAP(ARRAY[...], ARRAY[...])
+    # (MapConstructor.java) -> map_from_arrays; leaves map_from_entries etc.
+    # untouched since only the ARRAY-headed form matches.
+    s = re.sub(
+        r"\bMAP\s*\(\s*ARRAY\b", "map_from_arrays(ARRAY", s, flags=re.IGNORECASE
+    )
+    # UNNEST as a bare FROM relation (incl. multi-array + WITH ORDINALITY)
+    s = _rewrite_from_unnest(s)
+
+    # CROSS JOIN UNNEST(expr[, expr...]) [AS t(cols)] [WITH ORDINALITY]
     def unnest_repl(m):
         inner, ordinality, alias, cols = (
             m.group("inner"),
@@ -227,18 +346,28 @@ def translate(sql: str) -> str:
             m.group("alias"),
             m.group("cols"),
         )
+        args = _split_top_commas(inner)
         colnames = [c.strip() for c in (cols or "c0").split(",")]
         if ordinality:
             val, ordn = colnames[0], (colnames[1] if len(colnames) > 1 else "ord")
+            # first LATERAL VIEW yields the 0-based position; the second
+            # exposes the 1-based BIGINT ordinality under its declared name.
+            a = alias or "u"
             return (
-                f" LATERAL VIEW posexplode({inner}) {alias or 'u'} "
-                f"AS __pos0, {val} "
+                f" LATERAL VIEW posexplode({inner}) {a}__p AS __pos_{a}, {val} "
+                f"LATERAL VIEW explode(array(CAST(__pos_{a} + 1 AS BIGINT))) {a} AS {ordn} "
+            )
+        if len(args) > 1:
+            # multi-channel unnest: null-padded zip (UnnestOperator.java)
+            return (
+                f" LATERAL VIEW inline(arrays_zip({inner})) {alias or 'u'} "
+                f"AS {', '.join(colnames)} "
             )
         return f" LATERAL VIEW explode({inner}) {alias or 'u'} AS {', '.join(colnames)} "
 
     s = re.sub(
         r"(?:CROSS\s+JOIN|,)\s*UNNEST\s*\(\s*(?P<inner>[^()]*(?:\([^()]*\)[^()]*)*)\s*\)"
-        r"\s*(?P<ord>WITH\s+ORDINALITY)?\s*(?:AS\s+(?P<alias>\w+)\s*\(\s*(?P<cols>[^)]*)\s*\))?",
+        r"\s*(?P<ord>WITH\s+ORDINALITY)?\s*(?:(?:AS\s+)?(?P<alias>\w+)\s*\(\s*(?P<cols>[^)]*)\s*\))?",
         unnest_repl,
         s,
         flags=re.IGNORECASE,

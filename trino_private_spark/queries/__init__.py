@@ -100,6 +100,7 @@ def _load_modules() -> None:
         reference_suite,
         reference_suite2,
         reference_suite3,
+        reference_suite4,
         relational,
         subqueries,
         temporal_probes,
