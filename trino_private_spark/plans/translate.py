@@ -184,6 +184,117 @@ def _cast_calls_bigint(s: str, names=_BIGINT_CALLS) -> str:
     return s
 
 
+_SIMPLE_TYPES = {
+    "integer": "INT",
+    "int": "INT",
+    "bigint": "BIGINT",
+    "smallint": "SMALLINT",
+    "tinyint": "TINYINT",
+    "double": "DOUBLE",
+    "real": "FLOAT",
+    "boolean": "BOOLEAN",
+    "varbinary": "BINARY",
+    "date": "DATE",
+    "json": "STRING",
+}
+
+
+def _type_to_spark(t: str) -> str:
+    """Trino type text (SqlBase.g4 ``type``: row(name type, ...),
+    array(T), map(K, V), parametric varchar/decimal/timestamp, base names)
+    -> Spark DDL type text (STRUCT<name: T>, ARRAY<T>, MAP<K, V>)."""
+    t = t.strip()
+    low = t.lower()
+    if low.startswith("row") and "(" in t:
+        inner = t[t.index("(") + 1 : t.rindex(")")]
+        fields = []
+        for f in _split_top_commas(inner):
+            name, _, ftype = f.strip().partition(" ")
+            fields.append(f"{name}: {_type_to_spark(ftype)}")
+        return f"STRUCT<{', '.join(fields)}>"
+    if low.startswith("array") and "(" in t:
+        return f"ARRAY<{_type_to_spark(t[t.index('(') + 1 : t.rindex(')')])}>"
+    if low.startswith("map") and "(" in t:
+        k, v = _split_top_commas(t[t.index("(") + 1 : t.rindex(")")])
+        return f"MAP<{_type_to_spark(k)}, {_type_to_spark(v)}>"
+    if low.startswith("varchar") or low.startswith("char"):
+        return "STRING"
+    if low.replace(" ", "") == "doubleprecision":
+        return "DOUBLE"
+    base = low.split("(")[0].strip()
+    if base in _SIMPLE_TYPES and "(" not in t:
+        return _SIMPLE_TYPES[base]
+    return t  # decimal(p,s), timestamp(p), interval ... pass through
+
+
+def _rewrite_row_casts(s: str) -> str:
+    """``AS row(...)`` / ``AS array(...)`` / ``AS map(...)`` type targets in
+    CAST expressions -> Spark DDL types via :func:`_type_to_spark`."""
+    pat = re.compile(r"\bAS\s+(row|array|map)\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(s)
+        if not m:
+            return s
+        start = m.start(1)
+        depth, j = 1, m.end()
+        while j < len(s) and depth:
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+            j += 1
+        s = s[:start] + _type_to_spark(s[start:j]) + s[j:]
+
+
+def _rewrite_values_rows(s: str) -> str:
+    """Strip the optional ``ROW`` keyword from VALUES row constructors
+    (``VALUES ROW(1, 2), ROW(3, 4)`` -> ``VALUES (1, 2), (3, 4)``;
+    SqlBase.g4 ``rowConstructor``) so the later scalar ``row( -> struct(``
+    rewrite can't corrupt the table constructor."""
+    out = []
+    pos = 0
+    row_head = re.compile(r"\s*row\s*\(", re.IGNORECASE)
+    for m in re.finditer(r"\bVALUES\b", s, re.IGNORECASE):
+        if m.start() < pos:
+            continue
+        out.append(s[pos : m.end()])
+        i = m.end()
+        while True:
+            h = row_head.match(s, i)
+            depth = 0
+            if h:
+                # keep leading whitespace, drop the word "row", keep "(" —
+                # the item stays balanced, we just start inside its paren.
+                ws = s[i : h.end()]
+                out.append(ws[: len(ws) - len(ws.lstrip())] + "(")
+                i = h.end()
+                depth = 1
+            # copy the balanced item up to the next top-level comma or the
+            # end of the enclosing parenthesis / clause
+            j = i
+            while j < len(s):
+                ch = s[j]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    break
+                j += 1
+            out.append(s[i:j])
+            i = j
+            if i < len(s) and s[i] == ",":
+                out.append(",")
+                i += 1
+                continue
+            break
+        pos = i
+    out.append(s[pos:])
+    return "".join(out)
+
+
 _ALIAS_STOPWORDS = {
     "where", "group", "order", "limit", "offset", "fetch", "cross", "join",
     "left", "right", "full", "inner", "outer", "on", "union", "except",
@@ -337,6 +448,13 @@ def translate(sql: str) -> str:
     )
     # UNNEST as a bare FROM relation (incl. multi-array + WITH ORDINALITY)
     s = _rewrite_from_unnest(s)
+
+    # ROW types and constructors (RowType.java / SqlBase.g4 rowConstructor):
+    # CAST targets row/array/map(...) -> Spark DDL types; VALUES ROW(..)
+    # table constructors lose the keyword; remaining scalar row( -> struct(.
+    s = _rewrite_row_casts(s)
+    s = _rewrite_values_rows(s)
+    s = re.sub(r"\brow\s*\(", "struct(", s, flags=re.IGNORECASE)
 
     # CROSS JOIN UNNEST(expr[, expr...]) [AS t(cols)] [WITH ORDINALITY]
     def unnest_repl(m):

@@ -101,6 +101,7 @@ def _load_modules() -> None:
         reference_suite2,
         reference_suite3,
         reference_suite4,
+        reference_suite5,
         relational,
         subqueries,
         temporal_probes,

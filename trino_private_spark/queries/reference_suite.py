@@ -271,7 +271,37 @@ def _make(sql: str):
     return fn
 
 
+# Oracle-side dtype pinning: DuckDB widens SUM(BIGINT) to HUGEINT (pandas
+# float/object) and row_number() to BIGINT where Spark emits BIGINT/INT;
+# these overrides CAST the DuckDB side back to the Trino/Spark output type
+# so the dtype-parity gate in tests/conftest.compare_frames holds. The
+# Spark-side suite SQL stays literal.
+_ORACLE_OVERRIDES: dict[str, str] = {
+    "p_ref_sum_twice": (
+        "SELECT CAST(SUM(orderkey) AS BIGINT) AS s1, "
+        "CAST(SUM(orderkey) AS BIGINT) AS s2 FROM orders"
+    ),
+    "p_ref_multi_distinct_group": (
+        "SELECT custkey, orderstatus, COUNT(DISTINCT orderkey) AS c, "
+        "CAST(SUM(DISTINCT orderkey) AS BIGINT) AS s "
+        "FROM orders GROUP BY custkey, orderstatus"
+    ),
+    "p_ref_sum_distinct_nested": (
+        "SELECT CAST(SUM(DISTINCT x) AS BIGINT) AS s FROM "
+        "(SELECT custkey, COUNT(DISTINCT orderstatus) x FROM orders GROUP BY custkey) t"
+    ),
+    "p_ref_global_mixed_distinct": (
+        "SELECT COUNT(DISTINCT orderstatus) AS c, "
+        "CAST(SUM(DISTINCT custkey) AS BIGINT) AS s FROM orders"
+    ),
+    "p_ref_window_rownum": (
+        "SELECT orderkey, CAST(row_number() OVER (ORDER BY orderkey) AS INTEGER) AS rn "
+        "FROM orders"
+    ),
+}
+
 for _name, _cite, _sql in _SUITE:
     _fn = _make(_sql)
     _fn.__doc__ = f"Reference suite SQL ({_cite}), via plans/translate."
-    probe(_name, oracle=f"{_PROLOGUE}\n{_sql}", tags=("refsuite",))(_fn)
+    _osql = _ORACLE_OVERRIDES.get(_name, _sql)
+    probe(_name, oracle=f"{_PROLOGUE}\n{_osql}", tags=("refsuite",))(_fn)

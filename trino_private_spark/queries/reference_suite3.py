@@ -98,12 +98,28 @@ def _make(sql: str):
     return fn
 
 
+# Oracle-side dtype pinning (see reference_suite._ORACLE_OVERRIDES):
+# DuckDB's row_number() is BIGINT, Spark's is INT.
+_ORACLE_OVERRIDES3: dict[str, str] = {
+    "p_ref_window_nulls_first": (
+        "SELECT orderkey, CAST(row_number() OVER (ORDER BY nullif(orderkey, 3) NULLS FIRST) AS INTEGER) AS rn "
+        "FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) "
+        "ORDER BY 2 ASC LIMIT 5"
+    ),
+    "p_ref_window_nulls_default": (
+        "SELECT orderkey, CAST(row_number() OVER (ORDER BY nullif(orderkey, 3) NULLS LAST) AS INTEGER) AS rn "
+        "FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) "
+        "ORDER BY 2 DESC LIMIT 5"
+    ),
+}
+
 for _name, _cite, _sql in _SUITE3:
     _fn = _make(_sql)
     _fn.__doc__ = f"Reference suite SQL ({_cite}), via plans/translate."
+    _osql = _ORACLE_OVERRIDES3.get(_name, _sql)
     # A query that itself opens a WITH merges into the prologue's CTE list.
-    if _sql.upper().startswith("WITH "):
-        _oracle = f"{_PROLOGUE},\n{_sql[5:]}"
+    if _osql.upper().startswith("WITH "):
+        _oracle = f"{_PROLOGUE},\n{_osql[5:]}"
     else:
-        _oracle = f"{_PROLOGUE}\n{_sql}"
+        _oracle = f"{_PROLOGUE}\n{_osql}"
     probe(_name, oracle=_oracle, tags=("refsuite",))(_fn)

@@ -70,21 +70,21 @@ _SUITE4: list[tuple[str, str, str, str, bool]] = [
         "p_ref_unnest_ordinality_proj",
         "AbstractTestEngineOnlyQueries.java:3365",
         "SELECT b FROM UNNEST(ARRAY[10, 20, 30]) WITH ORDINALITY t(a, b)",
-        "SELECT * FROM (VALUES (1), (2), (3)) t(b)",
+        "SELECT CAST(b AS BIGINT) AS b FROM (VALUES (1), (2), (3)) t(b)",
         False,
     ),
     (
         "p_ref_unnest_ordinality_strings",
         "AbstractTestEngineOnlyQueries.java:3367",
         "SELECT a, b FROM UNNEST(ARRAY['kittens', 'puppies']) WITH ORDINALITY t(a, b)",
-        "SELECT * FROM (VALUES ('kittens', 1), ('puppies', 2)) t(a, b)",
+        "SELECT a, CAST(b AS BIGINT) AS b FROM (VALUES ('kittens', 1), ('puppies', 2)) t(a, b)",
         False,
     ),
     (
         "p_ref_unnest_multi_ordinality",
         "AbstractTestEngineOnlyQueries.java:3366",
         "SELECT a, b, c FROM UNNEST(ARRAY[10, 20, 30], ARRAY[4, 5]) WITH ORDINALITY t(a, b, c)",
-        "SELECT * FROM (VALUES (10, 4, 1), (20, 5, 2), (30, NULL, 3)) t(a, b, c)",
+        "SELECT a, b, CAST(c AS BIGINT) AS c FROM (VALUES (10, 4, 1), (20, 5, 2), (30, NULL, 3)) t(a, b, c)",
         False,
     ),
     (
@@ -98,7 +98,7 @@ _SUITE4: list[tuple[str, str, str, str, bool]] = [
         "p_ref_try_dedup",
         "AbstractTestEngineOnlyQueries.java:3025",
         "SELECT try(10 / a) + try(10 / a) AS s FROM (VALUES 5) t(a)",
-        "SELECT 4 AS s",
+        "SELECT CAST(4 AS DOUBLE) AS s",
         False,
     ),
     (
