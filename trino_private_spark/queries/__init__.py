@@ -93,6 +93,7 @@ def _load_modules() -> None:
         functions_probes,
         geo_probes,
         geom_probes,
+        layout_probes,
         llm,
         map_aggs,
         misc_probes,
