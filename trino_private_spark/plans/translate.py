@@ -398,6 +398,86 @@ def _rewrite_from_unnest(s: str) -> str:
         s = s[: m.start()] + repl + rest
 
 
+_QUANT_PAT = re.compile(
+    r"(?P<expr>\w+(?:\.\w+)*(?:\s*\([^()]*\))?|\x00\d+\x00|-?\d+(?:\.\d+)?)"
+    r"\s*(?P<op><>|!=|>=|<=|=|>|<)\s*(?P<q>ALL|ANY|SOME)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_quantified(s: str) -> str:
+    """Quantified comparisons ``expr op ALL/ANY/SOME (subquery)``
+    (SqlBase.g4 ``comparisonQuantifier``; Spark has no ALL/ANY) -> the
+    reference planner's own min/max/count rewrite
+    (``sql/planner/iterative/rule/TransformQuantifiedComparisonApplyToCorrelatedJoin.java``)
+    spelled as scalar subqueries, preserving three-valued logic: FALSE
+    beats NULL beats TRUE for ALL (dually for ANY), the empty set is TRUE
+    for ALL / FALSE for ANY, and NULL inputs propagate. ``= ANY`` and
+    ``<> ALL`` lower to IN / NOT IN. The operand is captured as a simple
+    term (column, literal, one call) — the forms the reference's suites
+    use. Catalyst's ReuseSubquery dedups the repeated scalar aggregates.
+    """
+    while True:
+        m = _QUANT_PAT.search(s)
+        if not m:
+            return s
+        depth, j = 1, m.end()
+        while j < len(s) and depth:
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+            j += 1
+        q = s[m.end() : j - 1].strip()
+        e = m.group("expr")
+        op = m.group("op").replace("!=", "<>")
+        kind = m.group("q").upper()
+        if kind == "SOME":
+            kind = "ANY"
+        if op == "=" and kind == "ANY":
+            repl = f"{e} IN ({q})"
+        elif op == "<>" and kind == "ALL":
+            repl = f"{e} NOT IN ({q})"
+        else:
+            cnt = f"(SELECT count(*) FROM ({q}) __qa)"
+            cnt_nn = f"(SELECT count(__v) FROM ({q}) __qb(__v))"
+            mn = f"(SELECT min(__v) FROM ({q}) __qc(__v))"
+            mx = f"(SELECT max(__v) FROM ({q}) __qd(__v))"
+            if kind == "ALL":
+                if op in (">", ">="):
+                    # FALSE iff some non-null v refutes: e {<=,<} max(v)
+                    fopp = {">": "<=", ">=": "<"}[op]
+                    refute = f"({e}) {fopp} {mx}"
+                elif op in ("<", "<="):
+                    fopp = {"<": ">=", "<=": ">"}[op]
+                    refute = f"({e}) {fopp} {mn}"
+                else:  # = ALL
+                    refute = f"(({e}) <> {mn} OR ({e}) <> {mx})"
+                repl = (
+                    f"(CASE WHEN {cnt} = 0 THEN true "
+                    f"WHEN ({e}) IS NULL THEN null "
+                    f"WHEN {cnt_nn} > 0 AND {refute} THEN false "
+                    f"WHEN {cnt_nn} < {cnt} THEN null "
+                    f"ELSE true END)"
+                )
+            else:  # ANY / SOME
+                if op in (">", ">="):
+                    # TRUE iff some non-null v satisfies: e op min(v)
+                    witness = f"({e}) {op} {mn}"
+                elif op in ("<", "<="):
+                    witness = f"({e}) {op} {mx}"
+                else:  # <> ANY
+                    witness = f"({mn} <> ({e}) OR {mx} <> ({e}))"
+                repl = (
+                    f"(CASE WHEN {cnt} = 0 THEN false "
+                    f"WHEN ({e}) IS NULL THEN null "
+                    f"WHEN {cnt_nn} > 0 AND {witness} THEN true "
+                    f"WHEN {cnt_nn} < {cnt} THEN null "
+                    f"ELSE false END)"
+                )
+        s = s[: m.start()] + repl + s[j:]
+
+
 def translate(sql: str) -> str:
     """Translate a Trino-dialect SQL string into Spark SQL."""
     # date_add / date_diff keep their unit literal: rewrite BEFORE shielding.
@@ -432,6 +512,9 @@ def translate(sql: str) -> str:
         s,
         flags=re.IGNORECASE,
     )
+
+    # expr op ALL/ANY/SOME (subquery) -> min/max/count 3VL rewrite
+    s = _rewrite_quantified(s)
 
     # TRY(CAST(x AS T)) -> TRY_CAST(x AS T) (TryCastFunction.java)
     s = re.sub(

@@ -103,6 +103,7 @@ def _load_modules() -> None:
         reference_suite3,
         reference_suite4,
         reference_suite5,
+        reference_suite6,
         relational,
         subqueries,
         temporal_probes,
