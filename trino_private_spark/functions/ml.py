@@ -106,6 +106,24 @@ def learn_classifier(
     ).cache()
     n_total = src.count()
 
+    # Small-input fast path: one collect, then iterate locally. This is
+    # exactly what the reference does at ANY size — its
+    # LearnClassifierAggregation accumulates every row into the
+    # aggregation state and trains single-node (learn_libsvm_*). We keep
+    # the distributed per-iteration scan for inputs that don't fit.
+    if n_total * dim <= 8_000_000:
+        pdf = src.toPandas()
+        X = np.vstack(pdf["_x"].map(np.asarray).to_numpy()).astype(float)
+        y = pdf["_y"].to_numpy(dtype=float)
+        for _ in range(iterations):
+            z = X @ w + b
+            p = 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+            err = p - y
+            w -= lr * ((X.T @ err) / n_total + l2 * w)
+            b -= lr * float(err.sum()) / n_total
+        src.unpersist()
+        return LinearModel(w, b, "classifier")
+
     schema = "grad array<double>, gb double, cnt long"
 
     for _ in range(iterations):

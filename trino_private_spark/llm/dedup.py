@@ -300,6 +300,10 @@ def connected_components(
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
         .union(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
         .distinct()
+        # cut the lineage ONCE: edges joins into every iteration, and
+        # without this the whole upstream candidate pipeline (LSH bucketing,
+        # jaccard verification) would re-execute per round
+        .localCheckpoint(eager=True)
     )
     # self-edges keep isolated endpoints in the label table
     labels = (
@@ -323,14 +327,17 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        # checkpoint BEFORE the convergence probe so the round's labels are
+        # computed once, not once for the probe and again for the next round
+        checkpointed = new_labels.localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
+            checkpointed.alias("n")
             .join(labels.alias("o"), "id")
             .where(F.col("n.component") != F.col("o.component"))
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = checkpointed
         if changed == 0:
             break
     return labels

@@ -86,12 +86,16 @@ def curate_corpus(
 
     # exact dedup: min id per fingerprint survives
     w = Window.partitionBy("_fp").orderBy(F.col(id_col))
-    exact = tick(
-        "exact_deduped",
+    exact = (
         gated.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .drop("_rn"),
+        .drop("_rn")
+        # this stage feeds LSH discovery, the verify subset AND the final
+        # keep-join — persist so the scan+gate+window runs once, not 3x
+        # (MEMORY_AND_DISK: spills rather than recomputes at 100 TB)
+        .persist()
     )
+    tick("exact_deduped", exact)
 
     # near dedup on the exact-deduped survivors
     cand = dedup.minhash_lsh_candidates(

@@ -37,11 +37,15 @@ def recursive_cte(
         nxt = step(frontier)
         if distinct:
             nxt = nxt.subtract(acc)
+        # materialize each level once: the emptiness probe and the next
+        # step() then run on a one-level plan instead of re-deriving the
+        # whole recursion chain (plan depth — not data — is the cost here;
+        # at depth d the un-checkpointed probe alone is O(d) planning)
+        nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             return acc
         acc = acc.unionByName(nxt)
         frontier = nxt
         if (i + 1) % checkpoint_every == 0:
             acc = acc.localCheckpoint(eager=True)
-            frontier = frontier.localCheckpoint(eager=True)
     raise RecursionLimitExceeded(f"recursion did not converge in {max_iterations}")

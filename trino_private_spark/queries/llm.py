@@ -264,8 +264,11 @@ def p_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    ann = lsh_ann_topk(emb, queries, k=10, n_planes=5, n_tables=16)
-    bf = brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    # both results feed two actions each (recall count + exact re-score /
+    # hit join) — persist so the 16-table bucketing and the brute-force
+    # scan run once, not twice
+    ann = lsh_ann_topk(emb, queries, k=10, n_planes=5, n_tables=16).persist()
+    bf = brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id").persist()
     n_bf = bf.count()
     n_hit = bf.join(ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]).count()
     # re-score every ANN pair exactly and compare
@@ -433,7 +436,8 @@ def p_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=16,
         bands=4,
     )
-    curated = res.curated.select("doc_id", "text")
+    # three invariant checks below each act on curated — persist once
+    curated = res.curated.select("doc_id", "text").persist()
     n = curated.count()
     n_dup_groups = exact_duplicates(curated).count()
     n_orphans = (
