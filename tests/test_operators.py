@@ -219,3 +219,22 @@ class TestAvroCodec:
         s = {"type": "record", "name": "z", "fields": [{"name": "v", "type": "long"}]}
         for v in (0, -1, 1, 63, 64, -64, -65, 2**62, -(2**62)):
             assert avro_decode_bytes(avro_encode({"v": v}, s), json.dumps(s)) == {"v": v}
+
+
+def test_sequencefile_roundtrip(spark, tmp_path):
+    from trino_private_spark.sources.readers import (
+        read_sequencefile,
+        write_sequencefile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "k bigint, v string"
+    )
+    path = str(tmp_path / "seq")
+    write_sequencefile(df, path)
+    back = read_sequencefile(spark, path, key_col="k", value_col="v")
+    assert sorted(map(tuple, back.collect())) == [
+        (1, "alpha"),
+        (2, "beta"),
+        (3, "gamma"),
+    ]

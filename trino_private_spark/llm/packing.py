@@ -28,7 +28,48 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences", "stratified_sample"]
+__all__ = ["pack_sequences", "stratified_sample", "deterministic_shuffle"]
+
+
+def shuffle_key(
+    id_col, seed: int = 42, epoch: int = 0
+):
+    """Exact affine permutation key over the 31-bit Mersenne field:
+    ``h = (a * (id mod p) + b) mod p`` with seed/epoch-derived a, b.
+    All products stay under 2^62, so the arithmetic is exact BIGINT on any
+    engine — the key (unlike engine-specific hash functions) replays
+    bit-identically in the DuckDB oracle."""
+    p = 2_147_483_647  # 2^31 - 1
+    a = (1_103_515_245 * ((seed + 31 * epoch) % 1024 + 1)) % p
+    b = (12_345 + 2_654_435_761 * (seed + epoch)) % p
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (F.lit(a) * (col.cast("bigint") % p) + F.lit(b)) % p
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    epoch: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global reshuffle for training epochs: every epoch is a
+    reproducible pseudo-random permutation of the corpus (same seed+epoch
+    -> same order on any cluster size), the standard requirement for
+    resumable pretraining runs.
+
+    Scale shape: ``repartitionByRange`` on the permutation key (one range
+    shuffle over sampled bounds — no single-reducer global sort) +
+    ``sortWithinPartitions``, so the output files stream in permuted order
+    with full parallelism. The key column rides along as ``shuffle_key``
+    (drop it after writing; ties between ids congruent mod p break on the
+    id itself)."""
+    key = shuffle_key(id_col, seed, epoch).alias("shuffle_key")
+    out = df.select("*", key)
+    n = num_partitions or out.rdd.getNumPartitions()
+    return out.repartitionByRange(n, "shuffle_key", id_col).sortWithinPartitions(
+        "shuffle_key", id_col
+    )
 
 
 def pack_sequences(

@@ -952,3 +952,40 @@ def p_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wm.sample_rate").alias("sample_rate"),
         F.col("wm.duration_ms").alias("duration_ms"),
     ).orderBy("s_suppkey")
+
+
+@probe(
+    "p_det_shuffle",
+    oracle="""
+    SELECT doc_id,
+           (55749544 * (doc_id % 2147483647) + 324116777) % 2147483647 AS shuffle_key,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY (55749544 * (doc_id % 2147483647) + 324116777) % 2147483647,
+                        doc_id) AS INTEGER) AS pos
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("llm",),
+)
+def p_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch reshuffle (llm/packing.deterministic_shuffle):
+    the permutation key is exact 31-bit-field affine arithmetic, so the
+    FULL key and the resulting global position replay bit-identically in
+    the oracle (seed=42, epoch=1 -> a=55749544, b=324116777). At scale the
+    order materializes via repartitionByRange + sortWithinPartitions; the
+    probe exposes it as an explicit rank column so the order itself is
+    hash-checked."""
+    from pyspark.sql import Window
+
+    from trino_private_spark.llm.packing import deterministic_shuffle
+
+    t = T(spark, sf_dir)
+    shuffled = deterministic_shuffle(
+        t.documents.select("doc_id"), id_col="doc_id", seed=42, epoch=1
+    )
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return (
+        shuffled.select("doc_id", "shuffle_key")
+        .withColumn("pos", F.row_number().over(w))
+        .orderBy("doc_id")
+    )

@@ -123,3 +123,27 @@ class MemoryCatalog:
 
     def tables(self) -> list[str]:
         return sorted(self._tables)
+
+
+def read_sequencefile(
+    spark: SparkSession,
+    path: str,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hadoop SequenceFile source (the reference reads these through Hive
+    serdes — plugin/trino-hive HiveStorageFormat SEQUENCEFILE). Spark's
+    native sequenceFile input splits by Hadoop block, so scan parallelism
+    matches any other format; keys/values deserialize from Writables to
+    their Python/JVM twins and arrive as a two-column DataFrame."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    return spark.createDataFrame(rdd, [key_col, value_col])
+
+
+def write_sequencefile(df: DataFrame, path: str) -> None:
+    """SequenceFile sink for two-column DataFrames (key, value) — the
+    round-trip partner of :func:`read_sequencefile`."""
+    cols = df.columns
+    if len(cols) != 2:
+        raise ValueError("sequencefile sink expects exactly (key, value)")
+    df.rdd.map(tuple).saveAsSequenceFile(path)
