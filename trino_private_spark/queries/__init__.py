@@ -104,6 +104,7 @@ def _load_modules() -> None:
         reference_suite4,
         reference_suite5,
         reference_suite6,
+        reference_suite7,
         relational,
         subqueries,
         temporal_probes,

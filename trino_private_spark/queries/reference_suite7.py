@@ -1,0 +1,86 @@
+"""Reference-suite probes, tranche 7: named WINDOW clauses
+(``AbstractTestEngineOnlyQueries.java`` testWindow — SqlBase.g4 WINDOW
+clause, `:242,261-270`), explicit RESPECT/IGNORE NULLS null treatment on
+``lag`` (``AbstractTestWindowQueries.java:664``), and HAVING without
+GROUP BY (``AbstractTestEngineOnlyQueries.java:4834``). Same contract as
+the earlier tranches; expected-VALUES oracles where the suite asserts
+literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from trino_private_spark.plans.translate import translate
+from trino_private_spark.queries import probe
+from trino_private_spark.queries.reference_suite import (
+    _PROLOGUE,
+    _register_tpch_views,
+)
+
+_SUITE7: list[tuple[str, str, str, str, bool]] = [
+    (
+        "p_ref_named_window",
+        "AbstractTestEngineOnlyQueries.java:4848",
+        "SELECT first_value(b) OVER w AS f "
+        "FROM (VALUES (1, 'a'), (1, 'b'), (3, 'c')) t(a, b) "
+        "WINDOW w AS (PARTITION BY a ORDER BY b DESC)",
+        "SELECT * FROM (VALUES ('b'), ('b'), ('c')) t(f)",
+        False,
+    ),
+    (
+        "p_ref_named_window_frame",
+        "AbstractTestEngineOnlyQueries.java:4854",
+        "SELECT first_value(b) OVER w AS f "
+        "FROM (VALUES (1, 'a'), (1, 'b'), (3, 'c')) t(a, b) "
+        "WINDOW w AS (PARTITION BY a ORDER BY b DESC ROWS CURRENT ROW)",
+        "SELECT * FROM (VALUES ('a'), ('b'), ('c')) t(f)",
+        False,
+    ),
+    (
+        "p_ref_lag_null_treatment",
+        "AbstractTestWindowQueries.java:664",
+        "SELECT a, b, c, "
+        "lag(c, 1) RESPECT NULLS OVER (PARTITION BY b ORDER BY a) AS r, "
+        "lag(c, 1) IGNORE NULLS OVER (PARTITION BY b ORDER BY a) AS ig "
+        "FROM ( VALUES "
+        "(1, 'A', 'a'), "
+        "(2, 'A', NULL), "
+        "(3, 'A', 'c'), "
+        "(4, 'A', NULL), "
+        "(5, 'A', 'e'), "
+        "(6, 'A', NULL)"
+        ") t(a, b, c)",
+        "SELECT * FROM (VALUES "
+        "(1, 'A', 'a', null, null), "
+        "(2, 'A', null, 'a', 'a'), "
+        "(3, 'A', 'c', null, 'a'), "
+        "(4, 'A', null, 'c', 'c'), "
+        "(5, 'A', 'e', null, 'c'), "
+        "(6, 'A', null, 'e', 'e')) t(a, b, c, r, ig)",
+        False,
+    ),
+    (
+        "p_ref_having_no_groupby",
+        "AbstractTestEngineOnlyQueries.java:4834",
+        "SELECT sum(orderkey) AS s FROM orders HAVING sum(orderkey) > 400000",
+        "SELECT CAST(sum(orderkey) AS BIGINT) AS s FROM orders HAVING sum(orderkey) > 400000",
+        True,
+    ),
+]
+
+
+def _make(sql: str, needs_views: bool):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        if needs_views:
+            _register_tpch_views(spark, sf_dir)
+        return spark.sql(translate(sql))
+
+    return fn
+
+
+for _name, _cite, _sql, _osql, _views in _SUITE7:
+    _fn = _make(_sql, _views)
+    _fn.__doc__ = f"Reference suite SQL ({_cite}), via plans/translate."
+    _oracle = f"{_PROLOGUE}\n{_osql}" if _views else _osql
+    probe(_name, oracle=_oracle, tags=("refsuite",))(_fn)
