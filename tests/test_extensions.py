@@ -173,3 +173,25 @@ class TestTimeTravel:
         assert snaps[-1]["operation"] == "rollback_to_v0"
         # the deleted snapshot is still readable
         assert eng.read_version("tt_orders", 1).count() < n0
+
+
+class TestSessionPropertyMap:
+    def test_cbo_flags_roundtrip(self, spark):
+        from trino_private_spark.api import Engine
+
+        eng = Engine(spark)
+        eng.set_session("join_distribution_type", "PARTITIONED")
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+        eng.set_session("join_distribution_type", "AUTOMATIC")
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "64MB"
+        eng.set_session("join_reordering_strategy", "AUTOMATIC")
+        assert spark.conf.get("spark.sql.cbo.joinReorder.enabled") == "true"
+        eng.set_session("join_reordering_strategy", "ELIMINATE_CROSS_JOINS")
+        assert spark.conf.get("spark.sql.cbo.joinReorder.enabled") == "false"
+        eng.set_session("hash_partition_count", "17")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "17"
+        # restore the suite defaults
+        eng.set_session("hash_partition_count", "32")
+        # unmapped keys pass through verbatim
+        eng.set_session("spark.sql.session.timeZone", "UTC")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"

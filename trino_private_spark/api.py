@@ -92,9 +92,46 @@ class Engine:
         """INSERT (append) into a file-backed table."""
         self.sql(text, dialect).write.mode("append").format(fmt).save(path)
 
+    # Trino session properties (SystemSessionProperties.java) with a direct
+    # Spark conf twin — the reference's own benchmark matrix toggles these
+    # per run (testing/trino-benchto-benchmarks .../tpch.yaml:24-37 via
+    # session_set_cbo_flags.sql). Anything unmapped passes through verbatim
+    # as a Spark conf key.
+    _SESSION_MAP = {
+        # join_reordering_strategy: NONE keeps syntactic order;
+        # ELIMINATE_CROSS_JOINS / AUTOMATIC enable (cost-based) reordering
+        "join_reordering_strategy": lambda v: [
+            ("spark.sql.cbo.enabled", str(v.upper() == "AUTOMATIC").lower()),
+            (
+                "spark.sql.cbo.joinReorder.enabled",
+                str(v.upper() == "AUTOMATIC").lower(),
+            ),
+        ],
+        # join_distribution_type: PARTITIONED forbids broadcast (threshold
+        # -1); BROADCAST/AUTOMATIC let the planner/AQE choose
+        "join_distribution_type": lambda v: [
+            (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "-1" if v.upper() == "PARTITIONED" else "64MB",
+            )
+        ],
+        "hash_partition_count": lambda v: [("spark.sql.shuffle.partitions", v)],
+        "enable_dynamic_filtering": lambda v: [
+            ("spark.sql.optimizer.runtime.bloomFilter.enabled", v),
+            ("spark.sql.optimizer.dynamicPartitionPruning.enabled", v),
+        ],
+        "spill_enabled": lambda v: [],  # Spark operators always spill
+        "query_max_execution_time": lambda v: [],  # no session-level twin
+    }
+
     def set_session(self, key: str, value: str) -> None:
-        """SET SESSION shim (SqlBase.g4:148)."""
-        self.spark.conf.set(key, value)
+        """SET SESSION shim (SqlBase.g4:148): reference session property
+        names map to their Spark conf twins (see ``_SESSION_MAP``); other
+        keys set the Spark conf directly."""
+        for conf_key, conf_val in self._SESSION_MAP.get(
+            key, lambda v: [(key, v)]
+        )(value):
+            self.spark.conf.set(conf_key, conf_val)
 
     def set_time_zone(self, zone: str) -> None:
         """SET TIME ZONE (SqlBase.g4:159) -> Spark session timezone."""
