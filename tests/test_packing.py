@@ -141,3 +141,31 @@ class TestMediaHeaderDecoding:
         assert out[0]["im"]["width"] == 64 and out[0]["im"]["format"] == "png"
         assert out[0]["wm"]["duration_ms"] == 500
         assert out[1]["im"]["format"] is None and out[1]["wm"]["sample_rate"] is None
+
+
+def test_mp4_meta_roundtrip():
+    from trino_private_spark.llm.multimodal import make_mp4, mp4_meta_bytes
+
+    m = mp4_meta_bytes(make_mp4(90_500, timescale=600, width=1920, height=1080))
+    assert m == (90_500, 600, 1920, 1080, 1)
+    audio = mp4_meta_bytes(make_mp4(2_000, timescale=44100))
+    assert audio == (2_000, 44100, None, None, 0)
+    assert mp4_meta_bytes(b"junk" * 10) is None
+
+
+def test_mp4_meta_udf(spark):
+    import pyspark.sql.functions as F
+
+    from trino_private_spark.llm.multimodal import make_mp4, mp4_meta
+
+    df = spark.createDataFrame(
+        [(1, make_mp4(5_000, 1000, 640, 360)), (2, make_mp4(250, 90000)), (3, None)],
+        "id int, payload binary",
+    )
+    rows = {
+        r.id: (r.m.duration_ms, r.m.timescale, r.m.width, r.m.height, r.m.n_tracks)
+        for r in df.select("id", mp4_meta(F.col("payload")).alias("m")).collect()
+    }
+    assert rows[1] == (5_000, 1000, 640, 360, 1)
+    assert rows[2] == (250, 90000, None, None, 0)
+    assert rows[3] == (None, None, None, None, None)

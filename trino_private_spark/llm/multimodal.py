@@ -331,3 +331,132 @@ def wav_of(rate: pd.Series, secs: pd.Series) -> pd.Series:
     return pd.Series(
         [make_wav(int(r), 1, int(r) * int(s)) for r, s in zip(rate, secs)]
     )
+
+
+# -- MP4 / ISO BMFF (public spec ISO/IEC 14496-12) -------------------------
+
+_MP4_META_T = _ST([
+    _SF("duration_ms", _Int(), True),
+    _SF("timescale", _Int(), True),
+    _SF("width", _Int(), True),
+    _SF("height", _Int(), True),
+    _SF("n_tracks", _Int(), True),
+])
+
+
+def _bmff_boxes(b: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) walking one box level."""
+    i = start
+    while i + 8 <= end:
+        size = _struct.unpack_from(">I", b, i)[0]
+        btype = b[i + 4 : i + 8]
+        payload = i + 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                return
+            size = _struct.unpack_from(">Q", b, i + 8)[0]
+            payload = i + 16
+        elif size == 0:  # box extends to end of file
+            size = end - i
+        if size < 8 or i + size > end:
+            return
+        yield btype, payload, i + size
+        i += size
+
+
+def mp4_meta_bytes(b: bytes):
+    """(duration_ms, timescale, width, height, n_tracks) from the ISO BMFF
+    box tree: moov/mvhd carries movie timescale+duration, each moov/trak/
+    tkhd carries 16.16-fixed track dimensions (video tracks have nonzero
+    width/height). Pure byte-walking — no media libraries."""
+    if b is None or len(b) < 12:
+        return None
+    if b[4:8] not in (b"ftyp", b"moov", b"styp"):
+        return None
+    duration_ms = timescale = None
+    width = height = None
+    n_tracks = 0
+    for btype, s, e in _bmff_boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _bmff_boxes(b, s, e):
+            if ctype == b"mvhd" and ce - cs >= 20:
+                version = b[cs]
+                if version == 1:
+                    ts = _struct.unpack_from(">I", b, cs + 20)[0]
+                    dur = _struct.unpack_from(">Q", b, cs + 24)[0]
+                else:
+                    ts = _struct.unpack_from(">I", b, cs + 12)[0]
+                    dur = _struct.unpack_from(">I", b, cs + 16)[0]
+                timescale = ts
+                duration_ms = int(dur * 1000 / ts) if ts else 0
+            elif ctype == b"trak":
+                n_tracks += 1
+                for ttype, ts_, te in _bmff_boxes(b, cs, ce):
+                    if ttype == b"tkhd":
+                        version = b[ts_]
+                        # version+flags (4) + times/ids: v0 = 5x4, v1 = 8+8+4+4+8
+                        off = ts_ + 4 + (32 if version == 1 else 20)
+                        # layer2 alternate2 volume2 reserved2 matrix36
+                        wh = off + 8 + 2 + 2 + 2 + 2 + 36
+                        if wh + 8 <= te:
+                            w = _struct.unpack_from(">I", b, wh)[0] >> 16
+                            h = _struct.unpack_from(">I", b, wh + 4)[0] >> 16
+                            if w and h:
+                                width, height = w, h
+    if timescale is None:
+        return None
+    return (duration_ms, timescale, width, height, n_tracks)
+
+
+@pandas_udf(_MP4_META_T)
+def mp4_meta(payload: pd.Series) -> pd.DataFrame:
+    rows = []
+    for b in payload:
+        m = mp4_meta_bytes(None if b is None else bytes(b))
+        rows.append(
+            {"duration_ms": None, "timescale": None, "width": None,
+             "height": None, "n_tracks": None}
+            if m is None
+            else {"duration_ms": m[0], "timescale": m[1], "width": m[2],
+                  "height": m[3], "n_tracks": m[4]}
+        )
+    return pd.DataFrame(rows)
+
+
+def make_mp4(
+    duration_ms: int, timescale: int = 1000, width: int = 0, height: int = 0
+) -> bytes:
+    """A minimal valid ISO BMFF header (ftyp + moov[mvhd + optional
+    trak/tkhd]) for tests — real box framing, parseable by any BMFF
+    walker."""
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return _struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    ftyp = box(b"ftyp", b"isom" + _struct.pack(">I", 512) + b"isomiso2mp41")
+    dur = int(duration_ms * timescale / 1000)
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + _struct.pack(">IIII", 0, 0, timescale, dur)
+        + _struct.pack(">I", 0x00010000)  # rate 1.0
+        + _struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10
+        + _struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + _struct.pack(">I", 2),  # next track id
+    )
+    parts = [mvhd]
+    if width and height:
+        tkhd = box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"
+            + _struct.pack(">IIIII", 0, 0, 1, 0, dur)
+            + b"\x00" * 8
+            + _struct.pack(">HHHH", 0, 0, 0, 0)
+            + _struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + _struct.pack(">II", width << 16, height << 16),
+        )
+        parts.append(box(b"trak", tkhd))
+    return ftyp + box(b"moov", b"".join(parts))
