@@ -389,3 +389,69 @@ def test_streaming_match_recognize_rejects_unbounded(spark):
             "up+",
             {"up": vectorized(lambda p: p["value"] > 0)},
         )
+
+
+def test_click_view_full_outer_stream_equals_batch(spark, batch_events, tmp_path):
+    """FULL OUTER stream-stream join: the closed region must carry real
+    unmatched rows from BOTH sides (clicks with no view AND views with no
+    click), each equal to the batch full range join. Two microbatches so
+    the second advances the watermark and flushes the first's unmatched
+    state on both stores."""
+    import os
+
+    from trino_private_spark.streaming.events import (
+        click_view_join_full,
+        run_stream_to_memory,
+    )
+
+    stream_dir = str(tmp_path / "two_batch_events_full")
+    os.makedirs(stream_dir, exist_ok=True)
+    bounds = batch_events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).head()
+    lo, hi = bounds["lo"], bounds["hi"]
+    split = lo + (hi - lo) * 6 // 10 if isinstance(hi, int) else lo + (hi - lo) * 0.6
+    early = batch_events.where(F.col("ts") <= F.lit(split))
+    late = batch_events.where(F.col("ts") > F.lit(split))
+    assert early.count() > 0 and late.count() > 0
+    for i, part in enumerate((early, late)):
+        sub = str(tmp_path / f"fw{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(sub)
+        src = next(
+            f for f in os.listdir(sub) if f.endswith(".parquet") and f.startswith("part-")
+        )
+        dst = os.path.join(stream_dir, f"{i}_batch.parquet")
+        os.replace(os.path.join(sub, src), dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    schema = spark.read.parquet(stream_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    got = run_stream_to_memory(
+        spark,
+        click_view_join_full(stream),
+        "t_cv_full",
+        output_mode="append",
+    ).toPandas()
+
+    batch = click_view_join_full(batch_events).toPandas()
+    wm1 = early.agg(F.max("ts")).head()[0]
+    import pandas as pd
+
+    cutoff = pd.Timestamp(wm1) - pd.Timedelta(hours=3, minutes=5)
+
+    def closed(df):
+        key_ts = pd.to_datetime(df["click_ts"]).fillna(pd.to_datetime(df["view_ts"]))
+        out = df[key_ts <= cutoff]
+        return out.sort_values(
+            ["click_id", "view_id"], na_position="last"
+        ).reset_index(drop=True)
+
+    got_c, batch_c = closed(got), closed(batch)
+    assert len(batch_c) > 0, "closed region must be non-trivial"
+    assert batch_c["view_id"].isna().sum() > 0, "need unmatched clicks"
+    assert batch_c["click_id"].isna().sum() > 0, "need unmatched views"
+    compare_frames(got_c, batch_c, "click_view_full_outer (closed region)")

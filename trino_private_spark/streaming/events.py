@@ -278,3 +278,38 @@ def click_view_join_outer(
     return clicks.join(views, cond, "left_outer").select(
         "click_id", "view_id", "c_user", "click_ts", "view_ts"
     )
+
+
+def click_view_join_full(
+    events: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream FULL OUTER join (Spark 3.1+): unmatched CLICKS null-pad
+    once the watermark passes their match window, and unmatched VIEWS
+    null-pad once no future click can land in [view_ts, view_ts + horizon].
+    Both sides carry watermarks; the time-range predicate bounds both state
+    stores, so state stays O(events in the horizon+watermark band) at any
+    stream length. On batch frames the identical expression is a plain full
+    range join — the stream's watermark-closed region must equal it."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        views = views.withWatermark("view_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {horizon}"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+    )
+    return clicks.join(views, cond, "full_outer").select(
+        "click_id", "view_id", "c_user", "v_user", "click_ts", "view_ts"
+    )
