@@ -61,6 +61,29 @@ _SUITE7: list[tuple[str, str, str, str, bool]] = [
         False,
     ),
     (
+        "p_ref_topn_nulls_default",
+        "AbstractTestQueries.java:404",
+        # the suite asserts Trino's ASC default is NULLS LAST (orderkey 3
+        # nulls out and must NOT enter the top 10); Spark's default is the
+        # opposite, spelled out by the translator
+        "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) ASC, custkey ASC LIMIT 10",
+        "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) ASC NULLS LAST, custkey ASC LIMIT 10",
+        True,
+    ),
+    (
+        "p_ref_union_predicate",
+        "AbstractTestQueries.java:449",
+        "SELECT * FROM (\n"
+        "  SELECT orderkey+1 AS a FROM orders WHERE orderstatus = 'F' UNION ALL \n"
+        "  SELECT orderkey FROM orders WHERE orderkey % 2 = 0 UNION ALL \n"
+        "  (SELECT orderkey+custkey FROM orders ORDER BY orderkey LIMIT 10)\n"
+        ") \n"
+        "WHERE a < 20 OR a > 100 \n"
+        "ORDER BY a",
+        None,
+        True,
+    ),
+    (
         "p_ref_having_no_groupby",
         "AbstractTestEngineOnlyQueries.java:4834",
         "SELECT sum(orderkey) AS s FROM orders HAVING sum(orderkey) > 400000",
@@ -82,5 +105,6 @@ def _make(sql: str, needs_views: bool):
 for _name, _cite, _sql, _osql, _views in _SUITE7:
     _fn = _make(_sql, _views)
     _fn.__doc__ = f"Reference suite SQL ({_cite}), via plans/translate."
-    _oracle = f"{_PROLOGUE}\n{_osql}" if _views else _osql
+    _body = _osql or _sql
+    _oracle = f"{_PROLOGUE}\n{_body}" if _views else _body
     probe(_name, oracle=_oracle, tags=("refsuite",))(_fn)
