@@ -84,6 +84,33 @@ _SUITE7: list[tuple[str, str, str, str, bool]] = [
         True,
     ),
     (
+        "p_ref_except_all_nested",
+        "AbstractTestEngineOnlyQueries.java:310",
+        "VALUES 1, 1, 1 EXCEPT ALL (VALUES 1, 1 EXCEPT ALL VALUES 1)",
+        "SELECT * FROM (VALUES (1), (1), (1)) t(col1) EXCEPT ALL "
+        "(SELECT * FROM (VALUES (1), (1)) t(col1) EXCEPT ALL SELECT * FROM (VALUES (1)) t(col1))",
+        False,
+    ),
+    (
+        "p_ref_except_all_assoc",
+        "AbstractTestEngineOnlyQueries.java:302",
+        # left-associativity: ((3x1 minus 2x1) minus 1x1) is EMPTY — the
+        # empty set IS the asserted semantics here
+        "VALUES 1, 1, 1 EXCEPT ALL VALUES 1, 1 EXCEPT ALL VALUES 1",
+        "SELECT * FROM (VALUES (1), (1), (1)) t(col1) EXCEPT ALL "
+        "SELECT * FROM (VALUES (1), (1)) t(col1) EXCEPT ALL SELECT * FROM (VALUES (1)) t(col1)",
+        False,
+    ),
+    (
+        "p_ref_intersect_all_nulls",
+        "AbstractTestEngineOnlyQueries.java:355",
+        "SELECT * FROM (VALUES 1, 2, 3, 3, 4, 4, 4, null, null) INTERSECT ALL "
+        "SELECT * FROM (VALUES 3, 3, 3, 4, 4, null, null)",
+        "SELECT * FROM (VALUES (1), (2), (3), (3), (4), (4), (4), (null), (null)) t(col1) INTERSECT ALL "
+        "SELECT * FROM (VALUES (3), (3), (3), (4), (4), (null), (null)) t(col1)",
+        False,
+    ),
+    (
         "p_ref_having_no_groupby",
         "AbstractTestEngineOnlyQueries.java:4834",
         "SELECT sum(orderkey) AS s FROM orders HAVING sum(orderkey) > 400000",
