@@ -676,11 +676,25 @@ class TestGeneralSetOps:
             assert G.geom_contains(g(self.R), pt)
 
     def test_difference_disjoint_from_subtrahend_interior(self):
+        # output parts may be canonically traced NON-convex rings (whose
+        # centroid can fall outside themselves), so sample guaranteed
+        # interior points: the centroid of every triangle of each part
         out = G.geom_difference(g(self.L), g(self.R))
         parts = out.parts if out.kind == "MultiPolygon" else [out]
+        checked = 0
         for p in parts:
-            c = G.geom_centroid(p)
-            assert not G.geom_contains(g(self.R), G.Geom("Point", pt=c))
+            for tri in G._triangulate(p.rings[0]):
+                c = (
+                    sum(t[0] for t in tri) / 3.0,
+                    sum(t[1] for t in tri) / 3.0,
+                )
+                if any(
+                    G._point_in_ring(c, hole) >= 0 for hole in p.rings[1:]
+                ):
+                    continue
+                assert not G.geom_contains(g(self.R), G.Geom("Point", pt=c))
+                checked += 1
+        assert checked > 0
 
     def test_convex_fast_path_still_single_ring(self):
         a = g(SQUARE)
@@ -1103,3 +1117,76 @@ class TestInterpolatePointsAndSphericalCast:
             validate_spherical(g("POINT (200 0)"))
         with pytest.raises(ValueError):
             validate_spherical(g("POINT (0 95)"))
+
+
+class TestCanonicalTracing:
+    """Set-op GEOMETRY output is canonically traced: minimal-vertex simple
+    rings (shells CCW, holes CW), rotated to the lexicographically
+    smallest vertex — not the convex-piece decomposition."""
+
+    def test_union_staircase(self):
+        a = g("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        b = g("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
+        assert G.to_wkt(G.geom_union(a, b)) == (
+            "POLYGON ((0 0, 2 0, 2 1, 3 1, 3 3, 1 3, 1 2, 0 2, 0 0))"
+        )
+
+    def test_difference_L(self):
+        a = g("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        b = g("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
+        assert G.to_wkt(G.geom_difference(a, b)) == (
+            "POLYGON ((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))"
+        )
+
+    def test_sym_difference_two_Ls(self):
+        a = g("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        b = g("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
+        assert G.to_wkt(G.geom_sym_difference(a, b)) == (
+            "MULTIPOLYGON (((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0)), "
+            "((1 2, 2 2, 2 1, 3 1, 3 3, 1 3, 1 2)))"
+        )
+
+    def test_difference_produces_hole(self):
+        big = g("POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0))")
+        small = g("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))")
+        out = G.geom_difference(big, small)
+        assert G.to_wkt(out) == (
+            "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))"
+        )
+        assert abs(G.geom_area(out) - 32.0) < 1e-9
+
+    def test_nonconvex_intersection_traced(self):
+        L = g("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))")
+        r = g("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
+        assert G.to_wkt(G.geom_intersection(L, r)) == (
+            "POLYGON ((1 1, 3 1, 3 2, 2 2, 2 3, 1 3, 1 1))"
+        )
+
+    def test_holed_ring_window_intersection(self):
+        ring = g(
+            "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"
+        )
+        win = g("POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))")
+        out = G.geom_intersection(ring, win)
+        assert G.to_wkt(out) == (
+            "POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1), (2 2, 2 4, 4 4, 4 2, 2 2))"
+        )
+        assert abs(G.geom_area(out) - 12.0) < 1e-9
+
+    def test_traced_outputs_are_valid_and_area_exact(self):
+        shapes = [
+            ("POLYGON ((0 0, 5 0, 5 1, 1 1, 1 3, 5 3, 5 4, 0 4, 0 0))",  # C
+             "POLYGON ((-1 -1, 3 -1, 3 5, -1 5, -1 -1))"),
+            ("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))",
+             "POLYGON ((1 -1, 3 -1, 3 5, 1 5, 1 -1))"),
+        ]
+        for wa, wb in shapes:
+            a, b = g(wa), g(wb)
+            for op, area_fn in (
+                (G.geom_intersection, G.geom_intersection_area),
+                (G.geom_difference, G.geom_difference_area),
+                (G.geom_union, G.geom_union_area),
+            ):
+                out = op(a, b)
+                assert abs(G.geom_area(out) - area_fn(a, b)) < 1e-7
+                assert G.geom_is_valid(out)

@@ -1704,6 +1704,158 @@ def _rings_disjoint(b1, b2) -> bool:
     return b1[2] < b2[0] or b2[2] < b1[0] or b1[3] < b2[1] or b2[3] < b1[1]
 
 
+def _trace_pieces(pieces: list) -> Geom | None:
+    """Reassemble disjoint convex CCW pieces into CANONICAL traced
+    polygons (shells CCW, holes CW, each ring rotated to its
+    lexicographically smallest vertex) by shared-edge cancellation: every
+    interior edge is walked once in each direction by its two adjacent
+    pieces and cancels; surviving directed sub-edges stitch into the
+    region's boundary cycles, whose orientation is inherited from the CCW
+    pieces. Partial edge adjacency is handled by splitting every edge at
+    all quantized vertices lying on it. Returns None when the stitched
+    area disagrees with the piece-sum area (caller falls back to the
+    piece representation)."""
+    import math as _math
+    from collections import defaultdict
+
+    pieces = [r for r in pieces if abs(_ring_signed_area(r)) >= _TINY_AREA]
+    if not pieces:
+        return Geom("Polygon")
+
+    def q(p):
+        return (round(float(p[0]), 9), round(float(p[1]), 9))
+
+    verts: set = set()
+    rings_q = []
+    for r in pieces:
+        pts = []
+        for p in r[:-1]:
+            pq = q(p)
+            if not pts or pts[-1] != pq:
+                pts.append(pq)
+        if len(pts) >= 3:
+            rings_q.append(pts)
+            verts.update(pts)
+    # split every directed edge at vertices collinear-and-between
+    counts: dict = defaultdict(int)
+    for pts in rings_q:
+        n = len(pts)
+        for i in range(n):
+            a, b = pts[i], pts[(i + 1) % n]
+            abx, aby = b[0] - a[0], b[1] - a[1]
+            ab2 = abx * abx + aby * aby
+            if ab2 == 0:
+                continue
+            onseg = []
+            for v in verts:
+                if v == a or v == b:
+                    continue
+                cross = abx * (v[1] - a[1]) - aby * (v[0] - a[0])
+                if cross * cross > 1e-14 * ab2:
+                    continue
+                t = (abx * (v[0] - a[0]) + aby * (v[1] - a[1])) / ab2
+                if 1e-12 < t < 1 - 1e-12:
+                    onseg.append((t, v))
+            chain = [a] + [v for _, v in sorted(onseg)] + [b]
+            for j in range(len(chain) - 1):
+                counts[(chain[j], chain[j + 1])] += 1
+    # boundary sub-edges: net direction survives
+    out_edges: dict = defaultdict(list)
+    n_edges = 0
+    for (a, b), c in counts.items():
+        net = c - counts.get((b, a), 0)
+        if net > 0:
+            if net > 1:
+                return None  # overlapping pieces — not a valid region
+            out_edges[a].append(b)
+            n_edges += 1
+    if not n_edges:
+        return None
+    # stitch cycles; at junction vertices take the most-clockwise turn from
+    # the reversed incoming direction (standard planar face traversal —
+    # keeps the region interior on the consistent side)
+    rings_out = []
+    used: set = set()
+    for start in sorted(out_edges):
+        for first in sorted(out_edges[start]):
+            if (start, first) in used:
+                continue
+            ring = [start]
+            u, v = start, first
+            used.add((u, v))
+            guard = 0
+            while v != start:
+                ring.append(v)
+                cands = [w for w in out_edges[v] if (v, w) not in used]
+                if not cands:
+                    return None  # dangling boundary
+                if len(cands) == 1:
+                    w = cands[0]
+                else:
+                    back = _math.atan2(u[1] - v[1], u[0] - v[0])
+
+                    def cw_from_back(w):
+                        ang = _math.atan2(w[1] - v[1], w[0] - v[0])
+                        return (back - ang) % (2 * _math.pi)
+
+                    w = min(cands, key=cw_from_back)
+                u, v = v, w
+                used.add((u, v))
+                guard += 1
+                if guard > n_edges + 1:
+                    return None
+            rings_out.append(ring)
+    # drop collinear vertices introduced by edge splitting, then
+    # canonicalize: rotate to lexicographically smallest vertex, close
+    closed = []
+    for ring in rings_out:
+        simple = []
+        n = len(ring)
+        for i in range(n):
+            p0, p1, p2 = ring[i - 1], ring[i], ring[(i + 1) % n]
+            cross = (p1[0] - p0[0]) * (p2[1] - p0[1]) - (p1[1] - p0[1]) * (
+                p2[0] - p0[0]
+            )
+            if abs(cross) > 1e-12:
+                simple.append(p1)
+        if len(simple) < 3:
+            continue
+        k = min(range(len(simple)), key=lambda i: simple[i])
+        rot = simple[k:] + simple[:k]
+        closed.append(np.array(rot + [rot[0]], dtype=float))
+    shells = [(r, _ring_signed_area(r)) for r in closed if _ring_signed_area(r) > _TINY_AREA]
+    holes = [(r, _ring_signed_area(r)) for r in closed if _ring_signed_area(r) < -_TINY_AREA]
+    want = sum(_ring_signed_area(p) for p in pieces)
+    got = sum(a for _, a in shells) + sum(a for _, a in holes)
+    if abs(got - want) > 1e-6 * max(1.0, abs(want)):
+        return None
+    # nest each hole inside the smallest containing shell
+    polys = [[s, []] for s, _ in sorted(shells, key=lambda x: x[1])]
+    for h, _ in holes:
+        placed = False
+        for entry in polys:
+            if _point_in_ring(((h[0][0] + h[1][0]) / 2, (h[0][1] + h[1][1]) / 2), entry[0]) >= 0 and _point_in_ring(tuple(h[0]), entry[0]) >= 0:
+                entry[1].append(h)
+                placed = True
+                break
+        if not placed:
+            return None
+    geoms = [Geom("Polygon", rings=[s] + hs) for s, hs in polys]
+    if len(geoms) == 1:
+        return geoms[0]
+    return Geom("MultiPolygon", parts=geoms)
+
+
+def _assemble_canonical(pieces: list) -> Geom:
+    """Canonical traced boundary when reassembly succeeds; disjoint convex
+    piece MULTIPOLYGON (area-exact) otherwise."""
+    try:
+        g = _trace_pieces(pieces)
+    except Exception:
+        g = None
+    return g if g is not None else _assemble_pieces(pieces)
+
+
 def _assemble_pieces(pieces: list) -> Geom:
     pieces = [r for r in pieces if abs(_ring_signed_area(r)) >= _TINY_AREA]
     if not pieces:
@@ -1742,7 +1894,7 @@ def geom_intersection_general(g1: Geom, g2: Geom) -> Geom:
             r = _clip_convex(p, q)
             if r is not None:
                 out.append(r)
-    return _assemble_pieces(out)
+    return _assemble_canonical(out)
 
 
 def geom_difference(g1: Geom, g2: Geom) -> Geom:
@@ -1752,7 +1904,7 @@ def geom_difference(g1: Geom, g2: Geom) -> Geom:
     if g1.is_empty() or g2.is_empty() or not geom_intersects(g1, g2):
         return g1
     if g1.dimension() == 2 and g2.dimension() == 2:
-        return _assemble_pieces(
+        return _assemble_canonical(
             _pieces_difference(_polygon_convex_pieces(g1), _polygon_convex_pieces(g2))
         )
     if g1.kind == "Point":
@@ -1762,7 +1914,7 @@ def geom_difference(g1: Geom, g2: Geom) -> Geom:
 
 def geom_union_general(g1: Geom, g2: Geom) -> Geom:
     pa, pb = _polygon_convex_pieces(g1), _polygon_convex_pieces(g2)
-    return _assemble_pieces(_pieces_difference(pa, pb) + pb)
+    return _assemble_canonical(_pieces_difference(pa, pb) + pb)
 
 
 def geom_sym_difference(g1: Geom, g2: Geom) -> Geom:
@@ -1773,7 +1925,7 @@ def geom_sym_difference(g1: Geom, g2: Geom) -> Geom:
         return g1
     if g1.dimension() == 2 and g2.dimension() == 2:
         pa, pb = _polygon_convex_pieces(g1), _polygon_convex_pieces(g2)
-        return _assemble_pieces(
+        return _assemble_canonical(
             _pieces_difference(pa, pb) + _pieces_difference(pb, pa)
         )
     if not geom_intersects(g1, g2):
