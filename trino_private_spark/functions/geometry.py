@@ -1983,7 +1983,7 @@ def geom_buffer(g: Geom, radius: float, segments: int = 32) -> Geom:
         out = []
         for i, d in enumerate(disks):
             out.extend(_pieces_difference([d], disks[:i]))
-        return _assemble_pieces(out)
+        return _assemble_canonical(out)
 
     segs = []
     if g.kind in ("LineString", "MultiLineString"):
@@ -2011,7 +2011,7 @@ def geom_buffer(g: Geom, radius: float, segments: int = 32) -> Geom:
         cap = _capsule_hull(a, b, radius, segments)
         out.extend(_pieces_difference([cap], prior))
         prior.append(cap)
-    return _assemble_pieces(out)
+    return _assemble_canonical(out)
 
 
 @pandas_udf("string")
