@@ -1230,11 +1230,12 @@ def geom_intersection(g1: Geom, g2: Geom) -> Geom:
             and _is_convex_ring(g1.rings[0])
             and _is_convex_ring(g2.rings[0])
         ):
-            # canonical single-ring fast path
+            # canonical single-ring fast path (rotated like the tracer's
+            # rings: lexicographically smallest vertex first)
             ring = _clip_convex(g1.rings[0], g2.rings[0])
             if ring is None:
                 return Geom("Polygon")
-            return Geom("Polygon", rings=[ring])
+            return Geom("Polygon", rings=[_canon_ring(ring)])
     if g1.dimension() == 2 and g2.dimension() == 2:
         # general simple polygons with holes -> convex-piece decomposition
         return geom_intersection_general(g1, g2)
@@ -1702,6 +1703,15 @@ def _ring_bbox(r: np.ndarray):
 
 def _rings_disjoint(b1, b2) -> bool:
     return b1[2] < b2[0] or b2[2] < b1[0] or b1[3] < b2[1] or b2[3] < b1[1]
+
+
+def _canon_ring(r: np.ndarray) -> np.ndarray:
+    """Rotate a closed ring so the lexicographically smallest vertex leads
+    (orientation preserved) — the tracer's canonical form."""
+    pts = [tuple(p) for p in r[:-1]]
+    k = min(range(len(pts)), key=lambda i: pts[i])
+    rot = pts[k:] + pts[:k]
+    return np.array(rot + [rot[0]], dtype=float)
 
 
 def _trace_pieces(pieces: list) -> Geom | None:

@@ -787,3 +787,51 @@ def p_hadoop_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@probe(
+    "p_geom_traced_wkt",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1,
+       'POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))',
+       'POLYGON ((0 0, 2 0, 2 1, 3 1, 3 3, 1 3, 1 2, 0 2, 0 0))',
+       'POLYGON ((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))',
+       'MULTIPOLYGON (((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0)), ((1 2, 2 2, 2 1, 3 1, 3 3, 1 3, 1 2)))'),
+      (2,
+       'POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))',
+       'POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0))',
+       'POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))',
+       'POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))')
+    ) t(id, inter_wkt, union_wkt, diff_wkt, sym_wkt)
+    ORDER BY id
+    """,
+    tags=("geometry",),
+)
+def p_geom_traced_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANONICAL traced GEOMETRY output of the set operations, pinned to
+    exact WKT: overlapping squares (staircase union, L difference, two-L
+    sym-difference as a MULTIPOLYGON) and a contained square (holed
+    difference — shell CCW, hole CW, rings rotated to the smallest
+    vertex).  The oracle states the canonical strings literally, so any
+    regression in tracing, orientation, nesting or vertex
+    canonicalization flips the hash."""
+    from trino_private_spark.functions.geometry import register_geometry_udfs
+
+    register_geometry_udfs(spark)
+    rows = [
+        (1, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),
+        (2, "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0))", "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))"),
+    ]
+    df = spark.createDataFrame(rows, "id int, wa string, wb string")
+    df.createOrReplaceTempView("v_traced_pairs")
+    return spark.sql(
+        """
+        SELECT id,
+               st_intersection(wa, wb) AS inter_wkt,
+               st_union(wa, wb) AS union_wkt,
+               st_difference(wa, wb) AS diff_wkt,
+               st_symdifference(wa, wb) AS sym_wkt
+        FROM v_traced_pairs ORDER BY id
+        """
+    )
