@@ -111,6 +111,20 @@ _SUITE7: list[tuple[str, str, str, str, bool]] = [
         False,
     ),
     (
+        "p_ref_complex_distinct",
+        "AbstractTestAggregations.java:308",
+        # testComplexDistinct: five DISTINCT aggregates over one column in
+        # one pass (floating outputs rounded to a fixed scale per the
+        # oracle conventions; counts stay raw)
+        "SELECT COUNT(DISTINCT custkey) AS c, "
+        "CAST(SUM(DISTINCT custkey) AS BIGINT) AS s, "
+        "ROUND(SUM(DISTINCT custkey + 1.0E0), 4) AS s1, "
+        "ROUND(AVG(DISTINCT custkey), 4) AS a, "
+        "ROUND(VARIANCE(DISTINCT custkey), 2) AS v FROM orders",
+        None,
+        True,
+    ),
+    (
         "p_ref_having_no_groupby",
         "AbstractTestEngineOnlyQueries.java:4834",
         "SELECT sum(orderkey) AS s FROM orders HAVING sum(orderkey) > 400000",
