@@ -286,6 +286,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 30,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into groups: iterative min-label
     propagation (each node adopts the smallest id reachable so far) until a
@@ -305,6 +306,37 @@ def connected_components(
         # jaccard verification) would re-execute per round
         .localCheckpoint(eager=True)
     )
+    # Near-dup pair sets are tiny relative to the corpus (LSH emits
+    # candidates, not the cross product): below the threshold solve the
+    # components with one collect + union-find on the driver — O(E α(E)) in
+    # milliseconds instead of per-round Spark jobs. The iterative
+    # label-propagation path below remains for genuinely large edge sets.
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.collect():
+            x, y = r["x"], r["y"]
+            parent.setdefault(x, x)
+            parent.setdefault(y, y)
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                if ry < rx:
+                    rx, ry = ry, rx
+                parent[ry] = rx
+        rows = [(k, find(k)) for k in parent]
+        spark = pairs.sparkSession
+        if not rows:
+            return edges.select(
+                F.col("x").alias("id"), F.col("x").alias("component")
+            )
+        return spark.createDataFrame(rows, ["id", "component"])
     # self-edges keep isolated endpoints in the label table
     labels = (
         edges.select(F.col("x").alias("id"))
