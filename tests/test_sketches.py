@@ -149,3 +149,41 @@ def test_hash_counts(spark):
     assert set(out["b"].values()) == {1}
     assert all(1 <= c <= 2 for c in out["a"].values())
     assert 2 in out["a"].values()
+
+
+class TestNumericHistogram:
+    def test_merge_preserves_moments(self):
+        import numpy as np
+
+        from trino_private_spark.functions.sketches import NumericHistogram
+
+        rng = np.random.RandomState(7)
+        a, b = rng.normal(0, 1, 500), rng.normal(5, 2, 700)
+        h1, h2 = NumericHistogram(12), NumericHistogram(12)
+        h1.add_all(a)
+        h2.add_all(b)
+        h1.merge(h2)
+        allv = np.concatenate([a, b])
+        tw = h1.weights.sum()
+        wm = float((h1.values * h1.weights).sum() / tw)
+        assert len(h1.values) <= 12
+        assert abs(tw - len(allv)) < 1e-9
+        assert abs(wm - allv.mean()) < 1e-9
+        assert h1.values.min() >= allv.min() - 1e-12
+        assert h1.values.max() <= allv.max() + 1e-12
+
+    def test_exact_under_capacity(self):
+        from trino_private_spark.functions.sketches import NumericHistogram
+
+        h = NumericHistogram(10)
+        h.add_all([3.0, 1.0, 2.0, 1.0])
+        assert h.buckets() == {1.0: 2.0, 2.0: 1.0, 3.0: 1.0}
+
+    def test_greedy_merges_closest_pair(self):
+        from trino_private_spark.functions.sketches import NumericHistogram
+
+        h = NumericHistogram(3)
+        h.add_all([0.0, 10.0, 10.1, 20.0])
+        # 10.0 and 10.1 are the closest adjacent pair -> weighted midpoint
+        assert sorted(h.buckets()) == [0.0, 10.05, 20.0]
+        assert h.buckets()[10.05] == 2.0

@@ -234,3 +234,102 @@ def hash_counts(col, num_hashes: int = 8, seed: int = 42) -> Column:
         mins.append(hmin)
         counts.append(F.size(F.filter(hashed, eq_min())).cast("bigint"))
     return F.map_from_arrays(F.array(*mins), F.array(*counts))
+
+
+# -- NumericHistogram: the reference's real numeric_histogram sketch -------
+# (operator/aggregation/NumericHistogram.java: bounded bucket array; when
+# full, greedily merge the adjacent pair with the smallest value gap into
+# its weighted average — weight-sum and weighted-mean preserving by
+# construction. DoubleHistogramAggregation drives it; output is
+# map<double, double> bucket-value -> weight.)
+
+
+class NumericHistogram:
+    """Python twin of NumericHistogram.java (same greedy
+    closest-adjacent-pair merge rule; weighted mean/total weight exactly
+    preserved under merges)."""
+
+    def __init__(self, max_buckets: int):
+        import numpy as np
+
+        self.max_buckets = int(max_buckets)
+        self.values = np.empty(0, dtype=float)
+        self.weights = np.empty(0, dtype=float)
+
+    def add_all(self, vals, wts=None) -> None:
+        import numpy as np
+
+        vals = np.asarray(vals, dtype=float)
+        wts = np.ones_like(vals) if wts is None else np.asarray(wts, dtype=float)
+        self.values = np.concatenate([self.values, vals])
+        self.weights = np.concatenate([self.weights, wts])
+        self._compact()
+
+    def merge(self, other: "NumericHistogram") -> "NumericHistogram":
+        self.add_all(other.values, other.weights)
+        return self
+
+    def _compact(self) -> None:
+        import numpy as np
+
+        if len(self.values) == 0:
+            return
+        order = np.argsort(self.values, kind="mergesort")
+        v, w = self.values[order], self.weights[order]
+        # merge equal buckets first (mergeSameBuckets)
+        uniq, inv = np.unique(v, return_inverse=True)
+        if len(uniq) < len(v):
+            w = np.bincount(inv, weights=w)
+            v = uniq
+        # greedy closest-adjacent-pair merges down to capacity
+        v_list, w_list = list(v), list(w)
+        while len(v_list) > self.max_buckets:
+            diffs = [v_list[i + 1] - v_list[i] for i in range(len(v_list) - 1)]
+            i = min(range(len(diffs)), key=diffs.__getitem__)
+            nw = w_list[i] + w_list[i + 1]
+            nv = (v_list[i] * w_list[i] + v_list[i + 1] * w_list[i + 1]) / nw
+            v_list[i : i + 2] = [nv]
+            w_list[i : i + 2] = [nw]
+        self.values = np.array(v_list, dtype=float)
+        self.weights = np.array(w_list, dtype=float)
+
+    def buckets(self) -> dict:
+        return {float(v): float(w) for v, w in zip(self.values, self.weights)}
+
+
+def numeric_histogram(
+    df, col: str, buckets: int = 10, weight_col: str | None = None
+) -> dict:
+    """Distributed numeric_histogram (DoubleHistogramAggregation): one
+    mapInPandas pass builds a bounded partial histogram per partition
+    (<= ``buckets`` entries each), the driver merges the tiny partials —
+    O(partitions x buckets) driver traffic regardless of row count, the
+    same partial/final split the reference's aggregation framework
+    applies. Returns the bucket-value -> weight map."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    cols = [F.col(col).cast("double").alias("_v")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("_w"))
+    src = df.select(*cols).dropna(subset=["_v"])
+
+    def partial(batches):
+        h = NumericHistogram(buckets)
+        for pdf in batches:
+            if len(pdf):
+                h.add_all(
+                    pdf["_v"].to_numpy(),
+                    pdf["_w"].to_numpy() if "_w" in pdf else None,
+                )
+        yield pd.DataFrame(
+            {"v": [h.values.tolist()], "w": [h.weights.tolist()]}
+        )
+
+    parts = src.mapInPandas(partial, "v array<double>, w array<double>").collect()
+    final = NumericHistogram(buckets)
+    for r in sorted(parts, key=lambda r: (r["v"], r["w"])):
+        if r["v"]:
+            final.add_all(r["v"], r["w"])
+    return final.buckets()

@@ -234,3 +234,40 @@ def p_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wb")
     )
+
+
+@probe(
+    "p_numeric_histogram_sketch",
+    oracle="SELECT TRUE AS bins_ok, TRUE AS weight_ok, TRUE AS mean_ok, TRUE AS range_ok",
+    tags=("aggregate",),
+)
+def p_numeric_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL numeric_histogram sketch (NumericHistogram.java greedy
+    closest-adjacent-pair merging, two-phase partial/final like
+    DoubleHistogramAggregation) over o_totalprice.  Bucket values depend
+    on partition boundaries, so the oracle gates the algorithm's exact
+    invariants instead: bucket count at capacity, total weight equals the
+    row count exactly, the weighted mean is preserved exactly (the merge
+    rule is a weighted average), and every bucket sits inside the data
+    range."""
+    from trino_private_spark.functions.sketches import numeric_histogram
+
+    t = T(spark, sf_dir)
+    h = numeric_histogram(t.orders, "o_totalprice", buckets=10)
+    stats = t.orders.agg(
+        F.count("o_totalprice").alias("n"),
+        F.avg("o_totalprice").alias("m"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    ).collect()[0]
+    total_w = sum(h.values())
+    wmean = sum(v * w for v, w in h.items()) / total_w
+    return spark.createDataFrame(
+        [(
+            0 < len(h) <= 10,
+            abs(total_w - stats["n"]) < 1e-6,
+            abs(wmean - stats["m"]) < 1e-6 * max(1.0, abs(stats["m"])),
+            min(h) >= stats["lo"] - 1e-9 and max(h) <= stats["hi"] + 1e-9,
+        )],
+        "bins_ok boolean, weight_ok boolean, mean_ok boolean, range_ok boolean",
+    )
