@@ -497,6 +497,22 @@ def translate(sql: str) -> str:
     shielded, restore = _shield_strings(sql)
     s = shielded
 
+    # FETCH FIRST n ROWS WITH TIES (SqlBase.g4:203-205; the reference
+    # plans it via ImplementLimitWithTies) -> rank()-filter rewrite, since
+    # Spark has no WITH TIES. Top-level form only; peer rows of the n-th
+    # row survive exactly as in the reference.
+    ties = re.search(
+        r"\bORDER\s+BY\s+(?P<ob>.+?)\s+FETCH\s+(?:FIRST|NEXT)\s+(?P<n>\d+)\s+ROWS?\s+WITH\s+TIES\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if ties and s[: ties.start()].count("(") == s[: ties.start()].count(")"):
+        body, ob, n = s[: ties.start()], ties.group("ob"), ties.group("n")
+        s = (
+            f"SELECT * EXCEPT (__rk) FROM (SELECT __q.*, rank() OVER (ORDER BY {ob}) AS __rk "
+            f"FROM ({body}) __q) WHERE __rk <= {n} ORDER BY {ob}"
+        )
+
     # FETCH FIRST n ROWS ONLY -> LIMIT n ; OFFSET n ROWS -> OFFSET n
     s = re.sub(
         r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b",

@@ -125,6 +125,18 @@ _SUITE7: list[tuple[str, str, str, str, bool]] = [
         True,
     ),
     (
+        "p_ref_limit_with_ties_text",
+        "SqlBase.g4:203-205 / ImplementLimitWithTies.java",
+        # the literal Trino FETCH ... WITH TIES syntax; the translator
+        # applies the reference planner's rank()-filter rewrite (Spark has
+        # no WITH TIES), so every peer of the 5th row survives
+        "SELECT orderkey, orderpriority FROM orders ORDER BY orderpriority FETCH FIRST 5 ROWS WITH TIES",
+        "SELECT orderkey, orderpriority FROM ("
+        "  SELECT orderkey, orderpriority, rank() OVER (ORDER BY orderpriority) AS rk FROM orders) "
+        "WHERE rk <= 5",
+        True,
+    ),
+    (
         "p_ref_having_no_groupby",
         "AbstractTestEngineOnlyQueries.java:4834",
         "SELECT sum(orderkey) AS s FROM orders HAVING sum(orderkey) > 400000",
