@@ -261,9 +261,14 @@ class NumericHistogram:
 
         vals = np.asarray(vals, dtype=float)
         wts = np.ones_like(vals) if wts is None else np.asarray(wts, dtype=float)
-        self.values = np.concatenate([self.values, vals])
-        self.weights = np.concatenate([self.weights, wts])
-        self._compact()
+        # incremental compaction, like the reference: the entry array holds
+        # at most 2x capacity and compacts down to capacity when full —
+        # keeps each greedy pass O(capacity^2) instead of O(n^2) one-shot
+        step = max(self.max_buckets, 16)
+        for i in range(0, len(vals), step):
+            self.values = np.concatenate([self.values, vals[i : i + step]])
+            self.weights = np.concatenate([self.weights, wts[i : i + step]])
+            self._compact()
 
     def merge(self, other: "NumericHistogram") -> "NumericHistogram":
         self.add_all(other.values, other.weights)
