@@ -382,3 +382,43 @@ def test_translate_at_time_zone(spark):
         )
     ).collect()[0]
     assert r.est == "2024-06-01 08:00:00"
+
+
+def test_combinations_orders_match_reference(spark):
+    """Colex iteration order per ArrayCombinationsFunction.nextCombination."""
+    arr = F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(4))
+    assert one(spark, R["combinations"](arr, 2)) == [
+        [1, 2], [1, 3], [2, 3], [1, 4], [2, 4], [3, 4],
+    ]
+    assert one(spark, R["combinations"](arr, 3)) == [
+        [1, 2, 3], [1, 2, 4], [1, 3, 4], [2, 3, 4],
+    ]
+    assert one(spark, R["combinations"](arr, 4)) == [[1, 2, 3, 4]]
+
+
+def test_combinations_edges(spark):
+    arr3 = F.array(F.lit("a"), F.lit("b"), F.lit("c"))
+    # n = 0 -> [[]]; n > cardinality -> empty; empty array -> empty (n >= 1)
+    assert one(spark, R["combinations"](arr3, 0)) == [[]]
+    assert one(spark, R["combinations"](arr3, 5)) == []
+    empty = F.array().cast("array<string>")
+    assert one(spark, R["combinations"](empty, 2)) == []
+    assert one(spark, R["combinations"](empty, 0)) == [[]]
+    # counts: C(5, k)
+    arr5 = F.array(*[F.lit(i) for i in range(5)])
+    for n, want in [(1, 5), (2, 10), (3, 10), (4, 5), (5, 1)]:
+        assert len(one(spark, R["combinations"](arr5, n))) == want
+    # null array propagates
+    assert one(spark, R["combinations"](F.lit(None).cast("array<int>"), 2)) is None
+
+
+def test_combinations_bounds(spark):
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        R["combinations"](F.array(F.lit(1)), 6)
+    with _pt.raises(ValueError):
+        R["combinations"](F.array(F.lit(1)), -1)
+    # MAX_RESULT_ELEMENTS guard (ArrayCombinationsFunction.java:48,68)
+    big = F.transform(F.sequence(F.lit(1), F.lit(400)), lambda i: i.cast("string"))
+    with _pt.raises(Exception, match="combinations exceed max size"):
+        one(spark, R["combinations"](big, 2))

@@ -362,3 +362,55 @@ def test_tdigest_partials_shuffle_only_sketches(spark):
     assert _n_nodes(plan, "Exchange") == 1, plan
     assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan, plan
     assert plan.index("MapInPandas") > plan.index("FlatMapGroupsInPandas") or True
+
+
+class TestExplainTyped:
+    """EXPLAIN (TYPE LOGICAL|DISTRIBUTED|VALIDATE|IO) — SqlBase.g4:124
+    explainOption mapped onto Spark plan surfaces (plans/explain.py)."""
+
+    @staticmethod
+    def _engine(spark):
+        from tests.conftest import SF_SMOKE
+        from trino_private_spark.api import Engine
+
+        eng = Engine(spark)
+        eng.attach(SF_SMOKE)
+        return eng
+
+    def test_type_logical(self, spark):
+        eng = self._engine(spark)
+        out = eng.sql(
+            "EXPLAIN (TYPE LOGICAL) SELECT r_name FROM region WHERE r_regionkey > 1"
+        ).collect()
+        assert len(out) == 1
+        plan = out[0]["Query Plan"]
+        assert "Filter" in plan and "Relation" in plan
+
+    def test_type_distributed(self, spark):
+        eng = self._engine(spark)
+        plan = eng.sql(
+            "EXPLAIN (TYPE DISTRIBUTED) "
+            "SELECT r_regionkey, count(*) AS n FROM region GROUP BY r_regionkey"
+        ).collect()[0]["Query Plan"]
+        assert "Exchange" in plan and "HashAggregate" in plan
+
+    def test_type_validate(self, spark):
+        eng = self._engine(spark)
+        assert (
+            eng.sql("EXPLAIN (TYPE VALIDATE) SELECT 1 AS x").collect()[0]["Query Plan"]
+            == "VALID"
+        )
+
+    def test_type_io(self, spark):
+        import json
+
+        eng = self._engine(spark)
+        plan = eng.sql(
+            "EXPLAIN (TYPE IO) SELECT r_name FROM region WHERE r_regionkey > 1"
+        ).collect()[0]["Query Plan"]
+        info = json.loads(plan)
+        scans = info["inputTableInfos"]
+        assert len(scans) == 1
+        assert scans[0]["format"] == "parquet"
+        assert "r_regionkey" in scans[0].get("pushedFilters", "")
+        assert "r_name" in scans[0].get("readSchema", "")

@@ -137,3 +137,94 @@ class TestEngineSqlRouting:
                )"""
         ).toPandas()
         assert sorted(out["n_rows"]) == [2, 2]
+
+
+class TestSubsetAndExclusion:
+    """SUBSET union variables (SqlBase.g4:339) and {- -} exclusions
+    (SqlBase.g4:601), per PatternRecognitionAnalyzer.java semantics."""
+
+    PRICES = [10, 8, 6, 9, 12, 7, 5, 11]
+
+    def _df(self, spark):
+        rows = [("g", i, v) for i, v in enumerate(self.PRICES)]
+        return spark.createDataFrame(rows, "k string, t int, price int")
+
+    def test_subset_measures_and_skip(self, spark):
+        from trino_private_spark.operators.row_pattern_sql import (
+            sql_match_recognize,
+        )
+
+        clause = """
+        MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY t
+          MEASURES FIRST(price) AS startp, LAST(DOWN.price) AS bottom,
+                   LAST(U.price) AS lastu, CLASSIFIER(U) AS cls
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO LAST U
+          PATTERN (STRT DOWN+ UP+)
+          SUBSET U = (DOWN, UP)
+          DEFINE DOWN AS price < PREV(price), UP AS price > PREV(price)
+        )"""
+        out = (
+            sql_match_recognize(self._df(spark), clause)
+            .toPandas()
+            .sort_values("match_number")
+            .reset_index(drop=True)
+        )
+        # V-shapes: 10,8,6,9,12 then (skip to last U = row 4) 12,7,5,11
+        assert list(out["startp"]) == ["10", "12"]
+        assert list(out["bottom"]) == ["6", "5"]
+        assert list(out["lastu"]) == ["12", "11"]
+        assert list(out["cls"]) == ["UP", "UP"]
+
+    def test_exclusion_drops_rows_from_all_rows_output(self, spark):
+        from trino_private_spark.operators.row_pattern_sql import (
+            sql_match_recognize,
+        )
+
+        clause = """
+        MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY t
+          MEASURES CLASSIFIER() AS cls
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (STRT {- DOWN+ -} UP+)
+          DEFINE DOWN AS price < PREV(price), UP AS price > PREV(price)
+        )"""
+        out = (
+            sql_match_recognize(self._df(spark), clause)
+            .toPandas()
+            .sort_values(["match_number", "row_pos"])
+            .reset_index(drop=True)
+        )
+        # DOWN spans (rows 1-2 and row 6) omitted; row_pos stays absolute
+        assert list(out["row_pos"]) == [0, 3, 4, 5, 7]
+        assert list(out["classifier"]) == ["STRT", "UP", "UP", "STRT", "UP"]
+
+    def test_exclusion_rows_still_count_in_measures(self, spark):
+        from trino_private_spark.operators.row_pattern import (
+            match_recognize_general,
+            vectorized,
+        )
+
+        df = self._df(spark)
+        out = match_recognize_general(
+            df,
+            partition_by=["k"],
+            order_by=["t"],
+            pattern="strt {- down+ -} up+",
+            defines={
+                "down": vectorized(lambda p: p["price"] < p["price"].shift(1)),
+                "up": vectorized(lambda p: p["price"] > p["price"].shift(1)),
+            },
+            mode="one",
+        ).toPandas()
+        # ONE ROW PER MATCH: exclusions don't change match extent
+        # (match 1: 10,8,6,9,12; match 2 resumes past it: 7,5,11)
+        assert sorted(out["n_rows"]) == [3, 5]
+
+    def test_quantified_exclusion_parses(self, spark):
+        from trino_private_spark.operators.row_pattern import compile_pattern
+
+        entry, prog = compile_pattern("a {- b -}? c")
+        assert any(ins[0] == "excl_open" for ins in prog)

@@ -40,6 +40,19 @@ class Engine:
         (Spark has no MATCH_RECOGNIZE; SqlBase.g4 patternRecognition)."""
         import re as _re
 
+        em = _re.match(
+            r"\s*EXPLAIN\s*\(\s*TYPE\s+(LOGICAL|DISTRIBUTED|VALIDATE|IO)\s*\)\s*(.+)$",
+            text,
+            flags=_re.I | _re.S,
+        )
+        if em:
+            from trino_private_spark.plans.explain import explain_typed
+
+            plan = explain_typed(self.sql(em.group(2), dialect), em.group(1))
+            # Trino's EXPLAIN returns a one-column result set ("Query Plan")
+            return self.spark.createDataFrame(
+                [(plan,)], "`Query Plan` string"
+            )
         mr = _re.match(
             r"\s*SELECT\s+\*\s+FROM\s+([A-Za-z_][\w.]*)\s+(MATCH_RECOGNIZE\s*\(.*\))\s*(?:AS\s+\w+\s*)?$",
             text,

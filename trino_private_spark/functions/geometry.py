@@ -33,20 +33,21 @@ Implemented (GeoFunctions.java parity, planar semantics):
   GEOMETRY output for ARBITRARY simple polygons/multipolygons with holes via
   the convex-decomposition clipper (ear-clipping triangulation + incremental
   half-plane difference; convex x convex and disjoint/contained inputs keep
-  their canonical single-ring forms).  The general output is an area-exact
-  MULTIPOLYGON of convex pieces (pieces may share edges); the matching
+  their canonical single-ring forms).  The general output is traced back to
+  canonical single-ring boundaries by _trace_pieces (shared internal edges of
+  the convex-piece representation cancelled, outer rings + holes re-assembled;
+  exact-WKT probed by p_geom_traced_wkt / p_geom_setops_general); the matching
   closed-form AREAS are also exposed directly (st_intersection_area /
   st_union_area / st_difference_area / st_sym_difference_area)
 - ST_Buffer for Point/MultiPoint/LineString/MultiLineString/Polygon/
   MultiPolygon: Minkowski sum with a 32-gon disk (per-segment capsule hulls
-  made disjoint against the original convex shapes)
+  made disjoint against the original convex shapes, traced to canonical rings)
+- full DE-9IM ST_Relate (functions/geometry_relate.py), ST_IsSimple for all
+  geometry kinds (functions/geometry_ext.py geom_is_simple)
 
-Out of scope (needs a curve-set-operation engine; documented in SURVEY §1.2):
-canonical (traced single-ring) boundary output for overlapping non-convex
-set ops (areas and point sets are exact via the piece representation),
-negative/inward ST_Buffer, ST_Relate beyond the named predicates,
-ST_IsSimple beyond rings, geodetic variants (great-circle lives in
-functions/geo.py).
+Out of scope (documented in SURVEY §1.2): negative/inward ST_Buffer (the
+reference rejects negative distances too — mirrored here), geodetic variants
+(great-circle lives in functions/geo.py).
 
 Predicate semantics follow OGC (as the reference's ESRI engine does):
 boundary points are not interior — contains(polygon, point-on-edge) is

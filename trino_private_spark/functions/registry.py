@@ -653,27 +653,71 @@ def ngrams(a, n: int) -> Column:
     )
 
 
+def _combo_indices(size: Column, n: int) -> Column:
+    """array<array<int>> of 1-based index n-combinations of 1..size, in the
+    reference's colex order (ArrayCombinationsFunction.nextCombination bumps
+    the lowest incrementable index, so output is sorted by largest element).
+
+    Built recursively: combos(size, n) = for j in n..size, each (n-1)-combo of
+    1..j-1 extended with j. All sequence() bounds are clamped and then
+    filtered — sequence(a, b) with b < a DESCENDS in Spark and a row guard
+    does not protect codegen'd subexpressions, so expressions must be total.
+    """
+    if n == 0:
+        return F.array(F.array().cast("array<int>"))
+    js = F.filter(
+        F.sequence(F.lit(n), F.greatest(size, F.lit(n))),
+        lambda j: j <= size,
+    )
+
+    def _extend(j: Column) -> Column:
+        return F.transform(
+            _combo_indices(j - 1, n - 1),
+            lambda c: F.concat(c, F.array(j.cast("int"))),
+        )
+
+    return F.flatten(F.transform(js, _extend))
+
+
+# Largest array size where C(size, n) * n <= 100_000 (the reference's
+# MAX_RESULT_ELEMENTS bound in ArrayCombinationsFunction.java:48,68).
+_COMBINATIONS_MAX_SIZE = {1: 100_000, 2: 317, 3: 86, 4: 44, 5: 32}
+
+
 @trino_fn("combinations")
 def combinations(a, n: int) -> Column:
-    """n-combinations for small n (1/2) — the reference caps n at 5."""
+    """All n-element subsets of the array, n in 0..5, colex order.
+
+    Ref: operator/scalar/ArrayCombinationsFunction.java — caps n at 5
+    (MAX_COMBINATION_LENGTH) and total output elements at 100_000
+    (MAX_RESULT_ELEMENTS); n > cardinality(arr) yields an empty result and
+    n = 0 yields [[]], both as in the reference.
+    """
+    if n < 0:
+        raise ValueError(f"combination size must not be negative: {n}")
+    if n > 5:
+        raise ValueError(f"combination size must not exceed 5: {n}")
     arr = _c(a)
-    if n == 1:
-        return F.transform(arr, lambda x: F.array(x))
-    if n == 2:
-        idx = F.sequence(F.lit(1), F.size(arr))
-        return F.flatten(
-            F.transform(
-                idx,
-                lambda i: F.transform(
-                    F.sequence(i + 1, F.greatest(F.size(arr), i)),
-                    lambda j: F.array(
-                        F.element_at(arr, i.cast("int")),
-                        F.element_at(arr, j.cast("int")),
-                    ),
-                ),
+    result = F.transform(
+        _combo_indices(F.size(arr), n),
+        lambda c: F.transform(c, lambda i: F.element_at(arr, i)),
+    )
+    # greatest() skips NULLs, so a NULL array would otherwise yield [] here;
+    # the reference returns NULL for NULL input.
+    result = F.when(arr.isNotNull(), result)
+    if n == 0:
+        return result
+    max_size = _COMBINATIONS_MAX_SIZE[n]
+    return F.when(
+        F.size(arr) > F.lit(max_size),
+        F.raise_error(
+            F.concat(
+                F.lit("combinations exceed max size: array of "),
+                F.size(arr).cast("string"),
+                F.lit(f" elements with combination length {n}"),
             )
-        )
-    raise NotImplementedError("combinations(n>2): explode-based helper TBD")
+        ),
+    ).otherwise(result)
 
 
 @trino_fn("element_at")

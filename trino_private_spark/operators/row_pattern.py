@@ -89,6 +89,13 @@ class _Parser:
             elif c in "()|^$?*+,":
                 toks.append(c)
                 i += 1
+            elif c == "{" and i + 1 < n and text[i + 1] == "-":
+                # {- ... -} exclusion (SqlBase.g4:601 excludedPattern)
+                toks.append("{-")
+                i += 2
+            elif c == "-" and i + 1 < n and text[i + 1] == "}":
+                toks.append("-}")
+                i += 2
             elif c == "{":
                 j = text.index("}", i)
                 toks.append(text[i : j + 1])
@@ -130,7 +137,7 @@ class _Parser:
         items = []
         while True:
             t = self._peek()
-            if t is None or t in ("|", ")", ","):
+            if t is None or t in ("|", ")", ",", "-}"):
                 break
             items.append(self._quantified())
         if not items:
@@ -149,7 +156,7 @@ class _Parser:
             lo, hi = 0, None
         elif t == "+":
             lo, hi = 1, None
-        elif t is not None and t.startswith("{"):
+        elif t is not None and t.startswith("{") and t != "{-":
             body = t[1:-1].strip()
             if "," in body:
                 a, b = body.split(",", 1)
@@ -173,6 +180,11 @@ class _Parser:
             if self._next() != ")":
                 raise ValueError("unbalanced parens")
             return node
+        if t == "{-":
+            node = self._alt()
+            if self._next() != "-}":
+                raise ValueError("unbalanced {- -} exclusion")
+            return _Node("excl", children=[node])
         if t == "^":
             return _Node("anchor_start")
         if t == "$":
@@ -233,6 +245,17 @@ def _compile(node: _Node, nfa: _NFA) -> tuple[int, list[int]]:
     if node.kind in ("anchor_start", "anchor_end"):
         pc = nfa._emit([node.kind, None])
         return pc, [pc]
+    if node.kind == "excl":
+        # {- subpattern -}: rows still match (and count for DEFINE/MEASURES)
+        # but are dropped from ALL ROWS PER MATCH output
+        # (PatternRecognitionAnalyzer.java exclusion handling).
+        open_pc = nfa._emit(["excl_open", None])
+        c_entry, c_exits = _compile(node.children[0], nfa)
+        nfa.prog[open_pc][-1] = c_entry
+        close_pc = nfa._emit(["excl_close", None])
+        for e in c_exits:
+            nfa.prog[e][-1] = close_pc
+        return open_pc, [close_pc]
     if node.kind == "seq":
         entry = None
         exits: list[int] = []
@@ -373,22 +396,34 @@ class PatternMatcher:
                     syms.add(ins[1])
                 elif ins[0] == "split":
                     stack.extend(ins[1])
-                elif ins[0] in ("jmp", "anchor_start", "anchor_end"):
+                elif ins[0] in (
+                    "jmp",
+                    "anchor_start",
+                    "anchor_end",
+                    "excl_open",
+                    "excl_close",
+                ):
                     stack.append(ins[1])
                 elif ins[0] == "match":
                     can_empty = True
             self._entry_cache = (syms, can_empty)
         return self._entry_cache
 
-    def _match_at(self, start: int, n: int, cls: dict) -> list[str] | None:
+    def _match_at(
+        self, start: int, n: int, cls: dict
+    ) -> tuple[list[str], list[bool]] | None:
         """Leftmost-greedy match starting at ``start``; returns the label
-        sequence (one symbol per consumed row) or None.  Priority DFS with
-        (pc, pos) failure memo — sound because classification is
-        context-free."""
+        sequence (one symbol per consumed row) plus a parallel excluded-row
+        mask ({- -} spans), or None.  Priority DFS with (pc, pos) failure
+        memo — sound because classification is context-free and exclusion
+        depth is a static property of each program point."""
         failed: set[tuple[int, int]] = set()
         labels: list[str] = []
+        excl: list[bool] = []
+        depth = 0
 
         def dfs(pc: int, pos: int) -> bool:
+            nonlocal depth
             if (pc, pos) in failed:
                 return False
             ins = self.prog[pc]
@@ -407,24 +442,42 @@ class PatternMatcher:
                 ok = pos == 0 and dfs(ins[1], pos)
             elif op == "anchor_end":
                 ok = pos == n and dfs(ins[1], pos)
+            elif op == "excl_open":
+                depth += 1
+                ok = dfs(ins[1], pos)
+                depth -= 1
+            elif op == "excl_close":
+                depth -= 1
+                ok = dfs(ins[1], pos)
+                depth += 1
             elif op == "sym":
                 if pos < n and cls[ins[1]][pos]:
                     labels.append(ins[1])
+                    excl.append(depth > 0)
                     if dfs(ins[2], pos + 1):
                         ok = True
                     else:
                         labels.pop()
+                        excl.pop()
             if not ok:
                 failed.add((pc, pos))
             return ok
 
-        return labels if dfs(self.entry, start) else None
+        return (labels, excl) if dfs(self.entry, start) else None
 
-    def find_matches(self, pdf: pd.DataFrame, skip: str = "past_last_row"):
-        """Yields (match_number starting at 1, start_idx, labels list).
+    def find_matches(
+        self,
+        pdf: pd.DataFrame,
+        skip: str = "past_last_row",
+        with_exclusions: bool = False,
+    ):
+        """Yields (match_number starting at 1, start_idx, labels list) — or,
+        with ``with_exclusions``, 4-tuples carrying the parallel excluded-row
+        mask for {- -} spans.
 
         skip: 'past_last_row' | 'to_next_row' | ('to_first', sym) |
-        ('to_last', sym) — AFTER MATCH SKIP semantics.  Empty matches
+        ('to_last', sym) — AFTER MATCH SKIP semantics; ``sym`` may be a
+        set of symbols (a SUBSET union variable).  Empty matches
         advance by one row (reference behavior for zero-length matches)."""
         n = len(pdf)
         cls = self._classify(pdf)
@@ -443,12 +496,16 @@ class PatternMatcher:
             if cand is not None and not cand[i]:
                 i += 1
                 continue
-            labels = self._match_at(i, n, cls)
-            if labels is None:
+            hit = self._match_at(i, n, cls)
+            if hit is None:
                 i += 1
                 continue
+            labels, excl = hit
             match_no += 1
-            yield match_no, i, labels
+            if with_exclusions:
+                yield match_no, i, labels, excl
+            else:
+                yield match_no, i, labels
             if not labels:
                 i += 1
                 continue
@@ -458,7 +515,8 @@ class PatternMatcher:
                 i = i + 1
             elif isinstance(skip, tuple) and skip[0] in ("to_first", "to_last"):
                 which, sym = skip
-                idxs = [k for k, s in enumerate(labels) if s == sym]
+                symset = sym if isinstance(sym, (set, frozenset)) else {sym}
+                idxs = [k for k, s in enumerate(labels) if s in symset]
                 if not idxs:
                     raise ValueError(f"skip target {sym} not in match")
                 rel = idxs[0] if which == "to_first" else idxs[-1]
@@ -523,7 +581,9 @@ def match_recognize_general(
 
     def run_group(keys: dict, pdf: pd.DataFrame, rows: list) -> None:
         pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
-        for match_no, start, labels in matcher.find_matches(pdf, skip=skip):
+        for match_no, start, labels, excl in matcher.find_matches(
+            pdf, skip=skip, with_exclusions=True
+        ):
             frame = pdf.iloc[start : start + len(labels)]
             if mode == "one":
                 row = dict(keys)
@@ -538,6 +598,11 @@ def match_recognize_general(
                 rows.append(row)
             else:
                 for k, lab in enumerate(labels):
+                    if excl[k]:
+                        # {- -} rows participate in the match (and in
+                        # RUNNING measures of later rows) but are omitted
+                        # from ALL ROWS PER MATCH output
+                        continue
                     row = dict(keys)
                     row.update(
                         match_number=match_no, row_pos=start + k, classifier=lab

@@ -126,6 +126,7 @@ _MR_RE = re.compile(
         (?:(?P<rows>ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH)\s+)?
         (?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW|TO\s+(?:FIRST|LAST)\s+\w+)\s+)?
         PATTERN\s*\(\s*(?P<pattern>[^)]*?(?:\([^)]*\)[^)]*?)*)\s*\)\s+
+        (?:SUBSET\s+(?P<subset>.+?)\s+)?
         DEFINE\s+(?P<define>.+?)\s*
         \)\s*$""",
     re.X | re.I | re.S,
@@ -151,6 +152,22 @@ def parse_match_recognize(clause: str) -> dict:
         parts["skip"] = "to_next_row"
     else:  # TO FIRST/LAST sym
         parts["skip"] = ("to_first" if skip[1] == "FIRST" else "to_last", skip[2])
+    # SUBSET list: U = (A, B), V = (C) — union pattern variables
+    # (SqlBase.g4:339 subsetDefinition; PatternRecognitionAnalyzer.java)
+    subsets: dict[str, tuple[str, ...]] = {}
+    if m.group("subset"):
+        for item in re.split(
+            r",\s*(?=[A-Za-z_]\w*\s*=)", m.group("subset").strip()
+        ):
+            sm = re.match(
+                r"\s*([A-Za-z_]\w*)\s*=\s*\(\s*([^)]*)\s*\)\s*$", item
+            )
+            if not sm:
+                raise ValueError(f"bad SUBSET item: {item!r}")
+            subsets[sm.group(1)] = tuple(
+                s.strip() for s in sm.group(2).split(",") if s.strip()
+            )
+    parts["subsets"] = subsets
     # DEFINE list: SYM AS expr, SYM AS expr ... (split on ', SYM AS' borders)
     defines = {}
     for item in re.split(r",\s*(?=[A-Za-z_]\w*\s+AS\s)", m.group("define"), flags=re.I):
@@ -171,23 +188,85 @@ def parse_match_recognize(clause: str) -> dict:
     return parts
 
 
-def _compile_measure(expr: str, columns: list[str]):
+def _compile_measure(
+    expr: str,
+    columns: list[str],
+    subsets: dict[str, tuple[str, ...]] | None = None,
+    symbols: set[str] | None = None,
+):
     """Measure -> callable(frame, labels).  Supported: MATCH_NUMBER()
-    (handled by the engine), CLASSIFIER(), FIRST(col), LAST(col), col."""
+    (handled by the engine), CLASSIFIER([U]), FIRST/LAST([SYM.]col [, n]),
+    [SYM.]col (= LAST).  A SYM prefix restricts navigation to the rows the
+    pattern matched as SYM — or as any member of SYM when SYM is a SUBSET
+    union variable (PatternRecognitionAnalyzer.java label-aware navigation)."""
+    subsets = subsets or {}
+    symbols = symbols or set()
     e = expr.strip()
     up = e.upper()
-    if up == "CLASSIFIER()":
-        return lambda fr, labs: labs[-1]
-    fm = re.match(r"(FIRST|LAST)\s*\(\s*([A-Za-z_][\w.]*)\s*\)$", e, flags=re.I)
+
+    def _members(prefix: str) -> frozenset | None:
+        if prefix in subsets:
+            return frozenset(subsets[prefix])
+        if prefix in symbols:
+            return frozenset({prefix})
+        return None
+
+    cm = re.match(r"CLASSIFIER\s*\(\s*([A-Za-z_]\w*)?\s*\)$", e, flags=re.I)
+    if cm:
+        if not cm.group(1):
+            return lambda fr, labs: labs[-1]
+        mem = _members(cm.group(1))
+        if mem is None:
+            raise ValueError(f"unknown variable in CLASSIFIER: {cm.group(1)!r}")
+
+        def _classifier(fr, labs, mem=mem):
+            hits = [l for l in labs if l in mem]
+            return hits[-1] if hits else None
+
+        return _classifier
+    fm = re.match(
+        r"(FIRST|LAST)\s*\(\s*([A-Za-z_][\w.]*)\s*(?:,\s*(\d+)\s*)?\)$",
+        e,
+        flags=re.I,
+    )
     if fm:
-        which, col = fm.group(1).upper(), fm.group(2).split(".")[-1]
+        which = fm.group(1).upper()
+        ref = fm.group(2)
+        off = int(fm.group(3) or 0)
+        prefix, _, col = ref.rpartition(".")
         if col not in columns:
             raise ValueError(f"unknown column {col!r} in MEASURES")
-        if which == "FIRST":
-            return lambda fr, labs, c=col: fr[c].iloc[0]
-        return lambda fr, labs, c=col: fr[c].iloc[-1]
-    col = e.split(".")[-1]
+        mem = _members(prefix) if prefix else None
+        if prefix and mem is None:
+            raise ValueError(f"unknown pattern variable {prefix!r} in MEASURES")
+
+        def _nav(fr, labs, c=col, mem=mem, which=which, off=off):
+            idxs = (
+                range(len(labs))
+                if mem is None
+                else [k for k, l in enumerate(labs) if l in mem]
+            )
+            idxs = list(idxs)
+            if not idxs:
+                return None
+            k = off if which == "FIRST" else len(idxs) - 1 - off
+            if k < 0 or k >= len(idxs):
+                return None
+            return fr[c].iloc[idxs[k]]
+
+        return _nav
+    prefix, _, col = e.rpartition(".")
     if col in columns:
+        if prefix:
+            mem = _members(prefix)
+            if mem is None:
+                raise ValueError(f"unknown pattern variable {prefix!r} in MEASURES")
+
+            def _last(fr, labs, c=col, mem=mem):
+                idxs = [k for k, l in enumerate(labs) if l in mem]
+                return fr[c].iloc[idxs[-1]] if idxs else None
+
+            return _last
         return lambda fr, labs, c=col: fr[c].iloc[-1]
     raise ValueError(f"unsupported measure expression: {expr!r}")
 
@@ -202,12 +281,21 @@ def sql_match_recognize(df: DataFrame, clause: str) -> DataFrame:
     defines = {
         sym: _compile_define(expr, columns) for sym, expr in spec["defines"].items()
     }
+    subsets = spec.get("subsets", {})
+    pattern_syms = {
+        t
+        for t in re.findall(r"[A-Za-z_]\w*", spec["pattern"])
+        if t.upper() != "PERMUTE"
+    } | set(spec["defines"])
+    # AFTER MATCH SKIP TO a union variable: resolve to its member set
+    if isinstance(spec["skip"], tuple) and spec["skip"][1] in subsets:
+        spec["skip"] = (spec["skip"][0], frozenset(subsets[spec["skip"][1]]))
     measures = {}
     schema_bits = []
     for expr, alias in spec["measures"]:
         if expr.strip().upper() == "MATCH_NUMBER()":
             continue  # engine emits match_number natively
-        measures[alias] = _compile_measure(expr, columns)
+        measures[alias] = _compile_measure(expr, columns, subsets, pattern_syms)
         schema_bits.append(f"{alias} string")
 
     out = match_recognize_general(
@@ -218,7 +306,14 @@ def sql_match_recognize(df: DataFrame, clause: str) -> DataFrame:
         defines=defines,
         mode=spec["mode"],
         skip=spec["skip"],
-        measures={k: (lambda fr, labs, f=f: str(f(fr, labs))) for k, f in measures.items()},
+        measures={
+            k: (
+                lambda fr, labs, f=f: (
+                    None if (v := f(fr, labs)) is None else str(v)
+                )
+            )
+            for k, f in measures.items()
+        },
         measure_schema=", ".join(schema_bits),
     )
     return out

@@ -36,3 +36,53 @@ def assert_not_in_plan(df: DataFrame, *fragments: str) -> None:
     plan = explain_str(df)
     for frag in fragments:
         assert frag not in plan, f"{frag!r} unexpectedly in plan:\n{plan}"
+
+
+def explain_typed(df: DataFrame, type_: str = "DISTRIBUTED") -> str:
+    """Trino's ``EXPLAIN (TYPE ...)`` forms (SqlBase.g4:124 explainOption)
+    mapped onto Spark plan surfaces:
+
+    - LOGICAL     -> the Catalyst optimized logical plan
+    - DISTRIBUTED -> the physical plan with exchanges (formatted mode, the
+                     closest analogue of Trino's fragmented distributed plan)
+    - VALIDATE    -> analysis only; returns "VALID" or raises
+    - IO          -> JSON of the tables/files read, pushed filters and the
+                     pruned read schema (IoPlanPrinter analogue), extracted
+                     from the formatted plan's scan nodes
+    """
+    t = type_.strip().upper()
+    qe = df._jdf.queryExecution()  # noqa: SLF001
+    if t == "LOGICAL":
+        return qe.optimizedPlan().toString()
+    if t == "DISTRIBUTED":
+        return explain_str(df, "formatted")
+    if t == "VALIDATE":
+        qe.analyzed()  # raises AnalysisException on invalid queries
+        return "VALID"
+    if t == "IO":
+        import json
+        import re
+
+        plan = explain_str(df, "formatted")
+        scans = []
+        cur: dict | None = None
+        for line in plan.splitlines():
+            m = re.match(r"\(\d+\) Scan (\S+)\s*(.*)", line.strip())
+            if m:
+                cur = {"format": m.group(1), "table": m.group(2).strip()}
+                scans.append(cur)
+                continue
+            if cur is None:
+                continue
+            s = line.strip()
+            for key, label in (
+                ("Location", "location"),
+                ("PushedFilters", "pushedFilters"),
+                ("ReadSchema", "readSchema"),
+            ):
+                if s.startswith(key + ":"):
+                    cur[label] = s.split(":", 1)[1].strip()
+            if not s or s.startswith("("):
+                cur = None
+        return json.dumps({"inputTableInfos": scans}, indent=2)
+    raise ValueError(f"unsupported EXPLAIN TYPE {type_!r}")

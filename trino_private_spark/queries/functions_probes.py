@@ -574,3 +574,59 @@ def p_year_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy("y", "yow", "wk")
     )
+
+
+@probe(
+    "p_combinations",
+    oracle="""
+    WITH w AS (
+      SELECT p_partkey,
+             string_split(p_name || ' ' || p_brand || ' ' || p_type || ' ' || p_size, ' ') AS ws
+      FROM part WHERE p_partkey <= 300
+    ),
+    pairs AS (
+      SELECT p_partkey, 2 AS n,
+             unnest(flatten([[ws[i] || '|' || ws[j]
+                              FOR j IN range(i+1, len(ws)+1)]
+                             FOR i IN range(1, len(ws)+1)])) AS combo
+      FROM w
+    ),
+    triples AS (
+      SELECT p_partkey, 3 AS n,
+             unnest(flatten(flatten([[[ws[i] || '|' || ws[j] || '|' || ws[k]
+                                       FOR k IN range(j+1, len(ws)+1)]
+                                      FOR j IN range(i+1, len(ws)+1)]
+                                     FOR i IN range(1, len(ws)+1)]))) AS combo
+      FROM w
+    )
+    SELECT p_partkey, n, combo FROM pairs
+    UNION ALL
+    SELECT p_partkey, n, combo FROM triples
+    """,
+    tags=("functions",),
+)
+def p_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """combinations(arr, n) for n=2 and n=3 over p_name word arrays, exploded
+    so the driver's order-insensitive hash covers exact membership. Ref:
+    operator/scalar/ArrayCombinationsFunction.java (colex order, n <= 5)."""
+    from trino_private_spark.functions.registry import TRINO_FUNCTIONS as R
+
+    t = T(spark, sf_dir)
+    base = t.part.filter(F.col("p_partkey") <= 300).select(
+        "p_partkey",
+        F.split(
+            F.concat_ws(
+                " ", "p_name", "p_brand", "p_type", F.col("p_size").cast("string")
+            ),
+            " ",
+        ).alias("ws"),
+    )
+    parts = [
+        base.select(
+            "p_partkey",
+            F.lit(n).cast("int").alias("n"),
+            F.explode(R["combinations"](F.col("ws"), n)).alias("c"),
+        ).select("p_partkey", "n", F.array_join(F.col("c"), "|").alias("combo"))
+        for n in (2, 3)
+    ]
+    return parts[0].unionAll(parts[1])

@@ -332,3 +332,111 @@ def p_mr_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("match_number").cast("long").alias("match_number"),
         F.col("n_rows").cast("long").alias("n_rows"),
     ).orderBy("o_custkey", "match_number")
+
+
+@probe(
+    "p_mr_subset",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey AS ck, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
+             CASE WHEN o_totalprice > LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) THEN 'U'
+                  WHEN o_totalprice < LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) THEN 'D' END AS dir
+      FROM orders WHERE o_custkey <= 300),
+    isl AS (SELECT ck, dir, rn, o_orderkey,
+                   rn - ROW_NUMBER() OVER (PARTITION BY ck, dir ORDER BY rn) AS grp
+            FROM seq WHERE dir IS NOT NULL),
+    runs AS (SELECT ck, dir, MIN(rn) AS srn, MAX(rn) AS ern, COUNT(*) AS len,
+                    MIN(o_orderkey) AS sk, MAX(o_orderkey) AS ek
+             FROM isl GROUP BY ck, dir, grp)
+    SELECT u.ck AS o_custkey,
+           CAST(u.sk AS BIGINT) AS u_start,
+           CAST(u.ek AS BIGINT) AS u_end,
+           CAST(d.ek AS BIGINT) AS b_end,
+           'D' AS b_cls,
+           CAST(u.len + d.len AS BIGINT) AS n_rows
+    FROM runs u JOIN runs d
+      ON u.ck = d.ck AND u.dir = 'U' AND d.dir = 'D' AND d.srn = u.ern + 1
+    WHERE u.len >= 2 AND d.len >= 2
+    ORDER BY o_custkey, u_start
+    """,
+    tags=("custom",),
+)
+def p_mr_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE SUBSET union variables (SqlBase.g4:339
+    subsetDefinition; PatternRecognitionAnalyzer.java): SUBSET B = (U, D)
+    referenced in label-aware navigation (FIRST(U.k), LAST(B.k)) and
+    CLASSIFIER(B).  Pattern U{2,} D{2,} = maximal rising run >= 2
+    immediately followed by a falling run >= 2 — a closed islands-pair
+    form for the oracle."""
+    from trino_private_spark.operators.row_pattern_sql import sql_match_recognize
+
+    clause = """
+    MATCH_RECOGNIZE (
+      PARTITION BY o_custkey
+      ORDER BY o_orderkey
+      MEASURES FIRST(U.o_orderkey) AS u_start, LAST(U.o_orderkey) AS u_end,
+               LAST(B.o_orderkey) AS b_end, CLASSIFIER(B) AS b_cls
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (U{2,} D{2,})
+      SUBSET B = (U, D)
+      DEFINE U AS o_totalprice > PREV(o_totalprice),
+             D AS o_totalprice < PREV(o_totalprice)
+    )
+    """
+    out = sql_match_recognize(_mr_base(spark, sf_dir), clause)
+    return out.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("u_start").cast("long").alias("u_start"),
+        F.col("u_end").cast("long").alias("u_end"),
+        F.col("b_end").cast("long").alias("b_end"),
+        "b_cls",
+        F.col("n_rows").cast("long").alias("n_rows"),
+    ).orderBy("o_custkey", "u_start")
+
+
+@probe(
+    "p_mr_exclusion",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey AS ck,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
+             CASE WHEN o_totalprice > LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) THEN 'U' END AS dir
+      FROM orders WHERE o_custkey <= 300),
+    isl AS (SELECT ck, rn, rn - ROW_NUMBER() OVER (PARTITION BY ck ORDER BY rn) AS grp
+            FROM seq WHERE dir = 'U'),
+    runs AS (SELECT ck, grp, MIN(rn) AS srt FROM isl GROUP BY ck, grp HAVING COUNT(*) >= 2),
+    numbered AS (SELECT ck, grp, srt, ROW_NUMBER() OVER (PARTITION BY ck ORDER BY srt) AS mn FROM runs)
+    SELECT i.ck AS o_custkey, CAST(i.rn - 1 AS BIGINT) AS row_pos,
+           'U' AS classifier, CAST(n.mn AS BIGINT) AS match_number
+    FROM isl i JOIN numbered n ON i.ck = n.ck AND i.grp = n.grp
+    WHERE i.rn > n.srt
+    ORDER BY o_custkey, row_pos
+    """,
+    tags=("custom",),
+)
+def p_mr_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{- -} exclusion syntax (SqlBase.g4:601 excludedPattern): pattern
+    ({- U -} U+) consumes exactly like U{2,} but ALL ROWS PER MATCH omits
+    the excluded first row of each match.  Oracle = rising islands >= 2
+    minus each island's first row."""
+    from trino_private_spark.operators.row_pattern_sql import sql_match_recognize
+
+    clause = """
+    MATCH_RECOGNIZE (
+      PARTITION BY o_custkey
+      ORDER BY o_orderkey
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN ({- U -} U+)
+      DEFINE U AS o_totalprice > PREV(o_totalprice)
+    )
+    """
+    out = sql_match_recognize(_mr_base(spark, sf_dir), clause)
+    return out.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("row_pos").cast("long").alias("row_pos"),
+        "classifier",
+        F.col("match_number").cast("long").alias("match_number"),
+    ).orderBy("o_custkey", "row_pos")

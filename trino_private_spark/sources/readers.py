@@ -81,9 +81,11 @@ def read_jdbc(
     num_partitions: int | None = None,
     **options,
 ) -> DataFrame:
-    """JDBC federation (plugin/trino-base-jdbc analogue). Untested here (no
-    database in the container) but the partitioned-read contract is the part
-    that matters at scale."""
+    """JDBC federation (plugin/trino-base-jdbc analogue). Exercised against
+    the Derby embedded DB on Spark's classpath (tests/test_jdbc.py) including
+    the partitioned-read contract — partitionColumn/lower/upper/numPartitions
+    gives each executor its own connection + key-range slice, which is the
+    part that matters at cluster scale."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
         reader = (
