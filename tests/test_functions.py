@@ -422,3 +422,14 @@ def test_combinations_bounds(spark):
     big = F.transform(F.sequence(F.lit(1), F.lit(400)), lambda i: i.cast("string"))
     with _pt.raises(Exception, match="combinations exceed max size"):
         one(spark, R["combinations"](big, 2))
+    # Exact boundary per C(size, n) * n <= 100_000: largest passing size,
+    # then size + 1 must raise — for every n in 2..5.
+    from math import comb
+
+    for n, max_size in [(2, 316), (3, 59), (4, 29), (5, 20)]:
+        assert comb(max_size, n) * n <= 100_000 < comb(max_size + 1, n) * n
+        ok = F.sequence(F.lit(1), F.lit(max_size))
+        assert len(one(spark, R["combinations"](ok, n))) == comb(max_size, n)
+        over = F.sequence(F.lit(1), F.lit(max_size + 1))
+        with _pt.raises(Exception, match="combinations exceed max size"):
+            one(spark, R["combinations"](over, n))

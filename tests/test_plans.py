@@ -373,6 +373,11 @@ class TestExplainTyped:
         from tests.conftest import SF_SMOKE
         from trino_private_spark.api import Engine
 
+        # Shared session: drop any cache entries leaked by earlier tests so
+        # the scans below plan as real FileSourceScanExec nodes (a lingering
+        # cached read of the same parquet would be substituted by the
+        # CacheManager and hide pushdown).
+        spark.catalog.clearCache()
         eng = Engine(spark)
         eng.attach(SF_SMOKE)
         return eng

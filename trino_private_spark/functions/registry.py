@@ -680,8 +680,9 @@ def _combo_indices(size: Column, n: int) -> Column:
 
 
 # Largest array size where C(size, n) * n <= 100_000 (the reference's
-# MAX_RESULT_ELEMENTS bound in ArrayCombinationsFunction.java:48,68).
-_COMBINATIONS_MAX_SIZE = {1: 100_000, 2: 317, 3: 86, 4: 44, 5: 32}
+# MAX_RESULT_ELEMENTS bound, ArrayCombinationsFunction.java:48,68):
+# C(316,2)*2 = 99_540 ok / C(317,2)*2 = 100_172 over, etc.
+_COMBINATIONS_MAX_SIZE = {1: 100_000, 2: 316, 3: 59, 4: 29, 5: 20}
 
 
 @trino_fn("combinations")

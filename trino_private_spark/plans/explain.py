@@ -61,28 +61,48 @@ def explain_typed(df: DataFrame, type_: str = "DISTRIBUTED") -> str:
         return "VALID"
     if t == "IO":
         import json
-        import re
 
-        plan = explain_str(df, "formatted")
+        # Walk the physical plan OBJECTS (not the formatted text, which is
+        # brittle to render changes and silently drops fields): every scan
+        # leaf of the pre-adaptive plan carries a metadata map with the
+        # pushed filters, pruned read schema and file locations — the same
+        # facts Trino's IoPlanPrinter reports. Pushdown is decided at
+        # planning time, so qe.sparkPlan() (stable node shape, no AQE
+        # wrapper hiding the subtree) is the right surface.
+        plan = qe.sparkPlan()
+        leaves = plan.collectLeaves()
         scans = []
-        cur: dict | None = None
-        for line in plan.splitlines():
-            m = re.match(r"\(\d+\) Scan (\S+)\s*(.*)", line.strip())
-            if m:
-                cur = {"format": m.group(1), "table": m.group(2).strip()}
-                scans.append(cur)
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            cls = leaf.getClass().getSimpleName()
+            entry: dict = {}
+            if cls == "FileSourceScanExec":
+                meta = leaf.metadata()
+                it = meta.iterator()
+                raw = {}
+                while it.hasNext():
+                    kv = it.next()
+                    raw[kv._1()] = kv._2()
+                entry["format"] = raw.get("Format", "").lower()
+                tid = leaf.tableIdentifier()
+                entry["table"] = str(tid.get()) if tid.isDefined() else ""
+                for key, label in (
+                    ("Location", "location"),
+                    ("PushedFilters", "pushedFilters"),
+                    ("PartitionFilters", "partitionFilters"),
+                    ("ReadSchema", "readSchema"),
+                ):
+                    if key in raw:
+                        entry[label] = raw[key]
+            elif cls in ("InMemoryTableScanExec", "TableCacheQueryStageExec"):
+                entry["format"] = "cached"
+                entry["table"] = ""
+            elif cls in ("RDDScanExec", "LocalTableScanExec"):
+                # VALUES / in-memory literals: no external IO.
                 continue
-            if cur is None:
-                continue
-            s = line.strip()
-            for key, label in (
-                ("Location", "location"),
-                ("PushedFilters", "pushedFilters"),
-                ("ReadSchema", "readSchema"),
-            ):
-                if s.startswith(key + ":"):
-                    cur[label] = s.split(":", 1)[1].strip()
-            if not s or s.startswith("("):
-                cur = None
+            else:
+                entry["format"] = cls
+                entry["table"] = ""
+            scans.append(entry)
         return json.dumps({"inputTableInfos": scans}, indent=2)
     raise ValueError(f"unsupported EXPLAIN TYPE {type_!r}")

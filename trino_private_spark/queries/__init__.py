@@ -93,6 +93,7 @@ def _load_modules() -> None:
         functions_probes,
         geo_probes,
         geom_probes,
+        iceberg_probes,
         layout_probes,
         llm,
         map_aggs,
@@ -126,6 +127,7 @@ def _load_modules() -> None:
         tpcds_shapes15,
         tpch_shapes,
         tpch_shapes2,
+        tpch_sqltext,
         windows,
         windows_nulls,
     )

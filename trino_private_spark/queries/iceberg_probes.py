@@ -1,0 +1,113 @@
+"""Iceberg read-shim probes: build a real v2 metadata tree from the nation
+fixture, read it through sources/iceberg.py, oracle the surviving rows with
+plain SQL over the same source table.
+
+The table encodes the full v2 merge-on-read story (reference:
+plugin/trino-iceberg, iceberg-core DeleteFileIndex semantics):
+- seq 1: one data file = all nation rows ordered by n_nationkey;
+- seq 2: a position-delete file removing the rows where
+  n_nationkey % 5 = 0 (positions are the sorted ranks), plus an
+  equality-delete file on n_nationkey IN (7, 19);
+- seq 3: a data file re-inserting the n_nationkey = 7 row (CDC upsert) —
+  the seq-2 equality delete must NOT touch it.
+
+Survivors: every key with key % 5 <> 0 except 19 (7 survives via the
+re-insert), which is exactly SQL-expressible for the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+
+from trino_private_spark.queries import probe
+from trino_private_spark.sources.iceberg import read_iceberg
+from trino_private_spark.sources.iceberg_testing import (
+    build_table,
+    write_parquet_with_ids,
+)
+
+_FIELD_IDS = {
+    "n_nationkey": 1, "n_name": 2, "n_regionkey": 3,
+}
+_POS_DEL_IDS = {"file_path": 2147483546, "pos": 2147483545}
+
+
+def _build(sf_dir: str) -> str:
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_")
+    src = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    cols = [c for c in src.column_names if c in _FIELD_IDS]
+    src = src.select(cols).sort_by("n_nationkey")
+    as_dict = {c: src.column(c).to_pylist() for c in cols}
+    keys = as_dict["n_nationkey"]
+
+    d1 = os.path.join(loc, "d1.parquet")
+    write_parquet_with_ids(d1, as_dict, _FIELD_IDS)
+
+    pd1 = os.path.join(loc, "pd1.parquet")
+    hit = [i for i, k in enumerate(keys) if k % 5 == 0]
+    write_parquet_with_ids(
+        pd1, {"file_path": [d1] * len(hit), "pos": hit}, _POS_DEL_IDS
+    )
+
+    ed1 = os.path.join(loc, "ed1.parquet")
+    write_parquet_with_ids(ed1, {"n_nationkey": [7, 19]}, {"n_nationkey": 1})
+
+    d2 = os.path.join(loc, "d2.parquet")
+    i7 = keys.index(7)
+    write_parquet_with_ids(
+        d2, {c: [as_dict[c][i7]] for c in cols}, _FIELD_IDS
+    )
+
+    fields = [
+        (1, "n_nationkey", "long"), (2, "n_name", "string"),
+        (3, "n_regionkey", "long"),
+    ]
+    build_table(
+        loc, fields,
+        [
+            {"id": 10, "ts": 1000, "seq": 1, "files": [{"path": d1}]},
+            {"id": 11, "ts": 2000, "seq": 2, "files": [
+                {"path": pd1, "content": 1},
+                {"path": ed1, "content": 2, "equality_ids": [1]},
+            ]},
+            {"id": 12, "ts": 3000, "seq": 3, "files": [{"path": d2}]},
+        ],
+    )
+    return loc
+
+
+@probe(
+    "p_iceberg_read",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_nationkey % 5 <> 0 AND n_nationkey <> 19
+    ORDER BY n_nationkey
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-snapshot read with sequence-scoped position + equality
+    deletes and a CDC re-insert (module docstring has the layout)."""
+    loc = _build(sf_dir)
+    return read_iceberg(spark, loc).orderBy("n_nationkey")
+
+
+@probe(
+    "p_iceberg_time_travel",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOR TIMESTAMP AS OF before any delete was committed: the full
+    seq-1 data file, no delete application (IcebergMetadata.java
+    snapshot-log resolution)."""
+    loc = _build(sf_dir)
+    return read_iceberg(spark, loc, as_of_ms=1500).orderBy("n_nationkey")

@@ -58,7 +58,8 @@ _META_SCHEMA = {"type": "map", "values": "bytes"}
 
 
 def read_avro_container(path: str) -> list:
-    """Parse an Avro OCF into its records (codec must be null/deflate)."""
+    """Parse an Avro OCF into its records (codec null/deflate, or snappy if
+    the python-snappy library happens to be importable)."""
     with open(path, "rb") as fh:
         buf = fh.read()
     if buf[:4] != _MAGIC:
@@ -68,7 +69,18 @@ def read_avro_container(path: str) -> list:
     meta = r.read(_META_SCHEMA)
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    snappy = None
+    if codec == "snappy":
+        try:
+            import snappy  # type: ignore[no-redef]
+        except ImportError as exc:
+            raise ValueError(
+                f"{path}: avro codec 'snappy' needs the python-snappy "
+                "library, which is not installed; rewrite the manifests with "
+                "codec null/deflate (e.g. Iceberg's write.avro.compression-"
+                "codec=gzip) or install python-snappy"
+            ) from exc
+    elif codec not in ("null", "deflate"):
         raise ValueError(f"unsupported avro codec {codec!r}")
     sync = buf[r.i : r.i + 16]
     r.i += 16
@@ -82,6 +94,9 @@ def read_avro_container(path: str) -> list:
             import zlib
 
             block = zlib.decompress(block, -15)
+        elif codec == "snappy":
+            # spec: snappy-compressed block followed by 4-byte big-endian CRC32
+            block = snappy.decompress(block[:-4])
         br = _AvroReader(block)
         for _ in range(n_records):
             out.append(br.read(schema))
@@ -91,14 +106,23 @@ def read_avro_container(path: str) -> list:
     return out
 
 
-def write_avro_container(path: str, schema: dict, records: list) -> None:
-    """Write records as an uncompressed Avro OCF (for tests/interchange —
-    real Iceberg writers produce exactly this structure)."""
+def write_avro_container(
+    path: str, schema: dict, records: list, codec: str = "null"
+) -> None:
+    """Write records as an Avro OCF (for tests/interchange — real Iceberg
+    writers produce exactly this structure; ``codec`` null or deflate)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported write codec {codec!r}")
     body = b"".join(avro_encode(rec, schema) for rec in records)
+    if codec == "deflate":
+        import zlib
+
+        comp = zlib.compressobj(wbits=-15)
+        body = comp.compress(body) + comp.flush()
     sync = struct.pack(">IIII", 0x1CEB, 0xE26, 0xAB1E, len(records) & 0xFFFFFFFF)
     meta = {
         "avro.schema": json.dumps(schema).encode(),
-        "avro.codec": b"null",
+        "avro.codec": codec.encode(),
     }
     with open(path, "wb") as fh:
         fh.write(_MAGIC)
@@ -121,10 +145,21 @@ class _DataFile:
     path: str
     content: int  # 0=data, 1=position deletes, 2=equality deletes
     equality_ids: tuple[int, ...] = ()
+    # Data sequence number (v2): orders files against delete files. An
+    # equality delete applies only to data files with STRICTLY SMALLER data
+    # sequence number; a position delete to files with seq <= delete seq
+    # (Iceberg spec "Scan Planning"; iceberg-core DeleteFileIndex, used by
+    # the reference's plugin/trino-iceberg). v1 tables have no sequence
+    # numbers -> 0 everywhere, which keeps both rules vacuously permissive.
+    sequence_number: int = 0
 
 
 def _local(p: str) -> str:
-    return p[7:] if p.startswith("file://") else p
+    # Java URI.toString() emits both 'file:///x' and single-slash 'file:/x';
+    # normalize every file-scheme spelling to a bare absolute path.
+    import re
+
+    return re.sub(r"^file:/{0,2}(?=/)", "", p)
 
 
 class IcebergTable:
@@ -134,14 +169,27 @@ class IcebergTable:
         self.location = location
         md_dir = os.path.join(location, "metadata")
         hint = os.path.join(md_dir, "version-hint.text")
+        md_path = None
         if os.path.exists(hint):
             with open(hint) as fh:
                 v = fh.read().strip()
             md_path = os.path.join(md_dir, f"v{v}.metadata.json")
-        else:
+            if not os.path.exists(md_path):
+                md_path = None  # hint names a missing file -> fall back
+        if md_path is None:
+            # Latest = highest NUMERIC version. Lexicographic basename sort
+            # is wrong for HadoopTables names once v10 exists ('v10...' <
+            # 'v9...'); extract the leading version number (works for both
+            # 'v<N>.metadata.json' and zero-padded '<NNNNN>-<uuid>' names).
+            import re
+
+            def _ver(p: str) -> tuple[int, str]:
+                base = os.path.basename(p)
+                m = re.match(r"v?(\d+)", base)
+                return (int(m.group(1)) if m else -1, base)
+
             cands = sorted(
-                glob.glob(os.path.join(md_dir, "*.metadata.json")),
-                key=lambda p: os.path.basename(p),
+                glob.glob(os.path.join(md_dir, "*.metadata.json")), key=_ver
             )
             if not cands:
                 raise FileNotFoundError(f"no metadata json under {md_dir}")
@@ -191,15 +239,26 @@ class IcebergTable:
         files: list[_DataFile] = []
         for m in read_avro_container(manifest_list):
             manifest_path = _local(m["manifest_path"])
+            m_seq = int(m.get("sequence_number") or 0)
             for entry in read_avro_container(manifest_path):
-                if entry.get("status") == 2:  # DELETED entry
+                status = entry.get("status")
+                if status == 2:  # DELETED entry
                     continue
+                # Sequence-number inheritance (spec "Sequence Number
+                # Inheritance"): a null data sequence number on an ADDED
+                # (status=1) entry inherits the manifest's sequence number
+                # from the manifest list; EXISTING entries must carry their
+                # own. v1 manifests have neither -> 0.
+                seq = entry.get("sequence_number")
+                if seq is None:
+                    seq = m_seq if status == 1 else 0
                 df = entry["data_file"]
                 files.append(
                     _DataFile(
                         path=_local(df["file_path"]),
                         content=df.get("content") or 0,
                         equality_ids=tuple(df.get("equality_ids") or ()),
+                        sequence_number=int(seq),
                     )
                 )
         return files
@@ -213,44 +272,166 @@ class IcebergTable:
         as_of_ms: int | None = None,
     ) -> DataFrame:
         files = self.data_files(snapshot_id, as_of_ms)
-        data = [f.path for f in files if f.content == 0]
-        pos_del = [f.path for f in files if f.content == 1]
-        eq_del = [(f.path, f.equality_ids) for f in files if f.content == 2]
+        # A data file can be listed by more than one manifest (ADDED once,
+        # EXISTING after rewrites); keep one entry per path, max seq.
+        by_path: dict[str, _DataFile] = {}
+        for f in files:
+            if f.content == 0:
+                prev = by_path.get(f.path)
+                if prev is None or f.sequence_number > prev.sequence_number:
+                    by_path[f.path] = f
+        data = list(by_path.values())
+        pos_del = [f for f in files if f.content == 1]
+        eq_del = [f for f in files if f.content == 2]
         if not data:
             raise ValueError("snapshot has no data files")
-        df = spark.read.parquet(*data).withColumns(
+        df = spark.read.parquet(*[f.path for f in data])
+        if not pos_del and not eq_del:
+            return df
+
+        # Delete files carry the data file's ORIGINAL (possibly file:- or
+        # file://-prefixed) path; normalize both sides identically.
+        norm = lambda c: F.regexp_replace(c, "^file:/{0,2}/", "/")  # noqa: E731
+        df = df.withColumns(
             {
-                "__file": F.col("_metadata.file_path"),
+                "__file": norm(F.col("_metadata.file_path")),
                 "__pos": F.col("_metadata.row_index"),
             }
         )
-        if pos_del:
-            # delete files carry the data file's ORIGINAL (possibly
-            # file://-prefixed) path; normalize both sides identically
-            norm = lambda c: F.regexp_replace(c, "^file:/{0,2}/", "/")  # noqa: E731
-            dels = spark.read.parquet(*pos_del).select(
-                norm(F.col("file_path")).alias("__file"),
-                F.col("pos").alias("__pos"),
-            )
-            df = df.withColumn("__file", norm(F.col("__file"))).join(
-                F.broadcast(dels), ["__file", "__pos"], "left_anti"
-            )
-        for path, eq_ids in eq_del:
-            field_names = self._field_names(eq_ids)
-            eq = spark.read.parquet(path).select(*field_names)
-            df = df.join(F.broadcast(eq), field_names, "left_anti")
-        return df.drop("__file", "__pos")
+        # Attach each row's data sequence number (metadata-scale: one entry
+        # per data file, broadcast-joined on the file path) so that delete
+        # application can be scoped per the spec — without this, a row
+        # deleted and later re-inserted (standard CDC upsert) would be
+        # dropped from the newer file too.
+        seq_df = spark.createDataFrame(
+            [(f.path, f.sequence_number) for f in data],
+            "__file string, __seq long",
+        )
+        df = df.join(F.broadcast(seq_df), "__file", "left").withColumn(
+            "__seq", F.coalesce(F.col("__seq"), F.lit(0))
+        )
 
-    def _field_names(self, field_ids: tuple[int, ...]) -> list[str]:
-        schema = None
+        if pos_del:
+            # Position deletes apply to data files with seq <= delete seq.
+            # Group delete files by their sequence number (bounded by the
+            # snapshot count) and keep, per (file, pos), the max delete seq.
+            by_seq: dict[int, list[str]] = {}
+            for f in pos_del:
+                by_seq.setdefault(f.sequence_number, []).append(f.path)
+            parts = [
+                spark.read.parquet(*paths).select(
+                    norm(F.col("file_path")).alias("__file"),
+                    F.col("pos").alias("__pos"),
+                    F.lit(seq).cast("long").alias("__del_seq"),
+                )
+                for seq, paths in sorted(by_seq.items())
+            ]
+            dels = parts[0]
+            for p in parts[1:]:
+                dels = dels.unionByName(p)
+            dels = dels.groupBy("__file", "__pos").agg(
+                F.max("__del_seq").alias("__del_seq")
+            )
+            df = (
+                df.join(F.broadcast(dels), ["__file", "__pos"], "left")
+                .where(
+                    F.col("__del_seq").isNull()
+                    | (F.col("__seq") > F.col("__del_seq"))
+                )
+                .drop("__del_seq")
+            )
+
+        # Equality deletes apply only to data files with STRICTLY smaller
+        # data sequence number. A plain anti-join can't express the scoping,
+        # so: broadcast left join on the equality columns, then drop a row
+        # only when it matched AND its file predates the delete file.
+        # (Join-key NULLs never match — Iceberg writers don't emit NULL
+        # equality values for required delete fields.)
+        for f in sorted(eq_del, key=lambda f: f.sequence_number):
+            cur_names, file_names = self._eq_select(f)
+            # Join on the name the DATA actually carries: current name when
+            # the data files were written post-rename, the delete file's own
+            # (pre-rename) name when both predate the rename — field ids are
+            # the stable identity either way.
+            join_names, sel = [], []
+            for cur, fn in zip(cur_names, file_names):
+                use = cur if cur in df.columns else fn
+                join_names.append(use)
+                sel.append(F.col(fn).alias(use))
+            eq = (
+                spark.read.parquet(f.path)
+                .select(*sel)
+                .dropDuplicates(join_names)
+                .withColumn("__eq_hit", F.lit(True))
+            )
+            df = (
+                df.join(F.broadcast(eq), join_names, "left")
+                .where(
+                    ~(
+                        F.coalesce(F.col("__eq_hit"), F.lit(False))
+                        & (F.col("__seq") < F.lit(f.sequence_number))
+                    )
+                )
+                .drop("__eq_hit")
+            )
+        return df.drop("__file", "__pos", "__seq")
+
+    def _current_schema(self) -> dict:
         cur_id = self.metadata.get("current-schema-id")
         for s in self.metadata.get("schemas", []):
             if s.get("schema-id") == cur_id:
-                schema = s
-        if schema is None:
-            schema = self.metadata.get("schema") or {}
-        by_id = {f["id"]: f["name"] for f in schema.get("fields", [])}
-        return [by_id[i] for i in field_ids]
+                return s
+        return self.metadata.get("schema") or {}
+
+    def _eq_select(self, f: _DataFile):
+        """Resolve equality-delete field ids to (current column names,
+        column names as stored in the delete file itself).
+
+        Field ids are stable across renames but the delete parquet was
+        written with the names current AT WRITE TIME — so the name to SELECT
+        comes from the delete file's own parquet field-id metadata, aliased
+        to the table's current name for the join
+        (plugin/trino-iceberg IcebergPageSourceProvider equality-delete
+        resolution works the same way, via the file's stored schema).
+        """
+        by_id: dict[int, tuple[str, bool]] = {}
+
+        def walk(fields: list[dict], top: bool) -> None:
+            for fld in fields:
+                by_id[fld["id"]] = (fld["name"], top)
+                t = fld.get("type")
+                if isinstance(t, dict) and t.get("type") == "struct":
+                    walk(t.get("fields", []), False)
+
+        walk(self._current_schema().get("fields", []), True)
+        cur_names: list[str] = []
+        for i in f.equality_ids:
+            if i not in by_id:
+                raise KeyError(
+                    f"equality-delete field id {i} not in current schema"
+                )
+            name, top = by_id[i]
+            if not top:
+                raise NotImplementedError(
+                    f"nested equality-delete field id {i} ({name!r}) is not "
+                    "supported by this shim"
+                )
+            cur_names.append(name)
+        in_file: dict[int, str] = {}
+        try:
+            import pyarrow.parquet as pq
+
+            for fld in pq.read_schema(f.path):
+                md = fld.metadata or {}
+                fid = md.get(b"PARQUET:field_id")
+                if fid is not None:
+                    in_file[int(fid)] = fld.name
+        except Exception:
+            in_file = {}  # no field ids stored -> assume current names
+        file_names = [
+            in_file.get(i, cur) for i, cur in zip(f.equality_ids, cur_names)
+        ]
+        return cur_names, file_names
 
 
 def read_iceberg(

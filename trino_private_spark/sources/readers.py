@@ -115,8 +115,14 @@ class MemoryCatalog:
         self._tables[name] = df
 
     def insert(self, name: str, df: DataFrame) -> None:
-        merged = self._tables[name].unionByName(df)
+        old = self._tables[name]
+        merged = old.unionByName(df)
         self.create(name, merged)
+        # Unpersist the superseded table AFTER the merged one is registered;
+        # otherwise the old cache entry (often a bare parquet read) lingers in
+        # the CacheManager forever and hijacks later identical scans with an
+        # InMemoryTableScan (killing filter pushdown for unrelated queries).
+        old.unpersist()
 
     def drop(self, name: str) -> None:
         df = self._tables.pop(name)
