@@ -195,3 +195,54 @@ class TestSessionPropertyMap:
         # unmapped keys pass through verbatim
         eng.set_session("spark.sql.session.timeZone", "UTC")
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+class TestAnalyzeShowStats:
+    """ANALYZE (SqlBase.g4:79) + SHOW STATS FOR (SqlBase.g4:138) shims —
+    reference result-set shape per ShowStatsRewrite.java:196-202, stats fed
+    into the Spark catalog so CBO consumes them."""
+
+    def test_analyze_and_show_stats(self, spark):
+        from tests.conftest import SF_SMOKE
+        from trino_private_spark.api import Engine
+
+        eng = Engine(spark)
+        eng.attach(SF_SMOKE)
+        try:
+            eng.sql("ANALYZE region")
+            stats = eng.sql("SHOW STATS FOR region").collect()
+            by_col = {r["column_name"]: r for r in stats}
+            assert set(by_col) == {"r_regionkey", "r_name", None}
+            summary = by_col[None]
+            assert summary["row_count"] == 5.0
+            rk = by_col["r_regionkey"]
+            assert rk["distinct_values_count"] == 5.0
+            assert rk["nulls_fraction"] == 0.0
+            assert rk["low_value"] == "0" and rk["high_value"] == "4"
+            assert by_col["r_name"]["data_size"] is not None
+        finally:
+            spark.sql("DROP TABLE IF EXISTS region")
+            eng.attach(SF_SMOKE)
+
+    def test_cbo_reads_analyze_stats(self, spark):
+        """After ANALYZE, the optimized logical plan carries a defined
+        rowCount (Catalyst CBO statistics propagated from the catalog) —
+        the reference's ANALYZE -> ReorderJoins stats path."""
+        from tests.conftest import SF_SMOKE
+        from trino_private_spark.api import Engine
+
+        eng = Engine(spark)
+        eng.attach(SF_SMOKE)
+        try:
+            eng.sql("ANALYZE region")
+            eng.sql("ANALYZE nation")
+            df = eng.sql(
+                "SELECT n.n_name, r.r_name FROM nation n "
+                "JOIN region r ON n.n_regionkey = r.r_regionkey"
+            )
+            stats = df._jdf.queryExecution().optimizedPlan().stats()
+            assert stats.rowCount().isDefined()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS region")
+            spark.sql("DROP TABLE IF EXISTS nation")
+            eng.attach(SF_SMOKE)

@@ -31,6 +31,7 @@ class Engine:
     def attach(self, sf_dir: str) -> dict[str, DataFrame]:
         """Register the parquet tables of a dataset directory as the catalog
         (the connector-attach step of the reference)."""
+        self._sf_dir = sf_dir
         return register_tables(self.spark, sf_dir)
 
     def sql(self, text: str, dialect: str = "trino") -> DataFrame:
@@ -53,6 +54,15 @@ class Engine:
             return self.spark.createDataFrame(
                 [(plan,)], "`Query Plan` string"
             )
+        ss = _re.match(
+            r"\s*SHOW\s+STATS\s+FOR\s+([A-Za-z_][\w.]*)\s*$", text, flags=_re.I
+        )
+        if ss:
+            return self.show_stats(ss.group(1))
+        an = _re.match(r"\s*ANALYZE\s+([A-Za-z_][\w.]*)\s*$", text, flags=_re.I)
+        if an:
+            self.analyze(an.group(1))
+            return self.spark.createDataFrame([(True,)], "`ANALYZE` boolean")
         mr = _re.match(
             r"\s*SELECT\s+\*\s+FROM\s+([A-Za-z_][\w.]*)\s+(MATCH_RECOGNIZE\s*\(.*\))\s*(?:AS\s+\w+\s*)?$",
             text,
@@ -75,6 +85,87 @@ class Engine:
 
     def describe(self, table: str) -> DataFrame:
         return self.spark.sql(f"DESCRIBE TABLE {table}")
+
+    def analyze(self, name: str, path: str | None = None) -> None:
+        """ANALYZE <table> (SqlBase.g4:79): promote the attached temp view
+        to an external catalog table over its parquet path and compute
+        table + all-column statistics. The stats land in the session
+        catalog, so Catalyst's CBO (join reorder, broadcast sizing) reads
+        them — the same side effect the reference's ANALYZE has on its
+        cost-based optimizer (ReorderJoins consumes connector stats
+        written by ANALYZE)."""
+        import os as _os
+
+        if path is None:
+            path = _os.path.join(self._sf_dir, f"{name}.parquet")
+        # the temp view would shadow the catalog table; drop it so
+        # subsequent queries resolve to the stats-bearing table
+        self.spark.catalog.dropTempView(name)
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        self.spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{path}'")
+        self.spark.sql(
+            f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+
+    def show_stats(self, name: str) -> DataFrame:
+        """SHOW STATS FOR <table> (SqlBase.g4:138) — the reference's
+        result-set shape (ShowStatsRewrite.java:196-202: column_name,
+        data_size, distinct_values_count, nulls_fraction, row_count,
+        low_value, high_value; per-column rows plus a summary row with
+        NULL column_name carrying the row count), filled from the Spark
+        catalog's ANALYZE statistics."""
+        rows = []
+        row_count = None
+        for r in self.spark.sql(f"DESC EXTENDED {name}").collect():
+            if r["col_name"] == "Statistics":
+                # e.g. "12345 bytes, 678 rows"
+                import re as _re
+
+                m = _re.search(r"(\d+)\s+rows", r["data_type"] or "")
+                if m:
+                    row_count = float(m.group(1))
+        cols = [
+            f.name for f in self.spark.table(name).schema.fields
+        ]
+        for c in cols:
+            info = {
+                r["info_name"]: r["info_value"]
+                for r in self.spark.sql(
+                    f"DESC EXTENDED {name} {c}"
+                ).collect()
+            }
+
+            def num(key):
+                v = info.get(key)
+                try:
+                    return float(v)
+                except (TypeError, ValueError):
+                    return None
+
+            nulls = num("num_nulls")
+            avg_len = num("avg_col_len")
+            rows.append(
+                (
+                    c,
+                    avg_len * row_count
+                    if avg_len is not None and row_count
+                    else None,
+                    num("distinct_count"),
+                    nulls / row_count
+                    if nulls is not None and row_count
+                    else None,
+                    None,
+                    info.get("min") if info.get("min") != "NULL" else None,
+                    info.get("max") if info.get("max") != "NULL" else None,
+                )
+            )
+        rows.append((None, None, None, None, row_count, None, None))
+        return self.spark.createDataFrame(
+            rows,
+            "column_name string, data_size double, "
+            "distinct_values_count double, nulls_fraction double, "
+            "row_count double, low_value string, high_value string",
+        )
 
     def explain(self, text: str, dialect: str = "trino") -> str:
         from trino_private_spark.plans.explain import explain_str

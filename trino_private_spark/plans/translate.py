@@ -497,6 +497,30 @@ def translate(sql: str) -> str:
     shielded, restore = _shield_strings(sql)
     s = shielded
 
+    # Double-quoted identifiers (SqlBase.g4 quotedIdentifier — in Trino a
+    # double-quoted token is ALWAYS an identifier, never a string): quoted
+    # function names lose the quotes ("sum"(x) -> sum(x), the form the
+    # reference's own TPC-DS corpus uses throughout), other identifiers
+    # become Spark backtick-quoted. '' escapes inside are undone to a
+    # literal quote inside backticks.
+    s = re.sub(r'"([A-Za-z_][A-Za-z0-9_]*)"(\s*\()', r"\1\2", s)
+    s = re.sub(
+        r'"((?:[^"]|"")+)"',
+        lambda m: "`" + m.group(1).replace('""', '"') + "`",
+        s,
+    )
+
+    # DECIMAL 'x.y' literals (SqlBase.g4 DECIMAL_VALUE): Spark has no
+    # typed-literal syntax for decimals -> CAST with the precision/scale
+    # implied by the literal text (DecimalParser semantics).
+    def _dec_lit(m):
+        lit = restore(m.group(1)).strip("'")
+        digits = lit.lstrip("+-").replace(".", "")
+        scale = len(lit.rsplit(".", 1)[1]) if "." in lit else 0
+        return f"CAST('{lit}' AS DECIMAL({max(len(digits), 1)}, {scale}))"
+
+    s = re.sub(r"\bDECIMAL\s+(\x00\d+\x00)", _dec_lit, s, flags=re.IGNORECASE)
+
     # FETCH FIRST n ROWS WITH TIES (SqlBase.g4:203-205; the reference
     # plans it via ImplementLimitWithTies) -> rank()-filter rewrite, since
     # Spark has no WITH TIES. Top-level form only; peer rows of the n-th

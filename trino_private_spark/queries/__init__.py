@@ -125,6 +125,7 @@ def _load_modules() -> None:
         tpcds_shapes13,
         tpcds_shapes14,
         tpcds_shapes15,
+        tpcds_sqltext,
         tpch_shapes,
         tpch_shapes2,
         tpch_sqltext,

@@ -1,0 +1,396 @@
+"""Reference TPC-DS Trino SQL texts end-to-end — probes p_dstext_qNN.
+
+Source texts: testing/trino-benchto-benchmarks/src/main/resources/sql/
+presto/tpcds/qNN.sql, read verbatim from /root/reference at run time.
+These are the reference's own benchmark corpus in its own dialect —
+double-quoted identifiers everywhere, quoted function names ("sum"(..)),
+DECIMAL 'x.y' typed literals, GROUPING() inside window PARTITION BY —
+which is exactly the translator surface (plans/translate.py) this module
+proves out. The tranche covers the store-sales channel: q01 q03 q06 q19
+q36 q42 q43 q50 q52 q55 q65 q70 q89 q98 (simple star aggs, correlated
+DECIMAL-scaled subqueries, ROLLUP + GROUPING() rank windows, day-of-week
+pivots, returns-lag bucketing, windowed ratio reports).
+
+Fixture adaptation: the driver fixture has no TPC-DS schema, so a
+deterministic mini TPC-DS star is DERIVED from the TPC-H-ish fixture
+tables with engine-neutral integer-keyed formulas — store_sales from
+lineitem x orders, store_returns from the returnflag='R' subset, item
+from part, customer from customer, date_dim/store/customer_address
+generated — registered as tpcds_* temp views on the Spark side and
+defined as identical CTEs in the DuckDB oracle. Value domains (states,
+categories, classes, manager ids, month_seq epochs) are chosen so the
+reference texts' own literals select non-empty slices; the query TEXTS
+themselves run unmodified except the _PATCHES below (ORDER BY made total
+/ double sort keys rounded ahead of LIMIT truncation — the driver compare
+needs a deterministic prefix).
+
+The month_seq epoch follows TPC-DS dbgen ((year-1900)*12 + moy - 1), so
+the texts' literal windows (1176..1187 = 1998, 1200..1211 = 2000) land in
+the fixture's 1995-2001 span unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trino_private_spark.plans.translate import translate
+from trino_private_spark.queries import probe
+
+_REF_DIR = (
+    "/root/reference/testing/trino-benchto-benchmarks/src/main/resources/"
+    "sql/presto/tpcds"
+)
+
+_TBL = re.compile(r"\$\{database\}\.\$\{schema\}\.(\w+)")
+
+_STATES5 = "'TN','GA','SC','AL','NC'"
+_STATES10 = "'TN','GA','SC','AL','NC','KY','VA','FL','MS','AR'"
+_CLASSES = (
+    "'computers','stereo','football','shirts','birdal','dresses','calendars'"
+)
+_CATEGORY_CASE = (
+    "CASE p_type WHEN 'SMALL' THEN 'Books' WHEN 'PROMO' THEN 'Home' "
+    "WHEN 'ECONOMY' THEN 'Electronics' WHEN 'MEDIUM' THEN 'Sports' "
+    "WHEN 'STANDARD' THEN 'Men' ELSE 'Women' END"
+)
+
+
+def _spark_views(sf: str) -> dict[str, str]:
+    p = lambda t: f"parquet.`{sf}/{t}.parquet`"  # noqa: E731
+    return {
+        "tpcds_date_dim": """
+            SELECT datediff(d, DATE '1990-01-01') + 2450000 AS d_date_sk,
+                   d AS d_date, year(d) AS d_year, month(d) AS d_moy,
+                   day(d) AS d_dom, quarter(d) AS d_qoy,
+                   date_format(d, 'EEEE') AS d_day_name,
+                   (year(d) - 1900) * 12 + month(d) - 1 AS d_month_seq
+            FROM (SELECT explode(sequence(DATE '1995-01-01',
+                                          DATE '2001-12-31')) AS d)""",
+        "tpcds_store": f"""
+            SELECT id + 1 AS s_store_sk,
+                   'S' || CAST(id + 1 AS STRING) AS s_store_id,
+                   'Store_' || CAST(id + 1 AS STRING) AS s_store_name,
+                   element_at(array({_STATES5}), CAST(id % 5 AS INT) + 1)
+                     AS s_state,
+                   'County_' || CAST(id % 3 AS STRING) AS s_county,
+                   'City_' || CAST(id % 4 AS STRING) AS s_city,
+                   CAST(id % 2 + 1 AS INT) AS s_company_id,
+                   'Company_' || CAST(id % 2 AS STRING) AS s_company_name,
+                   CAST(CASE WHEN id % 2 = 0 THEN -5.0 ELSE -6.0 END
+                        AS DOUBLE) AS s_gmt_offset,
+                   CAST(37000 + id * 13 AS STRING) AS s_zip,
+                   CAST(100 + id AS STRING) AS s_street_number,
+                   'Main' AS s_street_name, 'St' AS s_street_type,
+                   'Suite ' || CAST(id AS STRING) AS s_suite_number
+            FROM range(10)""",
+        "tpcds_customer_address": f"""
+            SELECT id + 1 AS ca_address_sk,
+                   element_at(array({_STATES10}), CAST(id % 10 AS INT) + 1)
+                     AS ca_state,
+                   CAST(10000 + (id * 7) % 90000 AS STRING) AS ca_zip,
+                   'United States' AS ca_country
+            FROM range(1000)""",
+        "tpcds_customer": f"""
+            SELECT c_custkey AS c_customer_sk,
+                   'C' || CAST(c_custkey AS STRING) AS c_customer_id,
+                   'F' || CAST(c_custkey % 100 AS STRING) AS c_first_name,
+                   'L' || CAST(c_custkey % 97 AS STRING) AS c_last_name,
+                   c_custkey % 1000 + 1 AS c_current_addr_sk
+            FROM {p('customer')}""",
+        "tpcds_item": f"""
+            SELECT p_partkey AS i_item_sk,
+                   'I' || CAST(p_partkey AS STRING) AS i_item_id,
+                   p_name AS i_item_desc,
+                   p_brand AS i_brand,
+                   CAST(substr(p_brand, 7) AS INT) AS i_brand_id,
+                   {_CATEGORY_CASE} AS i_category,
+                   length(p_type) AS i_category_id,
+                   element_at(array({_CLASSES}),
+                              CAST(p_partkey % 7 AS INT) + 1) AS i_class,
+                   CAST(p_partkey % 7 + 1 AS INT) AS i_class_id,
+                   CAST(p_partkey % 200 AS INT) AS i_manufact_id,
+                   'M' || CAST(p_partkey % 200 AS STRING) AS i_manufact,
+                   CAST(p_partkey % 40 AS INT) AS i_manager_id,
+                   p_retailprice AS i_current_price,
+                   p_retailprice * 0.8 AS i_wholesale_cost
+            FROM {p('part')}""",
+        "tpcds_store_sales": f"""
+            SELECT datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01')
+                     + 2450000 AS ss_sold_date_sk,
+                   l_partkey AS ss_item_sk,
+                   o_custkey AS ss_customer_sk,
+                   l_suppkey % 10 + 1 AS ss_store_sk,
+                   l_orderkey AS ss_ticket_number,
+                   CAST(l_quantity AS INT) AS ss_quantity,
+                   l_extendedprice / l_quantity AS ss_sales_price,
+                   l_extendedprice AS ss_ext_sales_price,
+                   l_extendedprice * (1 - l_discount) AS ss_net_paid,
+                   l_extendedprice * (0.2 - l_discount) AS ss_net_profit
+            FROM {p('lineitem')} JOIN {p('orders')}
+              ON l_orderkey = o_orderkey""",
+        "tpcds_store_returns": f"""
+            SELECT datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01')
+                     + 2450000 + CAST(l_orderkey % 120 AS INT) + 1
+                     AS sr_returned_date_sk,
+                   l_partkey AS sr_item_sk,
+                   o_custkey AS sr_customer_sk,
+                   l_suppkey % 10 + 1 AS sr_store_sk,
+                   l_orderkey AS sr_ticket_number,
+                   CAST(l_quantity AS INT) AS sr_return_quantity,
+                   l_extendedprice * (1 - l_discount) AS sr_return_amt,
+                   l_extendedprice * 0.1 AS sr_net_loss
+            FROM {p('lineitem')} JOIN {p('orders')}
+              ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'""",
+    }
+
+
+_DUCK_CTES = f"""
+tpcds_date_dim AS (
+  SELECT date_diff('day', DATE '1990-01-01', d) + 2450000 AS d_date_sk,
+         d AS d_date, year(d) AS d_year, month(d) AS d_moy,
+         day(d) AS d_dom, quarter(d) AS d_qoy, dayname(d) AS d_day_name,
+         (year(d) - 1900) * 12 + month(d) - 1 AS d_month_seq
+  FROM (SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+               DATE '2001-12-31', INTERVAL 1 DAY)) AS DATE) AS d)),
+tpcds_store AS (
+  SELECT id + 1 AS s_store_sk,
+         'S' || CAST(id + 1 AS VARCHAR) AS s_store_id,
+         'Store_' || CAST(id + 1 AS VARCHAR) AS s_store_name,
+         list_extract([{_STATES5}], CAST(id % 5 AS INTEGER) + 1) AS s_state,
+         'County_' || CAST(id % 3 AS VARCHAR) AS s_county,
+         'City_' || CAST(id % 4 AS VARCHAR) AS s_city,
+         CAST(id % 2 + 1 AS INTEGER) AS s_company_id,
+         'Company_' || CAST(id % 2 AS VARCHAR) AS s_company_name,
+         CAST(CASE WHEN id % 2 = 0 THEN -5.0 ELSE -6.0 END AS DOUBLE)
+           AS s_gmt_offset,
+         CAST(37000 + id * 13 AS VARCHAR) AS s_zip,
+         CAST(100 + id AS VARCHAR) AS s_street_number,
+         'Main' AS s_street_name, 'St' AS s_street_type,
+         'Suite ' || CAST(id AS VARCHAR) AS s_suite_number
+  FROM (SELECT range AS id FROM range(10))),
+tpcds_customer_address AS (
+  SELECT id + 1 AS ca_address_sk,
+         list_extract([{_STATES10}], CAST(id % 10 AS INTEGER) + 1)
+           AS ca_state,
+         CAST(10000 + (id * 7) % 90000 AS VARCHAR) AS ca_zip,
+         'United States' AS ca_country
+  FROM (SELECT range AS id FROM range(1000))),
+tpcds_customer AS (
+  SELECT c_custkey AS c_customer_sk,
+         'C' || CAST(c_custkey AS VARCHAR) AS c_customer_id,
+         'F' || CAST(c_custkey % 100 AS VARCHAR) AS c_first_name,
+         'L' || CAST(c_custkey % 97 AS VARCHAR) AS c_last_name,
+         c_custkey % 1000 + 1 AS c_current_addr_sk
+  FROM customer),
+tpcds_item AS (
+  SELECT p_partkey AS i_item_sk,
+         'I' || CAST(p_partkey AS VARCHAR) AS i_item_id,
+         p_name AS i_item_desc,
+         p_brand AS i_brand,
+         CAST(substr(p_brand, 7) AS INTEGER) AS i_brand_id,
+         {_CATEGORY_CASE} AS i_category,
+         length(p_type) AS i_category_id,
+         list_extract([{_CLASSES}], CAST(p_partkey % 7 AS INTEGER) + 1)
+           AS i_class,
+         CAST(p_partkey % 7 + 1 AS INTEGER) AS i_class_id,
+         CAST(p_partkey % 200 AS INTEGER) AS i_manufact_id,
+         'M' || CAST(p_partkey % 200 AS VARCHAR) AS i_manufact,
+         CAST(p_partkey % 40 AS INTEGER) AS i_manager_id,
+         p_retailprice AS i_current_price,
+         p_retailprice * 0.8 AS i_wholesale_cost
+  FROM part),
+tpcds_store_sales AS (
+  SELECT date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+           + 2450000 AS ss_sold_date_sk,
+         l_partkey AS ss_item_sk,
+         o_custkey AS ss_customer_sk,
+         l_suppkey % 10 + 1 AS ss_store_sk,
+         l_orderkey AS ss_ticket_number,
+         CAST(l_quantity AS INTEGER) AS ss_quantity,
+         l_extendedprice / l_quantity AS ss_sales_price,
+         l_extendedprice AS ss_ext_sales_price,
+         l_extendedprice * (1 - l_discount) AS ss_net_paid,
+         l_extendedprice * (0.2 - l_discount) AS ss_net_profit
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+tpcds_store_returns AS (
+  SELECT date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+           + 2450000 + CAST(l_orderkey % 120 AS INTEGER) + 1
+           AS sr_returned_date_sk,
+         l_partkey AS sr_item_sk,
+         o_custkey AS sr_customer_sk,
+         l_suppkey % 10 + 1 AS sr_store_sk,
+         l_orderkey AS sr_ticket_number,
+         CAST(l_quantity AS INTEGER) AS sr_return_quantity,
+         l_extendedprice * (1 - l_discount) AS sr_return_amt,
+         l_extendedprice * 0.1 AS sr_net_loss
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'),
+store_sales AS (SELECT * FROM tpcds_store_sales),
+item AS (SELECT * FROM tpcds_item)
+"""
+
+# ---- per-query output contracts / determinism patches -------------------
+
+_PATCHES: dict[str, list[tuple[str, str]]] = {
+    # fixture p_retailprice is uniform on [900, 1000): nothing exceeds
+    # 1.2x the category average — re-domain the factor so the correlated
+    # subquery filter actually selects (the same adaptation the TPC-H
+    # texts document; structure unchanged)
+    "q06": [("DECIMAL '1.2'", "DECIMAL '1.04'")],
+    # double sort keys ahead of a truncating LIMIT: round them (and total-
+    # order the suffix) so the 100-row prefix is engine-independent
+    "q03": [('ORDER BY "dt"."d_year" ASC, "sum_agg" DESC, "brand_id" ASC',
+             'ORDER BY "dt"."d_year" ASC, '
+             'round("sum"("ss_ext_sales_price"), 2) DESC, "brand_id" ASC')],
+    "q19": [('ORDER BY "ext_price" DESC, "i_brand" ASC',
+             'ORDER BY round("sum"("ss_ext_sales_price"), 2) DESC, '
+             '"i_brand" ASC')],
+    "q65": [('ORDER BY "s_store_name" ASC, "i_item_desc" ASC',
+             'ORDER BY "s_store_name" ASC, "i_item_desc" ASC, '
+             '"sc"."ss_item_sk" ASC')],
+    "q89": [('ORDER BY ("sum_sales" - "avg_monthly_sales") ASC, '
+             '"s_store_name" ASC',
+             'ORDER BY round("sum_sales" - "avg_monthly_sales", 2) ASC, '
+             '"s_store_name" ASC, "i_category" ASC, "i_class" ASC, '
+             '"i_brand" ASC, "d_moy" ASC')],
+}
+
+_COLS: dict[str, list[str]] = {
+    "q01": ["c_customer_id"],
+    "q03": ["d_year", "brand_id", "brand", "sum_agg"],
+    "q06": ["state", "cnt"],
+    "q19": ["brand_id", "brand", "i_manufact_id", "i_manufact", "ext_price"],
+    "q36": ["gross_margin", "i_category", "i_class", "lochierarchy",
+            "rank_within_parent"],
+    "q42": ["d_year", "i_category_id", "i_category", "sum_sales"],
+    "q43": ["s_store_name", "s_store_id", "sun_sales", "mon_sales",
+            "tue_sales", "wed_sales", "thu_sales", "fri_sales", "sat_sales"],
+    "q50": ["s_store_name", "s_company_id", "s_street_number",
+            "s_street_name", "s_street_type", "s_suite_number", "s_city",
+            "s_county", "s_state", "s_zip", "days_30", "days_31_60",
+            "days_61_90", "days_91_120", "days_over_120"],
+    "q52": ["d_year", "brand_id", "brand", "ext_price"],
+    "q55": ["brand_id", "brand", "ext_price"],
+    "q65": ["s_store_name", "i_item_desc", "revenue", "i_current_price",
+            "i_wholesale_cost", "i_brand"],
+    "q70": ["total_sum", "s_state", "s_county", "lochierarchy",
+            "rank_within_parent"],
+    "q89": ["i_category", "i_class", "i_brand", "s_store_name",
+            "s_company_name", "d_moy", "sum_sales", "avg_monthly_sales"],
+    "q98": ["i_item_id", "i_item_desc", "i_category", "i_class",
+            "i_current_price", "itemrevenue", "revenueratio"],
+}
+
+_ROUND: dict[str, dict[str, int]] = {
+    "q03": {"sum_agg": 2},
+    "q19": {"ext_price": 2},
+    "q36": {"gross_margin": 6},
+    "q42": {"sum_sales": 2},
+    "q43": {c: 2 for c in ("sun_sales", "mon_sales", "tue_sales",
+                           "wed_sales", "thu_sales", "fri_sales",
+                           "sat_sales")},
+    "q52": {"ext_price": 2},
+    "q55": {"ext_price": 2},
+    "q65": {"revenue": 2, "i_wholesale_cost": 2},
+    "q70": {"total_sum": 2},
+    "q89": {"sum_sales": 2, "avg_monthly_sales": 2},
+    "q98": {"itemrevenue": 2, "revenueratio": 6},
+}
+
+
+_NOT_ALIAS = {
+    "where", "group", "order", "on", "limit", "having", "join", "left",
+    "right", "full", "cross", "inner", "union", "intersect", "except",
+    "as", "and", "or",
+}
+
+
+def _sub_tables(text: str) -> str:
+    """${database}.${schema}.NAME -> tpcds_NAME, keeping the ORIGINAL name
+    visible as the relation alias when the text doesn't alias it — the
+    corpus qualifies columns by the bare table name ("store_sales"."x")."""
+
+    def repl(m):
+        name = m.group(1)
+        rest = text[m.end():]
+        nxt = re.match(r'\s*("?)([A-Za-z_]\w*)\1', rest)
+        if nxt and nxt.group(2).lower() not in _NOT_ALIAS:
+            return f"tpcds_{name}"  # alias follows in the text itself
+        return f"tpcds_{name} {name}"
+
+    return _TBL.sub(repl, text)
+
+
+def _load(q: str) -> str:
+    with open(os.path.join(_REF_DIR, f"{q}.sql")) as fh:
+        text = fh.read()
+    text = _sub_tables(text)
+    for old, new in _PATCHES.get(q, ()):
+        assert old in text, f"{q}: patch target drifted: {old[:40]!r}"
+        text = text.replace(old, new)
+    return text.strip().rstrip(";")
+
+
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name, sql in _spark_views(sf_dir).items():
+        spark.sql(sql).createOrReplaceTempView(name)
+    # some texts qualify columns by the ORIGINAL unaliased relation name
+    # ("store_sales"."ss_item_sk" with FROM ${...}.store_sales); expose
+    # those names too (neither collides with a fixture table)
+    for bare in ("store_sales", "item"):
+        spark.table(f"tpcds_{bare}").createOrReplaceTempView(bare)
+
+
+def _duck_text(q: str) -> str:
+    """Oracle: same substituted text with quoted identifiers/functions kept
+    (DuckDB reads them natively) and DECIMAL literals as written."""
+    text = _load(q)
+    # splice the schema CTEs into the query's own WITH if it has one
+    m = re.match(r"\s*WITH\b", text, flags=re.I)
+    if m:
+        text = re.sub(r"\s*WITH\b", f"WITH {_DUCK_CTES},", text, count=1,
+                      flags=re.I)
+    else:
+        text = f"WITH {_DUCK_CTES} {text}"
+    return text
+
+
+def _oracle(q: str) -> str:
+    cols = _COLS[q]
+    proj = [
+        f"round({c}, {_ROUND[q][c]}) AS {c}" if c in _ROUND.get(q, {}) else c
+        for c in cols
+    ]
+    return (
+        f"SELECT {', '.join(proj)} FROM (\n{_duck_text(q)}\n) "
+        f"AS __t({', '.join(cols)})"
+    )
+
+
+def _runner(q: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_views(spark, sf_dir)
+        df = spark.sql(translate(_load(q)))
+        df = df.toDF(*_COLS[q])
+        for c, nd in _ROUND.get(q, {}).items():
+            df = df.withColumn(c, F.round(F.col(c), nd))
+        return df
+
+    run.__doc__ = (
+        f"Reference Trino SQL text tpcds/{q}.sql through translate() — "
+        "quoted identifiers, DECIMAL literals, GROUPING()-partitioned "
+        "windows all exercised end-to-end."
+    )
+    run.__name__ = f"p_dstext_{q}"
+    return run
+
+
+for _q in _COLS:
+    probe(f"p_dstext_{_q}", oracle=_oracle(_q), tags=("tpcds", "sqltext"))(
+        _runner(_q)
+    )
