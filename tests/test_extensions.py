@@ -233,6 +233,10 @@ class TestAnalyzeShowStats:
 
         eng = Engine(spark)
         eng.attach(SF_SMOKE)
+        # CBO must be on for Catalyst to propagate rowCount (an earlier
+        # test may have toggled it via the session-property map)
+        prior = spark.conf.get("spark.sql.cbo.enabled")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
         try:
             eng.sql("ANALYZE region")
             eng.sql("ANALYZE nation")
@@ -243,6 +247,7 @@ class TestAnalyzeShowStats:
             stats = df._jdf.queryExecution().optimizedPlan().stats()
             assert stats.rowCount().isDefined()
         finally:
+            spark.conf.set("spark.sql.cbo.enabled", prior)
             spark.sql("DROP TABLE IF EXISTS region")
             spark.sql("DROP TABLE IF EXISTS nation")
             eng.attach(SF_SMOKE)

@@ -38,15 +38,19 @@ _POS_DEL_IDS = {"file_path": 2147483546, "pos": 2147483545}
 
 
 def _build(sf_dir: str) -> str:
+    import pyarrow as pa
+
     loc = tempfile.mkdtemp(prefix="tps_iceberg_")
     src = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
     cols = [c for c in src.column_names if c in _FIELD_IDS]
-    src = src.select(cols).sort_by("n_nationkey")
-    as_dict = {c: src.column(c).to_pylist() for c in cols}
-    keys = as_dict["n_nationkey"]
+    src = src.select(cols).sort_by("n_nationkey").combine_chunks()
+    keys = src.column("n_nationkey").to_pylist()
+    key_type = src.schema.field("n_nationkey").type
 
+    # pass typed arrow arrays through (NOT python lists, which would
+    # re-infer int64 and break the driver's schema-parity check)
     d1 = os.path.join(loc, "d1.parquet")
-    write_parquet_with_ids(d1, as_dict, _FIELD_IDS)
+    write_parquet_with_ids(d1, {c: src.column(c) for c in cols}, _FIELD_IDS)
 
     pd1 = os.path.join(loc, "pd1.parquet")
     hit = [i for i, k in enumerate(keys) if k % 5 == 0]
@@ -55,12 +59,15 @@ def _build(sf_dir: str) -> str:
     )
 
     ed1 = os.path.join(loc, "ed1.parquet")
-    write_parquet_with_ids(ed1, {"n_nationkey": [7, 19]}, {"n_nationkey": 1})
+    write_parquet_with_ids(
+        ed1, {"n_nationkey": pa.array([7, 19], type=key_type)},
+        {"n_nationkey": 1},
+    )
 
     d2 = os.path.join(loc, "d2.parquet")
     i7 = keys.index(7)
     write_parquet_with_ids(
-        d2, {c: [as_dict[c][i7]] for c in cols}, _FIELD_IDS
+        d2, {c: src.column(c).slice(i7, 1) for c in cols}, _FIELD_IDS
     )
 
     fields = [

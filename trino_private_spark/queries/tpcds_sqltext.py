@@ -63,11 +63,15 @@ def _spark_views(sf: str) -> dict[str, str]:
     p = lambda t: f"parquet.`{sf}/{t}.parquet`"  # noqa: E731
     return {
         "tpcds_date_dim": """
-            SELECT datediff(d, DATE '1990-01-01') + 2450000 AS d_date_sk,
-                   d AS d_date, year(d) AS d_year, month(d) AS d_moy,
-                   day(d) AS d_dom, quarter(d) AS d_qoy,
+            SELECT CAST(datediff(d, DATE '1990-01-01') + 2450000 AS BIGINT)
+                     AS d_date_sk,
+                   d AS d_date, CAST(year(d) AS INT) AS d_year,
+                   CAST(month(d) AS INT) AS d_moy,
+                   CAST(day(d) AS INT) AS d_dom,
+                   CAST(quarter(d) AS INT) AS d_qoy,
                    date_format(d, 'EEEE') AS d_day_name,
-                   (year(d) - 1900) * 12 + month(d) - 1 AS d_month_seq
+                   CAST((year(d) - 1900) * 12 + month(d) - 1 AS INT)
+                     AS d_month_seq
             FROM (SELECT explode(sequence(DATE '1995-01-01',
                                           DATE '2001-12-31')) AS d)""",
         "tpcds_store": f"""
@@ -108,7 +112,7 @@ def _spark_views(sf: str) -> dict[str, str]:
                    p_brand AS i_brand,
                    CAST(substr(p_brand, 7) AS INT) AS i_brand_id,
                    {_CATEGORY_CASE} AS i_category,
-                   length(p_type) AS i_category_id,
+                   CAST(length(p_type) AS INT) AS i_category_id,
                    element_at(array({_CLASSES}),
                               CAST(p_partkey % 7 AS INT) + 1) AS i_class,
                    CAST(p_partkey % 7 + 1 AS INT) AS i_class_id,
@@ -119,8 +123,9 @@ def _spark_views(sf: str) -> dict[str, str]:
                    p_retailprice * 0.8 AS i_wholesale_cost
             FROM {p('part')}""",
         "tpcds_store_sales": f"""
-            SELECT datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01')
-                     + 2450000 AS ss_sold_date_sk,
+            SELECT CAST(datediff(CAST(o_orderdate AS DATE),
+                        DATE '1990-01-01') + 2450000 AS BIGINT)
+                     AS ss_sold_date_sk,
                    l_partkey AS ss_item_sk,
                    o_custkey AS ss_customer_sk,
                    l_suppkey % 10 + 1 AS ss_store_sk,
@@ -133,8 +138,9 @@ def _spark_views(sf: str) -> dict[str, str]:
             FROM {p('lineitem')} JOIN {p('orders')}
               ON l_orderkey = o_orderkey""",
         "tpcds_store_returns": f"""
-            SELECT datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01')
-                     + 2450000 + CAST(l_orderkey % 120 AS INT) + 1
+            SELECT CAST(datediff(CAST(o_orderdate AS DATE),
+                        DATE '1990-01-01') + 2450000
+                        + CAST(l_orderkey % 120 AS INT) + 1 AS BIGINT)
                      AS sr_returned_date_sk,
                    l_partkey AS sr_item_sk,
                    o_custkey AS sr_customer_sk,
@@ -151,10 +157,14 @@ def _spark_views(sf: str) -> dict[str, str]:
 
 _DUCK_CTES = f"""
 tpcds_date_dim AS (
-  SELECT date_diff('day', DATE '1990-01-01', d) + 2450000 AS d_date_sk,
-         d AS d_date, year(d) AS d_year, month(d) AS d_moy,
-         day(d) AS d_dom, quarter(d) AS d_qoy, dayname(d) AS d_day_name,
-         (year(d) - 1900) * 12 + month(d) - 1 AS d_month_seq
+  SELECT CAST(date_diff('day', DATE '1990-01-01', d) + 2450000 AS BIGINT)
+           AS d_date_sk,
+         d AS d_date, CAST(year(d) AS INTEGER) AS d_year,
+         CAST(month(d) AS INTEGER) AS d_moy,
+         CAST(day(d) AS INTEGER) AS d_dom,
+         CAST(quarter(d) AS INTEGER) AS d_qoy, dayname(d) AS d_day_name,
+         CAST((year(d) - 1900) * 12 + month(d) - 1 AS INTEGER)
+           AS d_month_seq
   FROM (SELECT CAST(unnest(generate_series(DATE '1995-01-01',
                DATE '2001-12-31', INTERVAL 1 DAY)) AS DATE) AS d)),
 tpcds_store AS (
@@ -194,7 +204,7 @@ tpcds_item AS (
          p_brand AS i_brand,
          CAST(substr(p_brand, 7) AS INTEGER) AS i_brand_id,
          {_CATEGORY_CASE} AS i_category,
-         length(p_type) AS i_category_id,
+         CAST(length(p_type) AS INTEGER) AS i_category_id,
          list_extract([{_CLASSES}], CAST(p_partkey % 7 AS INTEGER) + 1)
            AS i_class,
          CAST(p_partkey % 7 + 1 AS INTEGER) AS i_class_id,
@@ -205,8 +215,9 @@ tpcds_item AS (
          p_retailprice * 0.8 AS i_wholesale_cost
   FROM part),
 tpcds_store_sales AS (
-  SELECT date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
-           + 2450000 AS ss_sold_date_sk,
+  SELECT CAST(date_diff('day', DATE '1990-01-01',
+              CAST(o_orderdate AS DATE)) + 2450000 AS BIGINT)
+           AS ss_sold_date_sk,
          l_partkey AS ss_item_sk,
          o_custkey AS ss_customer_sk,
          l_suppkey % 10 + 1 AS ss_store_sk,
@@ -218,8 +229,9 @@ tpcds_store_sales AS (
          l_extendedprice * (0.2 - l_discount) AS ss_net_profit
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
 tpcds_store_returns AS (
-  SELECT date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
-           + 2450000 + CAST(l_orderkey % 120 AS INTEGER) + 1
+  SELECT CAST(date_diff('day', DATE '1990-01-01',
+              CAST(o_orderdate AS DATE)) + 2450000
+              + CAST(l_orderkey % 120 AS INTEGER) + 1 AS BIGINT)
            AS sr_returned_date_sk,
          l_partkey AS sr_item_sk,
          o_custkey AS sr_customer_sk,
@@ -284,6 +296,16 @@ _COLS: dict[str, list[str]] = {
             "s_company_name", "d_moy", "sum_sales", "avg_monthly_sales"],
     "q98": ["i_item_id", "i_item_desc", "i_category", "i_class",
             "i_current_price", "itemrevenue", "revenueratio"],
+}
+
+# outputs whose integer WIDTH differs between engines (Spark rank()/
+# grouping() -> int32/byte, DuckDB rank()/grouping() -> int64; DuckDB
+# sum(int) -> hugeint): cast BOTH sides to BIGINT for schema parity
+_LONGS: dict[str, tuple[str, ...]] = {
+    "q36": ("lochierarchy", "rank_within_parent"),
+    "q50": ("days_30", "days_31_60", "days_61_90", "days_91_120",
+            "days_over_120"),
+    "q70": ("lochierarchy", "rank_within_parent"),
 }
 
 _ROUND: dict[str, dict[str, int]] = {
@@ -362,10 +384,14 @@ def _duck_text(q: str) -> str:
 
 def _oracle(q: str) -> str:
     cols = _COLS[q]
-    proj = [
-        f"round({c}, {_ROUND[q][c]}) AS {c}" if c in _ROUND.get(q, {}) else c
-        for c in cols
-    ]
+    proj = []
+    for c in cols:
+        if c in _ROUND.get(q, {}):
+            proj.append(f"round({c}, {_ROUND[q][c]}) AS {c}")
+        elif c in _LONGS.get(q, ()):
+            proj.append(f"CAST({c} AS BIGINT) AS {c}")
+        else:
+            proj.append(c)
     return (
         f"SELECT {', '.join(proj)} FROM (\n{_duck_text(q)}\n) "
         f"AS __t({', '.join(cols)})"
@@ -379,6 +405,8 @@ def _runner(q: str):
         df = df.toDF(*_COLS[q])
         for c, nd in _ROUND.get(q, {}).items():
             df = df.withColumn(c, F.round(F.col(c), nd))
+        for c in _LONGS.get(q, ()):
+            df = df.withColumn(c, F.col(c).cast("long"))
         return df
 
     run.__doc__ = (

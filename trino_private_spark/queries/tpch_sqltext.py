@@ -319,6 +319,15 @@ _ROUND: dict[str, dict[str, int]] = {
     "q22": {"totacctbal": 2},
 }
 
+# integer outputs whose width differs between engines (Spark year() ->
+# int32 vs DuckDB extract -> int64; DuckDB sum(int) -> hugeint)
+_LONGS: dict[str, tuple[str, ...]] = {
+    "q07": ("l_year",),
+    "q08": ("o_year",),
+    "q09": ("o_year",),
+    "q12": ("high_line_count", "low_line_count"),
+}
+
 _DATES: dict[str, tuple[str, ...]] = {
     "q03": ("orderdate",),
     "q18": ("orderdate",),
@@ -348,6 +357,8 @@ def _oracle(q: str) -> str:
             proj.append(f"round({c}, {_ROUND[q][c]}) AS {c}")
         elif c in _DATES.get(q, ()):
             proj.append(f"strftime({c}, '%Y-%m-%d') AS {c}")
+        elif c in _LONGS.get(q, ()):
+            proj.append(f"CAST({c} AS BIGINT) AS {c}")
         else:
             proj.append(c)
     return (
@@ -365,6 +376,8 @@ def _runner(q: str):
             df = df.withColumn(c, F.round(F.col(c), nd))
         for c in _DATES.get(q, ()):
             df = df.withColumn(c, F.date_format(F.col(c), "yyyy-MM-dd"))
+        for c in _LONGS.get(q, ()):
+            df = df.withColumn(c, F.col(c).cast("long"))
         return df
 
     run.__doc__ = (
