@@ -93,8 +93,14 @@ def pack_sequences(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        pdf = pd.concat(list(batches), ignore_index=True) if batches else None
-        if pdf is None or len(pdf) == 0:
+        # batches is a GENERATOR — always truthy; materialize before the
+        # emptiness check or empty partitions (routine once partitions >
+        # groups at scale) crash pd.concat with "No objects to concatenate"
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        pdf = pd.concat(batch_list, ignore_index=True)
+        if len(pdf) == 0:
             return
         pdf = pdf.sort_values(
             [tokens_col, id_col], ascending=[False, True], kind="mergesort"
