@@ -29,6 +29,31 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Resolve a fixture table, memoizing the resolved relation per session.
+
+    The reference caches table metadata between queries (Trino's
+    CachingHiveMetastore / per-query metadata reuse); Spark instead re-runs
+    file listing + footer schema reads on every ``spark.read.parquet`` —
+    ~90 ms per call on local fixtures and a driver-side metadata storm at
+    100 TB scale. Reusing the resolved DataFrame keeps the
+    InMemoryFileIndex (and its partition/stat pruning state) warm across
+    queries; fixture directories are immutable, so staleness is not a
+    concern here.
+    """
+    cache: dict[str, DataFrame] | None = getattr(spark, "_tps_tables", None)
+    if cache is None:
+        cache = {}
+        spark._tps_tables = cache  # type: ignore[attr-defined]
+    key = f"{sf_dir}/{name}"
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    df = _load_table_uncached(spark, sf_dir, name)
+    cache[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # runtime-settable; required even on sessions not built by
         # engine.get_spark() (e.g. the driver's own session)

@@ -56,14 +56,18 @@ class T:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self._spark = spark
         self._sf_dir = sf_dir
-        for k, v in (
-            ("spark.sql.session.timeZone", "UTC"),
-            ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-        ):
-            try:
-                spark.conf.set(k, v)
-            except Exception:
-                pass
+        # set-once per session: each conf.set is a py4j roundtrip and T()
+        # is constructed once per probe call
+        if not getattr(spark, "_tps_confs_set", False):
+            for k, v in (
+                ("spark.sql.session.timeZone", "UTC"),
+                ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+            ):
+                try:
+                    spark.conf.set(k, v)
+                except Exception:
+                    pass
+            spark._tps_confs_set = True  # type: ignore[attr-defined]
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLES:
