@@ -70,6 +70,7 @@ def _spark_views(sf: str) -> dict[str, str]:
                    CAST(day(d) AS INT) AS d_dom,
                    CAST(quarter(d) AS INT) AS d_qoy,
                    date_format(d, 'EEEE') AS d_day_name,
+                   CAST(datediff(d, DATE '1990-01-01') % 7 AS INT) AS d_dow,
                    CAST((year(d) - 1900) * 12 + month(d) - 1 AS INT)
                      AS d_month_seq
             FROM (SELECT explode(sequence(DATE '1995-01-01',
@@ -77,11 +78,16 @@ def _spark_views(sf: str) -> dict[str, str]:
         "tpcds_store": f"""
             SELECT id + 1 AS s_store_sk,
                    'S' || CAST(id + 1 AS STRING) AS s_store_id,
-                   'Store_' || CAST(id + 1 AS STRING) AS s_store_name,
+                   element_at(array('ought','able','pri','ese','anti'),
+                              CAST(id % 5 AS INT) + 1) AS s_store_name,
                    element_at(array({_STATES5}), CAST(id % 5 AS INT) + 1)
                      AS s_state,
-                   'County_' || CAST(id % 3 AS STRING) AS s_county,
-                   'City_' || CAST(id % 4 AS STRING) AS s_city,
+                   element_at(array('Williamson County','Franklin Parish',
+                                    'Bronx County','Orange County'),
+                              CAST(id % 4 AS INT) + 1) AS s_county,
+                   element_at(array('Midway','Fairview','Oakland','Glendale'),
+                              CAST(id % 4 AS INT) + 1) AS s_city,
+                   CAST(180 + id * 13 AS INT) AS s_number_employees,
                    CAST(id % 2 + 1 AS INT) AS s_company_id,
                    'Company_' || CAST(id % 2 AS STRING) AS s_company_name,
                    CAST(CASE WHEN id % 2 = 0 THEN -5.0 ELSE -6.0 END
@@ -96,6 +102,7 @@ def _spark_views(sf: str) -> dict[str, str]:
                    element_at(array({_STATES10}), CAST(id % 10 AS INT) + 1)
                      AS ca_state,
                    CAST(10000 + (id * 7) % 90000 AS STRING) AS ca_zip,
+                   'CityA_' || CAST(id % 37 AS STRING) AS ca_city,
                    'United States' AS ca_country
             FROM range(1000)""",
         "tpcds_customer": f"""
@@ -103,6 +110,10 @@ def _spark_views(sf: str) -> dict[str, str]:
                    'C' || CAST(c_custkey AS STRING) AS c_customer_id,
                    'F' || CAST(c_custkey % 100 AS STRING) AS c_first_name,
                    'L' || CAST(c_custkey % 97 AS STRING) AS c_last_name,
+                   element_at(array('Mr.','Mrs.','Ms.','Dr.','Sir'),
+                              CAST(c_custkey % 5 AS INT) + 1) AS c_salutation,
+                   element_at(array('Y','N'), CAST(c_custkey % 2 AS INT) + 1)
+                     AS c_preferred_cust_flag,
                    c_custkey % 1000 + 1 AS c_current_addr_sk
             FROM {p('customer')}""",
         "tpcds_item": f"""
@@ -134,7 +145,17 @@ def _spark_views(sf: str) -> dict[str, str]:
                    l_extendedprice / l_quantity AS ss_sales_price,
                    l_extendedprice AS ss_ext_sales_price,
                    l_extendedprice * (1 - l_discount) AS ss_net_paid,
-                   l_extendedprice * (0.2 - l_discount) AS ss_net_profit
+                   l_extendedprice * (0.2 - l_discount) AS ss_net_profit,
+                   l_extendedprice * 1.2 / l_quantity AS ss_list_price,
+                   l_extendedprice * l_discount AS ss_coupon_amt,
+                   l_extendedprice * 1.2 AS ss_ext_list_price,
+                   l_extendedprice * l_tax AS ss_ext_tax,
+                   o_custkey % 200 + 1 AS ss_cdemo_sk,
+                   (o_custkey * 3 + l_linenumber) % 100 + 1 AS ss_hdemo_sk,
+                   (o_custkey * 7 + 13) % 1000 + 1 AS ss_addr_sk,
+                   l_partkey % 30 + 1 AS ss_promo_sk,
+                   (l_orderkey * 7919 + l_linenumber * 131) % 86400
+                     AS ss_sold_time_sk
             FROM {p('lineitem')} JOIN {p('orders')}
               ON l_orderkey = o_orderkey""",
         "tpcds_store_returns": f"""
@@ -152,6 +173,42 @@ def _spark_views(sf: str) -> dict[str, str]:
             FROM {p('lineitem')} JOIN {p('orders')}
               ON l_orderkey = o_orderkey
             WHERE l_returnflag = 'R'""",
+        "tpcds_customer_demographics": """
+            SELECT id + 1 AS cd_demo_sk,
+                   element_at(array('M','F'), CAST(id % 2 AS INT) + 1)
+                     AS cd_gender,
+                   element_at(array('S','M','D','W','U'),
+                              CAST(id % 5 AS INT) + 1) AS cd_marital_status,
+                   element_at(array('College','2 yr Degree','4 yr Degree',
+                                    'Advanced Degree','Secondary','Primary',
+                                    'Unknown'),
+                              CAST(id % 7 AS INT) + 1)
+                     AS cd_education_status
+            FROM range(200)""",
+        "tpcds_household_demographics": """
+            SELECT id + 1 AS hd_demo_sk,
+                   CAST(id % 10 AS INT) AS hd_dep_count,
+                   CAST(id % 5 AS INT) AS hd_vehicle_count,
+                   element_at(array('>10000','Unknown','1001-5000',
+                                    '501-1000','0-500'),
+                              CAST(id % 5 AS INT) + 1) AS hd_buy_potential
+            FROM range(100)""",
+        "tpcds_promotion": """
+            SELECT id + 1 AS p_promo_sk,
+                   'P' || CAST(id + 1 AS STRING) AS p_promo_name,
+                   element_at(array('N','Y'), CAST(id % 2 AS INT) + 1)
+                     AS p_channel_email,
+                   element_at(array('N','Y','N'), CAST(id % 3 AS INT) + 1)
+                     AS p_channel_event,
+                   element_at(array('N','Y'), CAST(id % 2 AS INT) + 1)
+                     AS p_channel_dmail
+            FROM range(30)""",
+        "tpcds_time_dim": """
+            SELECT id AS t_time_sk,
+                   CAST(id DIV 3600 AS INT) AS t_hour,
+                   CAST((id % 3600) DIV 60 AS INT) AS t_minute,
+                   CAST(id % 60 AS INT) AS t_second
+            FROM range(86400)""",
     }
 
 
@@ -164,16 +221,22 @@ tpcds_date_dim AS (
          CAST(day(d) AS INTEGER) AS d_dom,
          CAST(quarter(d) AS INTEGER) AS d_qoy, dayname(d) AS d_day_name,
          CAST((year(d) - 1900) * 12 + month(d) - 1 AS INTEGER)
-           AS d_month_seq
+           AS d_month_seq,
+         CAST(date_diff('day', DATE '1990-01-01', d) % 7 AS INTEGER) AS d_dow
   FROM (SELECT CAST(unnest(generate_series(DATE '1995-01-01',
                DATE '2001-12-31', INTERVAL 1 DAY)) AS DATE) AS d)),
 tpcds_store AS (
   SELECT id + 1 AS s_store_sk,
          'S' || CAST(id + 1 AS VARCHAR) AS s_store_id,
-         'Store_' || CAST(id + 1 AS VARCHAR) AS s_store_name,
+         list_extract(['ought','able','pri','ese','anti'],
+                      CAST(id % 5 AS INTEGER) + 1) AS s_store_name,
          list_extract([{_STATES5}], CAST(id % 5 AS INTEGER) + 1) AS s_state,
-         'County_' || CAST(id % 3 AS VARCHAR) AS s_county,
-         'City_' || CAST(id % 4 AS VARCHAR) AS s_city,
+         list_extract(['Williamson County','Franklin Parish',
+                       'Bronx County','Orange County'],
+                      CAST(id % 4 AS INTEGER) + 1) AS s_county,
+         list_extract(['Midway','Fairview','Oakland','Glendale'],
+                      CAST(id % 4 AS INTEGER) + 1) AS s_city,
+         CAST(180 + id * 13 AS INTEGER) AS s_number_employees,
          CAST(id % 2 + 1 AS INTEGER) AS s_company_id,
          'Company_' || CAST(id % 2 AS VARCHAR) AS s_company_name,
          CAST(CASE WHEN id % 2 = 0 THEN -5.0 ELSE -6.0 END AS DOUBLE)
@@ -188,6 +251,7 @@ tpcds_customer_address AS (
          list_extract([{_STATES10}], CAST(id % 10 AS INTEGER) + 1)
            AS ca_state,
          CAST(10000 + (id * 7) % 90000 AS VARCHAR) AS ca_zip,
+         'CityA_' || CAST(id % 37 AS VARCHAR) AS ca_city,
          'United States' AS ca_country
   FROM (SELECT range AS id FROM range(1000))),
 tpcds_customer AS (
@@ -195,6 +259,10 @@ tpcds_customer AS (
          'C' || CAST(c_custkey AS VARCHAR) AS c_customer_id,
          'F' || CAST(c_custkey % 100 AS VARCHAR) AS c_first_name,
          'L' || CAST(c_custkey % 97 AS VARCHAR) AS c_last_name,
+         list_extract(['Mr.','Mrs.','Ms.','Dr.','Sir'],
+                      CAST(c_custkey % 5 AS INTEGER) + 1) AS c_salutation,
+         list_extract(['Y','N'], CAST(c_custkey % 2 AS INTEGER) + 1)
+           AS c_preferred_cust_flag,
          c_custkey % 1000 + 1 AS c_current_addr_sk
   FROM customer),
 tpcds_item AS (
@@ -226,7 +294,16 @@ tpcds_store_sales AS (
          l_extendedprice / l_quantity AS ss_sales_price,
          l_extendedprice AS ss_ext_sales_price,
          l_extendedprice * (1 - l_discount) AS ss_net_paid,
-         l_extendedprice * (0.2 - l_discount) AS ss_net_profit
+         l_extendedprice * (0.2 - l_discount) AS ss_net_profit,
+         l_extendedprice * 1.2 / l_quantity AS ss_list_price,
+         l_extendedprice * l_discount AS ss_coupon_amt,
+         l_extendedprice * 1.2 AS ss_ext_list_price,
+         l_extendedprice * l_tax AS ss_ext_tax,
+         o_custkey % 200 + 1 AS ss_cdemo_sk,
+         (o_custkey * 3 + l_linenumber) % 100 + 1 AS ss_hdemo_sk,
+         (o_custkey * 7 + 13) % 1000 + 1 AS ss_addr_sk,
+         l_partkey % 30 + 1 AS ss_promo_sk,
+         (l_orderkey * 7919 + l_linenumber * 131) % 86400 AS ss_sold_time_sk
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
 tpcds_store_returns AS (
   SELECT CAST(date_diff('day', DATE '1990-01-01',
@@ -242,6 +319,38 @@ tpcds_store_returns AS (
          l_extendedprice * 0.1 AS sr_net_loss
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_returnflag = 'R'),
+tpcds_customer_demographics AS (
+  SELECT id + 1 AS cd_demo_sk,
+         list_extract(['M','F'], CAST(id % 2 AS INTEGER) + 1) AS cd_gender,
+         list_extract(['S','M','D','W','U'], CAST(id % 5 AS INTEGER) + 1)
+           AS cd_marital_status,
+         list_extract(['College','2 yr Degree','4 yr Degree',
+                       'Advanced Degree','Secondary','Primary','Unknown'],
+                      CAST(id % 7 AS INTEGER) + 1) AS cd_education_status
+  FROM (SELECT range AS id FROM range(200))),
+tpcds_household_demographics AS (
+  SELECT id + 1 AS hd_demo_sk,
+         CAST(id % 10 AS INTEGER) AS hd_dep_count,
+         CAST(id % 5 AS INTEGER) AS hd_vehicle_count,
+         list_extract(['>10000','Unknown','1001-5000','501-1000','0-500'],
+                      CAST(id % 5 AS INTEGER) + 1) AS hd_buy_potential
+  FROM (SELECT range AS id FROM range(100))),
+tpcds_promotion AS (
+  SELECT id + 1 AS p_promo_sk,
+         'P' || CAST(id + 1 AS VARCHAR) AS p_promo_name,
+         list_extract(['N','Y'], CAST(id % 2 AS INTEGER) + 1)
+           AS p_channel_email,
+         list_extract(['N','Y','N'], CAST(id % 3 AS INTEGER) + 1)
+           AS p_channel_event,
+         list_extract(['N','Y'], CAST(id % 2 AS INTEGER) + 1)
+           AS p_channel_dmail
+  FROM (SELECT range AS id FROM range(30))),
+tpcds_time_dim AS (
+  SELECT id AS t_time_sk,
+         CAST(id // 3600 AS INTEGER) AS t_hour,
+         CAST((id % 3600) // 60 AS INTEGER) AS t_minute,
+         CAST(id % 60 AS INTEGER) AS t_second
+  FROM (SELECT range AS id FROM range(86400))),
 store_sales AS (SELECT * FROM tpcds_store_sales),
 item AS (SELECT * FROM tpcds_item)
 """
@@ -254,6 +363,16 @@ _PATCHES: dict[str, list[tuple[str, str]]] = {
     # subquery filter actually selects (the same adaptation the TPC-H
     # texts document; structure unchanged)
     "q06": [("DECIMAL '1.2'", "DECIMAL '1.04'")],
+    # fixture baskets are small (1-7 lineitems per ticket); dbgen's 15-20
+    # band never fires — re-domain the count band, structure unchanged
+    "q34": [("BETWEEN 15 AND 20", "BETWEEN 2 AND 20")],
+    # profit is a double sort key ahead of a truncating LIMIT: round it
+    # and append the unique ticket number for a deterministic prefix
+    "q79": [('ORDER BY "c_last_name" ASC, "c_first_name" ASC, '
+             '"substr"("s_city", 1, 30) ASC, "profit" ASC',
+             'ORDER BY "c_last_name" ASC, "c_first_name" ASC, '
+             '"substr"("s_city", 1, 30) ASC, round("profit", 2) ASC, '
+             '"ss_ticket_number" ASC')],
     # double sort keys ahead of a truncating LIMIT: round them (and total-
     # order the suffix) so the 100-row prefix is engine-independent
     "q03": [('ORDER BY "dt"."d_year" ASC, "sum_agg" DESC, "brand_id" ASC',
@@ -264,7 +383,7 @@ _PATCHES: dict[str, list[tuple[str, str]]] = {
              '"i_brand" ASC')],
     "q65": [('ORDER BY "s_store_name" ASC, "i_item_desc" ASC',
              'ORDER BY "s_store_name" ASC, "i_item_desc" ASC, '
-             '"sc"."ss_item_sk" ASC')],
+             '"sc"."ss_store_sk" ASC, "sc"."ss_item_sk" ASC')],
     "q89": [('ORDER BY ("sum_sales" - "avg_monthly_sales") ASC, '
              '"s_store_name" ASC',
              'ORDER BY round("sum_sales" - "avg_monthly_sales", 2) ASC, '
@@ -296,6 +415,19 @@ _COLS: dict[str, list[str]] = {
             "s_company_name", "d_moy", "sum_sales", "avg_monthly_sales"],
     "q98": ["i_item_id", "i_item_desc", "i_category", "i_class",
             "i_current_price", "itemrevenue", "revenueratio"],
+    "q07": ["i_item_id", "agg1", "agg2", "agg3", "agg4"],
+    "q34": ["c_last_name", "c_first_name", "c_salutation",
+            "c_preferred_cust_flag", "ss_ticket_number", "cnt"],
+    "q68": ["c_last_name", "c_first_name", "ca_city", "bought_city",
+            "ss_ticket_number", "extended_price", "extended_tax",
+            "list_price"],
+    "q73": ["c_last_name", "c_first_name", "c_salutation",
+            "c_preferred_cust_flag", "ss_ticket_number", "cnt"],
+    "q79": ["c_last_name", "c_first_name", "s_city_30", "ss_ticket_number",
+            "amt", "profit"],
+    "q88": ["h8_30_to_9", "h9_to_9_30", "h9_30_to_10", "h10_to_10_30",
+            "h10_30_to_11", "h11_to_11_30", "h11_30_to_12", "h12_to_12_30"],
+    "q96": ["cnt"],
 }
 
 # outputs whose integer WIDTH differs between engines (Spark rank()/
@@ -303,11 +435,20 @@ _COLS: dict[str, list[str]] = {
 # sum(int) -> hugeint): cast BOTH sides to BIGINT for schema parity
 _LONGS: dict[str, tuple[str, ...]] = {
     "q36": ("lochierarchy", "rank_within_parent"),
+    "q96": ("cnt",),
+    "q88": ("h8_30_to_9", "h9_to_9_30", "h9_30_to_10", "h10_to_10_30",
+            "h10_30_to_11", "h11_to_11_30", "h11_30_to_12", "h12_to_12_30"),
     "q50": ("days_30", "days_31_60", "days_61_90", "days_91_120",
             "days_over_120"),
     "q70": ("lochierarchy", "rank_within_parent"),
 }
 
+# Rounding applies identically on both sides with a +1.3e-5 nudge first:
+# sums of 2dp x 2dp products land EXACTLY on .xx5 midpoints, where Spark
+# (BigDecimal HALF_UP on the shortest decimal repr) and DuckDB (binary
+# half-away-from-zero) disagree even for identical doubles; the nudge moves
+# every on-grid value safely off the midpoint without affecting any other
+# value at these scales.
 _ROUND: dict[str, dict[str, int]] = {
     "q03": {"sum_agg": 2},
     "q19": {"ext_price": 2},
@@ -322,6 +463,9 @@ _ROUND: dict[str, dict[str, int]] = {
     "q70": {"total_sum": 2},
     "q89": {"sum_sales": 2, "avg_monthly_sales": 2},
     "q98": {"itemrevenue": 2, "revenueratio": 6},
+    "q07": {"agg1": 4, "agg2": 4, "agg3": 4, "agg4": 4},
+    "q68": {"extended_price": 2, "extended_tax": 2, "list_price": 2},
+    "q79": {"amt": 2, "profit": 2},
 }
 
 
@@ -387,7 +531,7 @@ def _oracle(q: str) -> str:
     proj = []
     for c in cols:
         if c in _ROUND.get(q, {}):
-            proj.append(f"round({c}, {_ROUND[q][c]}) AS {c}")
+            proj.append(f"round({c} + 1.3e-5, {_ROUND[q][c]}) AS {c}")
         elif c in _LONGS.get(q, ()):
             proj.append(f"CAST({c} AS BIGINT) AS {c}")
         else:
@@ -404,7 +548,7 @@ def _runner(q: str):
         df = spark.sql(translate(_load(q)))
         df = df.toDF(*_COLS[q])
         for c, nd in _ROUND.get(q, {}).items():
-            df = df.withColumn(c, F.round(F.col(c), nd))
+            df = df.withColumn(c, F.round(F.col(c) + 1.3e-5, nd))
         for c in _LONGS.get(q, ()):
             df = df.withColumn(c, F.col(c).cast("long"))
         return df

@@ -300,6 +300,12 @@ _COLS: dict[str, list[str]] = {
     "q22": ["cntrycode", "numcust", "totacctbal"],
 }
 
+# Rounding applies identically on both sides with a +1.3e-5 nudge first:
+# sums of 2dp x 2dp products land EXACTLY on .xx5 midpoints, where Spark
+# (BigDecimal HALF_UP on the shortest decimal repr) and DuckDB (binary
+# half-away-from-zero) disagree even for identical doubles; the nudge moves
+# every on-grid value safely off the midpoint without affecting any other
+# value at these scales.
 _ROUND: dict[str, dict[str, int]] = {
     "q01": {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
             "sum_charge": 2, "avg_qty": 4, "avg_price": 4, "avg_disc": 4},
@@ -354,7 +360,7 @@ def _oracle(q: str) -> str:
     proj = []
     for c in cols:
         if c in _ROUND.get(q, {}):
-            proj.append(f"round({c}, {_ROUND[q][c]}) AS {c}")
+            proj.append(f"round({c} + 1.3e-5, {_ROUND[q][c]}) AS {c}")
         elif c in _DATES.get(q, ()):
             proj.append(f"strftime({c}, '%Y-%m-%d') AS {c}")
         elif c in _LONGS.get(q, ()):
@@ -373,7 +379,7 @@ def _runner(q: str):
         df = spark.sql(translate(_load(q)))
         df = df.toDF(*_COLS[q])
         for c, nd in _ROUND.get(q, {}).items():
-            df = df.withColumn(c, F.round(F.col(c), nd))
+            df = df.withColumn(c, F.round(F.col(c) + 1.3e-5, nd))
         for c in _DATES.get(q, ()):
             df = df.withColumn(c, F.date_format(F.col(c), "yyyy-MM-dd"))
         for c in _LONGS.get(q, ()):
