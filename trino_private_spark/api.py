@@ -59,6 +59,9 @@ class Engine:
         )
         if ss:
             return self.show_stats(ss.group(1))
+        sec = self._security_statement(text)
+        if sec is not None:
+            return sec
         an = _re.match(r"\s*ANALYZE\s+([A-Za-z_][\w.]*)\s*$", text, flags=_re.I)
         if an:
             self.analyze(an.group(1))
@@ -76,7 +79,163 @@ class Engine:
             return sql_match_recognize(self.spark.table(mr.group(1)), mr.group(2))
         if dialect == "trino":
             text = translate(text)
-        return self.spark.sql(text)
+        df = self.spark.sql(text)
+        self._enforce_select(df)
+        return df
+
+    # --- roles / grants / transactions (SqlBase.g4:95-123,150-152) -------
+
+    @property
+    def acl(self):
+        from trino_private_spark.security import AccessControl
+
+        if not hasattr(self, "_acl"):
+            self._acl = AccessControl()
+            self._user = "user"
+            self._enabled_roles: set[str] = set()
+            self._tx: dict[str, int] | None = None
+        return self._acl
+
+    def set_user(self, user: str) -> None:
+        """SET SESSION AUTHORIZATION analogue: switch the session user."""
+        self.acl  # init
+        self._user = user
+        self._enabled_roles = set()
+
+    def enable_enforcement(self, on: bool = True) -> None:
+        """Toggle ACL enforcement (Trino: allow-all system access control
+        vs a configured file-based one)."""
+        self.acl.enforce = on
+
+    def _one(self, label: str):
+        return self.spark.createDataFrame([(True,)], f"`{label}` boolean")
+
+    def _security_statement(self, text: str):
+        """Parse/execute role, grant and transaction statements; returns a
+        result DataFrame or None when ``text`` is not one of them."""
+        import re as _re
+
+        t = text.strip().rstrip(";").strip()
+        m = _re.match(r"CREATE\s+ROLE\s+(\w+)$", t, _re.I)
+        if m:
+            self.acl.create_role(m.group(1))
+            return self._one("CREATE ROLE")
+        m = _re.match(r"DROP\s+ROLE\s+(\w+)$", t, _re.I)
+        if m:
+            self.acl.drop_role(m.group(1))
+            return self._one("DROP ROLE")
+        m = _re.match(r"GRANT\s+(\w+)\s+TO\s+USER\s+(\w+)$", t, _re.I)
+        if m:
+            self.acl.grant_role(m.group(1), m.group(2))
+            return self._one("GRANT ROLE")
+        m = _re.match(r"REVOKE\s+(\w+)\s+FROM\s+USER\s+(\w+)$", t, _re.I)
+        if m:
+            self.acl.revoke_role(m.group(1), m.group(2))
+            return self._one("REVOKE ROLE")
+        m = _re.match(
+            r"GRANT\s+([\w\s,]+?)\s+(?:PRIVILEGES\s+)?ON\s+(?:TABLE\s+)?"
+            r"([\w.]+)\s+TO\s+(?:(ROLE|USER)\s+)?(\w+)"
+            r"(?:\s+WITH\s+GRANT\s+OPTION)?$",
+            t, _re.I,
+        )
+        if m:
+            privs = [p.strip() for p in m.group(1).split(",")]
+            self.acl.grant(privs, m.group(2), m.group(3) or "USER", m.group(4))
+            return self._one("GRANT")
+        m = _re.match(
+            r"REVOKE\s+([\w\s,]+?)\s+(?:PRIVILEGES\s+)?ON\s+(?:TABLE\s+)?"
+            r"([\w.]+)\s+FROM\s+(?:(ROLE|USER)\s+)?(\w+)$",
+            t, _re.I,
+        )
+        if m:
+            privs = [p.strip() for p in m.group(1).split(",")]
+            self.acl.revoke(privs, m.group(2), m.group(3) or "USER", m.group(4))
+            return self._one("REVOKE")
+        m = _re.match(r"SET\s+ROLE\s+(\w+)$", t, _re.I)
+        if m:
+            self.acl  # init
+            role = m.group(1)
+            if role.upper() == "NONE":
+                self._enabled_roles = set()
+            elif role.upper() == "ALL":
+                self._enabled_roles = self.acl.user_roles(self._user)
+            else:
+                if role not in self.acl.user_roles(self._user):
+                    from trino_private_spark.security import AccessDeniedError
+
+                    raise AccessDeniedError(
+                        f"Access Denied: Cannot set role {role}"
+                    )
+                self._enabled_roles = {role}
+            return self._one("SET ROLE")
+        if _re.match(r"SHOW\s+ROLES$", t, _re.I):
+            rows = [(r,) for r in sorted(self.acl.roles)]
+            return self.spark.createDataFrame(rows or [("",)], "role string").where(
+                "role <> ''"
+            )
+        m = _re.match(r"SHOW\s+GRANTS(?:\s+ON\s+(?:TABLE\s+)?([\w.]+))?$", t, _re.I)
+        if m:
+            rows = self.acl.grants_for(m.group(1))
+            return self.spark.createDataFrame(
+                rows or [("", "", "")],
+                "grantee string, privilege string, table_name string",
+            ).where("grantee <> ''")
+        if _re.match(r"START\s+TRANSACTION(\s+.*)?$", t, _re.I):
+            self.start_transaction()
+            return self._one("START TRANSACTION")
+        if _re.match(r"COMMIT(\s+WORK)?$", t, _re.I):
+            self.commit()
+            return self._one("COMMIT")
+        if _re.match(r"ROLLBACK(\s+WORK)?$", t, _re.I):
+            self.rollback()
+            return self._one("ROLLBACK")
+        return None
+
+    def _enforce_select(self, df: DataFrame) -> None:
+        """Analysis-time SELECT enforcement (AccessControlManager
+        analogue): every attached/CoW table referenced by the analyzed
+        plan needs a SELECT grant for the session user or an enabled
+        role."""
+        if not hasattr(self, "_acl") or not self._acl.enforce:
+            return
+        import re as _re
+
+        known = set(getattr(self, "_cow", {}))
+        for tbl in self.spark.catalog.listTables():
+            known.add(tbl.name.lower())
+        plan = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+        referenced = {
+            m.group(1).lower()
+            for m in _re.finditer(r"SubqueryAlias (\w+)", plan)
+        } & known
+        for name in referenced:
+            self._acl.check(self._user, self._enabled_roles, "SELECT", name)
+
+    def start_transaction(self) -> None:
+        """START TRANSACTION: savepoint every CoW table's current snapshot
+        version (see security.py module docstring for the model)."""
+        self.acl  # init holder attrs
+        cow = getattr(self, "_cow", {})
+        self._tx = {name: v for name, (_, _, v) in cow.items()}
+
+    def commit(self) -> None:
+        """COMMIT: drop the savepoints — snapshots written during the
+        transaction are already durable."""
+        self.acl
+        self._tx = None
+
+    def rollback(self) -> None:
+        """ROLLBACK: repoint every table mutated since START TRANSACTION
+        back to its savepointed snapshot (as a new commit — history is
+        immutable, Iceberg-style)."""
+        self.acl
+        if self._tx is None:
+            return
+        for name, ver in self._tx.items():
+            cur = self._cow[name][2]
+            if cur != ver:
+                self.rollback_to(name, ver)
+        self._tx = None
 
     # --- §2.7 utility surface -------------------------------------------
 
@@ -371,6 +530,9 @@ class Engine:
         reference reports the same via TableFinishOperator row counts)."""
         from pyspark.sql import functions as F
 
+        if hasattr(self, "_acl") and self._acl.enforce:
+            self._acl.check(self._user, self._enabled_roles, "DELETE", name)
+
         cur = self.spark.table(name)
         cond = F.expr(condition)
         deleted = cur.where(cond).count()
@@ -384,6 +546,9 @@ class Engine:
         updated. Non-matching rows pass through the rewrite unchanged —
         a single projection, no join."""
         from pyspark.sql import functions as F
+
+        if hasattr(self, "_acl") and self._acl.enforce:
+            self._acl.check(self._user, self._enabled_roles, "UPDATE", name)
 
         cur = self.spark.table(name)
         cond = F.expr(condition)
