@@ -71,6 +71,8 @@ def _spark_views(sf: str) -> dict[str, str]:
                    CAST(quarter(d) AS INT) AS d_qoy,
                    date_format(d, 'EEEE') AS d_day_name,
                    CAST(datediff(d, DATE '1990-01-01') % 7 AS INT) AS d_dow,
+                   CAST(datediff(d, DATE '1990-01-01') DIV 7 AS INT)
+                     AS d_week_seq,
                    CAST((year(d) - 1900) * 12 + month(d) - 1 AS INT)
                      AS d_month_seq
             FROM (SELECT explode(sequence(DATE '1995-01-01',
@@ -139,7 +141,8 @@ def _spark_views(sf: str) -> dict[str, str]:
                      AS ss_sold_date_sk,
                    l_partkey AS ss_item_sk,
                    o_custkey AS ss_customer_sk,
-                   l_suppkey % 10 + 1 AS ss_store_sk,
+                   CASE WHEN l_orderkey % 19 = 0 THEN NULL
+                        ELSE l_suppkey % 10 + 1 END AS ss_store_sk,
                    l_orderkey AS ss_ticket_number,
                    CAST(l_quantity AS INT) AS ss_quantity,
                    l_extendedprice / l_quantity AS ss_sales_price,
@@ -209,6 +212,69 @@ def _spark_views(sf: str) -> dict[str, str]:
                    CAST((id % 3600) DIV 60 AS INT) AS t_minute,
                    CAST(id % 60 AS INT) AS t_second
             FROM range(86400)""",
+        "tpcds_web_sales": f"""
+            SELECT CAST(datediff(CAST(o_orderdate AS DATE),
+                        DATE '1990-01-01') + 2450000 AS BIGINT)
+                     AS ws_sold_date_sk,
+                   CAST(datediff(CAST(o_orderdate AS DATE),
+                        DATE '1990-01-01') + 2450000
+                        + l_orderkey % 150 + 1 AS BIGINT) AS ws_ship_date_sk,
+                   l_partkey AS ws_item_sk,
+                   o_custkey AS ws_bill_customer_sk,
+                   CASE WHEN l_suppkey % 23 = 0 THEN NULL
+                        ELSE o_custkey END AS ws_ship_customer_sk,
+                   l_suppkey % 5 + 1 AS ws_warehouse_sk,
+                   CAST(l_linenumber % 5 + 1 AS BIGINT) AS ws_ship_mode_sk,
+                   l_orderkey % 4 + 1 AS ws_web_site_sk,
+                   l_extendedprice AS ws_ext_sales_price,
+                   l_extendedprice / l_quantity AS ws_sales_price
+            FROM {p('lineitem')} JOIN {p('orders')}
+              ON l_orderkey = o_orderkey
+            WHERE l_orderkey % 3 = 1""",
+        "tpcds_catalog_sales": f"""
+            SELECT CAST(datediff(CAST(o_orderdate AS DATE),
+                        DATE '1990-01-01') + 2450000 AS BIGINT)
+                     AS cs_sold_date_sk,
+                   CAST(datediff(CAST(o_orderdate AS DATE),
+                        DATE '1990-01-01') + 2450000
+                        + l_orderkey % 150 + 1 AS BIGINT) AS cs_ship_date_sk,
+                   l_partkey AS cs_item_sk,
+                   o_custkey % 200 + 1 AS cs_bill_cdemo_sk,
+                   l_partkey % 30 + 1 AS cs_promo_sk,
+                   CASE WHEN l_suppkey % 29 = 0 THEN NULL
+                        ELSE (o_custkey * 7 + 13) % 1000 + 1 END
+                     AS cs_ship_addr_sk,
+                   l_suppkey % 5 + 1 AS cs_warehouse_sk,
+                   CAST(l_linenumber % 5 + 1 AS BIGINT) AS cs_ship_mode_sk,
+                   l_orderkey % 3 + 1 AS cs_call_center_sk,
+                   CAST(l_quantity AS INT) AS cs_quantity,
+                   l_extendedprice AS cs_ext_sales_price,
+                   l_extendedprice / l_quantity AS cs_sales_price,
+                   l_extendedprice * 1.2 / l_quantity AS cs_list_price,
+                   l_extendedprice * l_discount AS cs_coupon_amt
+            FROM {p('lineitem')} JOIN {p('orders')}
+              ON l_orderkey = o_orderkey
+            WHERE l_orderkey % 3 = 2""",
+        "tpcds_warehouse": """
+            SELECT id + 1 AS w_warehouse_sk,
+                   'Warehouse_' || CAST(id + 1 AS STRING) AS w_warehouse_name
+            FROM range(5)""",
+        "tpcds_ship_mode": """
+            SELECT id + 1 AS sm_ship_mode_sk,
+                   element_at(array('EXPRESS','OVERNIGHT','REGULAR',
+                                    'TWO DAY','LIBRARY'),
+                              CAST(id % 5 AS INT) + 1) AS sm_type
+            FROM range(5)""",
+        "tpcds_web_site": """
+            SELECT id + 1 AS web_site_sk,
+                   'site_' || CAST(id + 1 AS STRING) AS web_name
+            FROM range(4)""",
+        "tpcds_call_center": """
+            SELECT id + 1 AS cc_call_center_sk,
+                   element_at(array('NY Metro','Mid Atlantic',
+                                    'North Midwest'),
+                              CAST(id % 3 AS INT) + 1) AS cc_name
+            FROM range(3)""",
     }
 
 
@@ -222,7 +288,9 @@ tpcds_date_dim AS (
          CAST(quarter(d) AS INTEGER) AS d_qoy, dayname(d) AS d_day_name,
          CAST((year(d) - 1900) * 12 + month(d) - 1 AS INTEGER)
            AS d_month_seq,
-         CAST(date_diff('day', DATE '1990-01-01', d) % 7 AS INTEGER) AS d_dow
+         CAST(date_diff('day', DATE '1990-01-01', d) % 7 AS INTEGER) AS d_dow,
+         CAST(date_diff('day', DATE '1990-01-01', d) // 7 AS INTEGER)
+           AS d_week_seq
   FROM (SELECT CAST(unnest(generate_series(DATE '1995-01-01',
                DATE '2001-12-31', INTERVAL 1 DAY)) AS DATE) AS d)),
 tpcds_store AS (
@@ -288,7 +356,8 @@ tpcds_store_sales AS (
            AS ss_sold_date_sk,
          l_partkey AS ss_item_sk,
          o_custkey AS ss_customer_sk,
-         l_suppkey % 10 + 1 AS ss_store_sk,
+         CASE WHEN l_orderkey % 19 = 0 THEN NULL
+              ELSE l_suppkey % 10 + 1 END AS ss_store_sk,
          l_orderkey AS ss_ticket_number,
          CAST(l_quantity AS INTEGER) AS ss_quantity,
          l_extendedprice / l_quantity AS ss_sales_price,
@@ -351,6 +420,64 @@ tpcds_time_dim AS (
          CAST((id % 3600) // 60 AS INTEGER) AS t_minute,
          CAST(id % 60 AS INTEGER) AS t_second
   FROM (SELECT range AS id FROM range(86400))),
+tpcds_web_sales AS (
+  SELECT CAST(date_diff('day', DATE '1990-01-01',
+              CAST(o_orderdate AS DATE)) + 2450000 AS BIGINT)
+           AS ws_sold_date_sk,
+         CAST(date_diff('day', DATE '1990-01-01',
+              CAST(o_orderdate AS DATE)) + 2450000
+              + l_orderkey % 150 + 1 AS BIGINT) AS ws_ship_date_sk,
+         l_partkey AS ws_item_sk,
+         o_custkey AS ws_bill_customer_sk,
+         CASE WHEN l_suppkey % 23 = 0 THEN NULL ELSE o_custkey END
+           AS ws_ship_customer_sk,
+         l_suppkey % 5 + 1 AS ws_warehouse_sk,
+         CAST(l_linenumber % 5 + 1 AS BIGINT) AS ws_ship_mode_sk,
+         l_orderkey % 4 + 1 AS ws_web_site_sk,
+         l_extendedprice AS ws_ext_sales_price,
+         l_extendedprice / l_quantity AS ws_sales_price
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey % 3 = 1),
+tpcds_catalog_sales AS (
+  SELECT CAST(date_diff('day', DATE '1990-01-01',
+              CAST(o_orderdate AS DATE)) + 2450000 AS BIGINT)
+           AS cs_sold_date_sk,
+         CAST(date_diff('day', DATE '1990-01-01',
+              CAST(o_orderdate AS DATE)) + 2450000
+              + l_orderkey % 150 + 1 AS BIGINT) AS cs_ship_date_sk,
+         l_partkey AS cs_item_sk,
+         o_custkey % 200 + 1 AS cs_bill_cdemo_sk,
+         l_partkey % 30 + 1 AS cs_promo_sk,
+         CASE WHEN l_suppkey % 29 = 0 THEN NULL
+              ELSE (o_custkey * 7 + 13) % 1000 + 1 END AS cs_ship_addr_sk,
+         l_suppkey % 5 + 1 AS cs_warehouse_sk,
+         CAST(l_linenumber % 5 + 1 AS BIGINT) AS cs_ship_mode_sk,
+         l_orderkey % 3 + 1 AS cs_call_center_sk,
+         CAST(l_quantity AS INTEGER) AS cs_quantity,
+         l_extendedprice AS cs_ext_sales_price,
+         l_extendedprice / l_quantity AS cs_sales_price,
+         l_extendedprice * 1.2 / l_quantity AS cs_list_price,
+         l_extendedprice * l_discount AS cs_coupon_amt
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey % 3 = 2),
+tpcds_warehouse AS (
+  SELECT id + 1 AS w_warehouse_sk,
+         'Warehouse_' || CAST(id + 1 AS VARCHAR) AS w_warehouse_name
+  FROM (SELECT range AS id FROM range(5))),
+tpcds_ship_mode AS (
+  SELECT id + 1 AS sm_ship_mode_sk,
+         list_extract(['EXPRESS','OVERNIGHT','REGULAR','TWO DAY','LIBRARY'],
+                      CAST(id % 5 AS INTEGER) + 1) AS sm_type
+  FROM (SELECT range AS id FROM range(5))),
+tpcds_web_site AS (
+  SELECT id + 1 AS web_site_sk,
+         'site_' || CAST(id + 1 AS VARCHAR) AS web_name
+  FROM (SELECT range AS id FROM range(4))),
+tpcds_call_center AS (
+  SELECT id + 1 AS cc_call_center_sk,
+         list_extract(['NY Metro','Mid Atlantic','North Midwest'],
+                      CAST(id % 3 AS INTEGER) + 1) AS cc_name
+  FROM (SELECT range AS id FROM range(3))),
 store_sales AS (SELECT * FROM tpcds_store_sales),
 item AS (SELECT * FROM tpcds_item)
 """
@@ -366,6 +493,9 @@ _PATCHES: dict[str, list[tuple[str, str]]] = {
     # fixture baskets are small (1-7 lineitems per ticket); dbgen's 15-20
     # band never fires — re-domain the count band, structure unchanged
     "q34": [("BETWEEN 15 AND 20", "BETWEEN 2 AND 20")],
+    # fixture dates end 2001-12-31, so the text's 2001-vs-2002 week
+    # comparison is vacuous on the z side — shift the pair back one year
+    "q02": [("2001", "2000")],
     # profit is a double sort key ahead of a truncating LIMIT: round it
     # and append the unique ticket number for a deterministic prefix
     "q79": [('ORDER BY "c_last_name" ASC, "c_first_name" ASC, '
@@ -416,6 +546,20 @@ _COLS: dict[str, list[str]] = {
     "q98": ["i_item_id", "i_item_desc", "i_category", "i_class",
             "i_current_price", "itemrevenue", "revenueratio"],
     "q07": ["i_item_id", "agg1", "agg2", "agg3", "agg4"],
+    "q02": ["d_week_seq1", "r_sun", "r_mon", "r_tue", "r_wed", "r_thu",
+            "r_fri", "r_sat"],
+    "q12": ["i_item_id", "i_item_desc", "i_category", "i_class",
+            "i_current_price", "itemrevenue", "revenueratio"],
+    "q20": ["i_item_id", "i_item_desc", "i_category", "i_class",
+            "i_current_price", "itemrevenue", "revenueratio"],
+    "q26": ["i_item_id", "agg1", "agg2", "agg3", "agg4"],
+    "q45": ["ca_zip", "ca_city", "sum_sales"],
+    "q62": ["wh_name_20", "sm_type", "web_name", "days_30", "days_31_60",
+            "days_61_90", "days_91_120", "days_over_120"],
+    "q76": ["channel", "col_name", "d_year", "d_qoy", "i_category",
+            "sales_cnt", "sales_amt"],
+    "q99": ["wh_name_20", "sm_type", "cc_name", "days_30", "days_31_60",
+            "days_61_90", "days_91_120", "days_over_120"],
     "q34": ["c_last_name", "c_first_name", "c_salutation",
             "c_preferred_cust_flag", "ss_ticket_number", "cnt"],
     "q68": ["c_last_name", "c_first_name", "ca_city", "bought_city",
@@ -436,6 +580,10 @@ _COLS: dict[str, list[str]] = {
 _LONGS: dict[str, tuple[str, ...]] = {
     "q36": ("lochierarchy", "rank_within_parent"),
     "q96": ("cnt",),
+    "q62": ("days_30", "days_31_60", "days_61_90", "days_91_120",
+            "days_over_120"),
+    "q99": ("days_30", "days_31_60", "days_61_90", "days_91_120",
+            "days_over_120"),
     "q88": ("h8_30_to_9", "h9_to_9_30", "h9_30_to_10", "h10_to_10_30",
             "h10_30_to_11", "h11_to_11_30", "h11_30_to_12", "h12_to_12_30"),
     "q50": ("days_30", "days_31_60", "days_61_90", "days_91_120",
@@ -464,6 +612,11 @@ _ROUND: dict[str, dict[str, int]] = {
     "q89": {"sum_sales": 2, "avg_monthly_sales": 2},
     "q98": {"itemrevenue": 2, "revenueratio": 6},
     "q07": {"agg1": 4, "agg2": 4, "agg3": 4, "agg4": 4},
+    "q12": {"itemrevenue": 2, "revenueratio": 6},
+    "q20": {"itemrevenue": 2, "revenueratio": 6},
+    "q26": {"agg1": 4, "agg2": 4, "agg3": 4, "agg4": 4},
+    "q45": {"sum_sales": 4},
+    "q76": {"sales_amt": 2},
     "q68": {"extended_price": 2, "extended_tax": 2, "list_price": 2},
     "q79": {"amt": 2, "profit": 2},
 }
