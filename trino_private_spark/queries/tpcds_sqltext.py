@@ -105,6 +105,8 @@ def _spark_views(sf: str) -> dict[str, str]:
                      AS ca_state,
                    CAST(10000 + (id * 7) % 90000 AS STRING) AS ca_zip,
                    'CityA_' || CAST(id % 37 AS STRING) AS ca_city,
+                   CAST(CASE WHEN id % 2 = 0 THEN -5.0 ELSE -6.0 END
+                        AS DOUBLE) AS ca_gmt_offset,
                    'United States' AS ca_country
             FROM range(1000)""",
         "tpcds_customer": f"""
@@ -210,7 +212,10 @@ def _spark_views(sf: str) -> dict[str, str]:
             SELECT id AS t_time_sk,
                    CAST(id DIV 3600 AS INT) AS t_hour,
                    CAST((id % 3600) DIV 60 AS INT) AS t_minute,
-                   CAST(id % 60 AS INT) AS t_second
+                   CAST(id % 60 AS INT) AS t_second,
+                   CASE WHEN id DIV 3600 BETWEEN 6 AND 8 THEN 'breakfast'
+                        WHEN id DIV 3600 BETWEEN 17 AND 19 THEN 'dinner'
+                        END AS t_meal_time
             FROM range(86400)""",
         "tpcds_web_sales": f"""
             SELECT CAST(datediff(CAST(o_orderdate AS DATE),
@@ -227,7 +232,12 @@ def _spark_views(sf: str) -> dict[str, str]:
                    CAST(l_linenumber % 5 + 1 AS BIGINT) AS ws_ship_mode_sk,
                    l_orderkey % 4 + 1 AS ws_web_site_sk,
                    l_extendedprice AS ws_ext_sales_price,
-                   l_extendedprice / l_quantity AS ws_sales_price
+                   l_extendedprice / l_quantity AS ws_sales_price,
+                   l_extendedprice * (1 - l_discount) AS ws_net_paid,
+                   l_extendedprice * l_discount AS ws_ext_discount_amt,
+                   (l_orderkey * 7919 + l_linenumber * 131) % 86400
+                     AS ws_sold_time_sk,
+                   (o_custkey * 7 + 13) % 1000 + 1 AS ws_bill_addr_sk
             FROM {p('lineitem')} JOIN {p('orders')}
               ON l_orderkey = o_orderkey
             WHERE l_orderkey % 3 = 1""",
@@ -251,7 +261,12 @@ def _spark_views(sf: str) -> dict[str, str]:
                    l_extendedprice AS cs_ext_sales_price,
                    l_extendedprice / l_quantity AS cs_sales_price,
                    l_extendedprice * 1.2 / l_quantity AS cs_list_price,
-                   l_extendedprice * l_discount AS cs_coupon_amt
+                   l_extendedprice * l_discount AS cs_coupon_amt,
+                   o_custkey AS cs_bill_customer_sk,
+                   l_extendedprice * (0.2 - l_discount) AS cs_net_profit,
+                   (l_orderkey * 7919 + l_linenumber * 131) % 86400
+                     AS cs_sold_time_sk,
+                   (o_custkey * 7 + 13) % 1000 + 1 AS cs_bill_addr_sk
             FROM {p('lineitem')} JOIN {p('orders')}
               ON l_orderkey = o_orderkey
             WHERE l_orderkey % 3 = 2""",
@@ -320,6 +335,8 @@ tpcds_customer_address AS (
            AS ca_state,
          CAST(10000 + (id * 7) % 90000 AS VARCHAR) AS ca_zip,
          'CityA_' || CAST(id % 37 AS VARCHAR) AS ca_city,
+         CAST(CASE WHEN id % 2 = 0 THEN -5.0 ELSE -6.0 END AS DOUBLE)
+           AS ca_gmt_offset,
          'United States' AS ca_country
   FROM (SELECT range AS id FROM range(1000))),
 tpcds_customer AS (
@@ -418,7 +435,10 @@ tpcds_time_dim AS (
   SELECT id AS t_time_sk,
          CAST(id // 3600 AS INTEGER) AS t_hour,
          CAST((id % 3600) // 60 AS INTEGER) AS t_minute,
-         CAST(id % 60 AS INTEGER) AS t_second
+         CAST(id % 60 AS INTEGER) AS t_second,
+         CASE WHEN id // 3600 BETWEEN 6 AND 8 THEN 'breakfast'
+              WHEN id // 3600 BETWEEN 17 AND 19 THEN 'dinner'
+              END AS t_meal_time
   FROM (SELECT range AS id FROM range(86400))),
 tpcds_web_sales AS (
   SELECT CAST(date_diff('day', DATE '1990-01-01',
@@ -435,7 +455,11 @@ tpcds_web_sales AS (
          CAST(l_linenumber % 5 + 1 AS BIGINT) AS ws_ship_mode_sk,
          l_orderkey % 4 + 1 AS ws_web_site_sk,
          l_extendedprice AS ws_ext_sales_price,
-         l_extendedprice / l_quantity AS ws_sales_price
+         l_extendedprice / l_quantity AS ws_sales_price,
+         l_extendedprice * (1 - l_discount) AS ws_net_paid,
+         l_extendedprice * l_discount AS ws_ext_discount_amt,
+         (l_orderkey * 7919 + l_linenumber * 131) % 86400 AS ws_sold_time_sk,
+         (o_custkey * 7 + 13) % 1000 + 1 AS ws_bill_addr_sk
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_orderkey % 3 = 1),
 tpcds_catalog_sales AS (
@@ -457,7 +481,11 @@ tpcds_catalog_sales AS (
          l_extendedprice AS cs_ext_sales_price,
          l_extendedprice / l_quantity AS cs_sales_price,
          l_extendedprice * 1.2 / l_quantity AS cs_list_price,
-         l_extendedprice * l_discount AS cs_coupon_amt
+         l_extendedprice * l_discount AS cs_coupon_amt,
+         o_custkey AS cs_bill_customer_sk,
+         l_extendedprice * (0.2 - l_discount) AS cs_net_profit,
+         (l_orderkey * 7919 + l_linenumber * 131) % 86400 AS cs_sold_time_sk,
+         (o_custkey * 7 + 13) % 1000 + 1 AS cs_bill_addr_sk
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_orderkey % 3 = 2),
 tpcds_warehouse AS (
@@ -496,6 +524,14 @@ _PATCHES: dict[str, list[tuple[str, str]]] = {
     # fixture dates end 2001-12-31, so the text's 2001-vs-2002 week
     # comparison is vacuous on the z side — shift the pair back one year
     "q02": [("2001", "2000")],
+    # i_manufact_id domain is %200 -> the text's 350 selects nothing
+    "q92": [("= 350", "= 150")],
+    # double sort key ahead of a truncating LIMIT (cf. q03)
+    # total-order tie-break; the sum sort key itself is left as written
+    # (cross-engine sums agree to ~1e-10 and adjacent groups differ by
+    # real amounts, so the LIMIT boundary is stable)
+    "q33": [('ORDER BY "total_sales" ASC',
+             'ORDER BY "total_sales" ASC, "i_manufact_id" ASC')],
     # profit is a double sort key ahead of a truncating LIMIT: round it
     # and append the unique ticket number for a deterministic prefix
     "q79": [('ORDER BY "c_last_name" ASC, "c_first_name" ASC, '
@@ -560,6 +596,17 @@ _COLS: dict[str, list[str]] = {
             "sales_cnt", "sales_amt"],
     "q99": ["wh_name_20", "sm_type", "cc_name", "days_30", "days_31_60",
             "days_61_90", "days_91_120", "days_over_120"],
+    "q25": ["i_item_id", "i_item_desc", "s_store_id", "s_store_name",
+            "store_sales_profit", "store_returns_loss",
+            "catalog_sales_profit"],
+    "q29": ["i_item_id", "i_item_desc", "s_store_id", "s_store_name",
+            "store_sales_quantity", "store_returns_quantity",
+            "catalog_sales_quantity"],
+    "q33": ["i_manufact_id", "total_sales"],
+    "q71": ["brand_id", "brand", "t_hour", "t_minute", "ext_price"],
+    "q86": ["total_sum", "i_category", "i_class", "lochierarchy",
+            "rank_within_parent"],
+    "q92": ["excess_discount"],
     "q34": ["c_last_name", "c_first_name", "c_salutation",
             "c_preferred_cust_flag", "ss_ticket_number", "cnt"],
     "q68": ["c_last_name", "c_first_name", "ca_city", "bought_city",
@@ -582,6 +629,9 @@ _LONGS: dict[str, tuple[str, ...]] = {
     "q96": ("cnt",),
     "q62": ("days_30", "days_31_60", "days_61_90", "days_91_120",
             "days_over_120"),
+    "q29": ("store_sales_quantity", "store_returns_quantity",
+            "catalog_sales_quantity"),
+    "q86": ("lochierarchy", "rank_within_parent"),
     "q99": ("days_30", "days_31_60", "days_61_90", "days_91_120",
             "days_over_120"),
     "q88": ("h8_30_to_9", "h9_to_9_30", "h9_30_to_10", "h10_to_10_30",
@@ -617,6 +667,12 @@ _ROUND: dict[str, dict[str, int]] = {
     "q26": {"agg1": 4, "agg2": 4, "agg3": 4, "agg4": 4},
     "q45": {"sum_sales": 4},
     "q76": {"sales_amt": 2},
+    "q25": {"store_sales_profit": 4, "store_returns_loss": 4,
+            "catalog_sales_profit": 4},
+    "q33": {"total_sales": 4},
+    "q71": {"ext_price": 2},
+    "q86": {"total_sum": 4},
+    "q92": {"excess_discount": 4},
     "q68": {"extended_price": 2, "extended_tax": 2, "list_price": 2},
     "q79": {"amt": 2, "profit": 2},
 }
