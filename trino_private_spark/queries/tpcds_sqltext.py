@@ -107,6 +107,9 @@ def _spark_views(sf: str) -> dict[str, str]:
                    'CityA_' || CAST(id % 37 AS STRING) AS ca_city,
                    CAST(CASE WHEN id % 2 = 0 THEN -5.0 ELSE -6.0 END
                         AS DOUBLE) AS ca_gmt_offset,
+                   element_at(array('Williamson County','Franklin Parish',
+                                    'Bronx County','Orange County'),
+                              CAST(id % 4 AS INT) + 1) AS ca_county,
                    'United States' AS ca_country
             FROM range(1000)""",
         "tpcds_customer": f"""
@@ -206,7 +209,9 @@ def _spark_views(sf: str) -> dict[str, str]:
                    element_at(array('N','Y','N'), CAST(id % 3 AS INT) + 1)
                      AS p_channel_event,
                    element_at(array('N','Y'), CAST(id % 2 AS INT) + 1)
-                     AS p_channel_dmail
+                     AS p_channel_dmail,
+                   element_at(array('Y','N','N'), CAST(id % 3 AS INT) + 1)
+                     AS p_channel_tv
             FROM range(30)""",
         "tpcds_time_dim": """
             SELECT id AS t_time_sk,
@@ -237,7 +242,10 @@ def _spark_views(sf: str) -> dict[str, str]:
                    l_extendedprice * l_discount AS ws_ext_discount_amt,
                    (l_orderkey * 7919 + l_linenumber * 131) % 86400
                      AS ws_sold_time_sk,
-                   (o_custkey * 7 + 13) % 1000 + 1 AS ws_bill_addr_sk
+                   (o_custkey * 7 + 13) % 1000 + 1 AS ws_bill_addr_sk,
+                   (o_custkey * 3 + l_linenumber) % 100 + 1
+                     AS ws_ship_hdemo_sk,
+                   l_orderkey % 20 + 1 AS ws_web_page_sk
             FROM {p('lineitem')} JOIN {p('orders')}
               ON l_orderkey = o_orderkey
             WHERE l_orderkey % 3 = 1""",
@@ -284,6 +292,10 @@ def _spark_views(sf: str) -> dict[str, str]:
             SELECT id + 1 AS web_site_sk,
                    'site_' || CAST(id + 1 AS STRING) AS web_name
             FROM range(4)""",
+        "tpcds_web_page": """
+            SELECT id + 1 AS wp_web_page_sk,
+                   CAST(4800 + (id + 1) * 25 AS INT) AS wp_char_count
+            FROM range(20)""",
         "tpcds_call_center": """
             SELECT id + 1 AS cc_call_center_sk,
                    element_at(array('NY Metro','Mid Atlantic',
@@ -337,6 +349,9 @@ tpcds_customer_address AS (
          'CityA_' || CAST(id % 37 AS VARCHAR) AS ca_city,
          CAST(CASE WHEN id % 2 = 0 THEN -5.0 ELSE -6.0 END AS DOUBLE)
            AS ca_gmt_offset,
+         list_extract(['Williamson County','Franklin Parish',
+                       'Bronx County','Orange County'],
+                      CAST(id % 4 AS INTEGER) + 1) AS ca_county,
          'United States' AS ca_country
   FROM (SELECT range AS id FROM range(1000))),
 tpcds_customer AS (
@@ -429,7 +444,9 @@ tpcds_promotion AS (
          list_extract(['N','Y','N'], CAST(id % 3 AS INTEGER) + 1)
            AS p_channel_event,
          list_extract(['N','Y'], CAST(id % 2 AS INTEGER) + 1)
-           AS p_channel_dmail
+           AS p_channel_dmail,
+         list_extract(['Y','N','N'], CAST(id % 3 AS INTEGER) + 1)
+           AS p_channel_tv
   FROM (SELECT range AS id FROM range(30))),
 tpcds_time_dim AS (
   SELECT id AS t_time_sk,
@@ -459,7 +476,9 @@ tpcds_web_sales AS (
          l_extendedprice * (1 - l_discount) AS ws_net_paid,
          l_extendedprice * l_discount AS ws_ext_discount_amt,
          (l_orderkey * 7919 + l_linenumber * 131) % 86400 AS ws_sold_time_sk,
-         (o_custkey * 7 + 13) % 1000 + 1 AS ws_bill_addr_sk
+         (o_custkey * 7 + 13) % 1000 + 1 AS ws_bill_addr_sk,
+         (o_custkey * 3 + l_linenumber) % 100 + 1 AS ws_ship_hdemo_sk,
+         l_orderkey % 20 + 1 AS ws_web_page_sk
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_orderkey % 3 = 1),
 tpcds_catalog_sales AS (
@@ -501,6 +520,10 @@ tpcds_web_site AS (
   SELECT id + 1 AS web_site_sk,
          'site_' || CAST(id + 1 AS VARCHAR) AS web_name
   FROM (SELECT range AS id FROM range(4))),
+tpcds_web_page AS (
+  SELECT id + 1 AS wp_web_page_sk,
+         CAST(4800 + (id + 1) * 25 AS INTEGER) AS wp_char_count
+  FROM (SELECT range AS id FROM range(20))),
 tpcds_call_center AS (
   SELECT id + 1 AS cc_call_center_sk,
          list_extract(['NY Metro','Mid Atlantic','North Midwest'],
@@ -526,6 +549,13 @@ _PATCHES: dict[str, list[tuple[str, str]]] = {
     "q02": [("2001", "2000")],
     # i_manufact_id domain is %200 -> the text's 350 selects nothing
     "q92": [("= 350", "= 150")],
+    # the fixture's six part types map to six TPC-DS categories; Jewelry
+    # is not among them -> re-domain to one that is
+    "q61": [("'Jewelry'", "'Electronics'")],
+    # at the fixture's scale only 1999 has a county where web growth beats
+    # store growth in both quarter steps — shift the year so the
+    # double-ratio filter is non-vacuous
+    "q31": [("2000", "1999")],
     # double sort key ahead of a truncating LIMIT (cf. q03)
     # total-order tie-break; the sum sort key itself is left as written
     # (cross-engine sums agree to ~1e-10 and adjacent groups differ by
@@ -607,6 +637,14 @@ _COLS: dict[str, list[str]] = {
     "q86": ["total_sum", "i_category", "i_class", "lochierarchy",
             "rank_within_parent"],
     "q92": ["excess_discount"],
+    "q31": ["ca_county", "d_year", "web_q1_q2_increase",
+            "store_q1_q2_increase", "web_q2_q3_increase",
+            "store_q2_q3_increase"],
+    "q38": ["cnt"],
+    "q61": ["promotions", "total", "ratio_pct"],
+    "q87": ["cnt"],
+    "q90": ["am_pm_ratio"],
+    "q97": ["store_only", "catalog_only", "store_and_catalog"],
     "q34": ["c_last_name", "c_first_name", "c_salutation",
             "c_preferred_cust_flag", "ss_ticket_number", "cnt"],
     "q68": ["c_last_name", "c_first_name", "ca_city", "bought_city",
@@ -632,6 +670,7 @@ _LONGS: dict[str, tuple[str, ...]] = {
     "q29": ("store_sales_quantity", "store_returns_quantity",
             "catalog_sales_quantity"),
     "q86": ("lochierarchy", "rank_within_parent"),
+    "q97": ("store_only", "catalog_only", "store_and_catalog"),
     "q99": ("days_30", "days_31_60", "days_61_90", "days_91_120",
             "days_over_120"),
     "q88": ("h8_30_to_9", "h9_to_9_30", "h9_30_to_10", "h10_to_10_30",
@@ -673,6 +712,10 @@ _ROUND: dict[str, dict[str, int]] = {
     "q71": {"ext_price": 2},
     "q86": {"total_sum": 4},
     "q92": {"excess_discount": 4},
+    "q31": {"web_q1_q2_increase": 6, "store_q1_q2_increase": 6,
+            "web_q2_q3_increase": 6, "store_q2_q3_increase": 6},
+    "q61": {"promotions": 2, "total": 2, "ratio_pct": 6},
+    "q90": {"am_pm_ratio": 6},
     "q68": {"extended_price": 2, "extended_tax": 2, "list_price": 2},
     "q79": {"amt": 2, "profit": 2},
 }
