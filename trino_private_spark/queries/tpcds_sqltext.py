@@ -296,6 +296,17 @@ def _spark_views(sf: str) -> dict[str, str]:
             SELECT id + 1 AS wp_web_page_sk,
                    CAST(4800 + (id + 1) * 25 AS INT) AS wp_char_count
             FROM range(20)""",
+        "tpcds_inventory": f"""
+            SELECT d_date_sk AS inv_date_sk,
+                   p_partkey AS inv_item_sk,
+                   wid AS inv_warehouse_sk,
+                   CAST((p_partkey * 31 + wid * 17 + d_date_sk) % 1000
+                        AS INT) AS inv_quantity_on_hand
+            FROM tpcds_date_dim
+            CROSS JOIN (SELECT p_partkey FROM {p('part')}
+                        WHERE p_partkey % 7 = 0)
+            CROSS JOIN (SELECT id + 1 AS wid FROM range(5))
+            WHERE d_dow = 0""",
         "tpcds_call_center": """
             SELECT id + 1 AS cc_call_center_sk,
                    element_at(array('NY Metro','Mid Atlantic',
@@ -524,6 +535,16 @@ tpcds_web_page AS (
   SELECT id + 1 AS wp_web_page_sk,
          CAST(4800 + (id + 1) * 25 AS INTEGER) AS wp_char_count
   FROM (SELECT range AS id FROM range(20))),
+tpcds_inventory AS (
+  SELECT d_date_sk AS inv_date_sk,
+         p_partkey AS inv_item_sk,
+         wid AS inv_warehouse_sk,
+         CAST((p_partkey * 31 + wid * 17 + d_date_sk) % 1000 AS INTEGER)
+           AS inv_quantity_on_hand
+  FROM tpcds_date_dim
+  CROSS JOIN (SELECT p_partkey FROM part WHERE p_partkey % 7 = 0)
+  CROSS JOIN (SELECT range + 1 AS wid FROM range(5))
+  WHERE d_dow = 0),
 tpcds_call_center AS (
   SELECT id + 1 AS cc_call_center_sk,
          list_extract(['NY Metro','Mid Atlantic','North Midwest'],
@@ -556,6 +577,14 @@ _PATCHES: dict[str, list[tuple[str, str]]] = {
     # store growth in both quarter steps — shift the year so the
     # double-ratio filter is non-vacuous
     "q31": [("2000", "1999")],
+    # i_current_price is uniform [900, 1000) and i_manufact_id is %200 —
+    # re-domain the price bands and manufacturer id lists
+    "q21": [("DECIMAL '0.99' AND DECIMAL '1.49'",
+             "DECIMAL '900.99' AND DECIMAL '949.49'")],
+    "q37": [("BETWEEN 68 AND (68 + 30)", "BETWEEN 900 AND (900 + 30)"),
+            ("(677, 940, 694, 808)", "(67, 94, 69, 80)")],
+    "q82": [("BETWEEN 62 AND (62 + 30)", "BETWEEN 920 AND (920 + 30)"),
+            ("(129, 270, 821, 423)", "(129, 170, 121, 23)")],
     # double sort key ahead of a truncating LIMIT (cf. q03)
     # total-order tie-break; the sum sort key itself is left as written
     # (cross-engine sums agree to ~1e-10 and adjacent groups differ by
@@ -645,6 +674,9 @@ _COLS: dict[str, list[str]] = {
     "q87": ["cnt"],
     "q90": ["am_pm_ratio"],
     "q97": ["store_only", "catalog_only", "store_and_catalog"],
+    "q21": ["w_warehouse_name", "i_item_id", "inv_before", "inv_after"],
+    "q37": ["i_item_id", "i_item_desc", "i_current_price"],
+    "q82": ["i_item_id", "i_item_desc", "i_current_price"],
     "q34": ["c_last_name", "c_first_name", "c_salutation",
             "c_preferred_cust_flag", "ss_ticket_number", "cnt"],
     "q68": ["c_last_name", "c_first_name", "ca_city", "bought_city",
@@ -671,6 +703,7 @@ _LONGS: dict[str, tuple[str, ...]] = {
             "catalog_sales_quantity"),
     "q86": ("lochierarchy", "rank_within_parent"),
     "q97": ("store_only", "catalog_only", "store_and_catalog"),
+    "q21": ("inv_before", "inv_after"),
     "q99": ("days_30", "days_31_60", "days_61_90", "days_91_120",
             "days_over_120"),
     "q88": ("h8_30_to_9", "h9_to_9_30", "h9_30_to_10", "h10_to_10_30",
