@@ -136,6 +136,7 @@ def _spark_views(sf: str) -> dict[str, str]:
                    CAST(p_partkey % 7 + 1 AS INT) AS i_class_id,
                    CAST(p_partkey % 200 AS INT) AS i_manufact_id,
                    'M' || CAST(p_partkey % 200 AS STRING) AS i_manufact,
+                   element_at(split(p_name, ' '), 1) AS i_color,
                    CAST(p_partkey % 40 AS INT) AS i_manager_id,
                    p_retailprice AS i_current_price,
                    p_retailprice * 0.8 AS i_wholesale_cost
@@ -389,6 +390,7 @@ tpcds_item AS (
          CAST(p_partkey % 7 + 1 AS INTEGER) AS i_class_id,
          CAST(p_partkey % 200 AS INTEGER) AS i_manufact_id,
          'M' || CAST(p_partkey % 200 AS VARCHAR) AS i_manufact,
+         split_part(p_name, ' ', 1) AS i_color,
          CAST(p_partkey % 40 AS INTEGER) AS i_manager_id,
          p_retailprice AS i_current_price,
          p_retailprice * 0.8 AS i_wholesale_cost
@@ -573,6 +575,9 @@ _PATCHES: dict[str, list[tuple[str, str]]] = {
     # the fixture's six part types map to six TPC-DS categories; Jewelry
     # is not among them -> re-domain to one that is
     "q61": [("'Jewelry'", "'Electronics'")],
+    "q56": [("'slate'      , 'blanched'      , 'burnished'",
+             "'red'      , 'blue'      , 'hot'")],
+    "q60": [("'Music'", "'Men'")],
     # at the fixture's scale only 1999 has a county where web growth beats
     # store growth in both quarter steps — shift the year so the
     # double-ratio filter is non-vacuous
@@ -677,6 +682,8 @@ _COLS: dict[str, list[str]] = {
     "q21": ["w_warehouse_name", "i_item_id", "inv_before", "inv_after"],
     "q37": ["i_item_id", "i_item_desc", "i_current_price"],
     "q82": ["i_item_id", "i_item_desc", "i_current_price"],
+    "q56": ["i_item_id", "total_sales"],
+    "q60": ["i_item_id", "total_sales"],
     "q34": ["c_last_name", "c_first_name", "c_salutation",
             "c_preferred_cust_flag", "ss_ticket_number", "cnt"],
     "q68": ["c_last_name", "c_first_name", "ca_city", "bought_city",
@@ -742,6 +749,8 @@ _ROUND: dict[str, dict[str, int]] = {
     "q25": {"store_sales_profit": 4, "store_returns_loss": 4,
             "catalog_sales_profit": 4},
     "q33": {"total_sales": 4},
+    "q56": {"total_sales": 4},
+    "q60": {"total_sales": 4},
     "q71": {"ext_price": 2},
     "q86": {"total_sum": 4},
     "q92": {"excess_discount": 4},
