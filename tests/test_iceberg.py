@@ -294,3 +294,45 @@ class TestDeletes:
             ],
         )
         assert _ids(read_iceberg(spark, loc)) == [1, 3, 4]
+
+    def test_equality_delete_null_key(self, spark, tmp_path):
+        # Spec: equality deletes treat NULL as equal to NULL — a delete row
+        # with NULL in an optional equality field must delete data rows
+        # whose field is NULL (join must be null-safe, not plain equality).
+        loc = str(tmp_path)
+        d1 = os.path.join(loc, "d1.parquet")
+        write_parquet_with_ids(
+            d1, {"id": [1, 2, 3], "name": ["a", None, "c"]}, IDS
+        )
+        ed = os.path.join(loc, "ed.parquet")
+        write_parquet_with_ids(ed, {"name": [None]}, {"name": 2})
+        build_table(
+            loc, FIELDS,
+            [
+                {"id": 10, "ts": 1000, "seq": 1, "files": [{"path": d1}]},
+                {"id": 11, "ts": 2000, "seq": 2,
+                 "files": [{"path": ed, "content": 2, "equality_ids": [2]}]},
+            ],
+        )
+        assert _ids(read_iceberg(spark, loc)) == [1, 3]
+
+    def test_equality_delete_multi_column_null_key(self, spark, tmp_path):
+        # multi-column equality ids where one key column is NULL
+        loc = str(tmp_path)
+        d1 = os.path.join(loc, "d1.parquet")
+        write_parquet_with_ids(
+            d1, {"id": [1, 1, 2], "name": [None, "x", None]}, IDS
+        )
+        ed = os.path.join(loc, "ed.parquet")
+        write_parquet_with_ids(ed, {"id": [1], "name": [None]}, IDS)
+        build_table(
+            loc, FIELDS,
+            [
+                {"id": 10, "ts": 1000, "seq": 1, "files": [{"path": d1}]},
+                {"id": 11, "ts": 2000, "seq": 2,
+                 "files": [{"path": ed, "content": 2, "equality_ids": [1, 2]}]},
+            ],
+        )
+        df = read_iceberg(spark, loc)
+        rows = sorted((r["id"], r["name"]) for r in df.collect())
+        assert rows == [(1, "x"), (2, None)]

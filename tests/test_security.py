@@ -137,3 +137,76 @@ class TestTransactions:
         assert eng.sql("SELECT count(*) c FROM tx_u").collect()[0].c == 4
         eng.sql("ROLLBACK")  # no active tx: no-op
         assert eng.sql("SELECT count(*) c FROM tx_u").collect()[0].c == 4
+
+
+class TestAdviceFixes:
+    """Round-5 ADVICE items: enforcement must survive ANALYZE's
+    view->catalog-table promotion, cover MATCH_RECOGNIZE sources, and
+    check INSERT symmetrically with DELETE/UPDATE."""
+
+    def test_enforce_after_analyze(self, eng, spark):
+        # post-ANALYZE the plan shows "SubqueryAlias spark_catalog.default.t";
+        # enforcement must still resolve the bare table name (fail-closed)
+        try:
+            eng.sql("ANALYZE region")
+            eng.set_user("carol")
+            eng.enable_enforcement(True)
+            with pytest.raises(AccessDeniedError):
+                eng.sql("SELECT * FROM region").collect()
+            eng.sql("GRANT SELECT ON region TO USER carol")
+            assert eng.sql("SELECT count(*) c FROM region").collect()[0].c == 5
+        finally:
+            eng.enable_enforcement(False)
+            spark.sql("DROP TABLE IF EXISTS region")
+            eng.attach(SF_SMOKE)
+
+    def test_match_recognize_enforced(self, eng, spark):
+        spark.createDataFrame(
+            [(1, 1, 1.0), (1, 2, 2.0), (1, 3, 3.0)], "k int, ord int, v double"
+        ).createOrReplaceTempView("mr_sec_src")
+        mr = (
+            "SELECT * FROM mr_sec_src MATCH_RECOGNIZE ("
+            " PARTITION BY k ORDER BY ord"
+            " MEASURES LAST(v) AS last_v ONE ROW PER MATCH"
+            " PATTERN (UP{2,}) DEFINE UP AS v > PREV(v))"
+        )
+        eng.set_user("dave")
+        eng.enable_enforcement(True)
+        try:
+            with pytest.raises(AccessDeniedError):
+                eng.sql(mr)
+            eng.sql("GRANT SELECT ON mr_sec_src TO USER dave")
+            assert eng.sql(mr).count() == 1
+        finally:
+            eng.enable_enforcement(False)
+            spark.catalog.dropTempView("mr_sec_src")
+
+    def test_insert_enforced(self, eng, tmp_path):
+        eng.set_user("frank")
+        eng.sql("GRANT SELECT ON nation TO USER frank")
+        eng.enable_enforcement(True)
+        path = str(tmp_path / "ins_t")
+        try:
+            with pytest.raises(AccessDeniedError):
+                eng.ctas("ins_t", "SELECT * FROM nation", path=path)
+            with pytest.raises(AccessDeniedError):
+                eng.insert_into(path, "SELECT * FROM nation")
+            eng.sql("GRANT INSERT ON ins_t TO USER frank")
+            eng.ctas("ins_t", "SELECT * FROM nation", path=path)
+            eng.sql("GRANT SELECT ON ins_t TO USER frank")
+            before = eng.sql("SELECT count(*) c FROM ins_t").collect()[0].c
+            eng.insert_into(path, "SELECT * FROM nation WHERE n_nationkey < 3")
+            eng.sql("SELECT 1").collect()
+            assert (
+                eng.spark.read.parquet(path).count() == before + 3
+            )
+        finally:
+            eng.enable_enforcement(False)
+            eng.spark.catalog.dropTempView("ins_t")
+
+    def test_analyze_without_attach_clear_error(self, spark):
+        from trino_private_spark.api import Engine
+
+        e = Engine(spark)
+        with pytest.raises(ValueError, match="no dataset attached"):
+            e.analyze("nowhere")

@@ -76,7 +76,11 @@ class Engine:
                 sql_match_recognize,
             )
 
-            return sql_match_recognize(self.spark.table(mr.group(1)), mr.group(2))
+            src = self.spark.table(mr.group(1))
+            # MATCH_RECOGNIZE reads its source table like any SELECT —
+            # enforce SELECT on it before pattern matching runs
+            self._enforce_select(src)
+            return sql_match_recognize(src, mr.group(2))
         if dialect == "trino":
             text = translate(text)
         df = self.spark.sql(text)
@@ -204,9 +208,12 @@ class Engine:
         for tbl in self.spark.catalog.listTables():
             known.add(tbl.name.lower())
         plan = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+        # catalog tables (post-ANALYZE) appear qualified, e.g.
+        # "SubqueryAlias spark_catalog.default.region" — compare the last
+        # dotted segment so qualification never fails open
         referenced = {
-            m.group(1).lower()
-            for m in _re.finditer(r"SubqueryAlias (\w+)", plan)
+            m.group(1).split(".")[-1].lower()
+            for m in _re.finditer(r"SubqueryAlias ([\w.]+)", plan)
         } & known
         for name in referenced:
             self._acl.check(self._user, self._enabled_roles, "SELECT", name)
@@ -252,11 +259,19 @@ class Engine:
         catalog, so Catalyst's CBO (join reorder, broadcast sizing) reads
         them — the same side effect the reference's ANALYZE has on its
         cost-based optimizer (ReorderJoins consumes connector stats
-        written by ANALYZE)."""
+        written by ANALYZE). The view→table promotion is one-way: the
+        stats live on the catalog table, so the temp view is not
+        restored — re-attach() to get the plain view back."""
         import os as _os
 
         if path is None:
-            path = _os.path.join(self._sf_dir, f"{name}.parquet")
+            sf_dir = getattr(self, "_sf_dir", None)
+            if sf_dir is None:
+                raise ValueError(
+                    f"ANALYZE {name}: no dataset attached — call "
+                    "attach(sf_dir) first or pass an explicit path="
+                )
+            path = _os.path.join(sf_dir, f"{name}.parquet")
         # the temp view would shadow the catalog table; drop it so
         # subsequent queries resolve to the stats-bearing table
         self.spark.catalog.dropTempView(name)
@@ -343,6 +358,8 @@ class Engine:
         """CREATE TABLE AS (SqlBase.g4:51-54): materialize a query. With
         ``path``, writes files and registers a view over them; without,
         registers the (lazy) query as a temp view."""
+        if hasattr(self, "_acl") and self._acl.enforce:
+            self._acl.check(self._user, self._enabled_roles, "INSERT", name)
         df = self.sql(text, dialect)
         if path:
             df.write.mode("overwrite").format(fmt).save(path)
@@ -351,8 +368,16 @@ class Engine:
             df.createOrReplaceTempView(name)
 
     def insert_into(self, path: str, text: str, fmt: str = "parquet",
-                    dialect: str = "trino") -> None:
-        """INSERT (append) into a file-backed table."""
+                    dialect: str = "trino", table: str | None = None) -> None:
+        """INSERT (append) into a file-backed table. ``table`` names the
+        logical table for ACL purposes; defaults to the path's basename
+        (sans extension) so INSERT grants are enforced symmetrically with
+        DELETE/UPDATE."""
+        if hasattr(self, "_acl") and self._acl.enforce:
+            import os as _os
+
+            name = table or _os.path.splitext(_os.path.basename(path.rstrip("/")))[0]
+            self._acl.check(self._user, self._enabled_roles, "INSERT", name)
         self.sql(text, dialect).write.mode("append").format(fmt).save(path)
 
     # Trino session properties (SystemSessionProperties.java) with a direct

@@ -345,34 +345,49 @@ class IcebergTable:
         # data sequence number. A plain anti-join can't express the scoping,
         # so: broadcast left join on the equality columns, then drop a row
         # only when it matched AND its file predates the delete file.
-        # (Join-key NULLs never match — Iceberg writers don't emit NULL
-        # equality values for required delete fields.)
         for f in sorted(eq_del, key=lambda f: f.sequence_number):
             cur_names, file_names = self._eq_select(f)
             # Join on the name the DATA actually carries: current name when
             # the data files were written post-rename, the delete file's own
             # (pre-rename) name when both predate the rename — field ids are
-            # the stable identity either way.
+            # the stable identity either way. Cast the delete column to the
+            # data column's type: field ids fix the logical type, but an
+            # all-NULL delete column can surface from parquet with a
+            # different physical type.
             join_names, sel = [], []
             for cur, fn in zip(cur_names, file_names):
                 use = cur if cur in df.columns else fn
                 join_names.append(use)
-                sel.append(F.col(fn).alias(use))
+                col = F.col(fn)
+                if use in df.columns:
+                    col = col.cast(df.schema[use].dataType)
+                sel.append(col.alias(use))
+            # Null-safe join: the Iceberg spec treats NULL as equal to NULL
+            # for equality deletes, so a delete row carrying NULL in an
+            # optional equality field must still match data rows — use <=>
+            # (eqNullSafe), never plain equality.
             eq = (
                 spark.read.parquet(f.path)
                 .select(*sel)
                 .dropDuplicates(join_names)
-                .withColumn("__eq_hit", F.lit(True))
+                .select(
+                    *[F.col(c).alias(f"__eqd_{c}") for c in join_names],
+                    F.lit(True).alias("__eq_hit"),
+                )
             )
+            cond = None
+            for c in join_names:
+                term = F.col(c).eqNullSafe(F.col(f"__eqd_{c}"))
+                cond = term if cond is None else (cond & term)
             df = (
-                df.join(F.broadcast(eq), join_names, "left")
+                df.join(F.broadcast(eq), cond, "left")
                 .where(
                     ~(
                         F.coalesce(F.col("__eq_hit"), F.lit(False))
                         & (F.col("__seq") < F.lit(f.sequence_number))
                     )
                 )
-                .drop("__eq_hit")
+                .drop("__eq_hit", *[f"__eqd_{c}" for c in join_names])
             )
         return df.drop("__file", "__pos", "__seq")
 
