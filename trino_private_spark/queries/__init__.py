@@ -130,6 +130,7 @@ def _load_modules() -> None:
         tpcds_shapes14,
         tpcds_shapes15,
         tpcds_sqltext,
+        tpcds_sqltext2,
         tpch_shapes,
         tpch_shapes2,
         tpch_sqltext,

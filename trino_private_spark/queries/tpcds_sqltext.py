@@ -70,6 +70,8 @@ def _spark_views(sf: str) -> dict[str, str]:
                    CAST(day(d) AS INT) AS d_dom,
                    CAST(quarter(d) AS INT) AS d_qoy,
                    date_format(d, 'EEEE') AS d_day_name,
+                   CAST(year(d) AS STRING) || 'Q' ||
+                     CAST(quarter(d) AS STRING) AS d_quarter_name,
                    CAST(datediff(d, DATE '1990-01-01') % 7 AS INT) AS d_dow,
                    CAST(datediff(d, DATE '1990-01-01') DIV 7 AS INT)
                      AS d_week_seq,
@@ -94,7 +96,8 @@ def _spark_views(sf: str) -> dict[str, str]:
                    'Company_' || CAST(id % 2 AS STRING) AS s_company_name,
                    CAST(CASE WHEN id % 2 = 0 THEN -5.0 ELSE -6.0 END
                         AS DOUBLE) AS s_gmt_offset,
-                   CAST(37000 + id * 13 AS STRING) AS s_zip,
+                   CAST(id % 10 + 1 AS INT) AS s_market_id,
+                   CAST(10000 + id * 91 AS STRING) AS s_zip,
                    CAST(100 + id AS STRING) AS s_street_number,
                    'Main' AS s_street_name, 'St' AS s_street_type,
                    'Suite ' || CAST(id AS STRING) AS s_suite_number
@@ -110,7 +113,15 @@ def _spark_views(sf: str) -> dict[str, str]:
                    element_at(array('Williamson County','Franklin Parish',
                                     'Bronx County','Orange County'),
                               CAST(id % 4 AS INT) + 1) AS ca_county,
-                   'United States' AS ca_country
+                   'United States' AS ca_country,
+                   CAST(100 + id AS STRING) AS ca_street_number,
+                   element_at(array('Jackson','Washington','Lincoln','Adams'),
+                              CAST(id % 4 AS INT) + 1) AS ca_street_name,
+                   element_at(array('Ave','St','Blvd','Ct'),
+                              CAST(id % 4 AS INT) + 1) AS ca_street_type,
+                   'Suite ' || CAST(id % 10 AS STRING) AS ca_suite_number,
+                   element_at(array('apartment','condo','single family'),
+                              CAST(id % 3 AS INT) + 1) AS ca_location_type
             FROM range(1000)""",
         "tpcds_customer": f"""
             SELECT c_custkey AS c_customer_sk,
@@ -121,7 +132,26 @@ def _spark_views(sf: str) -> dict[str, str]:
                               CAST(c_custkey % 5 AS INT) + 1) AS c_salutation,
                    element_at(array('Y','N'), CAST(c_custkey % 2 AS INT) + 1)
                      AS c_preferred_cust_flag,
-                   c_custkey % 1000 + 1 AS c_current_addr_sk
+                   c_custkey % 1000 + 1 AS c_current_addr_sk,
+                   element_at(array('UNITED STATES','CANADA','MEXICO',
+                                    'BRAZIL','GERMANY','FRANCE','JAPAN',
+                                    'CHINA','INDIA','ITALY'),
+                              CAST(c_custkey % 10 AS INT) + 1)
+                     AS c_birth_country,
+                   CAST(c_custkey % 28 + 1 AS INT) AS c_birth_day,
+                   CAST(c_custkey % 12 + 1 AS INT) AS c_birth_month,
+                   CAST(1930 + c_custkey % 60 AS INT) AS c_birth_year,
+                   'E' || CAST(c_custkey AS STRING) || '@example.com'
+                     AS c_email_address,
+                   'LG' || CAST(c_custkey % 50 AS STRING) AS c_login,
+                   c_custkey % 200 + 1 AS c_current_cdemo_sk,
+                   c_custkey % 100 + 1 AS c_current_hdemo_sk,
+                   CAST(2451826 + c_custkey % 2557 AS BIGINT)
+                     AS c_first_sales_date_sk,
+                   CAST(2451826 + (c_custkey * 3) % 2557 AS BIGINT)
+                     AS c_first_shipto_date_sk,
+                   CAST(2451826 + (c_custkey * 7) % 2557 AS BIGINT)
+                     AS c_last_review_date_sk
             FROM {p('customer')}""",
         "tpcds_item": f"""
             SELECT p_partkey AS i_item_sk,
@@ -139,7 +169,15 @@ def _spark_views(sf: str) -> dict[str, str]:
                    element_at(split(p_name, ' '), 1) AS i_color,
                    CAST(p_partkey % 40 AS INT) AS i_manager_id,
                    p_retailprice AS i_current_price,
-                   p_retailprice * 0.8 AS i_wholesale_cost
+                   p_retailprice * 0.8 AS i_wholesale_cost,
+                   p_name AS i_product_name,
+                   element_at(array('small','medium','large','extra large',
+                                    'economy','N/A','petite'),
+                              CAST(p_partkey % 7 AS INT) + 1) AS i_size,
+                   element_at(array('Oz','Each','Ton','Pound','Pallet',
+                                    'Gross','Dozen','Cup','Unknown','Bunch',
+                                    'Tbl','Ounce'),
+                              CAST(p_partkey % 12 AS INT) + 1) AS i_units
             FROM {p('part')}""",
         "tpcds_store_sales": f"""
             SELECT CAST(datediff(CAST(o_orderdate AS DATE),
@@ -159,12 +197,17 @@ def _spark_views(sf: str) -> dict[str, str]:
                    l_extendedprice * l_discount AS ss_coupon_amt,
                    l_extendedprice * 1.2 AS ss_ext_list_price,
                    l_extendedprice * l_tax AS ss_ext_tax,
-                   o_custkey % 200 + 1 AS ss_cdemo_sk,
+                   (o_custkey + l_suppkey) % 200 + 1 AS ss_cdemo_sk,
                    (o_custkey * 3 + l_linenumber) % 100 + 1 AS ss_hdemo_sk,
-                   (o_custkey * 7 + 13) % 1000 + 1 AS ss_addr_sk,
+                   CASE WHEN l_orderkey % 31 = 0 THEN NULL
+                        ELSE (o_custkey * 7 + 13) % 1000 + 1 END
+                     AS ss_addr_sk,
                    l_partkey % 30 + 1 AS ss_promo_sk,
                    (l_orderkey * 7919 + l_linenumber * 131) % 86400
-                     AS ss_sold_time_sk
+                     AS ss_sold_time_sk,
+                   l_extendedprice * l_discount AS ss_ext_discount_amt,
+                   l_extendedprice * 0.8 AS ss_ext_wholesale_cost,
+                   l_extendedprice * 0.8 / l_quantity AS ss_wholesale_cost
             FROM {p('lineitem')} JOIN {p('orders')}
               ON l_orderkey = o_orderkey""",
         "tpcds_store_returns": f"""
@@ -178,7 +221,9 @@ def _spark_views(sf: str) -> dict[str, str]:
                    l_orderkey AS sr_ticket_number,
                    CAST(l_quantity AS INT) AS sr_return_quantity,
                    l_extendedprice * (1 - l_discount) AS sr_return_amt,
-                   l_extendedprice * 0.1 AS sr_net_loss
+                   l_extendedprice * 0.1 AS sr_net_loss,
+                   o_custkey % 200 + 1 AS sr_cdemo_sk,
+                   l_orderkey % 10 + 1 AS sr_reason_sk
             FROM {p('lineitem')} JOIN {p('orders')}
               ON l_orderkey = o_orderkey
             WHERE l_returnflag = 'R'""",
@@ -192,7 +237,13 @@ def _spark_views(sf: str) -> dict[str, str]:
                                     'Advanced Degree','Secondary','Primary',
                                     'Unknown'),
                               CAST(id % 7 AS INT) + 1)
-                     AS cd_education_status
+                     AS cd_education_status,
+                   CAST((id % 10 + 1) * 500 AS INT) AS cd_purchase_estimate,
+                   element_at(array('Low Risk','High Risk','Good','Unknown'),
+                              CAST(id % 4 AS INT) + 1) AS cd_credit_rating,
+                   CAST(id % 7 AS INT) AS cd_dep_count,
+                   CAST(id % 5 AS INT) AS cd_dep_employed_count,
+                   CAST(id % 3 AS INT) AS cd_dep_college_count
             FROM range(200)""",
         "tpcds_household_demographics": """
             SELECT id + 1 AS hd_demo_sk,
@@ -200,7 +251,8 @@ def _spark_views(sf: str) -> dict[str, str]:
                    CAST(id % 5 AS INT) AS hd_vehicle_count,
                    element_at(array('>10000','Unknown','1001-5000',
                                     '501-1000','0-500'),
-                              CAST(id % 5 AS INT) + 1) AS hd_buy_potential
+                              CAST(id % 5 AS INT) + 1) AS hd_buy_potential,
+                   CAST(id % 20 + 1 AS INT) AS hd_income_band_sk
             FROM range(100)""",
         "tpcds_promotion": """
             SELECT id + 1 AS p_promo_sk,
@@ -216,6 +268,7 @@ def _spark_views(sf: str) -> dict[str, str]:
             FROM range(30)""",
         "tpcds_time_dim": """
             SELECT id AS t_time_sk,
+                   id AS t_time,
                    CAST(id DIV 3600 AS INT) AS t_hour,
                    CAST((id % 3600) DIV 60 AS INT) AS t_minute,
                    CAST(id % 60 AS INT) AS t_second,
@@ -246,7 +299,17 @@ def _spark_views(sf: str) -> dict[str, str]:
                    (o_custkey * 7 + 13) % 1000 + 1 AS ws_bill_addr_sk,
                    (o_custkey * 3 + l_linenumber) % 100 + 1
                      AS ws_ship_hdemo_sk,
-                   l_orderkey % 20 + 1 AS ws_web_page_sk
+                   l_orderkey % 20 + 1 AS ws_web_page_sk,
+                   l_orderkey AS ws_order_number,
+                   CAST(l_quantity AS INT) AS ws_quantity,
+                   l_extendedprice * 1.2 AS ws_ext_list_price,
+                   l_extendedprice * 1.2 / l_quantity AS ws_list_price,
+                   l_extendedprice * 0.8 AS ws_ext_wholesale_cost,
+                   l_extendedprice * 0.8 / l_quantity AS ws_wholesale_cost,
+                   l_extendedprice * 0.05 AS ws_ext_ship_cost,
+                   l_extendedprice * (0.2 - l_discount) AS ws_net_profit,
+                   l_partkey % 30 + 1 AS ws_promo_sk,
+                   (o_custkey * 11 + 17) % 1000 + 1 AS ws_ship_addr_sk
             FROM {p('lineitem')} JOIN {p('orders')}
               ON l_orderkey = o_orderkey
             WHERE l_orderkey % 3 = 1""",
@@ -275,23 +338,53 @@ def _spark_views(sf: str) -> dict[str, str]:
                    l_extendedprice * (0.2 - l_discount) AS cs_net_profit,
                    (l_orderkey * 7919 + l_linenumber * 131) % 86400
                      AS cs_sold_time_sk,
-                   (o_custkey * 7 + 13) % 1000 + 1 AS cs_bill_addr_sk
+                   (o_custkey * 7 + 13) % 1000 + 1 AS cs_bill_addr_sk,
+                   l_orderkey AS cs_order_number,
+                   l_extendedprice * l_discount AS cs_ext_discount_amt,
+                   l_extendedprice * 1.2 AS cs_ext_list_price,
+                   l_extendedprice * 0.8 AS cs_ext_wholesale_cost,
+                   l_extendedprice * 0.05 AS cs_ext_ship_cost,
+                   l_extendedprice * (1 - l_discount) AS cs_net_paid,
+                   l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS cs_net_paid_inc_tax,
+                   l_extendedprice * 0.8 / l_quantity AS cs_wholesale_cost,
+                   CASE WHEN l_suppkey % 23 = 0 THEN NULL
+                        ELSE o_custkey END AS cs_ship_customer_sk,
+                   (o_custkey * 3 + l_linenumber) % 100 + 1
+                     AS cs_bill_hdemo_sk,
+                   l_partkey % 40 + 1 AS cs_catalog_page_sk
             FROM {p('lineitem')} JOIN {p('orders')}
               ON l_orderkey = o_orderkey
             WHERE l_orderkey % 3 = 2""",
         "tpcds_warehouse": """
             SELECT id + 1 AS w_warehouse_sk,
-                   'Warehouse_' || CAST(id + 1 AS STRING) AS w_warehouse_name
+                   'Warehouse_' || CAST(id + 1 AS STRING) AS w_warehouse_name,
+                   CAST(50000 + id * 17321 AS INT) AS w_warehouse_sq_ft,
+                   element_at(array('Midway','Fairview','Oakland',
+                                    'Glendale','Concord'),
+                              CAST(id % 5 AS INT) + 1) AS w_city,
+                   element_at(array('Williamson County','Franklin Parish',
+                                    'Bronx County','Orange County',
+                                    'Ziebach County'),
+                              CAST(id % 5 AS INT) + 1) AS w_county,
+                   element_at(array('TN','GA','SC','AL','NC'),
+                              CAST(id % 5 AS INT) + 1) AS w_state,
+                   'United States' AS w_country
             FROM range(5)""",
         "tpcds_ship_mode": """
             SELECT id + 1 AS sm_ship_mode_sk,
                    element_at(array('EXPRESS','OVERNIGHT','REGULAR',
                                     'TWO DAY','LIBRARY'),
-                              CAST(id % 5 AS INT) + 1) AS sm_type
+                              CAST(id % 5 AS INT) + 1) AS sm_type,
+                   element_at(array('DHL','BARIAN','UPS','FEDEX','AIRBORNE'),
+                              CAST(id % 5 AS INT) + 1) AS sm_carrier
             FROM range(5)""",
         "tpcds_web_site": """
             SELECT id + 1 AS web_site_sk,
-                   'site_' || CAST(id + 1 AS STRING) AS web_name
+                   'site_' || CAST(id + 1 AS STRING) AS web_name,
+                   'WS' || CAST(id + 1 AS STRING) AS web_site_id,
+                   element_at(array('pri','able','ought','ese'),
+                              CAST(id % 4 AS INT) + 1) AS web_company_name
             FROM range(4)""",
         "tpcds_web_page": """
             SELECT id + 1 AS wp_web_page_sk,
@@ -312,8 +405,84 @@ def _spark_views(sf: str) -> dict[str, str]:
             SELECT id + 1 AS cc_call_center_sk,
                    element_at(array('NY Metro','Mid Atlantic',
                                     'North Midwest'),
-                              CAST(id % 3 AS INT) + 1) AS cc_name
+                              CAST(id % 3 AS INT) + 1) AS cc_name,
+                   'CC' || CAST(id + 1 AS STRING) AS cc_call_center_id,
+                   element_at(array('Williamson County','Franklin Parish',
+                                    'Bronx County'),
+                              CAST(id % 3 AS INT) + 1) AS cc_county,
+                   'Mgr' || CAST(id + 1 AS STRING) AS cc_manager
             FROM range(3)""",
+        "tpcds_catalog_returns": f"""
+            SELECT CAST(datediff(CAST(o_orderdate AS DATE),
+                        DATE '1990-01-01') + 2450000
+                        + CAST(l_orderkey % 120 AS INT) + 1 AS BIGINT)
+                     AS cr_returned_date_sk,
+                   l_partkey AS cr_item_sk,
+                   l_orderkey AS cr_order_number,
+                   CAST(l_quantity AS INT) AS cr_return_quantity,
+                   l_extendedprice * (1 - l_discount) AS cr_return_amount,
+                   l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS cr_return_amt_inc_tax,
+                   l_extendedprice * 0.1 AS cr_net_loss,
+                   l_extendedprice * (1 - l_discount) * 0.5
+                     AS cr_refunded_cash,
+                   l_extendedprice * (1 - l_discount) * 0.3
+                     AS cr_reversed_charge,
+                   l_extendedprice * (1 - l_discount) * 0.2
+                     AS cr_store_credit,
+                   o_custkey AS cr_returning_customer_sk,
+                   (o_custkey * 7 + 13) % 1000 + 1 AS cr_returning_addr_sk,
+                   l_orderkey % 3 + 1 AS cr_call_center_sk,
+                   l_partkey % 40 + 1 AS cr_catalog_page_sk,
+                   o_custkey % 200 + 1 AS cr_refunded_cdemo_sk
+            FROM {p('lineitem')} JOIN {p('orders')}
+              ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R' AND l_orderkey % 3 = 2""",
+        "tpcds_web_returns": f"""
+            SELECT CAST(datediff(CAST(o_orderdate AS DATE),
+                        DATE '1990-01-01') + 2450000
+                        + CAST(l_orderkey % 120 AS INT) + 1 AS BIGINT)
+                     AS wr_returned_date_sk,
+                   l_partkey AS wr_item_sk,
+                   l_orderkey AS wr_order_number,
+                   CAST(l_quantity AS INT) AS wr_return_quantity,
+                   l_extendedprice * (1 - l_discount) AS wr_return_amt,
+                   l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS wr_return_amt_inc_tax,
+                   l_extendedprice * 0.1 AS wr_net_loss,
+                   l_extendedprice * 0.02 AS wr_fee,
+                   l_extendedprice * (1 - l_discount) * 0.5
+                     AS wr_refunded_cash,
+                   (o_custkey * 7 + 13) % 1000 + 1 AS wr_refunded_addr_sk,
+                   o_custkey % 200 + 1 AS wr_refunded_cdemo_sk,
+                   o_custkey % 200 + 1 AS wr_returning_cdemo_sk,
+                   o_custkey AS wr_returning_customer_sk,
+                   (o_custkey * 7 + 13) % 1000 + 1 AS wr_returning_addr_sk,
+                   l_orderkey % 20 + 1 AS wr_web_page_sk,
+                   l_orderkey % 10 + 1 AS wr_reason_sk
+            FROM {p('lineitem')} JOIN {p('orders')}
+              ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R' AND l_orderkey % 3 = 1""",
+        "tpcds_catalog_page": """
+            SELECT id + 1 AS cp_catalog_page_sk,
+                   'CP' || CAST(id + 1 AS STRING) AS cp_catalog_page_id
+            FROM range(40)""",
+        "tpcds_income_band": """
+            SELECT id + 1 AS ib_income_band_sk,
+                   CAST(id * 10000 AS INT) AS ib_lower_bound,
+                   CAST(id * 10000 + 9999 AS INT) AS ib_upper_bound
+            FROM range(20)""",
+        "tpcds_reason": """
+            SELECT id + 1 AS r_reason_sk,
+                   element_at(array('Package was damaged','Stopped working',
+                                    'Did not fit','Not the product ordered',
+                                    'Parts missing',
+                                    'Does not work with product',
+                                    'Gift exchange','Did not like the color',
+                                    'Did not like the model',
+                                    'Found a better price'),
+                              CAST(id % 10 AS INT) + 1) AS r_reason_desc
+            FROM range(10)""",
     }
 
 
@@ -325,6 +494,8 @@ tpcds_date_dim AS (
          CAST(month(d) AS INTEGER) AS d_moy,
          CAST(day(d) AS INTEGER) AS d_dom,
          CAST(quarter(d) AS INTEGER) AS d_qoy, dayname(d) AS d_day_name,
+         CAST(year(d) AS VARCHAR) || 'Q' || CAST(quarter(d) AS VARCHAR)
+           AS d_quarter_name,
          CAST((year(d) - 1900) * 12 + month(d) - 1 AS INTEGER)
            AS d_month_seq,
          CAST(date_diff('day', DATE '1990-01-01', d) % 7 AS INTEGER) AS d_dow,
@@ -348,7 +519,8 @@ tpcds_store AS (
          'Company_' || CAST(id % 2 AS VARCHAR) AS s_company_name,
          CAST(CASE WHEN id % 2 = 0 THEN -5.0 ELSE -6.0 END AS DOUBLE)
            AS s_gmt_offset,
-         CAST(37000 + id * 13 AS VARCHAR) AS s_zip,
+         CAST(id % 10 + 1 AS INTEGER) AS s_market_id,
+         CAST(10000 + id * 91 AS VARCHAR) AS s_zip,
          CAST(100 + id AS VARCHAR) AS s_street_number,
          'Main' AS s_street_name, 'St' AS s_street_type,
          'Suite ' || CAST(id AS VARCHAR) AS s_suite_number
@@ -364,7 +536,15 @@ tpcds_customer_address AS (
          list_extract(['Williamson County','Franklin Parish',
                        'Bronx County','Orange County'],
                       CAST(id % 4 AS INTEGER) + 1) AS ca_county,
-         'United States' AS ca_country
+         'United States' AS ca_country,
+         CAST(100 + id AS VARCHAR) AS ca_street_number,
+         list_extract(['Jackson','Washington','Lincoln','Adams'],
+                      CAST(id % 4 AS INTEGER) + 1) AS ca_street_name,
+         list_extract(['Ave','St','Blvd','Ct'],
+                      CAST(id % 4 AS INTEGER) + 1) AS ca_street_type,
+         'Suite ' || CAST(id % 10 AS VARCHAR) AS ca_suite_number,
+         list_extract(['apartment','condo','single family'],
+                      CAST(id % 3 AS INTEGER) + 1) AS ca_location_type
   FROM (SELECT range AS id FROM range(1000))),
 tpcds_customer AS (
   SELECT c_custkey AS c_customer_sk,
@@ -375,7 +555,23 @@ tpcds_customer AS (
                       CAST(c_custkey % 5 AS INTEGER) + 1) AS c_salutation,
          list_extract(['Y','N'], CAST(c_custkey % 2 AS INTEGER) + 1)
            AS c_preferred_cust_flag,
-         c_custkey % 1000 + 1 AS c_current_addr_sk
+         c_custkey % 1000 + 1 AS c_current_addr_sk,
+         list_extract(['UNITED STATES','CANADA','MEXICO','BRAZIL','GERMANY',
+                       'FRANCE','JAPAN','CHINA','INDIA','ITALY'],
+                      CAST(c_custkey % 10 AS INTEGER) + 1) AS c_birth_country,
+         CAST(c_custkey % 28 + 1 AS INTEGER) AS c_birth_day,
+         CAST(c_custkey % 12 + 1 AS INTEGER) AS c_birth_month,
+         CAST(1930 + c_custkey % 60 AS INTEGER) AS c_birth_year,
+         'E' || CAST(c_custkey AS VARCHAR) || '@example.com'
+           AS c_email_address,
+         'LG' || CAST(c_custkey % 50 AS VARCHAR) AS c_login,
+         c_custkey % 200 + 1 AS c_current_cdemo_sk,
+         c_custkey % 100 + 1 AS c_current_hdemo_sk,
+         CAST(2451826 + c_custkey % 2557 AS BIGINT) AS c_first_sales_date_sk,
+         CAST(2451826 + (c_custkey * 3) % 2557 AS BIGINT)
+           AS c_first_shipto_date_sk,
+         CAST(2451826 + (c_custkey * 7) % 2557 AS BIGINT)
+           AS c_last_review_date_sk
   FROM customer),
 tpcds_item AS (
   SELECT p_partkey AS i_item_sk,
@@ -393,7 +589,14 @@ tpcds_item AS (
          split_part(p_name, ' ', 1) AS i_color,
          CAST(p_partkey % 40 AS INTEGER) AS i_manager_id,
          p_retailprice AS i_current_price,
-         p_retailprice * 0.8 AS i_wholesale_cost
+         p_retailprice * 0.8 AS i_wholesale_cost,
+         p_name AS i_product_name,
+         list_extract(['small','medium','large','extra large','economy',
+                       'N/A','petite'],
+                      CAST(p_partkey % 7 AS INTEGER) + 1) AS i_size,
+         list_extract(['Oz','Each','Ton','Pound','Pallet','Gross','Dozen',
+                       'Cup','Unknown','Bunch','Tbl','Ounce'],
+                      CAST(p_partkey % 12 AS INTEGER) + 1) AS i_units
   FROM part),
 tpcds_store_sales AS (
   SELECT CAST(date_diff('day', DATE '1990-01-01',
@@ -413,11 +616,15 @@ tpcds_store_sales AS (
          l_extendedprice * l_discount AS ss_coupon_amt,
          l_extendedprice * 1.2 AS ss_ext_list_price,
          l_extendedprice * l_tax AS ss_ext_tax,
-         o_custkey % 200 + 1 AS ss_cdemo_sk,
+         (o_custkey + l_suppkey) % 200 + 1 AS ss_cdemo_sk,
          (o_custkey * 3 + l_linenumber) % 100 + 1 AS ss_hdemo_sk,
-         (o_custkey * 7 + 13) % 1000 + 1 AS ss_addr_sk,
+         CASE WHEN l_orderkey % 31 = 0 THEN NULL
+              ELSE (o_custkey * 7 + 13) % 1000 + 1 END AS ss_addr_sk,
          l_partkey % 30 + 1 AS ss_promo_sk,
-         (l_orderkey * 7919 + l_linenumber * 131) % 86400 AS ss_sold_time_sk
+         (l_orderkey * 7919 + l_linenumber * 131) % 86400 AS ss_sold_time_sk,
+         l_extendedprice * l_discount AS ss_ext_discount_amt,
+         l_extendedprice * 0.8 AS ss_ext_wholesale_cost,
+         l_extendedprice * 0.8 / l_quantity AS ss_wholesale_cost
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
 tpcds_store_returns AS (
   SELECT CAST(date_diff('day', DATE '1990-01-01',
@@ -430,7 +637,9 @@ tpcds_store_returns AS (
          l_orderkey AS sr_ticket_number,
          CAST(l_quantity AS INTEGER) AS sr_return_quantity,
          l_extendedprice * (1 - l_discount) AS sr_return_amt,
-         l_extendedprice * 0.1 AS sr_net_loss
+         l_extendedprice * 0.1 AS sr_net_loss,
+         o_custkey % 200 + 1 AS sr_cdemo_sk,
+         l_orderkey % 10 + 1 AS sr_reason_sk
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_returnflag = 'R'),
 tpcds_customer_demographics AS (
@@ -440,14 +649,21 @@ tpcds_customer_demographics AS (
            AS cd_marital_status,
          list_extract(['College','2 yr Degree','4 yr Degree',
                        'Advanced Degree','Secondary','Primary','Unknown'],
-                      CAST(id % 7 AS INTEGER) + 1) AS cd_education_status
+                      CAST(id % 7 AS INTEGER) + 1) AS cd_education_status,
+         CAST((id % 10 + 1) * 500 AS INTEGER) AS cd_purchase_estimate,
+         list_extract(['Low Risk','High Risk','Good','Unknown'],
+                      CAST(id % 4 AS INTEGER) + 1) AS cd_credit_rating,
+         CAST(id % 7 AS INTEGER) AS cd_dep_count,
+         CAST(id % 5 AS INTEGER) AS cd_dep_employed_count,
+         CAST(id % 3 AS INTEGER) AS cd_dep_college_count
   FROM (SELECT range AS id FROM range(200))),
 tpcds_household_demographics AS (
   SELECT id + 1 AS hd_demo_sk,
          CAST(id % 10 AS INTEGER) AS hd_dep_count,
          CAST(id % 5 AS INTEGER) AS hd_vehicle_count,
          list_extract(['>10000','Unknown','1001-5000','501-1000','0-500'],
-                      CAST(id % 5 AS INTEGER) + 1) AS hd_buy_potential
+                      CAST(id % 5 AS INTEGER) + 1) AS hd_buy_potential,
+         CAST(id % 20 + 1 AS INTEGER) AS hd_income_band_sk
   FROM (SELECT range AS id FROM range(100))),
 tpcds_promotion AS (
   SELECT id + 1 AS p_promo_sk,
@@ -463,6 +679,7 @@ tpcds_promotion AS (
   FROM (SELECT range AS id FROM range(30))),
 tpcds_time_dim AS (
   SELECT id AS t_time_sk,
+         id AS t_time,
          CAST(id // 3600 AS INTEGER) AS t_hour,
          CAST((id % 3600) // 60 AS INTEGER) AS t_minute,
          CAST(id % 60 AS INTEGER) AS t_second,
@@ -491,7 +708,17 @@ tpcds_web_sales AS (
          (l_orderkey * 7919 + l_linenumber * 131) % 86400 AS ws_sold_time_sk,
          (o_custkey * 7 + 13) % 1000 + 1 AS ws_bill_addr_sk,
          (o_custkey * 3 + l_linenumber) % 100 + 1 AS ws_ship_hdemo_sk,
-         l_orderkey % 20 + 1 AS ws_web_page_sk
+         l_orderkey % 20 + 1 AS ws_web_page_sk,
+         l_orderkey AS ws_order_number,
+         CAST(l_quantity AS INTEGER) AS ws_quantity,
+         l_extendedprice * 1.2 AS ws_ext_list_price,
+         l_extendedprice * 1.2 / l_quantity AS ws_list_price,
+         l_extendedprice * 0.8 AS ws_ext_wholesale_cost,
+         l_extendedprice * 0.8 / l_quantity AS ws_wholesale_cost,
+         l_extendedprice * 0.05 AS ws_ext_ship_cost,
+         l_extendedprice * (0.2 - l_discount) AS ws_net_profit,
+         l_partkey % 30 + 1 AS ws_promo_sk,
+         (o_custkey * 11 + 17) % 1000 + 1 AS ws_ship_addr_sk
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_orderkey % 3 = 1),
 tpcds_catalog_sales AS (
@@ -517,21 +744,48 @@ tpcds_catalog_sales AS (
          o_custkey AS cs_bill_customer_sk,
          l_extendedprice * (0.2 - l_discount) AS cs_net_profit,
          (l_orderkey * 7919 + l_linenumber * 131) % 86400 AS cs_sold_time_sk,
-         (o_custkey * 7 + 13) % 1000 + 1 AS cs_bill_addr_sk
+         (o_custkey * 7 + 13) % 1000 + 1 AS cs_bill_addr_sk,
+         l_orderkey AS cs_order_number,
+         l_extendedprice * l_discount AS cs_ext_discount_amt,
+         l_extendedprice * 1.2 AS cs_ext_list_price,
+         l_extendedprice * 0.8 AS cs_ext_wholesale_cost,
+         l_extendedprice * 0.05 AS cs_ext_ship_cost,
+         l_extendedprice * (1 - l_discount) AS cs_net_paid,
+         l_extendedprice * (1 - l_discount) * (1 + l_tax)
+           AS cs_net_paid_inc_tax,
+         l_extendedprice * 0.8 / l_quantity AS cs_wholesale_cost,
+         CASE WHEN l_suppkey % 23 = 0 THEN NULL ELSE o_custkey END
+           AS cs_ship_customer_sk,
+         (o_custkey * 3 + l_linenumber) % 100 + 1 AS cs_bill_hdemo_sk,
+         l_partkey % 40 + 1 AS cs_catalog_page_sk
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_orderkey % 3 = 2),
 tpcds_warehouse AS (
   SELECT id + 1 AS w_warehouse_sk,
-         'Warehouse_' || CAST(id + 1 AS VARCHAR) AS w_warehouse_name
+         'Warehouse_' || CAST(id + 1 AS VARCHAR) AS w_warehouse_name,
+         CAST(50000 + id * 17321 AS INTEGER) AS w_warehouse_sq_ft,
+         list_extract(['Midway','Fairview','Oakland','Glendale','Concord'],
+                      CAST(id % 5 AS INTEGER) + 1) AS w_city,
+         list_extract(['Williamson County','Franklin Parish','Bronx County',
+                       'Orange County','Ziebach County'],
+                      CAST(id % 5 AS INTEGER) + 1) AS w_county,
+         list_extract(['TN','GA','SC','AL','NC'],
+                      CAST(id % 5 AS INTEGER) + 1) AS w_state,
+         'United States' AS w_country
   FROM (SELECT range AS id FROM range(5))),
 tpcds_ship_mode AS (
   SELECT id + 1 AS sm_ship_mode_sk,
          list_extract(['EXPRESS','OVERNIGHT','REGULAR','TWO DAY','LIBRARY'],
-                      CAST(id % 5 AS INTEGER) + 1) AS sm_type
+                      CAST(id % 5 AS INTEGER) + 1) AS sm_type,
+         list_extract(['DHL','BARIAN','UPS','FEDEX','AIRBORNE'],
+                      CAST(id % 5 AS INTEGER) + 1) AS sm_carrier
   FROM (SELECT range AS id FROM range(5))),
 tpcds_web_site AS (
   SELECT id + 1 AS web_site_sk,
-         'site_' || CAST(id + 1 AS VARCHAR) AS web_name
+         'site_' || CAST(id + 1 AS VARCHAR) AS web_name,
+         'WS' || CAST(id + 1 AS VARCHAR) AS web_site_id,
+         list_extract(['pri','able','ought','ese'],
+                      CAST(id % 4 AS INTEGER) + 1) AS web_company_name
   FROM (SELECT range AS id FROM range(4))),
 tpcds_web_page AS (
   SELECT id + 1 AS wp_web_page_sk,
@@ -550,8 +804,75 @@ tpcds_inventory AS (
 tpcds_call_center AS (
   SELECT id + 1 AS cc_call_center_sk,
          list_extract(['NY Metro','Mid Atlantic','North Midwest'],
-                      CAST(id % 3 AS INTEGER) + 1) AS cc_name
+                      CAST(id % 3 AS INTEGER) + 1) AS cc_name,
+         'CC' || CAST(id + 1 AS VARCHAR) AS cc_call_center_id,
+         list_extract(['Williamson County','Franklin Parish','Bronx County'],
+                      CAST(id % 3 AS INTEGER) + 1) AS cc_county,
+         'Mgr' || CAST(id + 1 AS VARCHAR) AS cc_manager
   FROM (SELECT range AS id FROM range(3))),
+tpcds_catalog_returns AS (
+  SELECT CAST(date_diff('day', DATE '1990-01-01',
+              CAST(o_orderdate AS DATE)) + 2450000
+              + CAST(l_orderkey % 120 AS INTEGER) + 1 AS BIGINT)
+           AS cr_returned_date_sk,
+         l_partkey AS cr_item_sk,
+         l_orderkey AS cr_order_number,
+         CAST(l_quantity AS INTEGER) AS cr_return_quantity,
+         l_extendedprice * (1 - l_discount) AS cr_return_amount,
+         l_extendedprice * (1 - l_discount) * (1 + l_tax)
+           AS cr_return_amt_inc_tax,
+         l_extendedprice * 0.1 AS cr_net_loss,
+         l_extendedprice * (1 - l_discount) * 0.5 AS cr_refunded_cash,
+         l_extendedprice * (1 - l_discount) * 0.3 AS cr_reversed_charge,
+         l_extendedprice * (1 - l_discount) * 0.2 AS cr_store_credit,
+         o_custkey AS cr_returning_customer_sk,
+         (o_custkey * 7 + 13) % 1000 + 1 AS cr_returning_addr_sk,
+         l_orderkey % 3 + 1 AS cr_call_center_sk,
+         l_partkey % 40 + 1 AS cr_catalog_page_sk,
+         o_custkey % 200 + 1 AS cr_refunded_cdemo_sk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R' AND l_orderkey % 3 = 2),
+tpcds_web_returns AS (
+  SELECT CAST(date_diff('day', DATE '1990-01-01',
+              CAST(o_orderdate AS DATE)) + 2450000
+              + CAST(l_orderkey % 120 AS INTEGER) + 1 AS BIGINT)
+           AS wr_returned_date_sk,
+         l_partkey AS wr_item_sk,
+         l_orderkey AS wr_order_number,
+         CAST(l_quantity AS INTEGER) AS wr_return_quantity,
+         l_extendedprice * (1 - l_discount) AS wr_return_amt,
+         l_extendedprice * (1 - l_discount) * (1 + l_tax)
+           AS wr_return_amt_inc_tax,
+         l_extendedprice * 0.1 AS wr_net_loss,
+         l_extendedprice * 0.02 AS wr_fee,
+         l_extendedprice * (1 - l_discount) * 0.5 AS wr_refunded_cash,
+         (o_custkey * 7 + 13) % 1000 + 1 AS wr_refunded_addr_sk,
+         o_custkey % 200 + 1 AS wr_refunded_cdemo_sk,
+         o_custkey % 200 + 1 AS wr_returning_cdemo_sk,
+         o_custkey AS wr_returning_customer_sk,
+         (o_custkey * 7 + 13) % 1000 + 1 AS wr_returning_addr_sk,
+         l_orderkey % 20 + 1 AS wr_web_page_sk,
+         l_orderkey % 10 + 1 AS wr_reason_sk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R' AND l_orderkey % 3 = 1),
+tpcds_catalog_page AS (
+  SELECT id + 1 AS cp_catalog_page_sk,
+         'CP' || CAST(id + 1 AS VARCHAR) AS cp_catalog_page_id
+  FROM (SELECT range AS id FROM range(40))),
+tpcds_income_band AS (
+  SELECT id + 1 AS ib_income_band_sk,
+         CAST(id * 10000 AS INTEGER) AS ib_lower_bound,
+         CAST(id * 10000 + 9999 AS INTEGER) AS ib_upper_bound
+  FROM (SELECT range AS id FROM range(20))),
+tpcds_reason AS (
+  SELECT id + 1 AS r_reason_sk,
+         list_extract(['Package was damaged','Stopped working',
+                       'Did not fit','Not the product ordered',
+                       'Parts missing','Does not work with product',
+                       'Gift exchange','Did not like the color',
+                       'Did not like the model','Found a better price'],
+                      CAST(id % 10 AS INTEGER) + 1) AS r_reason_desc
+  FROM (SELECT range AS id FROM range(10))),
 store_sales AS (SELECT * FROM tpcds_store_sales),
 item AS (SELECT * FROM tpcds_item)
 """
@@ -763,6 +1084,11 @@ _ROUND: dict[str, dict[str, int]] = {
 }
 
 
+# date-typed outputs: pandas renders Spark DATE as datetime.date and
+# DuckDB DATE as Timestamp('... 00:00:00') — stringify identically on
+# both sides (ISO) so the driver hash agrees
+_DATES: dict[str, tuple[str, ...]] = {}
+
 _NOT_ALIAS = {
     "where", "group", "order", "on", "limit", "having", "join", "left",
     "right", "full", "cross", "inner", "union", "intersect", "except",
@@ -828,6 +1154,8 @@ def _oracle(q: str) -> str:
             proj.append(f"round({c} + 1.3e-5, {_ROUND[q][c]}) AS {c}")
         elif c in _LONGS.get(q, ()):
             proj.append(f"CAST({c} AS BIGINT) AS {c}")
+        elif c in _DATES.get(q, ()):
+            proj.append(f"CAST(CAST({c} AS DATE) AS VARCHAR) AS {c}")
         else:
             proj.append(c)
     return (
@@ -845,6 +1173,8 @@ def _runner(q: str):
             df = df.withColumn(c, F.round(F.col(c) + 1.3e-5, nd))
         for c in _LONGS.get(q, ()):
             df = df.withColumn(c, F.col(c).cast("long"))
+        for c in _DATES.get(q, ()):
+            df = df.withColumn(c, F.col(c).cast("date").cast("string"))
         return df
 
     run.__doc__ = (
@@ -856,7 +1186,13 @@ def _runner(q: str):
     return run
 
 
-for _q in _COLS:
-    probe(f"p_dstext_{_q}", oracle=_oracle(_q), tags=("tpcds", "sqltext"))(
-        _runner(_q)
+def register(q: str) -> None:
+    """Register p_dstext_<q> from the shared _COLS/_PATCHES/_ROUND/_LONGS/
+    _DATES tables (used by tpcds_sqltext2 for the second tranche)."""
+    probe(f"p_dstext_{q}", oracle=_oracle(q), tags=("tpcds", "sqltext"))(
+        _runner(q)
     )
+
+
+for _q in sorted(_COLS):
+    register(_q)
