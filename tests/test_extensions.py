@@ -251,3 +251,52 @@ class TestAnalyzeShowStats:
             spark.sql("DROP TABLE IF EXISTS region")
             spark.sql("DROP TABLE IF EXISTS nation")
             eng.attach(SF_SMOKE)
+
+
+class TestShowSessionAndCall:
+    """SHOW SESSION and CALL statement routing (SqlBase.g4:94,146-147) —
+    reference result shape per ShowQueriesRewrite (Name/Value/Default/
+    Type/Description) and connector procedures (RollbackToSnapshotProcedure)."""
+
+    def test_show_session_defaults_and_overrides(self, spark):
+        from trino_private_spark.api import Engine
+
+        eng = Engine(spark)
+        df = eng.sql("SHOW SESSION")
+        assert df.columns == ["Name", "Value", "Default", "Type",
+                              "Description"]
+        by_name = {r["Name"]: r for r in df.collect()}
+        assert "join_reordering_strategy" in by_name
+        assert by_name["join_distribution_type"]["Value"] == "AUTOMATIC"
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            eng.set_session("join_distribution_type", "PARTITIONED")
+            by_name = {
+                r["Name"]: r for r in eng.sql("SHOW SESSION").collect()
+            }
+            assert by_name["join_distribution_type"]["Value"] == "PARTITIONED"
+            assert by_name["join_distribution_type"]["Default"] == "AUTOMATIC"
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+    def test_call_rollback_to_snapshot(self, spark, tmp_path):
+        from tests.conftest import SF_SMOKE
+        from trino_private_spark.api import Engine
+
+        eng = Engine(spark)
+        eng.attach(SF_SMOKE)
+        eng.create_cow_table("call_t", "SELECT * FROM region",
+                             str(tmp_path / "call_t"))
+        eng.delete_from("call_t", "r_regionkey < 3")
+        assert eng.sql("SELECT count(*) c FROM call_t").collect()[0].c == 2
+        eng.sql("CALL system.rollback_to_snapshot('call_t', 0)")
+        assert eng.sql("SELECT count(*) c FROM call_t").collect()[0].c == 5
+
+    def test_call_unknown_procedure(self, spark):
+        import pytest as _pytest
+
+        from trino_private_spark.api import Engine
+
+        eng = Engine(spark)
+        with _pytest.raises(ValueError, match="Procedure not registered"):
+            eng.sql("CALL system.create_empty_partition('a', 'b')")

@@ -228,3 +228,60 @@ class TestSubsetAndExclusion:
 
         entry, prog = compile_pattern("a {- b -}? c")
         assert any(ins[0] == "excl_open" for ins in prog)
+
+
+class TestComposedLowering:
+    """MATCH_RECOGNIZE as a table primary inside composed queries
+    (api.py _lower_match_recognize; SqlBase.g4:339 allows
+    patternRecognition wherever a relation is)."""
+
+    @pytest.fixture()
+    def eng(self, spark):
+        from trino_private_spark.api import Engine
+
+        spark.createDataFrame(
+            [(1, 1, 1.0), (1, 2, 2.0), (1, 3, 3.0), (1, 4, 1.0),
+             (2, 1, 5.0), (2, 2, 6.0), (2, 3, 7.0)],
+            "k int, ord int, v double",
+        ).createOrReplaceTempView("mrc_src")
+        spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "k int, label string"
+        ).createOrReplaceTempView("mrc_dim")
+        return Engine(spark)
+
+    MR = ("mrc_src MATCH_RECOGNIZE ("
+          " PARTITION BY k ORDER BY ord"
+          " MEASURES LAST(v) AS last_v ONE ROW PER MATCH"
+          " PATTERN (UP{2,}) DEFINE UP AS v > PREV(v))")
+
+    def test_join_with_dimension(self, eng):
+        # the NFA engine emits untyped (string) partition/measure columns;
+        # cast at the SQL surface like the probes do
+        rows = eng.sql(
+            f"SELECT label, CAST(mr.k AS INT) AS k, "
+            f"CAST(last_v AS DOUBLE) AS last_v FROM {self.MR} AS mr "
+            f"JOIN mrc_dim ON mr.k = mrc_dim.k ORDER BY CAST(mr.k AS INT)"
+        ).collect()
+        assert [(r.label, r.k, r.last_v) for r in rows] == [
+            ("alpha", 1, 3.0), ("beta", 2, 7.0)
+        ]
+
+    def test_inside_subquery_aggregate(self, eng):
+        rows = eng.sql(
+            f"SELECT count(*) AS c FROM (SELECT k FROM {self.MR})"
+        ).collect()
+        assert rows[0].c == 2
+
+    def test_top_level_still_routes(self, eng):
+        assert eng.sql(f"SELECT * FROM {self.MR}").count() == 2
+
+    def test_unknown_source_clear_error(self, eng):
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        with pytest.raises(AnalysisException):
+            eng.sql(
+                "SELECT * FROM nonexistent_tbl MATCH_RECOGNIZE ("
+                " PARTITION BY k ORDER BY ord MEASURES LAST(v) AS lv"
+                " ONE ROW PER MATCH PATTERN (A) DEFINE A AS v > 0) AS x"
+                " JOIN mrc_dim ON 1 = 1"
+            )

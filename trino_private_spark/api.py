@@ -59,6 +59,13 @@ class Engine:
         )
         if ss:
             return self.show_stats(ss.group(1))
+        if _re.match(r"\s*SHOW\s+SESSION\s*$", text, flags=_re.I):
+            return self.show_session()
+        cm = _re.match(
+            r"\s*CALL\s+([\w.]+)\s*\((.*)\)\s*$", text, flags=_re.I | _re.S
+        )
+        if cm:
+            return self.call(cm.group(1), cm.group(2))
         sec = self._security_statement(text)
         if sec is not None:
             return sec
@@ -81,11 +88,56 @@ class Engine:
             # enforce SELECT on it before pattern matching runs
             self._enforce_select(src)
             return sql_match_recognize(src, mr.group(2))
+        if _re.search(r"\bMATCH_RECOGNIZE\s*\(", text, flags=_re.I):
+            # patternRecognition as a table primary anywhere in the query
+            # (SqlBase.g4:339): lower each occurrence to a temp view so it
+            # composes under joins, CTEs and subqueries
+            text = self._lower_match_recognize(text)
         if dialect == "trino":
             text = translate(text)
         df = self.spark.sql(text)
         self._enforce_select(df)
         return df
+
+    def _lower_match_recognize(self, text: str) -> str:
+        """Rewrite every ``<table> MATCH_RECOGNIZE (...)`` table primary
+        into a registered temp view over the row-pattern engine's result,
+        so MATCH_RECOGNIZE composes with joins/CTEs/subqueries (the
+        reference allows it anywhere a table primary is allowed,
+        SqlBase.g4:339 patternRecognition). The source must be a
+        resolvable table/view name (a CTE defined in the same statement is
+        not visible at lowering time — materialize it as a temp view
+        first); ``spark.table`` raises a clear error otherwise."""
+        import re as _re
+
+        from trino_private_spark.operators.row_pattern_sql import (
+            sql_match_recognize,
+        )
+
+        pat = _re.compile(
+            r"([A-Za-z_][\w.]*)\s+(MATCH_RECOGNIZE)\s*\(", flags=_re.I
+        )
+        n = 0
+        while True:
+            m = pat.search(text)
+            if m is None:
+                return text
+            depth, j = 1, m.end()
+            while j < len(text) and depth:
+                if text[j] == "(":
+                    depth += 1
+                elif text[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise ValueError("unbalanced MATCH_RECOGNIZE parentheses")
+            src = self.spark.table(m.group(1))
+            self._enforce_select(src)
+            df = sql_match_recognize(src, text[m.start(2):j])
+            vname = f"__mr_lowered_{n}"
+            n += 1
+            df.createOrReplaceTempView(vname)
+            text = text[: m.start(1)] + vname + text[j:]
 
     # --- roles / grants / transactions (SqlBase.g4:95-123,150-152) -------
 
@@ -412,10 +464,85 @@ class Engine:
         "query_max_execution_time": lambda v: [],  # no session-level twin
     }
 
+    # SHOW SESSION result rows for the mapped reference properties:
+    # (name, default, type, description) — values come from the session
+    # (SystemSessionProperties.java defines the reference's full set; the
+    # shim lists the mapped subset plus anything SET SESSION touched)
+    _SESSION_DEFAULTS = [
+        ("join_reordering_strategy", "AUTOMATIC", "varchar",
+         "The join reordering strategy to use"),
+        ("join_distribution_type", "AUTOMATIC", "varchar",
+         "The join method to use. Options are BROADCAST/PARTITIONED/"
+         "AUTOMATIC"),
+        ("hash_partition_count", "100", "integer",
+         "Number of partitions for distributed joins and aggregations"),
+        ("enable_dynamic_filtering", "true", "boolean",
+         "Enable dynamic filtering"),
+        ("spill_enabled", "false", "boolean",
+         "Enable spilling"),
+        ("query_max_execution_time", "100d", "varchar",
+         "Maximum execution time of a query"),
+    ]
+
+    def show_session(self) -> DataFrame:
+        """SHOW SESSION (SqlBase.g4:146): the reference's result shape —
+        Name, Value, Default, Type, Description — for the mapped session
+        properties, with current values reflecting earlier SET SESSION
+        calls (ShowQueriesRewrite renders SystemSessionProperties the
+        same way)."""
+        props = getattr(self, "_session_props", {})
+        rows = []
+        listed = set()
+        for name, default, typ, desc in self._SESSION_DEFAULTS:
+            listed.add(name)
+            rows.append((name, props.get(name, default), default, typ, desc))
+        for name in sorted(set(props) - listed):
+            rows.append((name, props[name], "", "varchar",
+                         "Pass-through Spark configuration property"))
+        return self.spark.createDataFrame(
+            rows,
+            "Name string, Value string, Default string, Type string, "
+            "Description string",
+        )
+
+    def call(self, procedure: str, args_text: str = "") -> DataFrame:
+        """CALL <proc>(...) (SqlBase.g4:94): system procedures. The
+        reference's iceberg/hive connectors register e.g.
+        rollback_to_snapshot (RollbackToSnapshotProcedure); the shim maps
+        the ones with a local analogue and rejects the rest with the
+        reference's error wording."""
+        import ast
+        import re as _re
+
+        name = procedure.lower().split(".")[-1]
+        args = []
+        for part in _re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", args_text):
+            part = part.strip()
+            if not part:
+                continue
+            if "=>" in part:  # named argument: CALL p(x => 1)
+                part = part.split("=>", 1)[1].strip()
+            try:
+                args.append(ast.literal_eval(part))
+            except (ValueError, SyntaxError):
+                args.append(part)
+        if name == "rollback_to_snapshot":
+            self.rollback_to(str(args[0]), int(args[1]))
+            return self._one("CALL")
+        if name == "expire_snapshots":
+            self.vacuum(str(args[0]))
+            return self._one("CALL")
+        raise ValueError(
+            f"Procedure not registered: {procedure}"
+        )
+
     def set_session(self, key: str, value: str) -> None:
         """SET SESSION shim (SqlBase.g4:148): reference session property
         names map to their Spark conf twins (see ``_SESSION_MAP``); other
         keys set the Spark conf directly."""
+        if not hasattr(self, "_session_props"):
+            self._session_props: dict[str, str] = {}
+        self._session_props[key] = value
         for conf_key, conf_val in self._SESSION_MAP.get(
             key, lambda v: [(key, v)]
         )(value):

@@ -440,3 +440,63 @@ def p_mr_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "classifier",
         F.col("match_number").cast("long").alias("match_number"),
     ).orderBy("o_custkey", "row_pos")
+
+
+@probe(
+    "p_mr_composed",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey AS ck, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
+             CASE WHEN o_totalprice > LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) THEN 'u' END AS dir
+      FROM orders WHERE o_custkey <= 300),
+    isl AS (SELECT ck, rn, rn - ROW_NUMBER() OVER (PARTITION BY ck ORDER BY rn) AS grp
+            FROM seq WHERE dir = 'u'),
+    runs AS (SELECT ck, grp, MIN(rn) AS srt, COUNT(*) AS len
+             FROM isl GROUP BY ck, grp HAVING COUNT(*) >= 2)
+    SELECT c_name,
+           ck AS o_custkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY ck ORDER BY srt) AS BIGINT) AS match_number,
+           CAST(len AS BIGINT) AS n_rows
+    FROM runs JOIN customer ON ck = c_custkey
+    ORDER BY o_custkey, match_number
+    """,
+    tags=("custom",),
+)
+def p_mr_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE as a table primary INSIDE a composed query
+    (SqlBase.g4:339 patternRecognition is allowed anywhere a relation
+    is): the pattern result joins a dimension table in one statement.
+    api.Engine lowers the clause to a temp view (api.py
+    _lower_match_recognize), so Catalyst plans the surrounding join as
+    usual.  Oracle = rising islands >= 2 joined to customer."""
+    from trino_private_spark.api import Engine
+    from trino_private_spark.queries import T
+
+    t = T(spark, sf_dir)
+    t.orders.where(F.col("o_custkey") <= 300).select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    ).createOrReplaceTempView("mr_comp_orders")
+    t.customer.createOrReplaceTempView("mr_comp_cust")
+    eng = Engine(spark)
+    out = eng.sql(
+        """
+        SELECT c_name, o_custkey, match_number, n_rows
+        FROM mr_comp_orders MATCH_RECOGNIZE (
+          PARTITION BY o_custkey
+          ORDER BY o_orderkey
+          MEASURES MATCH_NUMBER() AS mn
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (UP{2,})
+          DEFINE UP AS o_totalprice > PREV(o_totalprice)
+        ) AS mr
+        JOIN mr_comp_cust ON mr.o_custkey = mr_comp_cust.c_custkey
+        """
+    )
+    return out.select(
+        "c_name",
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("match_number").cast("long").alias("match_number"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    ).orderBy("o_custkey", "match_number")
