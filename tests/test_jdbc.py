@@ -81,3 +81,22 @@ def test_jdbc_pushdown_subquery(spark, derby_url):
         driver="org.apache.derby.jdbc.EmbeddedDriver",
     )
     assert df.count() == 49  # ids 51..99
+
+
+def test_jdbc_explain_io_entry(spark, derby_url):
+    """EXPLAIN (TYPE IO) reports a jdbc entry with pushed filters for
+    RowDataSourceScanExec leaves (IoPlanPrinter analogue for the
+    federation path)."""
+    import json
+
+    from trino_private_spark.plans.explain import explain_typed
+
+    df = read_jdbc(
+        spark, derby_url, "t_orders",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    ).where("id > 10").select("id", "amount")
+    io = json.loads(explain_typed(df, "IO"))
+    assert io["inputTableInfos"], io
+    entry = io["inputTableInfos"][0]
+    assert entry["format"] == "jdbc"
+    assert "id" in entry.get("pushedFilters", "") or "10" in str(entry)

@@ -94,6 +94,37 @@ def explain_typed(df: DataFrame, type_: str = "DISTRIBUTED") -> str:
                 ):
                     if key in raw:
                         entry[label] = raw[key]
+                # a parquet leaf under a registered Iceberg table root is
+                # part of a composed Iceberg read: report the TABLE, the
+                # way IoPlanPrinter names the connector table
+                try:
+                    from trino_private_spark.sources.iceberg import (
+                        IO_TABLE_ROOTS,
+                    )
+
+                    loc = entry.get("location", "")
+                    for root in IO_TABLE_ROOTS:
+                        if root and root in loc:
+                            entry["format"] = "iceberg"
+                            entry["table"] = root
+                            break
+                except ImportError:  # pragma: no cover
+                    pass
+            elif cls == "RowDataSourceScanExec":
+                # JDBC (and other row-based V1 sources): metadata carries
+                # the pushed filters and read schema like the file scan
+                meta = leaf.metadata()
+                it = meta.iterator()
+                raw = {}
+                while it.hasNext():
+                    kv = it.next()
+                    raw[kv._1()] = kv._2()
+                entry["format"] = "jdbc"
+                entry["table"] = ""
+                if "PushedFilters" in raw:
+                    entry["pushedFilters"] = raw["PushedFilters"]
+                if "ReadSchema" in raw:
+                    entry["readSchema"] = raw["ReadSchema"]
             elif cls in ("InMemoryTableScanExec", "TableCacheQueryStageExec"):
                 entry["format"] = "cached"
                 entry["table"] = ""

@@ -118,3 +118,78 @@ def p_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot-log resolution)."""
     loc = _build(sf_dir)
     return read_iceberg(spark, loc, as_of_ms=1500).orderBy("n_nationkey")
+
+
+@probe(
+    "p_iceberg_write_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+      UNION ALL
+      SELECT n_nationkey + 100, n_name, n_regionkey FROM nation
+    )
+    SELECT n_nationkey, n_name, n_regionkey FROM base
+    WHERE n_nationkey % 3 <> 0
+    ORDER BY n_nationkey
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE path round-trip (sources/iceberg_write.py; reference
+    IcebergMetadata.java:397 beginCreateTable, :418 beginInsert, :611
+    executeDelete): CTAS from nation -> append a shifted copy -> DELETE
+    key%3=0 via position-delete files -> read the final snapshot back
+    through the shim. Three commits, three metadata versions, real Avro
+    manifests; oracle is the same algebra in plain SQL."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_create,
+        iceberg_delete,
+    )
+
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_w_") + "/t"
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    iceberg_create(nation, loc)
+    iceberg_append(
+        nation.withColumn("n_nationkey", F.col("n_nationkey") + 100), loc
+    )
+    iceberg_delete(spark, loc, "n_nationkey % 3 = 0")
+    return read_iceberg(spark, loc).orderBy("n_nationkey")
+
+
+@probe(
+    "p_iceberg_write_time_travel",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_write_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation across the writer's own commits: after append +
+    delete, FOR VERSION AS OF the first commit still reads the original
+    CTAS contents (metadata versions v1..v3 all on disk)."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.sources.iceberg import IcebergTable
+    from trino_private_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_create,
+        iceberg_delete,
+    )
+
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_tt_") + "/t"
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    iceberg_create(nation, loc)
+    iceberg_append(
+        nation.withColumn("n_nationkey", F.col("n_nationkey") + 100), loc
+    )
+    iceberg_delete(spark, loc, "n_nationkey % 3 = 0")
+    first = IcebergTable(loc).snapshots()[0]["snapshot-id"]
+    return read_iceberg(spark, loc, snapshot_id=first).orderBy("n_nationkey")

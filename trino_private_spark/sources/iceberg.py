@@ -162,11 +162,18 @@ def _local(p: str) -> str:
     return re.sub(r"^file:/{0,2}(?=/)", "", p)
 
 
+# table roots seen by this process, so EXPLAIN (TYPE IO) can attribute a
+# composed read's parquet scan leaves back to the Iceberg table they came
+# from (IoPlanPrinter reports the connector table, not the raw files)
+IO_TABLE_ROOTS: set[str] = set()
+
+
 class IcebergTable:
     """Read-only handle over an Iceberg v2 table directory."""
 
     def __init__(self, location: str):
         self.location = location
+        IO_TABLE_ROOTS.add(_local(location))
         md_dir = os.path.join(location, "metadata")
         hint = os.path.join(md_dir, "version-hint.text")
         md_path = None
@@ -270,7 +277,12 @@ class IcebergTable:
         spark: SparkSession,
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
+        with_lineage: bool = False,
     ) -> DataFrame:
+        """Read the table contents after delete application. With
+        ``with_lineage`` the result keeps ``__file``/``__pos`` columns
+        (data file path + row ordinal) — the handles a DELETE writer needs
+        to emit position-delete files for the surviving rows it matches."""
         files = self.data_files(snapshot_id, as_of_ms)
         # A data file can be listed by more than one manifest (ADDED once,
         # EXISTING after rewrites); keep one entry per path, max seq.
@@ -286,7 +298,15 @@ class IcebergTable:
         if not data:
             raise ValueError("snapshot has no data files")
         df = spark.read.parquet(*[f.path for f in data])
+        norm0 = lambda c: F.regexp_replace(c, "^file:/{0,2}/", "/")  # noqa: E731
         if not pos_del and not eq_del:
+            if with_lineage:
+                df = df.withColumns(
+                    {
+                        "__file": norm0(F.col("_metadata.file_path")),
+                        "__pos": F.col("_metadata.row_index"),
+                    }
+                )
             return df
 
         # Delete files carry the data file's ORIGINAL (possibly file:- or
@@ -389,7 +409,11 @@ class IcebergTable:
                 )
                 .drop("__eq_hit", *[f"__eqd_{c}" for c in join_names])
             )
-        return df.drop("__file", "__pos", "__seq")
+        return (
+            df.drop("__seq")
+            if with_lineage
+            else df.drop("__file", "__pos", "__seq")
+        )
 
     def _current_schema(self) -> dict:
         cur_id = self.metadata.get("current-schema-id")
