@@ -300,3 +300,29 @@ class TestShowSessionAndCall:
         eng = Engine(spark)
         with _pytest.raises(ValueError, match="Procedure not registered"):
             eng.sql("CALL system.create_empty_partition('a', 'b')")
+
+
+class TestEngineIcebergFormat:
+    """Engine-level Iceberg format routing: ctas(fmt='iceberg') commits a
+    real v2 table (sources/iceberg_write.py), insert_into appends a
+    snapshot, and the registered view reads through the shim."""
+
+    def test_ctas_insert_roundtrip(self, spark, tmp_path):
+        from tests.conftest import SF_SMOKE
+        from trino_private_spark.api import Engine
+        from trino_private_spark.sources.iceberg import IcebergTable
+
+        eng = Engine(spark)
+        eng.attach(SF_SMOKE)
+        loc = str(tmp_path / "ice_t")
+        eng.ctas("ice_t", "SELECT r_regionkey, r_name FROM region",
+                 path=loc, fmt="iceberg")
+        assert eng.sql("SELECT count(*) c FROM ice_t").collect()[0].c == 5
+        eng.insert_into(
+            loc,
+            "SELECT r_regionkey + 10 AS r_regionkey, r_name FROM region",
+            fmt="iceberg",
+        )
+        t = IcebergTable(loc)
+        assert len(t.snapshots()) == 2
+        assert t.read(spark).count() == 10

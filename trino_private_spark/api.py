@@ -413,7 +413,17 @@ class Engine:
         if hasattr(self, "_acl") and self._acl.enforce:
             self._acl.check(self._user, self._enabled_roles, "INSERT", name)
         df = self.sql(text, dialect)
-        if path:
+        if path and fmt == "iceberg":
+            # CREATE TABLE ... WITH (format = 'ICEBERG') analogue: commit
+            # a real Iceberg v2 table and register a view over the shim
+            from trino_private_spark.sources.iceberg import read_iceberg
+            from trino_private_spark.sources.iceberg_write import (
+                iceberg_create,
+            )
+
+            iceberg_create(df, path)
+            read_iceberg(self.spark, path).createOrReplaceTempView(name)
+        elif path:
             df.write.mode("overwrite").format(fmt).save(path)
             self.spark.read.format(fmt).load(path).createOrReplaceTempView(name)
         else:
@@ -430,6 +440,13 @@ class Engine:
 
             name = table or _os.path.splitext(_os.path.basename(path.rstrip("/")))[0]
             self._acl.check(self._user, self._enabled_roles, "INSERT", name)
+        if fmt == "iceberg":
+            from trino_private_spark.sources.iceberg_write import (
+                iceberg_append,
+            )
+
+            iceberg_append(self.sql(text, dialect), path)
+            return
         self.sql(text, dialect).write.mode("append").format(fmt).save(path)
 
     # Trino session properties (SystemSessionProperties.java) with a direct
