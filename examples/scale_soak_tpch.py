@@ -77,6 +77,23 @@ def generate(spark, out_dir: str, copies: int) -> None:
                             df.schema[col].dataType
                         ),
                     )
+            if t == "lineitem":
+                # De-tie the copies: identical value-sets per copy make
+                # "= (SELECT max(total_revenue) ...)" (q15) an exact
+                # 10-way FLOAT tie — DuckDB's deterministic sum order
+                # keeps the tie bit-exact, Spark's partial-sum order
+                # doesn't, so row counts diverge. A per-copy relative
+                # nudge of 1e-6 (fractions of a cent; no TPC-H literal
+                # predicates touch extendedprice) separates the copies'
+                # revenues by ~1e-6 relative — orders of magnitude above
+                # FP summation noise — so both engines agree on a unique
+                # max. Real sf1 data has no exact FP ties; this keeps
+                # the replica faithful to that.
+                out = out.withColumn(
+                    "l_extendedprice",
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) + F.col("__k") * F.lit(1e-6)),
+                )
             out = out.drop("__k")
         out.repartition(32).write.mode("overwrite").parquet(
             f"{out_dir}/{t}.parquet"
@@ -121,15 +138,25 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/scale_tpch_sf1")
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument(
+        "--families",
+        default="tpch",
+        help="comma list: tpch (22 sqltext + bench), dstext (99 TPC-DS texts)",
+    )
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
+    # The engine's tuned session (AQE, CBO, bloom joins, broadcast
+    # threshold) — the soak must measure the engine's own posture, not a
+    # bare default session.
+    from trino_private_spark.engine import get_spark
 
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "48g")
-        .getOrCreate()
+    spark = get_spark(
+        app_name="tpch-soak",
+        master="local[32]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": "32",
+            "spark.driver.memory": "48g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -147,7 +174,12 @@ def main() -> None:
     from trino_private_spark.queries import all_probes
 
     probes = all_probes()
-    names = [f"p_sqltext_q{i:02d}" for i in range(1, 23)] + BENCH
+    fams = {f.strip() for f in args.families.split(",")}
+    names = []
+    if "tpch" in fams:
+        names += [f"p_sqltext_q{i:02d}" for i in range(1, 23)] + BENCH
+    if "dstext" in fams:
+        names += [f"p_dstext_q{i:02d}" for i in range(1, 100)]
     ok = bad = 0
     rows = []
     for n in names:

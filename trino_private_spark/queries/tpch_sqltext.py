@@ -253,6 +253,19 @@ _PATCHES: dict[str, list[tuple[str, str]]] = {
     ],
     "q11": [("${scale}", "1"), ("'GERMANY'", "'NATION_7'")],
     "q12": [("DATE '1994-01-01'", "DATE '1996-01-01'")],
+    "q15": [
+        # Compare the scalar-max at cent precision, identically on both
+        # engines. Both Spark and DuckDB inline the revenue0 CTE, so the
+        # "= (SELECT max(...))" predicate evaluates the SAME double sum
+        # TWICE with independent parallel orderings; above ~1M rows the
+        # two orderings differ in the last bits and the exact-equality
+        # filter silently returns 0 rows (caught by the sf1 soak,
+        # SCALE.md). round(..., 2) makes the self-comparison stable at
+        # any scale; the engine-vs-engine hash still goes through _ROUND.
+        ("total_revenue = (SELECT max(total_revenue) FROM revenue0)",
+         "round(total_revenue, 2) = "
+         "(SELECT max(round(total_revenue, 2)) FROM revenue0)"),
+    ],
     "q16": [("'Brand#45'", "'Brand#4'"),
             ("'MEDIUM POLISHED%'", "'MEDIUM%'")],
     "q18": [
@@ -350,9 +363,20 @@ def _load(q: str) -> str:
     return text.strip().rstrip(";")
 
 
+_VIEWS_READY: set[tuple[int, str]] = set()
+
+
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    # Memoized per (session, sf_dir): 22 probes share one fixture; paying
+    # file-listing + footer reads per probe is pure metadata overhead
+    # (the same reasoning as catalog.load_table's memo — at 100 TB this
+    # is a driver metadata storm, cf. Trino's CachingHiveMetastore).
+    key = (id(spark), sf_dir)
+    if key in _VIEWS_READY:
+        return
     for name, sql in _spark_views(sf_dir).items():
         spark.sql(sql).createOrReplaceTempView(name)
+    _VIEWS_READY.add(key)
 
 
 def _oracle(q: str) -> str:
