@@ -1,0 +1,147 @@
+"""Statement routing through Engine.sql() for the session / prepared /
+metadata statement surface (SqlBase.g4:90,135,148-149,153-157,159):
+SET/RESET SESSION, SET TIME ZONE, PREPARE/EXECUTE/DEALLOCATE,
+DESCRIBE INPUT/OUTPUT, SHOW CREATE TABLE, USE."""
+
+from __future__ import annotations
+
+import pytest
+
+from trino_private_spark.api import Engine
+
+
+@pytest.fixture()
+def engine(spark):
+    e = Engine(spark)
+    e.attach("/root/testdata/sf0.001")
+    return e
+
+
+def test_set_and_show_session(engine):
+    engine.sql("SET SESSION query_max_execution_time = '7d'")
+    rows = {r["Name"]: r["Value"] for r in engine.sql("SHOW SESSION").collect()}
+    assert rows["query_max_execution_time"] == "7d"
+
+
+def test_reset_session_restores_default(engine):
+    engine.sql("SET SESSION query_max_execution_time = '7d'")
+    engine.sql("RESET SESSION query_max_execution_time")
+    rows = {r["Name"]: (r["Value"], r["Default"])
+            for r in engine.sql("SHOW SESSION").collect()}
+    v, d = rows["query_max_execution_time"]
+    assert v == d
+
+
+def test_set_time_zone_statement(engine):
+    engine.sql("SET TIME ZONE 'America/New_York'")
+    assert (
+        engine.spark.conf.get("spark.sql.session.timeZone")
+        == "America/New_York"
+    )
+    engine.sql("SET TIME ZONE 'UTC'")
+    assert engine.spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_prepare_execute_deallocate_statements(engine):
+    engine.sql("PREPARE q1 FROM SELECT n_name FROM nation WHERE n_regionkey = ? ORDER BY n_name")
+    got = [r.n_name for r in engine.sql("EXECUTE q1 USING 0").collect()]
+    assert got == sorted(got) and len(got) > 0
+    # re-execute with a different binding — same plan text
+    got2 = [r.n_name for r in engine.sql("EXECUTE q1 USING 1").collect()]
+    assert got2 and got2 != got
+    engine.sql("DEALLOCATE PREPARE q1")
+    with pytest.raises(KeyError):
+        engine.sql("EXECUTE q1 USING 0")
+
+
+def test_execute_string_and_null_literals(engine):
+    engine.sql("PREPARE q2 FROM SELECT count(*) AS c FROM nation WHERE n_name = ?")
+    n = engine.sql("EXECUTE q2 USING 'NATION_3'").collect()[0].c
+    assert n == 1
+    # quoted-quote unescaping
+    engine.sql("PREPARE q3 FROM SELECT ? AS s")
+    assert engine.sql("EXECUTE q3 USING 'it''s'").collect()[0].s == "it's"
+
+
+def test_describe_input(engine):
+    engine.sql(
+        "PREPARE q4 FROM SELECT * FROM nation WHERE n_regionkey = ? AND n_name <> ?"
+    )
+    rows = engine.sql("DESCRIBE INPUT q4").collect()
+    assert [r["Position"] for r in rows] == [0, 1]
+    assert all(r["Type"] == "unknown" for r in rows)
+
+
+def test_describe_input_ignores_question_mark_in_string(engine):
+    engine.sql("PREPARE q5 FROM SELECT '?' AS lit FROM nation WHERE n_regionkey = ?")
+    rows = engine.sql("DESCRIBE INPUT q5").collect()
+    assert len(rows) == 1
+
+
+def test_describe_output(engine):
+    engine.sql(
+        "PREPARE q6 FROM SELECT n_name, n_regionkey, count(*) AS c "
+        "FROM nation GROUP BY n_name, n_regionkey"
+    )
+    rows = {r["Column Name"]: r["Type"] for r in engine.sql("DESCRIBE OUTPUT q6").collect()}
+    assert rows["n_name"] == "varchar"
+    assert rows["n_regionkey"] == "integer"
+    assert rows["c"] == "bigint"
+
+
+def test_show_create_table(engine):
+    ddl = engine.sql("SHOW CREATE TABLE nation").collect()[0]["Create Table"]
+    assert ddl.startswith("CREATE TABLE nation (")
+    assert "n_name varchar" in ddl
+    assert "n_nationkey integer" in ddl
+
+
+def test_use_statement(engine):
+    engine.sql("USE default")
+    assert engine.spark.catalog.currentDatabase() == "default"
+    with pytest.raises(ValueError, match="Schema does not exist"):
+        engine.sql("USE no_such_schema")
+
+
+def test_explain_analyze_statement(engine):
+    rows = engine.sql(
+        "EXPLAIN ANALYZE SELECT count(*) AS c FROM nation"
+    ).collect()
+    assert len(rows) == 1
+    assert "Aggregate" in rows[0]["Query Plan"] or "HashAggregate" in rows[0]["Query Plan"]
+
+
+def test_comment_on_and_set_path(engine):
+    engine.sql("COMMENT ON TABLE nation IS 'the nations'")
+    engine.sql("COMMENT ON COLUMN nation.n_name IS 'it''s a name'")
+    assert engine._comments["table:nation"] == "the nations"
+    assert engine._comments["column:nation.n_name"] == "it's a name"
+    engine.sql("COMMENT ON TABLE nation IS NULL")
+    assert "table:nation" not in engine._comments
+    engine.sql("SET PATH a.b")
+    assert engine._sql_path == "a.b"
+
+
+def test_show_create_view_routes(engine):
+    ddl = engine.sql("SHOW CREATE VIEW nation").collect()[0]["Create Table"]
+    assert ddl.startswith("CREATE TABLE nation (")
+
+
+def test_trino_type_rendering(engine):
+    from pyspark.sql import types as T
+
+    assert Engine._trino_type(T.StringType()) == "varchar"
+    assert Engine._trino_type(T.DecimalType(12, 2)) == "decimal(12,2)"
+    assert (
+        Engine._trino_type(T.ArrayType(T.IntegerType())) == "array(integer)"
+    )
+    assert (
+        Engine._trino_type(
+            T.StructType([T.StructField("a", T.LongType())])
+        )
+        == "row(a bigint)"
+    )
+    assert (
+        Engine._trino_type(T.MapType(T.StringType(), T.DoubleType()))
+        == "map(varchar, double)"
+    )

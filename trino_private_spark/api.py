@@ -41,6 +41,14 @@ class Engine:
         (Spark has no MATCH_RECOGNIZE; SqlBase.g4 patternRecognition)."""
         import re as _re
 
+        ea = _re.match(
+            r"\s*EXPLAIN\s+ANALYZE\s+(.+)$", text, flags=_re.I | _re.S
+        )
+        if ea:
+            plan = self.explain_analyze(ea.group(1), dialect)
+            return self.spark.createDataFrame(
+                [(plan,)], "`Query Plan` string"
+            )
         em = _re.match(
             r"\s*EXPLAIN\s*\(\s*TYPE\s+(LOGICAL|DISTRIBUTED|VALIDATE|IO)\s*\)\s*(.+)$",
             text,
@@ -66,6 +74,87 @@ class Engine:
         )
         if cm:
             return self.call(cm.group(1), cm.group(2))
+        m = _re.match(
+            r"\s*SET\s+SESSION\s+([\w.]+)\s*=\s*(.+?)\s*$", text, flags=_re.I
+        )
+        if m:
+            val = m.group(2)
+            if len(val) >= 2 and val[0] == "'" and val[-1] == "'":
+                val = val[1:-1]
+            self.set_session(m.group(1), val)
+            return self._one("SET SESSION")
+        m = _re.match(r"\s*RESET\s+SESSION\s+([\w.]+)\s*$", text, flags=_re.I)
+        if m:
+            self.reset_session(m.group(1))
+            return self._one("RESET SESSION")
+        m = _re.match(
+            r"\s*SET\s+TIME\s+ZONE\s+(LOCAL|'[^']+')\s*$", text, flags=_re.I
+        )
+        if m:
+            z = m.group(1)
+            if z.upper() == "LOCAL":
+                self.spark.conf.unset("spark.sql.session.timeZone")
+            else:
+                self.set_time_zone(z[1:-1])
+            return self._one("SET TIME ZONE")
+        m = _re.match(
+            r"\s*PREPARE\s+(\w+)\s+FROM\s+(.+)$", text, flags=_re.I | _re.S
+        )
+        if m:
+            self.prepare(m.group(1), m.group(2), dialect)
+            return self._one("PREPARE")
+        m = _re.match(
+            r"\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.+))?\s*$",
+            text,
+            flags=_re.I | _re.S,
+        )
+        if m:
+            return self.execute(m.group(1), *self._parse_literals(m.group(2)))
+        m = _re.match(
+            r"\s*DEALLOCATE\s+PREPARE\s+(\w+)\s*$", text, flags=_re.I
+        )
+        if m:
+            self.deallocate(m.group(1))
+            return self._one("DEALLOCATE")
+        m = _re.match(r"\s*DESCRIBE\s+INPUT\s+(\w+)\s*$", text, flags=_re.I)
+        if m:
+            return self.describe_input(m.group(1))
+        m = _re.match(r"\s*DESCRIBE\s+OUTPUT\s+(\w+)\s*$", text, flags=_re.I)
+        if m:
+            return self.describe_output(m.group(1))
+        m = _re.match(
+            r"\s*SHOW\s+CREATE\s+(?:TABLE|VIEW)\s+([\w.]+)\s*$",
+            text,
+            flags=_re.I,
+        )
+        if m:
+            return self.show_create_table(m.group(1))
+        m = _re.match(
+            r"\s*COMMENT\s+ON\s+(TABLE|COLUMN)\s+([\w.]+)\s+IS\s+"
+            r"(?:'((?:[^']|'')*)'|(NULL))\s*$",
+            text,
+            flags=_re.I,
+        )
+        if m:
+            # COMMENT ON TABLE/COLUMN (SqlBase.g4:62-63): session-scoped
+            # comment registry (the reference stores these in connector
+            # metadata; temp views have no persistent metastore here)
+            if not hasattr(self, "_comments"):
+                self._comments: dict[str, str] = {}
+            key = f"{m.group(1).lower()}:{m.group(2).lower()}"
+            if m.group(4):
+                self._comments.pop(key, None)
+            else:
+                self._comments[key] = (m.group(3) or "").replace("''", "'")
+            return self._one("COMMENT")
+        m = _re.match(r"\s*SET\s+PATH\s+(.+?)\s*$", text, flags=_re.I)
+        if m:
+            self._sql_path = m.group(1)
+            return self._one("SET PATH")
+        m = _re.match(r"\s*USE\s+([\w.]+)\s*$", text, flags=_re.I)
+        if m:
+            self.use(m.group(1))
+            return self._one("USE")
         sec = self._security_statement(text)
         if sec is not None:
             return sec
@@ -401,6 +490,8 @@ class Engine:
     def explain_analyze(self, text: str, dialect: str = "trino") -> str:
         """EXPLAIN ANALYZE: execute, then report the plan with runtime
         metrics (ExplainAnalyzeOperator analogue via the Spark UI metrics)."""
+        from trino_private_spark.plans.explain import explain_str
+
         df = self.sql(text, dialect)
         df.collect()
         return explain_str(df, "cost")
@@ -590,6 +681,155 @@ class Engine:
     def deallocate(self, name: str) -> None:
         """DEALLOCATE PREPARE name."""
         self._prepared.pop(name, None)
+
+    def reset_session(self, key: str) -> None:
+        """RESET SESSION key (SqlBase.g4:149): restore the property to its
+        default — mapped properties re-apply their default through the
+        same conf mapping SET SESSION used; pass-through Spark confs are
+        unset."""
+        props = getattr(self, "_session_props", {})
+        props.pop(key, None)
+        default = next(
+            (d for n, d, _t, _desc in self._SESSION_DEFAULTS if n == key),
+            None,
+        )
+        if default is not None and key in self._SESSION_MAP:
+            for conf_key, conf_val in self._SESSION_MAP[key](default):
+                self.spark.conf.set(conf_key, conf_val)
+        else:
+            try:
+                self.spark.conf.unset(key)
+            except Exception:
+                pass
+
+    @staticmethod
+    def _parse_literals(args_text):
+        """Parse a comma-separated SQL literal list (EXECUTE ... USING /
+        CALL arguments): quoted strings, numerics, booleans, NULL."""
+        import ast
+        import re as _re
+
+        if not args_text:
+            return []
+        out = []
+        for part in _re.split(
+            r",(?=(?:[^']*'[^']*')*[^']*$)", args_text
+        ):
+            part = part.strip()
+            if not part:
+                continue
+            if part.upper() == "NULL":
+                out.append(None)
+            elif part.upper() in ("TRUE", "FALSE"):
+                out.append(part.upper() == "TRUE")
+            elif len(part) >= 2 and part[0] == "'" and part[-1] == "'":
+                out.append(part[1:-1].replace("''", "'"))
+            else:
+                try:
+                    out.append(ast.literal_eval(part))
+                except (ValueError, SyntaxError):
+                    out.append(part)
+        return out
+
+    @staticmethod
+    def _trino_type(dt) -> str:
+        """Spark DataType -> reference type name (StandardTypes.java)."""
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.StringType):
+            return "varchar"
+        if isinstance(dt, T.LongType):
+            return "bigint"
+        if isinstance(dt, T.IntegerType):
+            return "integer"
+        if isinstance(dt, T.ShortType):
+            return "smallint"
+        if isinstance(dt, T.ByteType):
+            return "tinyint"
+        if isinstance(dt, T.FloatType):
+            return "real"
+        if isinstance(dt, T.BinaryType):
+            return "varbinary"
+        if isinstance(dt, T.DecimalType):
+            return f"decimal({dt.precision},{dt.scale})"
+        if isinstance(dt, T.ArrayType):
+            return f"array({Engine._trino_type(dt.elementType)})"
+        if isinstance(dt, T.MapType):
+            return (
+                f"map({Engine._trino_type(dt.keyType)}, "
+                f"{Engine._trino_type(dt.valueType)})"
+            )
+        if isinstance(dt, T.StructType):
+            inner = ", ".join(
+                f"{f.name} {Engine._trino_type(f.dataType)}" for f in dt
+            )
+            return f"row({inner})"
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return "timestamp"
+        return dt.simpleString()
+
+    def _prepared_schema(self, name: str):
+        """Analysis-only schema of a prepared statement; `?` parameter
+        markers are typed by substituting NULL (the reference types them
+        `unknown` at DESCRIBE time too)."""
+        import re as _re
+
+        text = self._prepared[name]
+        # replace ? markers outside single-quoted strings with NULL
+        text = _re.sub(r"\?(?=(?:[^']*'[^']*')*[^']*$)", "NULL", text)
+        return self.spark.sql(text).schema
+
+    def describe_input(self, name: str) -> DataFrame:
+        """DESCRIBE INPUT name (SqlBase.g4:156): one row per `?` marker.
+        The reference resolves parameter types from analysis; the shim
+        reports position with type `unknown` (the reference's own type for
+        untyped parameters)."""
+        import re as _re
+
+        text = self._prepared[name]
+        n = len(_re.findall(r"\?(?=(?:[^']*'[^']*')*[^']*$)", text))
+        rows = [(i, "unknown") for i in range(n)]
+        return self.spark.createDataFrame(
+            rows or [], "`Position` int, `Type` string"
+        )
+
+    def describe_output(self, name: str) -> DataFrame:
+        """DESCRIBE OUTPUT name (SqlBase.g4:157): the reference's shape —
+        Column Name, Catalog, Schema, Table, Type, Type Size, Aliased."""
+        schema = self._prepared_schema(name)
+        rows = [
+            (f.name, "", "", "", self._trino_type(f.dataType), 0, True)
+            for f in schema.fields
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "`Column Name` string, `Catalog` string, `Schema` string, "
+            "`Table` string, `Type` string, `Type Size` int, "
+            "`Aliased` boolean",
+        )
+
+    def show_create_table(self, table: str) -> DataFrame:
+        """SHOW CREATE TABLE (SqlBase.g4:135): render the reference's
+        single-column `Create Table` result from the resolved schema."""
+        df = self.spark.table(table)
+        cols = ",\n".join(
+            f"   {f.name} {self._trino_type(f.dataType)}"
+            for f in df.schema.fields
+        )
+        ddl = f"CREATE TABLE {table} (\n{cols}\n)"
+        return self.spark.createDataFrame(
+            [(ddl,)], "`Create Table` string"
+        )
+
+    def use(self, schema: str) -> None:
+        """USE [catalog.]schema (SqlBase.g4:90). Spark's session catalog
+        has databases where the reference has schemas; unknown names get
+        the reference's error wording."""
+        name = schema.split(".")[-1]
+        dbs = [d.name for d in self.spark.catalog.listDatabases()]
+        if name not in dbs:
+            raise ValueError(f"Schema does not exist: {schema}")
+        self.spark.catalog.setCurrentDatabase(name)
 
     # --- DELETE / UPDATE via copy-on-write snapshots (SqlBase.g4:61,160) -
 
