@@ -1122,7 +1122,15 @@ def _load(q: str) -> str:
     return text.strip().rstrip(";")
 
 
+_VIEWS_READY: set[tuple[int, str]] = set()
+
+
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    # Memoized per (session, sf_dir) — 99 probes share one fixture (same
+    # discipline as tpch_sqltext._register_views / catalog.load_table).
+    key = (id(spark), sf_dir)
+    if key in _VIEWS_READY:
+        return
     for name, sql in _spark_views(sf_dir).items():
         spark.sql(sql).createOrReplaceTempView(name)
     # some texts qualify columns by the ORIGINAL unaliased relation name
@@ -1130,6 +1138,7 @@ def _register_views(spark: SparkSession, sf_dir: str) -> None:
     # those names too (neither collides with a fixture table)
     for bare in ("store_sales", "item"):
         spark.table(f"tpcds_{bare}").createOrReplaceTempView(bare)
+    _VIEWS_READY.add(key)
 
 
 def _duck_text(q: str) -> str:
