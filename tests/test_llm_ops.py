@@ -312,3 +312,81 @@ def test_contamination_flags_self_and_clean(spark):
     assert (1, 100) in hits      # exact copy flags
     assert (3, 100) in hits      # near-copy shares the long prefix
     assert (2, 100) not in hits  # unrelated doc stays clean
+
+
+def test_semantic_dedup_keep_min_per_component(spark):
+    """semantic_dedup: identical vectors dedup to the lowest id; distinct
+    directions survive (SemDeDup keep-one-per-group contract)."""
+    from trino_private_spark.llm.dedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),       # centroid / cell 1
+        (2, [0.0, 1.0, 0.0]),       # centroid / cell 2
+        (3, [0.0, 0.0, 1.0]),       # centroid / cell 3
+        (4, [1.0, 0.0, 0.0]),       # exact dup of 1
+        (5, [0.999, 0.001, 0.0]),   # near-dup of 1, same cell
+        (6, [0.0, 0.7, 0.7]),       # between cells 2/3, below threshold
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r.id: (r.component, r.keep)
+           for r in semantic_dedup(df, threshold=0.9, n_centroids=3).collect()}
+    assert out[1] == (1, True)
+    assert out[4] == (1, False)
+    assert out[5] == (1, False)
+    assert out[2][1] and out[3][1] and out[6][1]
+    assert len(out) == 6
+
+
+def test_gopher_repetition_hand_computed(spark):
+    """top/dup n-gram char fractions match hand-computed values."""
+    from trino_private_spark.llm.heuristics import (
+        duplicate_ngram_char_fraction,
+        top_ngram_char_fraction,
+        word_ngrams,
+    )
+
+    rows = [(1, "the cat sat on the cat mat"), (2, "a b c d e f g h")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .withColumn("toks", F.split(F.lower("text"), r"\s+"))
+    toks = F.col("toks")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            F.size(word_ngrams(toks, 2)).alias("n2"),
+            top_ngram_char_fraction(toks, 2).alias("top2"),
+            duplicate_ngram_char_fraction(toks, 2).alias("dup2"),
+        ).collect()
+    }
+    # doc 1: 6 bigrams; "the cat" x2 (7 chars) -> top = dup = 14/40
+    assert out[1].n2 == 6
+    assert abs(out[1].top2 - 14 / 40) < 1e-12
+    assert abs(out[1].dup2 - 14 / 40) < 1e-12
+    # doc 2: 7 distinct 3-char bigrams -> top 3/21, no dups
+    assert out[2].n2 == 7
+    assert abs(out[2].top2 - 3 / 21) < 1e-12
+    assert out[2].dup2 == 0.0
+
+
+def test_gopher_quality_filter_rules(spark):
+    """Each Gopher rule fires on its own violation; clean doc keeps."""
+    from trino_private_spark.llm.heuristics import gopher_quality_filter
+
+    good = (
+        "the quality of training data and that which we have built with "
+        "care matters more than sheer volume because models learn rich "
+        "patterns from every token they consume"
+    )
+    rows = [
+        (1, good),                            # passes everything
+        (2, "tiny doc"),                      # word count too small
+        (3, "#### " * 60 + good),             # symbol ratio too high
+        (4, ("zz " * 60).strip()),            # no stopwords, dup bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in gopher_quality_filter(df, min_words=20).collect()}
+    assert out[1].keep
+    assert not out[2].keep and not out[2].ok_word_count
+    assert not out[3].keep and not out[3].ok_symbol_ratio
+    assert not out[4].keep and not out[4].ok_stopwords
+    assert not out[4].ok_dup_5gram  # "zz zz zz zz zz" repeats throughout

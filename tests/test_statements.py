@@ -127,6 +127,19 @@ def test_show_create_view_routes(engine):
     assert ddl.startswith("CREATE TABLE nation (")
 
 
+def test_show_stats_for_query(engine):
+    rows = {
+        r["column_name"]: r
+        for r in engine.sql(
+            "SHOW STATS FOR (SELECT n_name, n_regionkey FROM nation)"
+        ).collect()
+    }
+    assert rows["n_name"]["distinct_values_count"] == 25.0
+    assert rows["n_name"]["nulls_fraction"] == 0.0
+    assert rows[None]["row_count"] == 25.0
+    assert rows["n_regionkey"]["low_value"] == "0"
+
+
 def test_trino_type_rendering(engine):
     from pyspark.sql import types as T
 

@@ -67,6 +67,11 @@ class Engine:
         )
         if ss:
             return self.show_stats(ss.group(1))
+        sq = _re.match(
+            r"\s*SHOW\s+STATS\s+FOR\s*\((.+)\)\s*$", text, flags=_re.I | _re.S
+        )
+        if sq:
+            return self.show_stats_for_query(sq.group(1), dialect)
         if _re.match(r"\s*SHOW\s+SESSION\s*$", text, flags=_re.I):
             return self.show_session()
         cm = _re.match(
@@ -475,6 +480,66 @@ class Engine:
                 )
             )
         rows.append((None, None, None, None, row_count, None, None))
+        return self.spark.createDataFrame(
+            rows,
+            "column_name string, data_size double, "
+            "distinct_values_count double, nulls_fraction double, "
+            "row_count double, low_value string, high_value string",
+        )
+
+    def show_stats_for_query(self, text: str,
+                             dialect: str = "trino") -> DataFrame:
+        """SHOW STATS FOR (query) (SqlBase.g4:139, ShowStatsRewrite's
+        query branch): the same result shape as the table form, computed
+        from the query itself in ONE aggregation pass — every column's
+        count / distinct / min / max / data-size folds into a single
+        .agg(), so the query executes once with partial (map-side)
+        aggregation regardless of column count. Distinct counts are exact
+        (deterministic, oracle-able); at 100 TB a deployment would flip
+        them to approx_count_distinct — same plan shape, sketch merge
+        instead of Expand."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        df = self.sql(text, dialect)
+        aggs = [F.count(F.lit(1)).alias("__rc")]
+        ordered = {}
+        for f in df.schema.fields:
+            c, dt = f.name, f.dataType
+            aggs.append(F.count(c).alias(f"__cnt__{c}"))
+            aggs.append(F.countDistinct(c).alias(f"__ndv__{c}"))
+            is_ordered = isinstance(
+                dt, (T.NumericType, T.DateType, T.TimestampType,
+                     T.TimestampNTZType, T.StringType, T.BooleanType),
+            )
+            ordered[c] = is_ordered
+            if is_ordered:
+                aggs.append(F.min(c).cast("string").alias(f"__min__{c}"))
+                aggs.append(F.max(c).cast("string").alias(f"__max__{c}"))
+            if isinstance(dt, T.StringType):
+                aggs.append(
+                    F.sum(F.length(c)).cast("double").alias(f"__sz__{c}")
+                )
+            elif isinstance(dt, T.BinaryType):
+                aggs.append(
+                    F.sum(F.length(c)).cast("double").alias(f"__sz__{c}")
+                )
+        r = df.agg(*aggs).collect()[0].asDict()
+        rc = float(r["__rc"])
+        rows = []
+        for f in df.schema.fields:
+            c = f.name
+            nulls_frac = (rc - r[f"__cnt__{c}"]) / rc if rc else None
+            rows.append((
+                c,
+                r.get(f"__sz__{c}"),
+                float(r[f"__ndv__{c}"]),
+                nulls_frac,
+                None,
+                r.get(f"__min__{c}") if ordered[c] else None,
+                r.get(f"__max__{c}") if ordered[c] else None,
+            ))
+        rows.append((None, None, None, None, rc, None, None))
         return self.spark.createDataFrame(
             rows,
             "column_name string, data_size double, "

@@ -281,6 +281,77 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, call two documents duplicates
+    when their cosine exceeds ``threshold`` WITHIN a cluster, keep one
+    representative per duplicate group.
+
+    Spark plan, never all-pairs: (1) nearest-centroid assignment is one
+    broadcast cross join against ``n_centroids`` sampled centroids
+    (deterministic: lowest ids, same discipline as similarity.ivf_topk);
+    (2) candidate pairs form only inside a cell (equi-join on cent_id);
+    (3) pair components resolve via connected_components (guarded
+    union-find / distributed label propagation); (4) keep = lowest id of
+    each component. At 100 TB: scale n_centroids ~ sqrt(N) so cells stay
+    bounded; the only shuffles are the cell equi-join and the component
+    join, both on compact ids. Cosines are rounded to 6 decimals before
+    thresholding so FP noise cannot flip a boundary pair.
+
+    Returns (id, component, keep) for every input row.
+    """
+    from pyspark.sql import Window
+
+    from trino_private_spark.llm.similarity import cosine
+
+    cents = F.broadcast(
+        df.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v"))
+    )
+    scored = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(cents)
+        .select(
+            "id",
+            "v",
+            "cent_id",
+            F.round(cosine(F.col("v"), F.col("cent_v")), 6).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cs").desc(), F.col("cent_id"))
+    cells = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("id", "v", "cent_id")
+    )
+    a = cells.select("cent_id", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = cells.select("cent_id", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "cent_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (
+        cells.select("id")
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+        .withColumn("keep", F.col("id") == F.col("component"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -1003,3 +1003,191 @@ def p_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w))
         .orderBy("doc_id")
     )
+
+
+@probe(
+    "p_semantic_dedup",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT id AS cent_id, v AS cent_v FROM e ORDER BY id LIMIT 16),
+    scored AS (SELECT e.id, e.v, c.cent_id,
+                      ROUND(list_cosine_similarity(e.v, c.cent_v), 6) AS cs
+               FROM e CROSS JOIN cents c),
+    cells AS (SELECT id, v, cent_id FROM (
+                SELECT id, v, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY id
+                                          ORDER BY cs DESC, cent_id) AS r
+                FROM scored) WHERE r = 1),
+    pairs AS (SELECT a.id AS id_a, b.id AS id_b
+              FROM cells a JOIN cells b
+                ON a.cent_id = b.cent_id AND a.id < b.id
+              WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.45),
+    edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk(s, t) AS (SELECT s, t FROM edges
+                   UNION
+                   SELECT w.s, e2.t FROM walk w JOIN edges e2 ON w.t = e2.s),
+    comp AS (SELECT s AS id, LEAST(s, MIN(t)) AS component
+             FROM walk GROUP BY s)
+    SELECT cells.id, COALESCE(comp.component, cells.id) AS component,
+           (cells.id = COALESCE(comp.component, cells.id)) AS keep
+    FROM cells LEFT JOIN comp ON cells.id = comp.id
+    ORDER BY cells.id
+    """,
+    tags=("llm",),
+)
+def p_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (llm/dedup.semantic_dedup): IVF-cell
+    bucketed cosine near-dup pairs -> connected components -> keep lowest
+    id. Fully hash-oracled: the DuckDB side replays centroid selection
+    (lowest ids), nearest-cell assignment (6dp-rounded cosine, ties by
+    cent_id), the within-cell threshold, and a recursive transitive
+    closure reproducing connected_components' min-label semantics."""
+    from trino_private_spark.llm.dedup import semantic_dedup
+
+    t = T(spark, sf_dir)
+    return semantic_dedup(t.embeddings, threshold=0.45).orderBy("id")
+
+
+@probe(
+    "p_gopher_repetition",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, n,
+             unnest([array_to_string(t[i:i+n-1], ' ')
+                     for i in range(1, greatest(len(t)-n+2, 1))]) AS g
+      FROM toks, (VALUES (2),(3),(4),(5)) ns(n)),
+    gs AS (SELECT doc_id, n, g, count(*) AS c, length(g) AS lg
+           FROM grams GROUP BY ALL),
+    agg AS (SELECT doc_id, n,
+                   CAST(max(c*lg) AS DOUBLE) / sum(c*lg) AS topf,
+                   COALESCE(CAST(sum(CASE WHEN c > 1 THEN c*lg END) AS DOUBLE), 0)
+                     / sum(c*lg) AS dupf
+            FROM gs GROUP BY doc_id, n)
+    SELECT doc_id,
+           max(CASE WHEN n=2 THEN topf END) AS top_2gram_frac,
+           max(CASE WHEN n=3 THEN topf END) AS top_3gram_frac,
+           max(CASE WHEN n=4 THEN topf END) AS top_4gram_frac,
+           max(CASE WHEN n=2 THEN dupf END) AS dup_2gram_frac,
+           max(CASE WHEN n=5 THEN dupf END) AS dup_5gram_frac
+    FROM agg GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm",),
+)
+def p_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition metrics (llm/heuristics.py; Rae et al. 2021 A1.1):
+    per-doc fraction of n-gram characters covered by the most frequent
+    word n-gram (n=2,3,4) and by duplicated n-grams (n=2,5). Single scan,
+    zero shuffles — each metric is one array_sort + one F.aggregate
+    run-length pass, all JVM-side. Exact integer ratios, so fully
+    hash-oracled against DuckDB's GROUP-BY-over-unnested-grams replay."""
+    from trino_private_spark.llm import heuristics as H
+
+    t = T(spark, sf_dir)
+    d = t.documents.withColumn("__toks", F.split(F.lower(F.col("text")), r"\s+"))
+    toks = F.col("__toks")
+    return d.select(
+        "doc_id",
+        H.top_ngram_char_fraction(toks, 2).alias("top_2gram_frac"),
+        H.top_ngram_char_fraction(toks, 3).alias("top_3gram_frac"),
+        H.top_ngram_char_fraction(toks, 4).alias("top_4gram_frac"),
+        H.duplicate_ngram_char_fraction(toks, 2).alias("dup_2gram_frac"),
+        H.duplicate_ngram_char_fraction(toks, 5).alias("dup_5gram_frac"),
+    ).orderBy("doc_id")
+
+
+@probe(
+    "p_gopher_quality",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(t) AS word_count,
+             CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+               / greatest(len(t), 1) AS mwl,
+             (length(text) - length(replace(text, '#', ''))
+              + len(regexp_extract_all(text, '\.\.\.|…')))
+               / CAST(greatest(len(t), 1) AS DOUBLE) AS symr,
+             len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+               / CAST(greatest(len(t), 1) AS DOUBLE) AS alphaf,
+             len(list_intersect(t, ['the','be','to','of','and','that',
+                                    'have','with'])) AS stopword_hits
+      FROM toks),
+    g2 AS (
+      SELECT doc_id,
+             unnest([array_to_string(t[i:i+1], ' ')
+                     for i in range(1, greatest(len(t), 1))]) AS g
+      FROM toks),
+    r2 AS (
+      SELECT doc_id, CAST(max(c*lg) AS DOUBLE) / sum(c*lg) AS top2
+      FROM (SELECT doc_id, g, count(*) AS c, length(g) AS lg
+            FROM g2 GROUP BY ALL)
+      GROUP BY doc_id),
+    g5 AS (
+      SELECT doc_id,
+             unnest([array_to_string(t[i:i+4], ' ')
+                     for i in range(1, greatest(len(t)-3, 1))]) AS g
+      FROM toks),
+    r5 AS (
+      SELECT doc_id,
+             COALESCE(CAST(sum(CASE WHEN c > 1 THEN c*lg END) AS DOUBLE), 0)
+               / sum(c*lg) AS dup5
+      FROM (SELECT doc_id, g, count(*) AS c, length(g) AS lg
+            FROM g5 GROUP BY ALL)
+      GROUP BY doc_id),
+    rules AS (
+      SELECT m.doc_id, m.word_count, m.stopword_hits,
+             m.word_count BETWEEN 20 AND 80 AS ok_word_count,
+             m.mwl BETWEEN 3.0 AND 4.6 AS ok_mean_word_len,
+             m.symr <= 0.1 AS ok_symbol_ratio,
+             m.alphaf >= 0.8 AS ok_alpha_words,
+             m.stopword_hits >= 1 AS ok_stopwords,
+             r2.top2 <= 0.04 AS ok_top_2gram,
+             r5.dup5 <= 0.15 AS ok_dup_5gram
+      FROM m JOIN r2 USING (doc_id) JOIN r5 USING (doc_id))
+    SELECT doc_id, word_count, stopword_hits,
+           ok_word_count, ok_mean_word_len, ok_stopwords, ok_top_2gram,
+           (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+            AND ok_alpha_words AND ok_stopwords AND ok_top_2gram
+            AND ok_dup_5gram) AS keep
+    FROM rules ORDER BY doc_id
+    """,
+    tags=("llm",),
+)
+def p_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality filter (llm/heuristics.gopher_quality_filter) with
+    fixture-tuned thresholds so every rule is non-vacuous on the synthetic
+    word-soup corpus (word_count 10-99, mean word len 3.7-5.3, stopword
+    hits 0-1, top-2gram frac up to 0.19): word bounds 20-80, mean-word-len
+    3.0-4.6, >=1 required stopword, top-2gram <= 0.04. Published Gopher
+    thresholds stay the library defaults (heuristics.py). One scan, zero
+    shuffles; per-rule booleans + keep are hash-oracled."""
+    from trino_private_spark.llm.heuristics import gopher_quality_filter
+
+    t = T(spark, sf_dir)
+    out = gopher_quality_filter(
+        t.documents,
+        min_words=20,
+        max_words=80,
+        min_mean_word_len=3.0,
+        max_mean_word_len=4.6,
+        max_symbol_word_ratio=0.1,
+        min_alpha_word_frac=0.8,
+        min_stopword_hits=1,
+        top_ngram_max={2: 0.04},
+        dup_ngram_max={5: 0.15},
+    )
+    return out.select(
+        "doc_id",
+        "word_count",
+        "stopword_hits",
+        "ok_word_count",
+        "ok_mean_word_len",
+        "ok_stopwords",
+        "ok_top_2gram",
+        "keep",
+    ).orderBy("doc_id")

@@ -129,3 +129,51 @@ def p_is_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(~F.col("o_orderstatus").eqNullSafe(F.lit("O"))).alias("not_open"),
         F.count_if(F.col("o_orderstatus").eqNullSafe(F.lit("F"))).alias("is_final"),
     )
+
+
+@probe(
+    "p_show_stats_query",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderstatus AS st,
+             CASE WHEN o_custkey % 10 = 0 THEN NULL ELSE o_custkey END AS ck,
+             CAST(o_orderdate AS DATE) AS od
+      FROM orders
+    )
+    SELECT 'st' AS column_name,
+           CAST(sum(length(st)) AS DOUBLE) AS data_size,
+           CAST(count(DISTINCT st) AS DOUBLE) AS distinct_values_count,
+           CAST(count(*) - count(st) AS DOUBLE) / count(*) AS nulls_fraction,
+           CAST(NULL AS DOUBLE) AS row_count,
+           CAST(min(st) AS VARCHAR) AS low_value,
+           CAST(max(st) AS VARCHAR) AS high_value
+    FROM q
+    UNION ALL
+    SELECT 'ck', NULL, CAST(count(DISTINCT ck) AS DOUBLE),
+           CAST(count(*) - count(ck) AS DOUBLE) / count(*), NULL,
+           CAST(min(ck) AS VARCHAR), CAST(max(ck) AS VARCHAR) FROM q
+    UNION ALL
+    SELECT 'od', NULL, CAST(count(DISTINCT od) AS DOUBLE),
+           CAST(count(*) - count(od) AS DOUBLE) / count(*), NULL,
+           CAST(min(od) AS VARCHAR), CAST(max(od) AS VARCHAR) FROM q
+    UNION ALL
+    SELECT NULL, NULL, NULL, NULL, CAST(count(*) AS DOUBLE), NULL, NULL
+    FROM q
+    """,
+    tags=("ddl",),
+)
+def p_show_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW STATS FOR (query) — SqlBase.g4:139, the query branch of
+    ShowStatsRewrite.java. Engine.show_stats_for_query computes the
+    reference's 7-column result shape from the query itself in one
+    aggregation pass (exact distincts, so fully hash-oracled; the table
+    form p_* reads ANALYZE catalog stats instead)."""
+    from trino_private_spark.api import Engine
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    return eng.sql(
+        "SHOW STATS FOR (SELECT o_orderstatus AS st, "
+        "CASE WHEN o_custkey % 10 = 0 THEN NULL ELSE o_custkey END AS ck, "
+        "CAST(o_orderdate AS DATE) AS od FROM orders)"
+    )
