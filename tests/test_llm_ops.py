@@ -390,3 +390,64 @@ def test_gopher_quality_filter_rules(spark):
     assert not out[3].keep and not out[3].ok_symbol_ratio
     assert not out[4].keep and not out[4].ok_stopwords
     assert not out[4].ok_dup_5gram  # "zz zz zz zz zz" repeats throughout
+
+
+def test_kmeans_separated_clusters(spark):
+    """Three well-separated groups resolve to three distinct clusters."""
+    from trino_private_spark.llm.cluster import kmeans
+
+    rows = []
+    for g, base in enumerate([0.0, 10.0, -10.0]):
+        for i in range(5):
+            # interleave ids so the lowest-id init picks one seed per group
+            rows.append((i * 3 + g, [base + 0.01 * i, base - 0.01 * i]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = kmeans(df, k=3, iters=3).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.id % 3, set()).add(r.cluster)
+    assert all(len(s) == 1 for s in by_group.values())      # groups cohere
+    assert len({s.pop() for s in by_group.values()}) == 3   # and separate
+
+
+def test_kmeans_partitioning_invariant(spark):
+    """Fixed-point arithmetic makes assignments identical under any
+    partitioning — the 1000-executor reproducibility property."""
+    from trino_private_spark.llm.cluster import kmeans
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {(r.id, r.cluster, r.sqdist)
+         for r in kmeans(emb.coalesce(1), k=4, iters=2).collect()}
+    b = {(r.id, r.cluster, r.sqdist)
+         for r in kmeans(emb.repartition(13), k=4, iters=2).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """A centroid that attracts no members survives the update step."""
+    from trino_private_spark.llm.cluster import kmeans_fit
+
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [10.0, 10.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = kmeans_fit(df, k=3, iters=2)
+    assert len(cents) == 3
+    assert cents[1] == [0, 0]  # id-1 duplicate centroid kept verbatim
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    from trino_private_spark.llm.text import tfidf_top_terms
+
+    rows = [(1, "apple banana apple cherry"), (2, "banana durian banana banana")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = tfidf_top_terms(df, k=3)
+    got = {(r.id, r.term): (r.tf, r.df, r.score, r.rank) for r in out.collect()}
+    # N=2: idf(df=1) = 3/2, idf(df=2) = 1
+    assert got[(1, "apple")] == (2, 1, 3.0, 1)
+    assert got[(1, "cherry")] == (1, 1, 1.5, 2)
+    assert got[(1, "banana")] == (1, 2, 1.0, 3)
+    assert got[(2, "banana")] == (3, 2, 3.0, 1)
+    assert got[(2, "durian")] == (1, 1, 1.5, 2)
+    # plan: top-k rank is executed as a group-limit, df side broadcasts
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan

@@ -185,3 +185,86 @@ def pii_counts(text: Column) -> dict[str, Column]:
         repl.strip("[]").lower(): F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
         for pat, repl in _PII_RULES
     }
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document: (id, term, tf, df, score, rank).
+
+    IDF uses the rational form (N+1)/(df+1) instead of its logarithm: the
+    ranking it induces per document is identical (log is monotone and tf
+    multiplies both the same way at equal tf; at different tf the relative
+    weighting changes slightly, which is an accepted variant), and exact
+    integer ratios stay bit-identical across engines and partitionings —
+    the same determinism discipline as llm/cluster.py.
+
+    Plan shape: per-doc term counts come from ONE zero-shuffle run-length
+    pass over the sorted token array (no raw-token explode); only the
+    (doc, distinct-term, tf) triples are exploded. Document frequency is
+    one groupBy(term) whose partial aggregation shrinks the shuffle to
+    distinct terms per partition; the tiny vocabulary then broadcast-joins
+    back. Top-k per doc is a row_number window Spark executes as
+    WindowGroupLimit (rank pushed before the sort). At 100 TB the only
+    full shuffles carry (doc, term, tf) triples and the window keys.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.expr("CAST(array() AS array<struct<term string, tf bigint>>)").alias(
+            "out"
+        ),
+    )
+
+    def step(acc, tok):
+        same = acc["prev"] == tok
+        return F.struct(
+            tok.alias("prev"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            F.when(
+                same | (acc["run"] == 0), acc["out"]
+            )  # continue run / first token
+            .otherwise(
+                F.array_append(
+                    acc["out"],
+                    F.struct(
+                        acc["prev"].alias("term"), acc["run"].alias("tf")
+                    ),
+                )
+            )
+            .alias("out"),
+        )
+
+    def finish(acc):
+        return F.when(acc["run"] > 0, F.array_append(
+            acc["out"],
+            F.struct(acc["prev"].alias("term"), acc["run"].alias("tf")),
+        )).otherwise(acc["out"])
+
+    toks_sorted = F.array_sort(F.split(F.lower(F.col(text_col)), r"\s+"))
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.aggregate(toks_sorted, acc0, step, finish)).alias("t"),
+    ).select("id", F.col("t.term").alias("term"), F.col("t.tf").alias("tf"))
+    docfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        terms.join(F.broadcast(docfreq), "term")
+        .withColumn(
+            "score",
+            F.col("tf") * (F.lit(float(n_docs + 1)) / (F.col("df") + 1)),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "term", "tf", "df", "score", "rank")
+    )

@@ -1191,3 +1191,199 @@ def p_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok_top_2gram",
         "keep",
     ).orderBy("doc_id")
+
+
+@probe(
+    "p_kmeans",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id AS id,
+             [CAST(FLOOR(CAST(x AS DOUBLE)*1000000) AS BIGINT)
+              for x in embedding] AS q
+      FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, q AS c
+           FROM (SELECT id, q FROM e ORDER BY id LIMIT 8)),
+
+    a1 AS (
+      SELECT id, q, j AS cluster FROM (
+        SELECT e.id, e.q, c0.j,
+               ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY
+                 list_sum(list_transform(range(1, len(e.q)+1),
+                   i -> (e.q[i]-c0.c[i])*(e.q[i]-c0.c[i]))), c0.j) AS r
+        FROM e CROSS JOIN c0) WHERE r = 1),
+    u1 AS (
+      SELECT cluster, i, SUM(qi) AS s, COUNT(*) AS cnt
+      FROM (SELECT cluster, unnest(range(1, len(q)+1)) AS i, unnest(q) AS qi
+            FROM a1)
+      GROUP BY cluster, i),
+    nc1 AS (
+      SELECT cluster AS j,
+             list(CAST(FLOOR(CAST(s AS DOUBLE)/cnt) AS BIGINT) ORDER BY i) AS c
+      FROM u1 GROUP BY cluster),
+    c1 AS (
+      SELECT c0.j, COALESCE(nc1.c, c0.c) AS c
+      FROM c0 LEFT JOIN nc1 USING (j)),
+
+    a2 AS (
+      SELECT id, q, j AS cluster FROM (
+        SELECT e.id, e.q, c1.j,
+               ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY
+                 list_sum(list_transform(range(1, len(e.q)+1),
+                   i -> (e.q[i]-c1.c[i])*(e.q[i]-c1.c[i]))), c1.j) AS r
+        FROM e CROSS JOIN c1) WHERE r = 1),
+    u2 AS (
+      SELECT cluster, i, SUM(qi) AS s, COUNT(*) AS cnt
+      FROM (SELECT cluster, unnest(range(1, len(q)+1)) AS i, unnest(q) AS qi
+            FROM a2)
+      GROUP BY cluster, i),
+    nc2 AS (
+      SELECT cluster AS j,
+             list(CAST(FLOOR(CAST(s AS DOUBLE)/cnt) AS BIGINT) ORDER BY i) AS c
+      FROM u2 GROUP BY cluster),
+    c2 AS (
+      SELECT c1.j, COALESCE(nc2.c, c1.c) AS c
+      FROM c1 LEFT JOIN nc2 USING (j)),
+
+    fin AS (
+      SELECT id, j AS cluster, CAST(dist AS BIGINT) AS sqdist FROM (
+        SELECT e.id, c2.j,
+               list_sum(list_transform(range(1, len(e.q)+1),
+                 i -> (e.q[i]-c2.c[i])*(e.q[i]-c2.c[i]))) AS dist,
+               ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY
+                 list_sum(list_transform(range(1, len(e.q)+1),
+                   i -> (e.q[i]-c2.c[i])*(e.q[i]-c2.c[i]))), c2.j) AS r
+        FROM e CROSS JOIN c2) WHERE r = 1)
+    SELECT id, cluster, sqdist FROM fin ORDER BY id
+
+    """,
+    tags=("llm",),
+)
+def p_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (llm/cluster.kmeans, k=8, 2 iterations)
+    over the embeddings table. Fixed-point BIGINT arithmetic makes every
+    distance and centroid-update sum EXACT — partition-order independent
+    (the reproducibility you need at 1000 executors) and therefore fully
+    hash-oracled: the DuckDB side replays quantization, lowest-id init,
+    both assignment+update iterations (ties -> lowest centroid index,
+    floor(sum/count) updates, empty cluster keeps its centroid) and the
+    final assignment, value-for-value."""
+    from trino_private_spark.llm.cluster import kmeans
+
+    t = T(spark, sf_dir)
+    return kmeans(t.embeddings, k=8, iters=2).orderBy("id")
+
+
+@probe(
+    "p_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+           GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (SELECT tf.doc_id AS id, tf.term, tf.tf, dfreq.df,
+                      tf.tf * ((n.n + 1.0) / (dfreq.df + 1)) AS score
+               FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                 ORDER BY score DESC, term ASC) AS "rank" FROM scored)
+    SELECT id, term, tf, df, score, "rank" FROM ranked
+    WHERE "rank" <= 3 ORDER BY id, "rank"
+    """,
+    tags=("llm",),
+)
+def p_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (llm/text.tfidf_top_terms).
+    Rational idf (N+1)/(df+1) keeps every score an exact-integer-derived
+    double, so ranking and values replay bit-identically in DuckDB
+    (full-hash). Spark plan: zero-shuffle run-length term counts ->
+    distinct-triple explode -> broadcast df join -> WindowGroupLimit
+    top-k."""
+    from trino_private_spark.llm.text import tfidf_top_terms
+
+    t = T(spark, sf_dir)
+    return tfidf_top_terms(t.documents, k=3).orderBy("id", "rank")
+
+
+@probe(
+    "p_bpe_pairs",
+    oracle="""
+    WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+               FROM documents),
+    wf AS (SELECT word, count(*) AS freq FROM w WHERE word <> ''
+           GROUP BY word),
+    cs AS (SELECT freq, [word[i] for i in range(1, len(word)+1)] AS c
+           FROM wf),
+    p AS (SELECT freq, unnest(c[1:len(c)-1]) AS a, unnest(c[2:len(c)]) AS b
+          FROM cs)
+    SELECT a, b, SUM(freq) AS cnt FROM p GROUP BY a, b
+    ORDER BY cnt DESC, a, b LIMIT 20
+    """,
+    tags=("llm",),
+)
+def p_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training iteration (llm/bpe.pair_counts): freq-weighted
+    adjacent character-pair counts over the word-frequency table, top 20
+    under the training tie-break order (cnt desc, pair asc). Exact integer
+    counts -> full-hash vs the DuckDB replay. This is the aggregation each
+    distributed merge round runs; the word table (not the corpus) is its
+    input, which is why training scales."""
+    from trino_private_spark.llm.bpe import chars_of, pair_counts, word_freqs
+
+    t = T(spark, sf_dir)
+    words = word_freqs(t.documents).select(
+        chars_of(F.col("word")).alias("syms"), "freq"
+    )
+    return (
+        pair_counts(words)
+        .orderBy(F.col("cnt").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+@probe(
+    "p_bpe",
+    oracle="""
+    SELECT TRUE AS ok_deterministic, TRUE AS ok_first_merge_argmax,
+           TRUE AS ok_roundtrip, TRUE AS ok_compresses
+    """,
+    tags=("llm",),
+)
+def p_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train+apply invariants (llm/bpe.py), property-oracled booleans:
+    the merge list is deterministic across runs; the first merge equals
+    the independently-computed argmax pair; encoding is lossless (token
+    concatenation reproduces the text modulo whitespace) for EVERY doc;
+    and the corpus token count is strictly below the character count."""
+    from trino_private_spark.llm.bpe import (
+        bpe_apply,
+        bpe_train,
+        chars_of,
+        pair_counts,
+        word_freqs,
+    )
+
+    t = T(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    m1 = bpe_train(docs, n_merges=6)
+    m2 = bpe_train(docs, n_merges=6)
+    words = word_freqs(docs).select(
+        chars_of(F.col("word")).alias("syms"), "freq"
+    )
+    top = (
+        pair_counts(words)
+        .orderBy(F.col("cnt").desc(), "a", "b")
+        .limit(1)
+        .collect()[0]
+    )
+    enc = bpe_apply(docs, m1).join(docs, F.col("id") == F.col("doc_id"))
+    stripped = F.regexp_replace(F.lower(F.col("text")), r"\s+", "")
+    return enc.agg(
+        F.lit(m1 == m2).alias("ok_deterministic"),
+        F.lit(m1[0] == (top["a"], top["b"])).alias("ok_first_merge_argmax"),
+        F.bool_and(F.concat_ws("", F.col("tokens")) == stripped).alias(
+            "ok_roundtrip"
+        ),
+        (F.sum("n_tokens") < F.sum(F.length(stripped))).alias("ok_compresses"),
+    )
