@@ -534,3 +534,62 @@ def test_gopher_scan_and_shuffle_paths_agree(spark, documents):
     assert a.keys() == b.keys()
     for k in a:
         assert a[k] == b[k], (k, a[k], b[k])
+
+
+def test_temperature_mixture_quota_semantics(spark):
+    """alpha=0.5 flattens source proportions; survivors = min(quota, n)."""
+    import math
+
+    from trino_private_spark.llm.packing import temperature_mixture
+
+    rows = [(i, "big") for i in range(900)] + [(900 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = temperature_mixture(df, total=100, alpha=0.5)
+    got = {r.source: r.n for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    tot_w = math.sqrt(900.0) + math.sqrt(100.0)
+    assert got["big"] == math.floor(100 * math.sqrt(900.0) / tot_w)    # 75
+    assert got["small"] == math.floor(100 * math.sqrt(100.0) / tot_w)  # 25
+    # natural proportions would be 90/10: alpha=0.5 flattened to 75/25
+    # determinism
+    out2 = temperature_mixture(df, total=100, alpha=0.5)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in out2.collect()
+    )
+
+
+def test_curate_corpus_gopher_and_lm_stages(spark):
+    """The optional Gopher and char-LM gates drop the docs they target."""
+    from trino_private_spark.llm.pipeline import curate_corpus
+
+    good = (
+        "the quality of training data and that which we have built with "
+        "care matters more than sheer volume because models learn rich "
+        "patterns from every token they consume today"
+    )
+    rows = [(i, good + f" variant {i} unique suffix") for i in range(12)]
+    rows.append((100, ("spam ham " * 20).strip()))        # dup 2-grams -> gopher
+    rows.append((101, "zq xj qz jx vk kv wz zw qq jj zx xq kw of the and"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    res = curate_corpus(
+        df,
+        languages=("en",),
+        min_tokens=1,
+        min_quality=0.0,
+        gopher=True,
+        gopher_kwargs={"min_words": 5, "min_stopword_hits": 1},
+        min_lm_score=None,
+        near_dup_jaccard=0.99,  # gates under test, not the dedup stages
+        report=True,
+    )
+    kept = {r.doc_id for r in res.curated.collect()}
+    assert 100 not in kept                  # repetitive doc gopher-dropped
+    assert set(range(12)) <= kept
+    assert "gopher_gated" in res.stage_counts
+
+    res2 = curate_corpus(
+        df, languages=("en",), min_tokens=1, min_quality=0.0,
+        min_lm_score=400_000_000, near_dup_jaccard=0.99, report=True,
+    )
+    kept2 = {r.doc_id for r in res2.curated.collect()}
+    assert "lm_gated" in res2.stage_counts
+    assert 101 not in kept2                 # gibberish scores below floor

@@ -183,3 +183,59 @@ def token_budget_take(
         df.withColumn("cum_tokens", F.sum(tokens_col).over(w))
         .where(F.col("cum_tokens") <= budget)
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str = "source",
+    total: int = 1000,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based mixture sampling (the data-mixing rule behind
+    multilingual/multi-domain pretraining, e.g. mBERT/XLM-R's p^alpha
+    resampling, arXiv:1911.02116 §5.1): source s receives a quota
+    proportional to count(s)^alpha — alpha=1 is natural proportions,
+    alpha -> 0 approaches uniform — then quota rows are kept per source
+    by deterministic xxhash64 rank (same discipline as
+    stratified_sample).
+
+    Scale/determinism: per-source counts are ONE aggregation collected to
+    the driver (bounded by the number of sources); quotas use an ordered
+    reduction over sources sorted by name so the float weight sum is a
+    fixed-order fold — bit-identical in any engine that replays the same
+    fold (DuckDB: list_reduce over list(... ORDER BY source)). Sampling
+    itself is one window over a hash shuffle on the source key.
+    """
+    import functools
+    import math
+
+    counts = {
+        r["s"]: r["c"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    weights = {s: math.pow(float(c), alpha) for s, c in counts.items()}
+    tot_w = functools.reduce(
+        lambda a, b: a + b, (weights[s] for s in sorted(weights)), 0.0
+    )
+    quotas = {
+        s: int(math.floor(total * weights[s] / tot_w)) for s in weights
+    }
+    qdf = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(s, q) for s, q in sorted(quotas.items())],
+            f"{source_col} string, _quota int",
+        )
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
+    )
+    return (
+        df.join(qdf, source_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= F.col("_quota"))
+        .drop("_rk", "_quota")
+    )

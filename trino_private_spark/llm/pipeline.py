@@ -53,11 +53,18 @@ def curate_corpus(
     bands: int = 8,
     seed: int = 42,
     report: bool = False,
+    gopher: bool = False,
+    gopher_kwargs: dict | None = None,
+    min_lm_score: float | None = None,
 ) -> CurationResult:
     """The standard curation recipe:
 
     1. gate: language allowlist, token-count band, quality threshold
        (pure filters — pushed into the scan, zero shuffles);
+    1b. optional Gopher rule gate (``gopher=True`` — heuristics.py
+       repetition + quality rules, still scan-only) and optional char-LM
+       score floor (``min_lm_score`` — charlm.py self-scoring, one
+       broadcast-model join);
     2. exact dedup on the text fingerprint: keep the smallest id per
        fingerprint (one shuffle of (fp, id) pairs);
     3. near dedup: MinHash+LSH candidates verified by n-gram Jaccard,
@@ -83,6 +90,24 @@ def curate_corpus(
             & (F.col("_quality") >= min_quality)
         ),
     )
+
+    if gopher:
+        from trino_private_spark.llm.heuristics import gopher_quality_filter
+
+        gq = gopher_quality_filter(
+            gated, text_col=text_col, **(gopher_kwargs or {})
+        )
+        gated = tick("gopher_gated", gq.where("keep").select(*gated.columns))
+
+    if min_lm_score is not None:
+        from trino_private_spark.llm.charlm import charlm_self_score
+
+        keep_ids = (
+            charlm_self_score(gated, id_col=id_col, text_col=text_col)
+            .where(F.col("score") >= min_lm_score)
+            .select(F.col("id").alias(id_col))
+        )
+        gated = tick("lm_gated", gated.join(keep_ids, id_col, "left_semi"))
 
     # exact dedup: min id per fingerprint survives
     w = Window.partitionBy("_fp").orderBy(F.col(id_col))

@@ -1279,7 +1279,10 @@ def p_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trino_private_spark.llm.cluster import kmeans
 
     t = T(spark, sf_dir)
-    return kmeans(t.embeddings, k=8, iters=2).orderBy("id")
+    out = kmeans(t.embeddings, k=8, iters=2)
+    return out.select(
+        "id", F.col("cluster").cast("bigint").alias("cluster"), "sqdist"
+    ).orderBy("id")
 
 
 @probe(
@@ -1297,7 +1300,8 @@ def p_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM tf JOIN dfreq USING (term) CROSS JOIN n),
     ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
                  ORDER BY score DESC, term ASC) AS "rank" FROM scored)
-    SELECT id, term, tf, df, score, "rank" FROM ranked
+    SELECT id, term, tf, df, score,
+           CAST("rank" AS INTEGER) AS "rank" FROM ranked
     WHERE "rank" <= 3 ORDER BY id, "rank"
     """,
     tags=("llm",),
@@ -1326,7 +1330,7 @@ def p_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM wf),
     p AS (SELECT freq, unnest(c[1:len(c)-1]) AS a, unnest(c[2:len(c)]) AS b
           FROM cs)
-    SELECT a, b, SUM(freq) AS cnt FROM p GROUP BY a, b
+    SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM p GROUP BY a, b
     ORDER BY cnt DESC, a, b LIMIT 20
     """,
     tags=("llm",),
@@ -1479,3 +1483,65 @@ def p_hashed_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + F.abs(x),
         ).alias("l1"),
     ).orderBy("id")
+
+
+@probe(
+    "p_temperature_mixture",
+    oracle="""
+    WITH c AS (SELECT source AS s, count(*) AS n FROM documents GROUP BY 1),
+    tw AS (SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY s),
+                              (a, b) -> a + b) AS tot FROM c),
+    q AS (SELECT s, n,
+                 CAST(FLOOR(600 * sqrt(CAST(n AS DOUBLE)) / tw.tot)
+                      AS BIGINT) AS quota
+          FROM c CROSS JOIN tw)
+    SELECT s AS source, n AS n_docs, quota,
+           LEAST(quota, n) AS n_sampled
+    FROM q ORDER BY source
+    """,
+    tags=("llm",),
+)
+def p_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture sampling (llm/packing.temperature_mixture,
+    alpha=0.5, total=600): per-source quotas proportional to
+    sqrt(count). The probe emits (source, n_docs, quota, n_sampled) with
+    n_sampled measured from the actual sampled output — full-hash against
+    DuckDB recomputing quotas with the SAME ordered weight fold
+    (list_reduce over sources sorted by name) and the closed-form
+    survivor count min(quota, n)."""
+    from trino_private_spark.llm.packing import temperature_mixture
+
+    t = T(spark, sf_dir)
+    docs = t.documents.select("doc_id", "source")
+    sampled = temperature_mixture(docs, total=600, alpha=0.5)
+    per_source = sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    import functools
+    import math
+
+    counts = {r["source"]: r["n_docs"] for r in base.collect()}
+    tot_w = functools.reduce(
+        lambda a, b: a + b,
+        (math.sqrt(float(counts[s])) for s in sorted(counts)),
+        0.0,
+    )
+    qdf = spark.createDataFrame(
+        [
+            (s, int(math.floor(600 * math.sqrt(float(c)) / tot_w)))
+            for s, c in sorted(counts.items())
+        ],
+        "source string, quota bigint",
+    )
+    return (
+        base.join(qdf, "source")
+        .join(per_source, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "quota",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+        .orderBy("source")
+    )
