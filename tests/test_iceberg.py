@@ -461,3 +461,31 @@ class TestWritePath:
         iceberg_create(spark.range(1).selectExpr("id"), loc)
         with pytest.raises(ValueError, match="already exists"):
             iceberg_create(spark.range(1).selectExpr("id"), loc)
+
+
+def test_iceberg_update_roundtrip(spark, tmp_path):
+    """UPDATE = position-delete originals + append new versions; the
+    pre-update snapshot still time-travels to the old values."""
+    from trino_private_spark.sources.iceberg import read_iceberg
+    from trino_private_spark.sources.iceberg_write import (
+        iceberg_create,
+        iceberg_update,
+    )
+
+    loc = str(tmp_path / "upd_t")
+    iceberg_create(
+        spark.range(6).selectExpr("id", "id * 10 AS v"), loc
+    )
+    n = iceberg_update(spark, loc, {"v": "v + 1"}, "id >= 4")
+    assert n == 2
+    got = {r.id: r.v for r in read_iceberg(spark, loc).collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 3: 30, 4: 41, 5: 51}
+    # snapshot 1 (the create) still shows the original values
+    old = {
+        r.id: r.v
+        for r in read_iceberg(spark, loc, snapshot_id=1).collect()
+    }
+    assert old == {i: i * 10 for i in range(6)}
+    # no-match update is a no-op (no empty snapshots committed)
+    assert iceberg_update(spark, loc, {"v": "0"}, "id > 99") == 0
+    assert {r.id: r.v for r in read_iceberg(spark, loc).collect()} == got

@@ -309,3 +309,38 @@ def iceberg_delete(
     if files:
         _commit_snapshot(location, files, content=1, operation="delete")
     return deleted
+
+
+def iceberg_update(
+    spark: SparkSession,
+    location: str,
+    assignments: dict[str, str],
+    condition: str,
+) -> int:
+    """UPDATE ... SET ... WHERE as merge-on-read: materialize the updated
+    versions of the matching rows, position-delete the originals, append
+    the new versions (the RowDelta shape of IcebergMetadata's
+    beginUpdate/finishWrite path, expressed as two snapshots). Ordering is
+    safe because position deletes only apply to data files at sequence
+    numbers <= their own: the appended rows commit AFTER the delete and
+    are untouched even if they still satisfy ``condition``. Returns the
+    number of rows updated.
+
+    The updated rows are localCheckpoint'ed BEFORE the delete commits —
+    they are defined against the pre-delete table read, and a lazy
+    re-evaluation after the delete snapshot would see them already gone.
+    """
+    from pyspark.sql import functions as F
+
+    table = IcebergTable(location)
+    cur = table.read(spark)
+    upd = cur.where(condition)
+    for c, expr in assignments.items():
+        upd = upd.withColumn(c, F.expr(expr))
+    upd = upd.select(*cur.columns).localCheckpoint(eager=True)
+    n = upd.count()
+    if n == 0:
+        return 0
+    iceberg_delete(spark, location, condition)
+    iceberg_append(upd, location)
+    return n
