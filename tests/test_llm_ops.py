@@ -593,3 +593,33 @@ def test_curate_corpus_gopher_and_lm_stages(spark):
     kept2 = {r.doc_id for r in res2.curated.collect()}
     assert "lm_gated" in res2.stage_counts
     assert 101 not in kept2                 # gibberish scores below floor
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunks tile the doc with the requested overlap and cover the tail;
+    short docs produce exactly one chunk; reconstruction is lossless."""
+    from trino_private_spark.llm.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b")], "doc_id bigint, text string"
+    )
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: (r.id, r.chunk_idx),
+    )
+    d1 = [r for r in rows if r.id == 1]
+    assert [r.chunk_text for r in d1] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
+    ]
+    # stitched back together (dropping the 1-token overlaps) = original
+    stitched = d1[0].chunk_text.split() + [
+        t for r in d1[1:] for t in r.chunk_text.split()[1:]
+    ]
+    assert stitched == text.split()
+    assert [r.chunk_text for r in rows if r.id == 2] == ["a b"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4).collect()

@@ -239,3 +239,53 @@ def temperature_mixture(
         .where(F.col("_rk") <= F.col("_quota"))
         .drop("_rk", "_quota")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping context-window chunks:
+    (id, chunk_idx, n_chunk_tokens, chunk_text), where chunk i covers
+    tokens [1 + i*stride, ... + chunk_tokens) with stride =
+    chunk_tokens - overlap, and the chunk count is
+    max(1, ceil((n - overlap) / stride)) so the tail is always covered
+    (the final chunk may be shorter).
+
+    Pure JVM expressions — tokenize once, generate start offsets with
+    sequence/transform, slice per chunk, posexplode. One scan, zero
+    shuffles, exact integer arithmetic end to end (full-hash oracle:
+    p_chunk_documents). At 100 TB this is the narrow transformation
+    between curation and pack_sequences."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+    )
+    d = df.select(
+        F.col(id_col).alias("id"), toks.alias("__toks")
+    ).withColumn(
+        "__nc",
+        F.greatest(
+            F.lit(1),
+            F.expr(
+                f"(size(__toks) - {overlap} + {stride - 1}) div {stride}"
+            ),
+        ).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.col("__nc") - 1),
+        lambda i: F.slice(F.col("__toks"), i * stride + 1, chunk_tokens),
+    )
+    return d.select(
+        "id", F.posexplode(chunks).alias("chunk_idx", "__c")
+    ).select(
+        "id",
+        "chunk_idx",
+        F.size("__c").cast("bigint").alias("n_chunk_tokens"),
+        F.array_join("__c", " ").alias("chunk_text"),
+    )

@@ -1545,3 +1545,40 @@ def p_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@probe(
+    "p_chunk_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    d AS (SELECT id, t,
+                 GREATEST(1, CAST(FLOOR((len(t) - 8 + 23) / 24.0) AS BIGINT)
+                 ) AS nc
+          FROM toks),
+    g AS (SELECT id,
+                 unnest(range(0, nc)) AS ci,
+                 unnest([t[i*24+1 : i*24+32] for i in range(0, nc)]) AS c
+          FROM d)
+    SELECT id, CAST(ci AS INTEGER) AS chunk_idx,
+           CAST(len(c) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(c, ' ') AS chunk_text
+    FROM g ORDER BY id, chunk_idx
+    """,
+    tags=("llm",),
+)
+def p_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (llm/packing.chunk_documents,
+    chunk_tokens=32, overlap=8): overlapping token windows with
+    tail-covering chunk count max(1, ceil((n-overlap)/stride)). Pure JVM
+    slice arithmetic, one scan, zero shuffles — exact integers, so fully
+    hash-oracled against the DuckDB list-slicing replay (non-vacuous:
+    fixture docs are 10-99 words -> 1-4 chunks each)."""
+    from trino_private_spark.llm.packing import chunk_documents
+
+    t = T(spark, sf_dir)
+    return chunk_documents(
+        t.documents, chunk_tokens=32, overlap=8
+    ).orderBy("id", "chunk_idx")

@@ -1132,7 +1132,16 @@ def _register_views(spark: SparkSession, sf_dir: str) -> None:
     if key in _VIEWS_READY:
         return
     for name, sql in _spark_views(sf_dir).items():
-        spark.sql(sql).createOrReplaceTempView(name)
+        df = spark.sql(sql)
+        if name == "tpcds_inventory":
+            # Synthetic cross-join fixture (weeks x part/7 x warehouses —
+            # 8.6M rows at sf0.1): Catalyst's stats-less byte-product
+            # estimate undercounts it enough to pick a BROADCAST build,
+            # which OOMs the driver at sf0.1. A real inventory table
+            # carries real scan stats and would never be estimated
+            # broadcastable; pin the generated view to sort-merge.
+            df = df.hint("merge")
+        df.createOrReplaceTempView(name)
     # some texts qualify columns by the ORIGINAL unaliased relation name
     # ("store_sales"."ss_item_sk" with FROM ${...}.store_sales); expose
     # those names too (neither collides with a fixture table)
