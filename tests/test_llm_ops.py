@@ -623,3 +623,28 @@ def test_chunk_documents_coverage_and_overlap(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4).collect()
+
+
+def test_kmeans_k_exceeds_rows(spark):
+    """k larger than the row count clamps to one centroid per row."""
+    from trino_private_spark.llm.cluster import kmeans
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [5.0, 5.0])], "vec_id bigint, embedding array<double>"
+    )
+    out = {r.id: r for r in kmeans(df, k=8, iters=2).collect()}
+    assert len(out) == 2
+    assert out[0].sqdist == 0 and out[1].sqdist == 0
+    assert out[0].cluster != out[1].cluster
+
+
+def test_temperature_mixture_null_source(spark):
+    """A NULL source is its own stratum (null-safe quota join)."""
+    from trino_private_spark.llm.packing import temperature_mixture
+
+    rows = [(i, "a") for i in range(40)] + [(100 + i, None) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = temperature_mixture(df, total=20, alpha=0.5)
+    got = {r.source: r.n for r in out.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got.get("a") == 10 and got.get(None) == 10

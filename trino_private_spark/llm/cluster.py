@@ -102,6 +102,9 @@ def kmeans_fit(
         list(r["__q"])
         for r in qdf.orderBy("__id").limit(k).select("__q").collect()
     ]
+    if not cents:
+        raise ValueError("kmeans_fit: input has no rows")
+    k = len(cents)  # fewer rows than k: every row is its own centroid
     d = len(cents[0])
     sums = [
         F.sum(F.element_at(F.col("__q"), i + 1)).alias(f"s{i}")

@@ -218,26 +218,27 @@ def temperature_mixture(
         .collect()
     }
     weights = {s: math.pow(float(c), alpha) for s, c in counts.items()}
+    order = sorted(weights, key=lambda s: (s is None, s))  # NULL source ok
     tot_w = functools.reduce(
-        lambda a, b: a + b, (weights[s] for s in sorted(weights)), 0.0
+        lambda a, b: a + b, (weights[s] for s in order), 0.0
     )
     quotas = {
         s: int(math.floor(total * weights[s] / tot_w)) for s in weights
     }
     qdf = F.broadcast(
         df.sparkSession.createDataFrame(
-            [(s, q) for s, q in sorted(quotas.items())],
-            f"{source_col} string, _quota int",
+            [(s, quotas[s]) for s in order],
+            f"_qsrc string, _quota int",
         )
     )
     w = Window.partitionBy(source_col).orderBy(
         F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
     )
     return (
-        df.join(qdf, source_col)
+        df.join(qdf, F.col(source_col).eqNullSafe(F.col("_qsrc")))
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= F.col("_quota"))
-        .drop("_rk", "_quota")
+        .drop("_rk", "_quota", "_qsrc")
     )
 
 
