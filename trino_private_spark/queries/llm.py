@@ -1582,3 +1582,45 @@ def p_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         t.documents, chunk_tokens=32, overlap=8
     ).orderBy("id", "chunk_idx")
+
+
+@probe(
+    "p_gopher_repetition_agg",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, n,
+             unnest([array_to_string(t[i:i+n-1], ' ')
+                     for i in range(1, greatest(len(t)-n+2, 1))]) AS g
+      FROM toks, (VALUES (2),(3),(4)) ns(n)),
+    gs AS (SELECT doc_id, n, g, count(*) AS c, length(g) AS lg
+           FROM grams GROUP BY ALL),
+    agg AS (SELECT doc_id, n,
+                   CAST(max(c*lg) AS DOUBLE) / sum(c*lg) AS topf
+            FROM gs GROUP BY doc_id, n)
+    SELECT doc_id,
+           max(CASE WHEN n=2 THEN topf END) AS top_2gram_frac,
+           max(CASE WHEN n=3 THEN topf END) AS top_3gram_frac,
+           max(CASE WHEN n=4 THEN topf END) AS top_4gram_frac
+    FROM agg GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm",),
+)
+def p_gopher_repetition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHUFFLE physical plan for the Gopher repetition metrics
+    (heuristics.with_gopher_metrics(method='shuffle'): explode +
+    whole-stage-codegen hash aggregates + join-back — measured 4.4x
+    faster than the zero-shuffle fold at 50k docs, SCALE.md). Same exact
+    integer arithmetic, same DuckDB oracle family as p_gopher_repetition:
+    the gate proves the two physical plans agree value-for-value."""
+    from trino_private_spark.llm.heuristics import with_gopher_metrics
+
+    t = T(spark, sf_dir)
+    return with_gopher_metrics(
+        t.documents.select("doc_id", "text"),
+        id_col="doc_id",
+        method="shuffle",
+    ).select(
+        "doc_id", "top_2gram_frac", "top_3gram_frac", "top_4gram_frac"
+    ).orderBy("doc_id")
