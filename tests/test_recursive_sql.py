@@ -1,0 +1,115 @@
+"""WITH RECURSIVE SQL-text lowering (plans/recursive_sql.py).
+
+Reference semantics: SqlBase.g4:172 grammar, bounded expansion with the
+max_recursion_depth session property (StatementAnalyzer.java:1432-1436).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from trino_private_spark.operators.recursion import RecursionLimitExceeded
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    from trino_private_spark.api import Engine
+
+    e = Engine(spark)
+    e.attach(SF)
+    return e
+
+
+def test_sequence_walk(eng):
+    rows = eng.sql(
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+        "SELECT n + 1 FROM t WHERE n < 5) SELECT n FROM t ORDER BY n"
+    ).collect()
+    assert [r.n for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_union_distinct_terminates_on_cycle(eng):
+    # UNION (distinct) recursion over a cyclic step: 1 -> 2 -> 3 -> 1 ...
+    # must converge because each level is deduped against the accumulated
+    # set — the standard's fixpoint semantics, cycle-safe.
+    rows = eng.sql(
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION "
+        "SELECT CASE WHEN n >= 3 THEN 1 ELSE n + 1 END FROM t) "
+        "SELECT n FROM t ORDER BY n"
+    ).collect()
+    assert [r.n for r in rows] == [1, 2, 3]
+
+
+def test_depth_cap_raises(eng):
+    with pytest.raises(RecursionLimitExceeded, match="max_recursion_depth"):
+        eng.sql(
+            "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t) "
+            "SELECT count(*) AS c FROM t"
+        ).collect()
+
+
+def test_depth_cap_session_property(eng):
+    # SET SESSION max_recursion_depth raises the bound like the reference.
+    eng.sql("SET SESSION max_recursion_depth = 64")
+    try:
+        rows = eng.sql(
+            "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+            "SELECT n + 1 FROM t WHERE n < 40) SELECT max(n) AS m FROM t"
+        ).collect()
+        assert rows[0].m == 40
+    finally:
+        eng.sql("RESET SESSION max_recursion_depth")
+
+
+def test_mixed_with_list_and_sibling_reference(eng):
+    # A non-recursive member after the recursive one, referencing it.
+    rows = eng.sql(
+        "WITH RECURSIVE seq(n) AS (SELECT 1 UNION ALL "
+        "SELECT n + 1 FROM seq WHERE n < 3), "
+        "sq AS (SELECT n, n * n AS n2 FROM seq) "
+        "SELECT n, n2 FROM sq ORDER BY n"
+    ).collect()
+    assert [(r.n, r.n2) for r in rows] == [(1, 1), (2, 4), (3, 9)]
+
+
+def test_join_against_catalog_table(eng):
+    rows = eng.sql(
+        "WITH RECURSIVE seq(k) AS (SELECT 0 UNION ALL "
+        "SELECT k + 1 FROM seq WHERE k < 4) "
+        "SELECT count(*) AS c FROM seq JOIN nation ON n_regionkey = seq.k"
+    ).collect()
+    assert rows[0].c == 25
+
+
+def test_no_catalog_shadowing(eng, spark):
+    # A recursive CTE named like a catalog table must not clobber the
+    # registered temp view (internal __rec_* names, dropped afterwards).
+    before = spark.table("nation").count()
+    rows = eng.sql(
+        "WITH RECURSIVE nation(n) AS (SELECT 1 UNION ALL "
+        "SELECT n + 1 FROM nation WHERE n < 2) SELECT max(n) AS m FROM nation"
+    ).collect()
+    assert rows[0].m == 2
+    assert spark.table("nation").count() == before
+    assert not any(
+        t.name.startswith("__rec_") for t in spark.catalog.listTables()
+    )
+
+
+def test_base_referencing_name_rejected(eng):
+    with pytest.raises(ValueError, match="base"):
+        eng.sql(
+            "WITH RECURSIVE t(n) AS (SELECT n FROM t UNION ALL SELECT 1) "
+            "SELECT * FROM t"
+        )
+
+
+def test_string_literal_with_union_keyword(eng):
+    # literals are shielded: 'union all' inside a string must not split.
+    rows = eng.sql(
+        "WITH RECURSIVE t(n, s) AS (SELECT 1, 'union all (x' UNION ALL "
+        "SELECT n + 1, s FROM t WHERE n < 2) SELECT n, s FROM t ORDER BY n"
+    ).collect()
+    assert [(r.n, r.s) for r in rows] == [(1, "union all (x"), (2, "union all (x")]

@@ -187,6 +187,25 @@ class Engine:
             # (SqlBase.g4:339): lower each occurrence to a temp view so it
             # composes under joins, CTEs and subqueries
             text = self._lower_match_recognize(text)
+        if _re.match(r"\s*WITH\s+RECURSIVE\b", text, flags=_re.I):
+            # WITH RECURSIVE (SqlBase.g4:172; bounded expansion per
+            # StatementAnalyzer.java:1432-1436): lower onto the iterative
+            # recursive_cte loop, honoring the max_recursion_depth session
+            # property like the reference.
+            from trino_private_spark.plans.recursive_sql import (
+                DEFAULT_MAX_RECURSION_DEPTH,
+                lower_recursive,
+            )
+
+            depth = int(
+                getattr(self, "_session_props", {}).get(
+                    "max_recursion_depth", DEFAULT_MAX_RECURSION_DEPTH
+                )
+            )
+            xlate = translate if dialect == "trino" else (lambda s: s)
+            df = lower_recursive(self.spark, text, xlate, max_depth=depth)
+            self._enforce_select(df)
+            return df
         if dialect == "trino":
             text = translate(text)
         df = self.spark.sql(text)

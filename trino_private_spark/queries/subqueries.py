@@ -155,6 +155,37 @@ def p_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recursive_cte(base, step, max_iterations=20).orderBy("n")
 
 
+_REC_SQLTEXT = """
+WITH RECURSIVE seq (n) AS (
+    SELECT 0
+    UNION ALL
+    SELECT n + 1 FROM seq WHERE n < 4
+)
+SELECT s.n AS rkey, count(*) AS n_nations, min(n_name) AS first_nation
+FROM seq s JOIN nation ON n_regionkey = s.n
+GROUP BY s.n
+ORDER BY s.n
+"""
+
+
+@probe(
+    "p_recursive_sqltext",
+    oracle=_REC_SQLTEXT,
+    tags=("core",),
+)
+def p_recursive_sqltext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE as actual SQL text through Engine.sql() — the grammar
+    form (SqlBase.g4:172) with bounded expansion
+    (StatementAnalyzer.java:1432-1436), lowered by plans/recursive_sql.py
+    onto the iterative recursive_cte loop. The oracle is the same statement:
+    DuckDB supports WITH RECURSIVE natively."""
+    from trino_private_spark.api import Engine
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    return eng.sql(_REC_SQLTEXT)
+
+
 @probe(
     "p_in_subquery_values",
     oracle="""
