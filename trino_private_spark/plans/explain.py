@@ -107,6 +107,15 @@ def explain_typed(df: DataFrame, type_: str = "DISTRIBUTED") -> str:
                         if root and root in loc:
                             entry["format"] = "iceberg"
                             entry["table"] = root
+                            # manifest-level scan planning stats (candidate/
+                            # scanned/pruned data files — the reference's
+                            # split pruning counts from IcebergSplitSource)
+                            from trino_private_spark.sources.iceberg import (
+                                IO_SCAN_INFO,
+                            )
+
+                            if root in IO_SCAN_INFO:
+                                entry["icebergScan"] = IO_SCAN_INFO[root]
                             break
                 except ImportError:  # pragma: no cover
                     pass

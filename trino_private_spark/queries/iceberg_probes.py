@@ -162,6 +162,157 @@ def p_iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @probe(
+    "p_iceberg_partition_prune",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           1 AS scanned_files, 8 AS candidate_files
+    FROM orders WHERE o_custkey % 8 = 3
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level partition pruning (reference: split pruning from
+    manifest partition data, plugin/trino-iceberg IcebergSplitSource.java;
+    specs via PartitionSpecParser). An identity-partitioned CTAS yields one
+    data file per partition value; a partition_filter on the read must
+    open exactly ONE of the 8 files — the scan-planning counts are part of
+    the probed result, so a regression to O(table) scanning hash-fails."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.sources.iceberg import IcebergTable
+    from trino_private_spark.sources.iceberg_write import iceberg_create
+
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_pp_") + "/t"
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", (F.col("o_custkey") % 8).alias("grp"), "o_totalprice"
+    )
+    iceberg_create(orders, loc, partition_by=["grp"])
+    t = IcebergTable(loc)
+    out = t.read(spark, partition_filter=[("grp", "=", 3)])
+    scan = t.last_scan
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    ).select(
+        "n",
+        "total",
+        F.lit(scan["scanned_data_files"]).alias("scanned_files"),
+        F.lit(scan["candidate_data_files"]).alias("candidate_files"),
+    )
+
+
+@probe(
+    "p_iceberg_bucket_prune",
+    oracle="""
+    SELECT n_nationkey, n_name, 1 AS scanned_files
+    FROM nation WHERE n_name = 'NATION_7'
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_bucket_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucket[N] transform pruning: the spec's murmur3_x86_32 bucket
+    (verified against Iceberg spec Appendix B vectors) computed by the
+    writer must agree with the reader's python-side transform, so an
+    equality filter opens exactly one of the N bucket files."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.sources.iceberg import IcebergTable
+    from trino_private_spark.sources.iceberg_write import iceberg_create
+
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_bp_") + "/t"
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name"
+    )
+    iceberg_create(nation, loc, partition_by=[("n_name", "bucket[4]")])
+    t = IcebergTable(loc)
+    out = t.read(spark, partition_filter=[("n_name", "=", "NATION_7")]).where(
+        F.col("n_name") == "NATION_7"
+    )
+    return out.select(
+        "n_nationkey",
+        "n_name",
+        F.lit(t.last_scan["scanned_data_files"]).alias("scanned_files"),
+    )
+
+
+@probe(
+    "p_iceberg_orc",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_regionkey = 2 ORDER BY n_nationkey
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC data files (spec data_file.file_format; the reference
+    dispatches per file format in IcebergPageSourceProvider): a
+    partitioned ORC CTAS read back through the shim with identity
+    pruning."""
+    from trino_private_spark.sources.iceberg import IcebergTable
+    from trino_private_spark.sources.iceberg_write import iceberg_create
+
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_orc_") + "/t"
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    iceberg_create(nation, loc, partition_by=["n_regionkey"], file_format="ORC")
+    t = IcebergTable(loc)
+    return t.read(spark, partition_filter=[("n_regionkey", "=", 2)]).orderBy(
+        "n_nationkey"
+    )
+
+
+@probe(
+    "p_iceberg_atomic_update",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated,
+           2 AS n_snapshots,
+           CAST(COUNT(*) AS BIGINT) AS rows_at_v1
+    FROM nation
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_atomic_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE as ONE atomic RowDelta snapshot (reference:
+    IcebergMetadata finishWrite commits deletes + appends together): after
+    create + update there are exactly TWO snapshots, the first still holds
+    every original row (no intermediate deleted-but-not-reinserted state
+    is ever visible to time travel), and the updated rows are present."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.sources.iceberg import IcebergTable
+    from trino_private_spark.sources.iceberg_write import (
+        iceberg_create,
+        iceberg_update,
+    )
+
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_au_") + "/t"
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    iceberg_create(nation, loc)
+    iceberg_update(
+        spark, loc, {"n_regionkey": "99"}, "n_nationkey % 5 = 0"
+    )
+    t = IcebergTable(loc)
+    snaps = t.snapshots()
+    cur = t.read(spark)
+    v1_rows = t.read(spark, snapshot_id=snaps[0]["snapshot-id"]).count()
+    return cur.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("n_regionkey") == 99).cast("long")).alias("n_updated"),
+    ).select(
+        "n_rows",
+        "n_updated",
+        F.lit(len(snaps)).alias("n_snapshots"),
+        F.lit(v1_rows).cast("long").alias("rows_at_v1"),
+    )
+
+
+@probe(
     "p_iceberg_write_time_travel",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey FROM nation

@@ -152,6 +152,12 @@ class _DataFile:
     # the reference's plugin/trino-iceberg). v1 tables have no sequence
     # numbers -> 0 everywhere, which keeps both rules vacuously permissive.
     sequence_number: int = 0
+    # manifest-entry partition tuple + the spec it was written under
+    # (IcebergSplitSource prunes splits from exactly this metadata) and the
+    # data file's storage format (spec data_file.file_format).
+    partition: tuple[tuple[str, object], ...] | None = None
+    spec_id: int = 0
+    file_format: str = "PARQUET"
 
 
 def _local(p: str) -> str:
@@ -166,6 +172,11 @@ def _local(p: str) -> str:
 # composed read's parquet scan leaves back to the Iceberg table they came
 # from (IoPlanPrinter reports the connector table, not the raw files)
 IO_TABLE_ROOTS: set[str] = set()
+
+# most recent scan-planning stats per table root (candidate/scanned/pruned
+# manifest-level file counts), attached to the IO explain like the split
+# counts the reference's IoPlanPrinter-era estimates carry
+IO_SCAN_INFO: dict[str, dict] = {}
 
 
 class IcebergTable:
@@ -247,6 +258,7 @@ class IcebergTable:
         for m in read_avro_container(manifest_list):
             manifest_path = _local(m["manifest_path"])
             m_seq = int(m.get("sequence_number") or 0)
+            m_spec = int(m.get("partition_spec_id") or 0)
             for entry in read_avro_container(manifest_path):
                 status = entry.get("status")
                 if status == 2:  # DELETED entry
@@ -260,17 +272,78 @@ class IcebergTable:
                 if seq is None:
                     seq = m_seq if status == 1 else 0
                 df = entry["data_file"]
+                part = df.get("partition")
                 files.append(
                     _DataFile(
                         path=_local(df["file_path"]),
                         content=df.get("content") or 0,
                         equality_ids=tuple(df.get("equality_ids") or ()),
                         sequence_number=int(seq),
+                        partition=(
+                            tuple(sorted(part.items()))
+                            if isinstance(part, dict)
+                            else None
+                        ),
+                        spec_id=m_spec,
+                        file_format=str(
+                            df.get("file_format") or "PARQUET"
+                        ).upper(),
                     )
                 )
         return files
 
+    def partition_specs(self):
+        """Parsed partition specs keyed by spec-id (PartitionSpecParser
+        analogue; sources/iceberg_partition.py)."""
+        from trino_private_spark.sources.iceberg_partition import parse_specs
+
+        return parse_specs(self.metadata)
+
     # -- the read path ---------------------------------------------------------
+
+    def _empty_frame(self, spark: SparkSession) -> DataFrame:
+        """Zero-row DataFrame with the table's current schema (the shape a
+        fully-pruned scan returns)."""
+        inv = {
+            "long": "bigint", "int": "int", "string": "string",
+            "double": "double", "float": "float", "boolean": "boolean",
+            "date": "date", "binary": "binary", "uuid": "string",
+        }
+        cols = []
+        for f in self._current_schema().get("fields", []):
+            t = f.get("type")
+            t = t if isinstance(t, str) else "string"
+            spark_t = inv.get(t, "timestamp" if t.startswith("timestamp") else t)
+            cols.append(f"`{f['name']}` {spark_t}")
+        return spark.createDataFrame([], ", ".join(cols))
+
+    @staticmethod
+    def _read_files(spark: SparkSession, files: list[_DataFile]) -> DataFrame:
+        """Scan a file group, branching on each file's recorded storage
+        format (spec data_file.file_format; the reference dispatches per
+        file in IcebergPageSourceProvider). Unknown formats fail loudly —
+        misreading ORC bytes as parquet must never be silent."""
+        by_fmt: dict[str, list[str]] = {}
+        for f in files:
+            by_fmt.setdefault(f.file_format, []).append(f.path)
+        parts = []
+        for fmt, paths in sorted(by_fmt.items()):
+            if fmt == "PARQUET":
+                parts.append(spark.read.parquet(*paths))
+            elif fmt == "ORC":
+                # DataFrameReader.orc's 2nd positional is mergeSchema, so
+                # the path list must go as ONE argument
+                parts.append(spark.read.orc(paths))
+            elif fmt == "AVRO":
+                parts.append(spark.read.format("avro").load(paths))
+            else:
+                raise ValueError(
+                    f"unsupported Iceberg data file format {fmt!r}"
+                )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     def read(
         self,
@@ -278,11 +351,21 @@ class IcebergTable:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         with_lineage: bool = False,
+        partition_filter: list[tuple[str, str, object]] | None = None,
     ) -> DataFrame:
         """Read the table contents after delete application. With
         ``with_lineage`` the result keeps ``__file``/``__pos`` columns
         (data file path + row ordinal) — the handles a DELETE writer needs
-        to emit position-delete files for the surviving rows it matches."""
+        to emit position-delete files for the surviving rows it matches.
+
+        ``partition_filter`` is a conjunctive predicate
+        ``[(source_col, op, literal), ...]`` evaluated against each
+        manifest entry's partition tuple through the table's partition-spec
+        transforms BEFORE any data file is opened — the reference's
+        manifest-level split pruning (IcebergSplitSource.java). It prunes
+        files only; the caller still applies the row-level predicate.
+        ``self.last_scan`` records candidate/scanned/pruned file counts
+        for EXPLAIN (TYPE IO)."""
         files = self.data_files(snapshot_id, as_of_ms)
         # A data file can be listed by more than one manifest (ADDED once,
         # EXISTING after rewrites); keep one entry per path, max seq.
@@ -293,11 +376,55 @@ class IcebergTable:
                 if prev is None or f.sequence_number > prev.sequence_number:
                     by_path[f.path] = f
         data = list(by_path.values())
-        pos_del = [f for f in files if f.content == 1]
-        eq_del = [f for f in files if f.content == 2]
         if not data:
             raise ValueError("snapshot has no data files")
-        df = spark.read.parquet(*[f.path for f in data])
+        candidates = len(data)
+        if partition_filter:
+            from trino_private_spark.sources.iceberg_partition import (
+                file_matches,
+            )
+
+            specs = self.partition_specs()
+            data = [
+                f
+                for f in data
+                if file_matches(
+                    specs.get(f.spec_id),
+                    dict(f.partition) if f.partition is not None else None,
+                    partition_filter,
+                )
+            ]
+        self.last_scan = {
+            "candidate_data_files": candidates,
+            "scanned_data_files": len(data),
+            "pruned_data_files": candidates - len(data),
+        }
+        IO_SCAN_INFO[_local(self.location)] = dict(self.last_scan)
+        pos_del = [f for f in files if f.content == 1]
+        eq_del = [f for f in files if f.content == 2]
+        if (with_lineage or pos_del) and any(
+            f.file_format != "PARQUET" for f in data
+        ):
+            # Spark's ORC _metadata struct carries no row_index, so row
+            # positions — needed both to APPLY position deletes and to
+            # WRITE them (DELETE/UPDATE lineage) — only exist for parquet
+            # data files. Equality deletes and plain reads still work.
+            raise NotImplementedError(
+                "position-delete handling requires parquet data files "
+                "(Spark exposes _metadata.row_index for parquet only); "
+                "this table has non-parquet data files"
+            )
+        if not data:
+            df = self._empty_frame(spark)
+            if with_lineage:
+                df = df.withColumns(
+                    {
+                        "__file": F.lit(None).cast("string"),
+                        "__pos": F.lit(None).cast("long"),
+                    }
+                )
+            return df
+        df = self._read_files(spark, data)
         norm0 = lambda c: F.regexp_replace(c, "^file:/{0,2}/", "/")  # noqa: E731
         if not pos_del and not eq_del:
             if with_lineage:
@@ -335,16 +462,16 @@ class IcebergTable:
             # Position deletes apply to data files with seq <= delete seq.
             # Group delete files by their sequence number (bounded by the
             # snapshot count) and keep, per (file, pos), the max delete seq.
-            by_seq: dict[int, list[str]] = {}
+            by_seq: dict[int, list[_DataFile]] = {}
             for f in pos_del:
-                by_seq.setdefault(f.sequence_number, []).append(f.path)
+                by_seq.setdefault(f.sequence_number, []).append(f)
             parts = [
-                spark.read.parquet(*paths).select(
+                self._read_files(spark, dfiles).select(
                     norm(F.col("file_path")).alias("__file"),
                     F.col("pos").alias("__pos"),
                     F.lit(seq).cast("long").alias("__del_seq"),
                 )
-                for seq, paths in sorted(by_seq.items())
+                for seq, dfiles in sorted(by_seq.items())
             ]
             dels = parts[0]
             for p in parts[1:]:
@@ -387,7 +514,7 @@ class IcebergTable:
             # optional equality field must still match data rows — use <=>
             # (eqNullSafe), never plain equality.
             eq = (
-                spark.read.parquet(f.path)
+                self._read_files(spark, [f])
                 .select(*sel)
                 .dropDuplicates(join_names)
                 .select(
@@ -478,6 +605,10 @@ def read_iceberg(
     location: str,
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
+    partition_filter: list[tuple[str, str, object]] | None = None,
 ) -> DataFrame:
-    """Read an Iceberg v2 table (optionally time-traveled)."""
-    return IcebergTable(location).read(spark, snapshot_id, as_of_ms)
+    """Read an Iceberg v2 table (optionally time-traveled, optionally
+    manifest-partition-pruned)."""
+    return IcebergTable(location).read(
+        spark, snapshot_id, as_of_ms, partition_filter=partition_filter
+    )
