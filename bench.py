@@ -2,10 +2,12 @@
 """BENCH harness: times the headline query set at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Protocol mirrors the reference benchmark config (BASELINE.md): 1 warm-up run
-then median of 3 measured runs per query, timed around a full materialization
-(collect of the already-declared plan — the driver-side equivalent of the
-reference's runs/prewarm-runs protocol in tpch.yaml).
+Protocol mirrors the reference benchmark config (BASELINE.md, tpch.yaml:24-37
+``runs: 6, prewarm-runs: 2``): 2 warm-up runs then median of 5 measured runs
+per query, timed around a full materialization (collect of the
+already-declared plan). Sub-second queries on a shared 32-core box jitter
+±30% run-to-run; median-of-5 after double prewarm keeps single outliers from
+reading as regressions (VERDICT r5 recommendation).
 
 Prints ONE JSON line:
   {"metric": "bench_total_sec", "value": N, "unit": "sec",
@@ -34,9 +36,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = probes[name].fn
-        fn(spark, sf_dir).collect()  # warm-up (JIT + file listing + codegen)
+        for _ in range(2):  # warm-up (JIT + file listing + codegen)
+            fn(spark, sf_dir).collect()
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)

@@ -96,3 +96,79 @@ def test_bpe_min_count_stops_early(spark):
     df = spark.createDataFrame([("ab cd",)], "text string")
     # every pair occurs once -> below min_count=2 -> no merges
     assert bpe_train(df, n_merges=5, min_count=2) == []
+
+
+def test_bpe_apply_fold_and_arrow_agree(spark):
+    # the two encode plans (JVM fold chain vs Arrow rank-dict loop) must
+    # tokenize identically on a trained merge list
+    from trino_private_spark.llm.bpe import bpe_apply, bpe_train
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, n_merges=12, min_count=1)
+    fold = bpe_apply(df, merges, method="fold").orderBy("id").collect()
+    arrow = bpe_apply(df, merges, method="arrow").orderBy("id").collect()
+    assert [r.tokens for r in fold] == [r.tokens for r in arrow]
+    assert [r.n_tokens for r in fold] == [r.n_tokens for r in arrow]
+
+
+def test_bpe_apply_paths_agree_random_corpus(spark):
+    # randomized corpora (fixed seed): train real merge lists, encode with
+    # both plans, require byte-identical tokens — pins the VERDICT fix
+    import random
+
+    from trino_private_spark.llm.bpe import bpe_apply, bpe_train
+
+    rng = random.Random(61)
+    for trial in range(3):
+        vocab = [
+            "".join(rng.choice("abcdef") for _ in range(rng.randint(2, 8)))
+            for _ in range(30)
+        ]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 15)))
+            for _ in range(40)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        merges = bpe_train(df, n_merges=20, min_count=1)
+        assert len(merges) > 5
+        fold = bpe_apply(df, merges, method="fold").orderBy("id").collect()
+        arrow = bpe_apply(df, merges, method="arrow").orderBy("id").collect()
+        assert [r.tokens for r in fold] == [r.tokens for r in arrow], trial
+
+
+def test_bpe_apply_auto_routes_by_size(spark):
+    from trino_private_spark.llm.bpe import FOLD_MAX_MERGES, bpe_apply
+
+    df = spark.createDataFrame([(1, "aaab aab")], "doc_id long, text string")
+    small = [("a", "a")]
+    big = small + [(f"x{i}", f"y{i}") for i in range(FOLD_MAX_MERGES)]
+    # auto on a big list must NOT build a fold chain: the plan string of
+    # the arrow path contains a Python evaluation node, the fold path a
+    # deep aggregate expression
+    plan_big = bpe_apply(df, big)._jdf.queryExecution().sparkPlan().toString()
+    assert "MapInPandas" in plan_big
+    plan_small = (
+        bpe_apply(df, small)._jdf.queryExecution().sparkPlan().toString()
+    )
+    assert "MapInPandas" not in plan_small
+    # and both still tokenize alike
+    a = bpe_apply(df, small, method="fold").collect()[0]
+    b = bpe_apply(df, small, method="arrow").collect()[0]
+    assert a.tokens == b.tokens == ["aa", "a", "b", "aa", "b"]
+
+
+def test_bpe_apply_arrow_null_and_empty_text(spark):
+    from trino_private_spark.llm.bpe import bpe_apply
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "ab")], "doc_id long, text string"
+    )
+    for method in ("fold", "arrow"):
+        rows = {r.id: r for r in bpe_apply(df, [("a", "b")], method=method).collect()}
+        assert rows[1].tokens == [] and rows[1].n_tokens == 0
+        assert rows[2].tokens == [] and rows[2].n_tokens == 0
+        assert rows[3].tokens == ["ab"]

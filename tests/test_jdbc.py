@@ -100,3 +100,50 @@ def test_jdbc_explain_io_entry(spark, derby_url):
     entry = io["inputTableInfos"][0]
     assert entry["format"] == "jdbc"
     assert "id" in entry.get("pushedFilters", "") or "10" in str(entry)
+
+
+def test_jdbc_pushed_filters_in_plan(spark, derby_url):
+    """Plan-level pushdown contract vs the reference's
+    plugin/trino-base-jdbc JdbcMetadata.applyFilter/applyLimit:
+
+    - FILTERS: Spark's (V1) JDBC source compiles supported predicates
+      into the remote WHERE clause — the scan leaf's metadata must list
+      them under PushedFilters (equivalent of Trino applyFilter).
+    - LIMIT: the V1 JDBC relation does NOT push LIMIT into the remote SQL
+      (Trino's applyLimit does; Spark only gains that with the DSv2 JDBC
+      catalog) — so the plan must show a Spark-side limit ABOVE the scan,
+      and this test documents that known delta.
+    """
+    from trino_private_spark.sources.readers import read_jdbc
+
+    df = (
+        read_jdbc(
+            spark, derby_url, "t_orders",
+            driver="org.apache.derby.jdbc.EmbeddedDriver",
+        )
+        .where("id > 10 AND tag = 'even'")
+        .select("id", "amount")
+    )
+    plan = df._jdf.queryExecution().sparkPlan()  # noqa: SLF001
+    leaves = plan.collectLeaves()
+    assert leaves.size() == 1
+    leaf = leaves.apply(0)
+    assert leaf.getClass().getSimpleName() == "RowDataSourceScanExec"
+    meta = leaf.metadata()
+    it = meta.iterator()
+    raw = {}
+    while it.hasNext():
+        kv = it.next()
+        raw[kv._1()] = kv._2()
+    pushed = raw.get("PushedFilters", "")
+    assert "GreaterThan(ID,10)" in pushed, pushed
+    assert "EqualTo(TAG,even)" in pushed, pushed
+    # remote result is correctly filtered (ids 12..98 even-tagged > 10)
+    assert df.count() == 44
+
+    # LIMIT stays Spark-side on the V1 path: the scan metadata carries no
+    # limit, and the plan has a limit node above the JDBC scan
+    lim = df.limit(5)
+    lim_plan = lim._jdf.queryExecution().sparkPlan().toString()  # noqa: SLF001
+    assert "Limit" in lim_plan
+    assert lim.count() == 5

@@ -648,3 +648,35 @@ def test_temperature_mixture_null_source(spark):
     got = {r.source: r.n for r in out.groupBy("source")
            .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got.get("a") == 10 and got.get(None) == 10
+
+
+class TestSpanDedup:
+    def test_first_occurrence_survives(self, spark):
+        from trino_private_spark.llm.dedup import span_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h"),   # spans (k=4): "a b c d", "e f g h"
+                (2, "a b c d x y z w"),   # first span duplicates doc 1's
+                (3, ""),                  # empty doc must survive as empty
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.id: r for r in span_dedup(df, span_tokens=4).collect()}
+        assert out[1].text == "a b c d e f g h"
+        assert out[1].n_spans == 2 and out[1].n_spans_kept == 2
+        assert out[2].text == "x y z w"   # duplicate span dropped
+        assert out[2].n_spans == 2 and out[2].n_spans_kept == 1
+        assert out[3].text == "" and out[3].n_spans == 0
+
+    def test_tail_span_and_within_doc_duplicates(self, spark):
+        from trino_private_spark.llm.dedup import span_dedup
+
+        df = spark.createDataFrame(
+            [(1, "p q p q p")], "doc_id long, text string"
+        )
+        # k=2 spans: "p q", "p q", "p" — the second "p q" is a later
+        # occurrence even within the same document
+        out = span_dedup(df, span_tokens=2).collect()[0]
+        assert out.text == "p q p"
+        assert out.n_spans == 3 and out.n_spans_kept == 2

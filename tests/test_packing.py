@@ -169,3 +169,34 @@ def test_mp4_meta_udf(spark):
     assert rows[1] == (5_000, 1000, 640, 360, 1)
     assert rows[2] == (250, 90000, None, None, 0)
     assert rows[3] == (None, None, None, None, None)
+
+
+def test_mixture_quotas_sum_to_total():
+    # largest-remainder fill: quotas must sum to exactly total for any
+    # count distribution and alpha (bare floors under-deliver)
+    import random
+
+    from trino_private_spark.llm.packing import mixture_quotas
+
+    rng = random.Random(7)
+    for _ in range(50):
+        n_src = rng.randint(1, 12)
+        counts = {f"s{i}": rng.randint(1, 10_000) for i in range(n_src)}
+        total = rng.randint(1, 5000)
+        alpha = rng.choice([0.0, 0.3, 0.5, 0.7, 1.0])
+        q = mixture_quotas(counts, total, alpha)
+        assert sum(q.values()) == total
+        assert all(v >= 0 for v in q.values())
+
+
+def test_temperature_mixture_exact_total(spark):
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.llm.packing import temperature_mixture
+
+    df = spark.range(0, 900).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 7)).alias("source"),
+    )
+    out = temperature_mixture(df, total=500, alpha=0.5)
+    assert out.count() == 500

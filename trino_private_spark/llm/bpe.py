@@ -14,9 +14,15 @@ compact table. This module keeps that discipline:
   counts are exact integers), (c) a JVM-side left-to-right fold that
   merges the pair inside each word's symbol array. The word table is
   localCheckpoint'ed each round (iterated-input rule).
-- ``bpe_apply``: tokenizes text with a learned merge list by chaining the
-  same fold per merge — pure JVM expressions, zero shuffles, so encoding
-  100 TB is one codegen'd scan.
+- ``bpe_apply``: tokenizes text with a learned merge list. Two plans:
+  a JVM fold chain (one expression per merge — zero shuffles, but Spark
+  evaluates higher-order-function lambdas INTERPRETED, and Catalyst
+  cannot plan a 30k-deep chained expression tree, so this path is gated
+  to small merge lists) and an Arrow path (``mapInPandas`` applying the
+  standard rank-dict BPE loop per word with per-batch word memoization —
+  the industry encode shape, tiktoken/HF style; cost is independent of
+  the merge-list length). ``method='auto'`` picks by list size; both
+  paths are equivalence-tested on trained merge lists.
 
 Determinism: exact integer counts + total tie-break order makes the merge
 list independent of partitioning and engine. The left-to-right
@@ -168,16 +174,118 @@ def bpe_segment(word: Column, merges: list[tuple[str, str]]) -> Column:
     return syms
 
 
+#: above this many merges the fold plan's expression tree is the
+#: bottleneck (interpreted lambdas, Catalyst planning depth) — switch to
+#: the Arrow rank-dict encoder, whose cost is independent of list length.
+FOLD_MAX_MERGES = 64
+
+
+def _segment_rank(
+    word: str,
+    ranks: dict[tuple[str, str], int],
+    cache: dict[str, list[str]],
+) -> list[str]:
+    """Rank-dict BPE segmentation of one word (Sennrich 2016 / the
+    GPT-2-style encode loop): repeatedly merge every non-overlapping
+    occurrence of the lowest-rank adjacent pair. The merge pass itself is
+    byte-identical to merge_pair's left-to-right fold."""
+    hit = cache.get(word)
+    if hit is not None:
+        return hit
+    syms = list(word)
+    while len(syms) > 1:
+        best_r = None
+        best = None
+        for p in zip(syms, syms[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_r is None or r < best_r):
+                best_r, best = r, p
+        if best is None:
+            break
+        a, b = best
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    cache[word] = syms
+    return syms
+
+
+def _bpe_apply_arrow(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Arrow encode path: one mapInPandas scan, rank-dict loop per word,
+    per-batch memoization over distinct words (natural text repeats words
+    heavily, so the loop runs once per distinct word per batch). This is
+    the 100-TB path — work per row is O(tokens), independent of the
+    merge-list length, and the merge dict broadcasts with the closure."""
+    import pyspark.sql.types as T
+
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks = []
+            for text in pdf[text_col]:
+                row: list[str] = []
+                if text is not None:
+                    for w in ws.split(str(text).lower()):
+                        if w:
+                            row.extend(_segment_rank(w, ranks, cache))
+                toks.append(row)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "tokens": toks,
+                    "n_tokens": [len(t) for t in toks],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
 def bpe_apply(
     df: DataFrame,
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    method: str = "auto",
 ) -> DataFrame:
     """Tokenize documents with a learned merge list: (id, tokens, n_tokens).
-    One scan; the merge chain is a single whole-stage-codegen expression."""
+    One scan either way; ``method`` 'fold' chains one JVM fold per merge
+    (fine for small lists, interpreted + planning-bound beyond
+    FOLD_MAX_MERGES), 'arrow' runs the rank-dict loop per word in a
+    mapInPandas pass (real-vocabulary path), 'auto' picks by list size.
+    Null text yields empty tokens on both paths."""
+    if method == "auto":
+        method = "fold" if len(merges) <= FOLD_MAX_MERGES else "arrow"
+    if method == "arrow":
+        return _bpe_apply_arrow(df, merges, id_col, text_col)
+    if method != "fold":
+        raise ValueError(f"unknown bpe_apply method {method!r}")
     words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: w != "",
     )
     toks = F.flatten(F.transform(words, lambda w: bpe_segment(w, merges)))
     return df.select(

@@ -239,8 +239,12 @@ def simhash64(
     per row (64x the hashing work; the SQL expr form is used because
     pyspark's shiftleft/bit_get wrappers only take literal positions)."""
     votes_sql = (
+        # \\s+ with an empty-token filter, like every other tokenizer in
+        # this module — a literal single space hashed empty/merged tokens
+        # on tab/newline/multi-space text (ADVICE r5)
         f"aggregate("
-        f"  transform(array_distinct(split(lower({text_col}), ' ')), t -> xxhash64(t)),"
+        f"  transform(array_distinct(filter(split(lower({text_col}), '\\\\s+'),"
+        f"            t -> t <> '')), t -> xxhash64(t)),"
         f"  array_repeat(0L, 64),"
         f"  (acc, h) -> zip_with(acc, sequence(0, 63),"
         f"    (a, i) -> a + if(getbit(h, cast(i as int)) = 1, 1L, -1L)))"
@@ -490,3 +494,82 @@ def contamination_flags(
         .agg(F.countDistinct("s").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """C4-style span-level deduplication (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2: "we discarded all but one of any three-sentence
+    span occurring more than once in the data set" — here the span unit is
+    ``span_tokens`` consecutive tokens, the fixture corpus having no
+    sentence boundaries). Every document splits into consecutive
+    non-overlapping k-token spans; of all occurrences of an identical span
+    across the WHOLE corpus, only the first (smallest (doc, position))
+    survives; documents reassemble from their surviving spans in order.
+
+    Returns (id, text, n_spans, n_spans_kept) — text rebuilt with single
+    spaces, possibly empty when every span was a later duplicate.
+
+    Scale: two shuffles, both keyed and skew-free — (1) a hash exchange on
+    the span string for the first-occurrence window (spans of k >= 8
+    tokens are near-unique, so partitions balance; the degenerate
+    all-identical corpus degrades to one hot key exactly like any global
+    dedup), carrying (span, id, pos) — never whole documents; (2) the
+    groupBy(id) reassembly, carrying only surviving spans. Span extraction
+    itself is scan-local slice arithmetic on the tokenized array."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_spans - 1, F.lit(0))),
+        lambda i: F.array_join(
+            F.slice(toks, i * span_tokens + 1, span_tokens), " "
+        ),
+    )
+    exploded = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.when(F.size(toks) > 0, spans)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("spans"),
+        )
+        .select("id", F.posexplode("spans").alias("pos", "span"))
+    )
+    w = Window.partitionBy("span").orderBy("id", "pos")
+    kept = exploded.withColumn("_rk", F.row_number().over(w))
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_rk") == 1,
+                            F.struct(F.col("pos"), F.col("span")),
+                        )
+                    )
+                ),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum((F.col("_rk") == 1).cast("bigint")).alias("n_spans_kept"),
+    )
+    # documents with no tokens at all never reach the explode — restore
+    # them with empty text so the op is total
+    empties = (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt.select("id"), "id", "left_anti")
+        .select(
+            "id",
+            F.lit("").alias("text"),
+            F.lit(0).cast("bigint").alias("n_spans"),
+            F.lit(0).cast("bigint").alias("n_spans_kept"),
+        )
+    )
+    return rebuilt.unionByName(empties)

@@ -196,16 +196,24 @@ def with_gopher_metrics(
     text_col: str = "text",
     lang: str = "en",
     id_col: str | None = None,
-    method: str = "scan",
+    method: str = "auto",
 ) -> DataFrame:
     """Append the full Gopher metric set as columns.  Materializes the token
     array ONCE (``__toks``) so every HOF lambda touches a cheap attribute
     reference instead of re-tokenizing per element, then drops it.
 
-    ``method='scan'`` (default) computes the n-gram repetition stats with
+    ``method='scan'`` computes the n-gram repetition stats with
     zero-shuffle per-row folds; ``method='shuffle'`` (requires ``id_col``,
     a unique key) uses explode + codegen'd hash aggregates + a join back —
-    identical values, different plan (see repetition_stats_agg)."""
+    identical values, different plan (see repetition_stats_agg).
+    ``method='auto'`` (default) picks shuffle whenever ``id_col`` is
+    given: Spark evaluates HOF lambdas INTERPRETED, and the measured gap
+    is 4.4x CPU in shuffle's favor (SCALE.md, 50k docs: 68 s fold vs 15 s
+    explode+codegen), so on a CPU-bound cluster the extra exchange pays
+    for itself; prefer 'scan' explicitly only when the network is the
+    binding constraint or no unique key exists."""
+    if method == "auto":
+        method = "shuffle" if id_col is not None else "scan"
     t = F.col(text_col)
     out = df.withColumn("__toks", F.split(F.lower(t), r"\s+"))
     toks = F.col("__toks")
@@ -266,14 +274,15 @@ def gopher_quality_filter(
     top_ngram_max: dict[int, float] | None = None,
     dup_ngram_max: dict[int, float] | None = None,
     id_col: str | None = None,
-    method: str = "scan",
+    method: str = "auto",
 ) -> DataFrame:
     """Apply the Gopher rule set; returns the input plus every metric, a
     per-rule boolean, and an overall ``keep`` flag — keep the metrics so a
     pipeline can audit WHY a document was dropped (the standard curation
     reporting shape).  One scan, no shuffle, with ``method='scan'``;
     ``method='shuffle'`` trades a (doc, gram) shuffle for codegen'd
-    aggregates (see with_gopher_metrics). Filter afterwards with
+    aggregates — 4.4x less CPU measured (see with_gopher_metrics), which
+    'auto' picks whenever ``id_col`` is given. Filter afterwards with
     ``.where('keep')``."""
     top_ngram_max = top_ngram_max or GOPHER_TOP_NGRAM_MAX
     dup_ngram_max = dup_ngram_max or GOPHER_DUP_NGRAM_MAX

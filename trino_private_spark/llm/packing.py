@@ -185,6 +185,33 @@ def token_budget_take(
     )
 
 
+def mixture_quotas(
+    counts: dict, total: int, alpha: float, tot_w: float | None = None
+) -> dict:
+    """Largest-remainder per-source quotas for temperature mixing:
+    floor(total * count^alpha / W) plus one extra unit to the ``rem``
+    sources with the largest fractional parts (deterministic tie-break by
+    source name), so the quotas sum to exactly ``total``."""
+    import functools
+    import math
+
+    weights = {s: math.pow(float(c), alpha) for s, c in counts.items()}
+    order = sorted(weights, key=lambda s: (s is None, s))
+    if tot_w is None:
+        tot_w = functools.reduce(
+            lambda a, b: a + b, (weights[s] for s in order), 0.0
+        )
+    exact = {s: total * weights[s] / tot_w for s in weights}
+    quotas = {s: int(math.floor(exact[s])) for s in weights}
+    rem = total - sum(quotas.values())
+    by_frac = sorted(
+        order, key=lambda s: (-(exact[s] - quotas[s]), s is None, s)
+    )
+    for s in by_frac[: max(0, rem)]:
+        quotas[s] += 1
+    return quotas
+
+
 def temperature_mixture(
     df: DataFrame,
     source_col: str = "source",
@@ -200,6 +227,12 @@ def temperature_mixture(
     alpha -> 0 approaches uniform — then quota rows are kept per source
     by deterministic xxhash64 rank (same discipline as
     stratified_sample).
+
+    Quotas are floor(total * w/W) plus a largest-remainder fill: the
+    leftover ``total - sum(floors)`` units go to the sources with the
+    largest fractional parts (ties broken by source name), so exactly
+    ``total`` rows survive whenever every source holds enough rows — a
+    bare floor silently under-delivers by up to n_sources - 1.
 
     Scale/determinism: per-source counts are ONE aggregation collected to
     the driver (bounded by the number of sources); quotas use an ordered
@@ -222,9 +255,7 @@ def temperature_mixture(
     tot_w = functools.reduce(
         lambda a, b: a + b, (weights[s] for s in order), 0.0
     )
-    quotas = {
-        s: int(math.floor(total * weights[s] / tot_w)) for s in weights
-    }
+    quotas = mixture_quotas(counts, total, alpha, tot_w)
     qdf = F.broadcast(
         df.sparkSession.createDataFrame(
             [(s, quotas[s]) for s in order],

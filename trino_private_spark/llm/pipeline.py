@@ -25,6 +25,15 @@ from trino_private_spark.llm import dedup, text
 class CurationResult:
     curated: DataFrame
     stage_counts: dict[str, int] = field(default_factory=dict)
+    # persisted intermediates the pipeline created; release them once the
+    # curated result is materialized (unpersist is a cache hint only —
+    # any later action on `curated` still recomputes correctly)
+    handles: list[DataFrame] = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        for h in self.handles:
+            h.unpersist()
+        self.handles.clear()
 
 
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -95,7 +104,9 @@ def curate_corpus(
         from trino_private_spark.llm.heuristics import gopher_quality_filter
 
         gq = gopher_quality_filter(
-            gated, text_col=text_col, **(gopher_kwargs or {})
+            gated,
+            text_col=text_col,
+            **{"id_col": id_col, **(gopher_kwargs or {})},
         )
         gated = tick("gopher_gated", gq.where("keep").select(*gated.columns))
 
@@ -141,4 +152,8 @@ def curate_corpus(
     near = tick("near_deduped", dedup.dedup_keep_list(exact, verified, id_col))
 
     curated = near.drop("_tokens", "_quality", "_lang", "_fp")
-    return CurationResult(curated=curated, stage_counts=counts)
+    # hand the persisted intermediate back so a long-lived session can
+    # release its cached blocks once `curated` is materialized
+    return CurationResult(
+        curated=curated, stage_counts=counts, handles=[exact]
+    )

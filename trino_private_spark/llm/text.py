@@ -249,7 +249,12 @@ def tfidf_top_terms(
             F.struct(acc["prev"].alias("term"), acc["run"].alias("tf")),
         )).otherwise(acc["out"])
 
-    toks_sorted = F.array_sort(F.split(F.lower(F.col(text_col)), r"\s+"))
+    # drop empty tokens from leading/trailing whitespace BEFORE sorting —
+    # '' terms would pollute per-doc counts and the document-frequency
+    # table (consistent with bpe.word_freqs / embed.hashed_vector)
+    toks_sorted = F.array_sort(
+        F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    )
     terms = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.aggregate(toks_sorted, acc0, step, finish)).alias("t"),

@@ -288,6 +288,10 @@ def p_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min("ok").alias("all_ok"))
     ).collect()[0].all_ok
+    # both persisted inputs are fully consumed above — release the cached
+    # blocks so repeated probe runs in a long session don't accumulate
+    ann.unpersist()
+    bf.unpersist()
     return spark.createDataFrame(
         [(bool(rescored), n_hit >= 0.5 * n_bf)],
         "scores_exact boolean, recall_ok boolean",
@@ -455,6 +459,10 @@ def p_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orphans = (
         curated.select("doc_id").join(docs.select("doc_id"), "doc_id", "left_anti").count()
     )
+    # all invariants computed — release the pipeline's and the probe's own
+    # cached blocks (ADVICE r5: repeated invocations were accumulating)
+    res.unpersist()
+    curated.unpersist()
     return spark.createDataFrame(
         [(n > 0, n_dup_groups == 0, n_orphans == 0)],
         "nonempty boolean, no_exact_dups boolean, subset_ok boolean",
@@ -1289,7 +1297,10 @@ def p_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p_tfidf",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents),
     terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
            GROUP BY doc_id, term),
@@ -1491,10 +1502,15 @@ def p_hashed_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (SELECT source AS s, count(*) AS n FROM documents GROUP BY 1),
     tw AS (SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY s),
                               (a, b) -> a + b) AS tot FROM c),
+    e AS (SELECT s, n, 600 * sqrt(CAST(n AS DOUBLE)) / tw.tot AS ex
+          FROM c CROSS JOIN tw),
+    f AS (SELECT s, n, ex, CAST(FLOOR(ex) AS BIGINT) AS fq FROM e),
+    r AS (SELECT 600 - SUM(fq) AS rem FROM f),
     q AS (SELECT s, n,
-                 CAST(FLOOR(600 * sqrt(CAST(n AS DOUBLE)) / tw.tot)
-                      AS BIGINT) AS quota
-          FROM c CROSS JOIN tw)
+                 fq + CASE WHEN ROW_NUMBER()
+                                OVER (ORDER BY ex - fq DESC, s) <= r.rem
+                           THEN 1 ELSE 0 END AS quota
+          FROM f CROSS JOIN r)
     SELECT s AS source, n AS n_docs, quota,
            LEAST(quota, n) AS n_sampled
     FROM q ORDER BY source
@@ -1503,13 +1519,17 @@ def p_hashed_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture sampling (llm/packing.temperature_mixture,
-    alpha=0.5, total=600): per-source quotas proportional to
-    sqrt(count). The probe emits (source, n_docs, quota, n_sampled) with
-    n_sampled measured from the actual sampled output — full-hash against
-    DuckDB recomputing quotas with the SAME ordered weight fold
-    (list_reduce over sources sorted by name) and the closed-form
+    alpha=0.5, total=600): per-source quotas proportional to sqrt(count)
+    with largest-remainder fill, so quotas sum to exactly 600. The probe
+    emits (source, n_docs, quota, n_sampled) with n_sampled measured from
+    the actual sampled output — full-hash against DuckDB recomputing
+    quotas with the SAME ordered weight fold (list_reduce over sources
+    sorted by name) + the same remainder rule, and the closed-form
     survivor count min(quota, n)."""
-    from trino_private_spark.llm.packing import temperature_mixture
+    from trino_private_spark.llm.packing import (
+        mixture_quotas,
+        temperature_mixture,
+    )
 
     t = T(spark, sf_dir)
     docs = t.documents.select("doc_id", "source")
@@ -1518,20 +1538,10 @@ def p_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled")
     )
     base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    import functools
-    import math
-
     counts = {r["source"]: r["n_docs"] for r in base.collect()}
-    tot_w = functools.reduce(
-        lambda a, b: a + b,
-        (math.sqrt(float(counts[s])) for s in sorted(counts)),
-        0.0,
-    )
+    quotas = mixture_quotas(counts, total=600, alpha=0.5)
     qdf = spark.createDataFrame(
-        [
-            (s, int(math.floor(600 * math.sqrt(float(c)) / tot_w)))
-            for s, c in sorted(counts.items())
-        ],
+        [(s, q) for s, q in sorted(quotas.items())],
         "source string, quota bigint",
     )
     return (
@@ -1624,3 +1634,115 @@ def p_gopher_repetition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "top_2gram_frac", "top_3gram_frac", "top_4gram_frac"
     ).orderBy("doc_id")
+
+
+@probe(
+    "p_span_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    d AS (SELECT id, t,
+                 CAST(CEIL(len(t) / 2.0) AS BIGINT) AS nc FROM toks
+          WHERE len(t) > 0),
+    g AS (SELECT id,
+                 unnest(range(0, nc)) AS pos,
+                 unnest([array_to_string(t[i*2+1 : i*2+2], ' ')
+                         for i in range(0, nc)]) AS span
+          FROM d),
+    k AS (SELECT id, pos, span,
+                 ROW_NUMBER() OVER (PARTITION BY span
+                                    ORDER BY id, pos) AS rk FROM g),
+    agg AS (SELECT id,
+                   COALESCE(string_agg(span, ' ' ORDER BY pos)
+                            FILTER (WHERE rk = 1), '') AS text,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_spans_kept
+            FROM k GROUP BY id)
+    SELECT a.doc_id AS id, COALESCE(g.text, '') AS text,
+           COALESCE(g.n_spans, 0) AS n_spans,
+           COALESCE(g.n_spans_kept, 0) AS n_spans_kept
+    FROM documents a LEFT JOIN agg g ON a.doc_id = g.id
+    ORDER BY id
+    """,
+    tags=("llm",),
+)
+def p_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span deduplication (llm/dedup.span_dedup; Raffel 2020
+    arXiv:1910.10683 §2.2 — discard all but the FIRST occurrence of any
+    repeated span corpus-wide, rebuild documents from survivors). The
+    probe uses 2-token spans so the small-vocabulary fixture produces
+    real cross-document duplicates (8-token spans would pass vacuously);
+    full-hash against DuckDB replaying the identical tokenize -> span ->
+    global first-occurrence window -> ordered reassembly."""
+    from trino_private_spark.llm.dedup import span_dedup
+
+    t = T(spark, sf_dir)
+    return span_dedup(
+        t.documents.select("doc_id", "text"), span_tokens=2
+    ).orderBy("id")
+
+
+@probe(
+    "p_target_affinity",
+    oracle="""
+    WITH ttk AS (SELECT unnest(list_filter(
+                   string_split_regex(lower(text), '\s+'),
+                   x -> x <> '' AND x < 'm')) AS tok
+                 FROM documents),
+    rtk AS (SELECT doc_id AS id,
+                   unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                          x -> x <> '')) AS tok FROM documents),
+    tb AS (SELECT CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024 AS b,
+                  COUNT(*) AS ct FROM ttk GROUP BY 1),
+    rb AS (SELECT CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024 AS b,
+                  COUNT(*) AS cr FROM rtk GROUP BY 1),
+    tot AS (SELECT (SELECT COUNT(*) FROM ttk) AS tt,
+                   (SELECT COUNT(*) FROM rtk) AS tr),
+    tbl AS (SELECT COALESCE(tb.b, rb.b) AS b, COALESCE(ct, 0) AS ct,
+                   COALESCE(cr, 0) AS cr
+            FROM tb FULL JOIN rb ON tb.b = rb.b),
+    lean AS (SELECT b, CASE WHEN (ct + 1) * (tot.tr + 1024)
+                               > (cr + 1) * (tot.tt + 1024)
+                            THEN 1 ELSE 0 END AS lean
+             FROM tbl CROSS JOIN tot),
+    pt AS (SELECT id,
+                  CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024 AS b
+           FROM rtk)
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE(lean, 0)) AS BIGINT) AS n_lean,
+           ROUND(SUM(COALESCE(lean, 0)) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS affinity
+    FROM pt LEFT JOIN lean USING (b) GROUP BY id ORDER BY id
+    """,
+    tags=("llm",),
+)
+def p_target_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style target-distribution selection (llm/select.py; Xie 2023
+    arXiv:2302.03169): the target corpus is the documents restricted to
+    tokens < 'm' — a deliberately skewed vocabulary slice, because the
+    synthetic sources share one distribution and a same-distribution
+    target votes 0 everywhere (vacuous-probe trap). Each document scores
+    the fraction of its tokens whose add-one-smoothed hashed-bucket
+    probability is higher under the target than under the raw corpus —
+    the exact-integer SIGN of DSIR's per-token log ratio, so the whole
+    score replays bit-identically in DuckDB (md5 buckets, DECIMAL
+    cross-products). Affinity here ~= each doc's share of < 'm' tokens,
+    varying per doc — discriminative, non-vacuous."""
+    from trino_private_spark.llm.select import target_affinity_scores
+
+    t = T(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    target = docs.select(
+        F.array_join(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda w: (w != "") & (w < "m"),
+            ),
+            " ",
+        ).alias("text")
+    )
+    return target_affinity_scores(docs, target, n_buckets=1024).orderBy("id")

@@ -1122,14 +1122,17 @@ def _load(q: str) -> str:
     return text.strip().rstrip(";")
 
 
-_VIEWS_READY: set[tuple[int, str]] = set()
-
-
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
     # Memoized per (session, sf_dir) — 99 probes share one fixture (same
     # discipline as tpch_sqltext._register_views / catalog.load_table).
-    key = (id(spark), sf_dir)
-    if key in _VIEWS_READY:
+    # The ready-set lives ON the session object: an id(spark)-keyed module
+    # global can collide when CPython recycles a GC'd session's address
+    # (ADVICE r5) and a dead session would pin the memo forever.
+    ready = getattr(spark, "_tps_dstext_views_ready", None)
+    if ready is None:
+        ready = set()
+        spark._tps_dstext_views_ready = ready
+    if sf_dir in ready:
         return
     for name, sql in _spark_views(sf_dir).items():
         df = spark.sql(sql)
@@ -1147,7 +1150,7 @@ def _register_views(spark: SparkSession, sf_dir: str) -> None:
     # those names too (neither collides with a fixture table)
     for bare in ("store_sales", "item"):
         spark.table(f"tpcds_{bare}").createOrReplaceTempView(bare)
-    _VIEWS_READY.add(key)
+    ready.add(sf_dir)
 
 
 def _duck_text(q: str) -> str:

@@ -363,20 +363,23 @@ def _load(q: str) -> str:
     return text.strip().rstrip(";")
 
 
-_VIEWS_READY: set[tuple[int, str]] = set()
-
-
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
     # Memoized per (session, sf_dir): 22 probes share one fixture; paying
     # file-listing + footer reads per probe is pure metadata overhead
     # (the same reasoning as catalog.load_table's memo — at 100 TB this
     # is a driver metadata storm, cf. Trino's CachingHiveMetastore).
-    key = (id(spark), sf_dir)
-    if key in _VIEWS_READY:
+    # The ready-set lives ON the session object: an id(spark)-keyed module
+    # global can collide when CPython recycles a GC'd session's address
+    # (ADVICE r5) and a dead session would pin the memo forever.
+    ready = getattr(spark, "_tps_sqltext_views_ready", None)
+    if ready is None:
+        ready = set()
+        spark._tps_sqltext_views_ready = ready
+    if sf_dir in ready:
         return
     for name, sql in _spark_views(sf_dir).items():
         spark.sql(sql).createOrReplaceTempView(name)
-    _VIEWS_READY.add(key)
+    ready.add(sf_dir)
 
 
 def _oracle(q: str) -> str:
