@@ -349,3 +349,122 @@ class TestAtomicUpdate:
         out = IcebergTable(loc).read(spark)
         assert out.count() == 50
         assert out.agg(F.min("v")).collect()[0][0] == 1000
+
+
+class TestSpecEvolution:
+    def test_mixed_spec_manifests_prune_safely(self, spark, tmp_path):
+        """Partition-spec evolution: an old manifest written under the
+        empty spec 0 (no partition tuples) coexists with a new manifest
+        under spec 1 (identity on grp). Pruning on grp must drop only
+        spec-1 files with a non-matching tuple — spec-0 files carry no
+        tuple and are NEVER pruned (the conservative rule the reference's
+        split source follows across spec evolution)."""
+        import json
+        import os
+
+        from trino_private_spark.sources.iceberg_testing import (
+            MANIFEST_LIST_SCHEMA,
+            write_parquet_with_ids,
+        )
+        from trino_private_spark.sources.iceberg import write_avro_container
+        from trino_private_spark.sources.iceberg_write import _entry_schema
+
+        loc = str(tmp_path / "evo")
+        md = os.path.join(loc, "metadata")
+        os.makedirs(md)
+        ids = {"k": 1, "grp": 2}
+        fa = os.path.join(loc, "a.parquet")  # pre-evolution, grp mixed
+        write_parquet_with_ids(fa, {"k": [1, 2], "grp": [0, 1]}, ids)
+        fb = os.path.join(loc, "b.parquet")  # spec-1 file, all grp=1
+        write_parquet_with_ids(fb, {"k": [3, 4], "grp": [1, 1]}, ids)
+        fc = os.path.join(loc, "c.parquet")  # spec-1 file, all grp=2
+        write_parquet_with_ids(fc, {"k": [5], "grp": [2]}, ids)
+
+        def entry(path, part):
+            df = {
+                "content": 0, "file_path": path, "file_format": "PARQUET",
+                "record_count": 0, "file_size_in_bytes": os.path.getsize(path),
+                "equality_ids": None,
+            }
+            if part is not None:
+                df["partition"] = part
+            return {
+                "status": 1, "snapshot_id": 1,
+                "sequence_number": None, "data_file": df,
+            }
+
+        m0 = os.path.join(md, "m0.avro")  # spec 0: no partition field
+        write_avro_container(m0, _entry_schema([]), [entry(fa, None)])
+        m1 = os.path.join(md, "m1.avro")  # spec 1: identity grp tuples
+        write_avro_container(
+            m1,
+            _entry_schema([("grp", "long")]),
+            [entry(fb, {"grp": 1}), entry(fc, {"grp": 2})],
+        )
+        ml = os.path.join(md, "snap-1.avro")
+        write_avro_container(
+            ml,
+            MANIFEST_LIST_SCHEMA,
+            [
+                {
+                    "manifest_path": m0,
+                    "manifest_length": os.path.getsize(m0),
+                    "partition_spec_id": 0, "content": 0,
+                    "sequence_number": 1, "min_sequence_number": 1,
+                    "added_snapshot_id": 1,
+                },
+                {
+                    "manifest_path": m1,
+                    "manifest_length": os.path.getsize(m1),
+                    "partition_spec_id": 1, "content": 0,
+                    "sequence_number": 1, "min_sequence_number": 1,
+                    "added_snapshot_id": 1,
+                },
+            ],
+        )
+        meta = {
+            "format-version": 2,
+            "location": loc,
+            "last-sequence-number": 1,
+            "current-schema-id": 0,
+            "schemas": [
+                {
+                    "type": "struct", "schema-id": 0,
+                    "fields": [
+                        {"id": 1, "name": "k", "required": False,
+                         "type": "long"},
+                        {"id": 2, "name": "grp", "required": False,
+                         "type": "long"},
+                    ],
+                }
+            ],
+            "default-spec-id": 1,
+            "partition-specs": [
+                {"spec-id": 0, "fields": []},
+                {
+                    "spec-id": 1,
+                    "fields": [
+                        {"name": "grp", "transform": "identity",
+                         "source-id": 2, "field-id": 1000}
+                    ],
+                },
+            ],
+            "current-snapshot-id": 1,
+            "snapshots": [
+                {"snapshot-id": 1, "timestamp-ms": 1000,
+                 "sequence-number": 1, "manifest-list": ml},
+            ],
+        }
+        with open(os.path.join(md, "v1.metadata.json"), "w") as fh:
+            json.dump(meta, fh)
+
+        t = IcebergTable(loc)
+        out = t.read(spark, partition_filter=[("grp", "=", 1)])
+        # spec-0 file never pruned (no tuple) + spec-1 grp=1 file kept,
+        # spec-1 grp=2 file pruned
+        assert t.last_scan == {
+            "candidate_data_files": 3,
+            "scanned_data_files": 2,
+            "pruned_data_files": 1,
+        }
+        assert sorted(r.k for r in out.where("grp = 1").collect()) == [2, 3, 4]

@@ -113,3 +113,40 @@ def test_string_literal_with_union_keyword(eng):
         "SELECT n + 1, s FROM t WHERE n < 2) SELECT n, s FROM t ORDER BY n"
     ).collect()
     assert [(r.n, r.s) for r in rows] == [(1, "union all (x"), (2, "union all (x")]
+
+
+def test_prepare_execute_recursive(eng):
+    # PREPARE stores the raw text; EXECUTE re-enters Engine.sql for the
+    # iterative lowering, binding ? by escaped-literal substitution
+    eng.sql(
+        "PREPARE rwalk FROM WITH RECURSIVE t(n) AS "
+        "(SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < ?) "
+        "SELECT max(n) AS m FROM t"
+    )
+    try:
+        assert eng.sql("EXECUTE rwalk USING 6").collect()[0].m == 6
+        assert eng.execute("rwalk", 4).collect()[0].m == 4
+        # DESCRIBE OUTPUT types the statement through the same lowering
+        out = eng.sql("DESCRIBE OUTPUT rwalk").collect()
+        assert [r["Column Name"] for r in out] == ["m"]
+    finally:
+        eng.sql("DEALLOCATE PREPARE rwalk")
+
+
+def test_prepare_execute_plain_still_parameterized(eng):
+    # non-engine statements keep Spark's injection-safe args binding
+    eng.prepare("pq", "SELECT n_name FROM nation WHERE n_nationkey = ?")
+    try:
+        rows = eng.execute("pq", 3).collect()
+        assert len(rows) == 1
+    finally:
+        eng.deallocate("pq")
+
+
+def test_explain_analyze_recursive(eng):
+    # EXPLAIN ANALYZE recurses into Engine.sql, which lowers RECURSIVE
+    out = eng.sql(
+        "EXPLAIN ANALYZE WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+        "SELECT n + 1 FROM t WHERE n < 3) SELECT count(*) AS c FROM t"
+    ).collect()
+    assert len(out) == 1 and out[0]["Query Plan"]

@@ -158,3 +158,38 @@ def test_trino_type_rendering(engine):
         Engine._trino_type(T.MapType(T.StringType(), T.DoubleType()))
         == "map(varchar, double)"
     )
+
+
+def test_show_functions(engine):
+    # SHOW FUNCTIONS (SqlBase.g4:145): reference 6-column shape over the
+    # mapped Trino-name surface (registry + translate renames)
+    df = engine.sql("SHOW FUNCTIONS")
+    assert df.columns == [
+        "Function", "Return Type", "Argument Types", "Function Type",
+        "Deterministic", "Description",
+    ]
+    names = {r.Function for r in df.collect()}
+    assert len(names) >= 190
+    assert {"approx_distinct", "strpos", "st_area", "hmac_sha256"} <= names
+    like = engine.sql("SHOW FUNCTIONS LIKE 'approx%'").collect()
+    assert like and all(r.Function.startswith("approx") for r in like)
+
+
+def test_ctas_iceberg_partitioned(engine, tmp_path):
+    # WITH (partitioning = ARRAY['grp']) analogue: ctas records a real
+    # partition spec and the registered view reads back the full result
+    loc = str(tmp_path / "ice_ctas")
+    engine.ctas(
+        "ice_nation_p",
+        "SELECT n_nationkey, n_regionkey FROM nation",
+        path=loc,
+        fmt="iceberg",
+        partition_by=["n_regionkey"],
+    )
+    from trino_private_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(loc)
+    assert [f.transform for f in t.partition_specs()[0].fields] == ["identity"]
+    assert engine.spark.table("ice_nation_p").count() == 25
+    out = t.read(engine.spark, partition_filter=[("n_regionkey", "=", 2)])
+    assert out.count() == 5 and t.last_scan["scanned_data_files"] == 1

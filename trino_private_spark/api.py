@@ -74,6 +74,13 @@ class Engine:
             return self.show_stats_for_query(sq.group(1), dialect)
         if _re.match(r"\s*SHOW\s+SESSION\s*$", text, flags=_re.I):
             return self.show_session()
+        sf = _re.match(
+            r"\s*SHOW\s+FUNCTIONS(?:\s+LIKE\s+'([^']*)')?\s*$",
+            text,
+            flags=_re.I,
+        )
+        if sf:
+            return self.show_functions(sf.group(1))
         cm = _re.match(
             r"\s*CALL\s+([\w.]+)\s*\((.*)\)\s*$", text, flags=_re.I | _re.S
         )
@@ -581,10 +588,14 @@ class Engine:
         return explain_str(df, "cost")
 
     def ctas(self, name: str, text: str, path: str | None = None,
-             fmt: str = "parquet", dialect: str = "trino") -> None:
+             fmt: str = "parquet", dialect: str = "trino",
+             partition_by: list | None = None) -> None:
         """CREATE TABLE AS (SqlBase.g4:51-54): materialize a query. With
         ``path``, writes files and registers a view over them; without,
-        registers the (lazy) query as a temp view."""
+        registers the (lazy) query as a temp view. ``partition_by`` (the
+        WITH (partitioning = ARRAY[...]) analogue) records a real Iceberg
+        partition spec — columns or (column, transform) pairs, transforms
+        identity/bucket[N]/truncate[W]/year/month/day/hour."""
         if hasattr(self, "_acl") and self._acl.enforce:
             self._acl.check(self._user, self._enabled_roles, "INSERT", name)
         df = self.sql(text, dialect)
@@ -596,7 +607,7 @@ class Engine:
                 iceberg_create,
             )
 
-            iceberg_create(df, path)
+            iceberg_create(df, path, partition_by=partition_by)
             read_iceberg(self.spark, path).createOrReplaceTempView(name)
         elif path:
             df.write.mode("overwrite").format(fmt).save(path)
@@ -746,25 +757,73 @@ class Engine:
 
     # --- prepared statements (SqlBase.g4:153-155) ------------------------
 
+    @staticmethod
+    def _needs_engine_lowering(text: str) -> bool:
+        """Statements Spark SQL cannot run directly — they re-enter
+        Engine.sql() at execute time for iterative/NFA lowering."""
+        import re as _re
+
+        return bool(
+            _re.match(r"\s*WITH\s+RECURSIVE\b", text, _re.I)
+            or _re.search(r"\bMATCH_RECOGNIZE\s*\(", text, _re.I)
+        )
+
     def prepare(self, name: str, text: str, dialect: str = "trino") -> None:
         """PREPARE name FROM <query>. Translation happens once at prepare
         time (the reference analyzes at prepare, binds at execute —
         SqlQueryExecution's prepared-statement path); `?` markers bind
-        positionally at execute()."""
+        positionally at execute(). WITH RECURSIVE / MATCH_RECOGNIZE
+        statements are stored raw and re-enter Engine.sql() at execute —
+        they need the engine's lowering, not a bare spark.sql."""
         if not hasattr(self, "_prepared"):
             self._prepared: dict[str, str] = {}
-        self._prepared[name] = translate(text) if dialect == "trino" else text
+            self._prepared_engine: dict[str, str] = {}  # name -> dialect
+        if self._needs_engine_lowering(text):
+            self._prepared[name] = text
+            self._prepared_engine[name] = dialect
+        else:
+            self._prepared.pop(name, None)
+            self._prepared_engine.pop(name, None)
+            self._prepared[name] = (
+                translate(text) if dialect == "trino" else text
+            )
+
+    @staticmethod
+    def _render_literal(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        return "'" + str(v).replace("'", "''") + "'"
 
     def execute(self, name: str, *params) -> DataFrame:
         """EXECUTE name USING p1, p2, ... — positional `?` binding via
         Spark's parameterized sql() (literal-safe: values never splice into
-        the SQL text, so no injection and plans cache by text)."""
+        the SQL text, so no injection and plans cache by text). Engine-
+        lowered statements bind by escaped-literal substitution instead
+        (their text never reaches spark.sql verbatim)."""
+        import re as _re
+
         text = self._prepared[name]
+        eng_dialect = getattr(self, "_prepared_engine", {}).get(name)
+        if eng_dialect is not None:
+            if params:
+                lits = [self._render_literal(p) for p in params]
+                it = iter(lits)
+                text = _re.sub(
+                    r"\?(?=(?:[^']*'[^']*')*[^']*$)",
+                    lambda _m: next(it),
+                    text,
+                )
+            return self.sql(text, eng_dialect)
         return self.spark.sql(text, args=list(params)) if params else self.spark.sql(text)
 
     def deallocate(self, name: str) -> None:
         """DEALLOCATE PREPARE name."""
         self._prepared.pop(name, None)
+        getattr(self, "_prepared_engine", {}).pop(name, None)
 
     def reset_session(self, key: str) -> None:
         """RESET SESSION key (SqlBase.g4:149): restore the property to its
@@ -861,6 +920,9 @@ class Engine:
         text = self._prepared[name]
         # replace ? markers outside single-quoted strings with NULL
         text = _re.sub(r"\?(?=(?:[^']*'[^']*')*[^']*$)", "NULL", text)
+        eng_dialect = getattr(self, "_prepared_engine", {}).get(name)
+        if eng_dialect is not None:
+            return self.sql(text, eng_dialect).schema
         return self.spark.sql(text).schema
 
     def describe_input(self, name: str) -> DataFrame:
@@ -890,6 +952,47 @@ class Engine:
             "`Column Name` string, `Catalog` string, `Schema` string, "
             "`Table` string, `Type` string, `Type Size` int, "
             "`Aliased` boolean",
+        )
+
+    def show_functions(self, like: str | None = None) -> DataFrame:
+        """SHOW FUNCTIONS [LIKE pattern] (SqlBase.g4:145): the reference's
+        six-column result (ShowQueriesRewrite's SHOW FUNCTIONS shape —
+        Function, Return Type, Argument Types, Function Type,
+        Deterministic, Description) over the Trino-name registry this
+        engine maps onto Spark (functions/registry.py). Return/argument
+        types are not tracked by the shim mapping, so those columns render
+        empty; Description is the mapping's docstring headline."""
+        import fnmatch
+
+        from trino_private_spark.functions.registry import TRINO_FUNCTIONS
+        from trino_private_spark.plans.translate import _FN_RENAMES
+
+        catalog: dict[str, str] = {}
+        for name, spark_name in _FN_RENAMES.items():
+            catalog[name] = f"maps to Spark {spark_name}() via translate()"
+        for name in TRINO_FUNCTIONS:
+            fn = TRINO_FUNCTIONS[name]
+            doc = (getattr(fn, "__doc__", None) or "").strip().splitlines()
+            catalog[name] = doc[0] if doc else ""
+        try:
+            from trino_private_spark.functions.geometry import GEOMETRY_UDFS
+
+            for name in GEOMETRY_UDFS:
+                catalog.setdefault(name, "geometry kernel (functions/geometry.py)")
+        except ImportError:  # pragma: no cover
+            pass
+        rows = []
+        for name in sorted(catalog):
+            if like is not None and not fnmatch.fnmatch(
+                name, like.replace("%", "*").replace("_", "?")
+            ):
+                continue
+            rows.append((name, "", "", "scalar", True, catalog[name]))
+        return self.spark.createDataFrame(
+            rows,
+            "`Function` string, `Return Type` string, "
+            "`Argument Types` string, `Function Type` string, "
+            "`Deterministic` boolean, `Description` string",
         )
 
     def show_create_table(self, table: str) -> DataFrame:
