@@ -468,3 +468,51 @@ class TestSpecEvolution:
             "pruned_data_files": 1,
         }
         assert sorted(r.k for r in out.where("grp = 1").collect()) == [2, 3, 4]
+
+
+class TestWhereAndMetadataTables:
+    def test_parse_partition_predicate(self):
+        from trino_private_spark.sources.iceberg import (
+            parse_partition_predicate,
+        )
+
+        got = parse_partition_predicate(
+            "grp = 3 AND d >= DATE '2020-03-01' AND nm IN ('a', 'b') "
+            "AND weird(x) > 2 AND k <> 5 AND s = 'it''s'"
+        )
+        assert ("grp", "=", 3) in got
+        assert ("nm", "in", ["a", "b"]) in got
+        assert ("s", "=", "it's") in got
+        assert any(op == ">=" and str(v) == "2020-03-01" for _, op, v in got)
+        # non-conforming and inequality terms contribute nothing
+        assert not any(c == "k" for c, _, _ in got)
+
+    def test_where_read_prunes_and_filters(self, spark, part_table):
+        from trino_private_spark.sources.iceberg import (
+            IO_SCAN_INFO,
+            read_iceberg,
+        )
+
+        loc, df = part_table
+        out = read_iceberg(spark, loc, where="grp = 2 AND k >= 100")
+        assert out.count() == df.where("grp = 2 AND k >= 100").count()
+        assert IO_SCAN_INFO[loc]["scanned_data_files"] == 4
+
+    def test_metadata_tables(self, spark, part_table):
+        from trino_private_spark.sources.iceberg import read_iceberg
+
+        loc, df = part_table
+        parts = read_iceberg(spark, loc + "$partitions")
+        # grp x month = 20 partitions before the module's append test runs
+        assert parts.count() >= 20
+        assert parts.agg({"record_count": "sum"}).collect()[0][0] >= 400
+        snaps = read_iceberg(spark, loc + "$snapshots").collect()
+        assert snaps and snaps[0].operation == "append"
+        files = read_iceberg(spark, loc + "$files")
+        assert files.where("file_format = 'PARQUET'").count() == files.count()
+        mans = read_iceberg(spark, loc + "$manifests")
+        assert mans.count() >= 1
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="metadata table"):
+            read_iceberg(spark, loc + "$bogus")

@@ -344,3 +344,115 @@ def p_iceberg_write_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     iceberg_delete(spark, loc, "n_nationkey % 3 = 0")
     first = IcebergTable(loc).snapshots()[0]["snapshot-id"]
     return read_iceberg(spark, loc, snapshot_id=first).orderBy("n_nationkey")
+
+
+@probe(
+    "p_iceberg_partitions_table",
+    oracle="""
+    SELECT '{"n_regionkey": ' || CAST(n_regionkey AS VARCHAR) || '}'
+               AS partition,
+           CAST(1 AS BIGINT) AS file_count,
+           CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM nation GROUP BY n_regionkey ORDER BY partition
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_partitions_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The $partitions metadata table (reference: plugin/trino-iceberg
+    PartitionTable): per-partition file/record counts straight from the
+    manifests — no data file is opened. One file per partition by
+    construction (the writer repartitions on the tuple), so file_count=1
+    pins the one-partition-per-file invariant in the hash."""
+    from trino_private_spark.sources.iceberg import read_iceberg
+    from trino_private_spark.sources.iceberg_write import iceberg_create
+
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_pt_") + "/t"
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    iceberg_create(nation, loc, partition_by=["n_regionkey"])
+    return (
+        read_iceberg(spark, loc + "$partitions")
+        .select("partition", "file_count", "record_count")
+        .orderBy("partition")
+    )
+
+
+@probe(
+    "p_iceberg_where_prune",
+    oracle="""
+    SELECT n_nationkey, n_name, 1 AS scanned_files
+    FROM nation WHERE n_regionkey = 2 AND n_nationkey >= 5
+    ORDER BY n_nationkey
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_where_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE-string reads (read_iceberg(where=...)): prunable conjunctive
+    terms derive the partition filter (the reference's enforced/residual
+    predicate split), the full predicate still applies row-level, and the
+    scan opens exactly one of the five region files — the scanned count
+    rides in the hashed result."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.sources.iceberg import IO_SCAN_INFO, read_iceberg
+    from trino_private_spark.sources.iceberg_write import iceberg_create
+
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_wp_") + "/t"
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    iceberg_create(nation, loc, partition_by=["n_regionkey"])
+    out = read_iceberg(
+        spark, loc, where="n_regionkey = 2 AND n_nationkey >= 5"
+    )
+    scanned = IO_SCAN_INFO[loc]["scanned_data_files"]
+    return out.select(
+        "n_nationkey",
+        "n_name",
+        F.lit(scanned).alias("scanned_files"),
+    ).orderBy("n_nationkey")
+
+
+@probe(
+    "p_iceberg_snapshots_table",
+    oracle="""
+    SELECT * FROM (VALUES (1, 'append', CAST(1 AS BIGINT)),
+                          (2, 'append', CAST(2 AS BIGINT)),
+                          (3, 'delete', CAST(3 AS BIGINT)))
+        AS t(snapshot_id, operation, sequence_number)
+    ORDER BY snapshot_id
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_snapshots_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The $snapshots metadata table (SnapshotsTable analogue): the
+    commit history of create -> append -> delete with operations and
+    sequence numbers, read from the snapshot log alone."""
+    from pyspark.sql import functions as _F
+
+    from trino_private_spark.sources.iceberg import read_iceberg
+    from trino_private_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_create,
+        iceberg_delete,
+    )
+
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_st_") + "/t"
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name"
+    )
+    iceberg_create(nation, loc)
+    iceberg_append(
+        nation.withColumn("n_nationkey", nation.n_nationkey + 100), loc
+    )
+    iceberg_delete(spark, loc, "n_nationkey % 7 = 0")
+    return (
+        read_iceberg(spark, loc + "$snapshots")
+        .select(
+            _F.col("snapshot_id").cast("int").alias("snapshot_id"),
+            "operation",
+            "sequence_number",
+        )
+        .orderBy("snapshot_id")
+    )

@@ -158,6 +158,8 @@ class _DataFile:
     partition: tuple[tuple[str, object], ...] | None = None
     spec_id: int = 0
     file_format: str = "PARQUET"
+    record_count: int = 0
+    file_size_in_bytes: int = 0
 
 
 def _local(p: str) -> str:
@@ -288,6 +290,10 @@ class IcebergTable:
                         file_format=str(
                             df.get("file_format") or "PARQUET"
                         ).upper(),
+                        record_count=int(df.get("record_count") or 0),
+                        file_size_in_bytes=int(
+                            df.get("file_size_in_bytes") or 0
+                        ),
                     )
                 )
         return files
@@ -600,15 +606,179 @@ class IcebergTable:
         return cur_names, file_names
 
 
+def parse_partition_predicate(cond: str) -> list[tuple[str, str, object]]:
+    """Extract prunable conjunctive terms from a SQL WHERE string —
+    ``col op literal`` joined by AND (op in = != < <= > >=, IN (...));
+    literals: numbers, 'strings', DATE 'yyyy-mm-dd'. Anything else simply
+    contributes no pruning term (never a wrong prune) — the reference
+    derives its split-pruning domain from the query predicate the same
+    conservative way (enforced vs unenforced constraint split)."""
+    import re
+
+    def lit(tok: str):
+        tok = tok.strip()
+        m = re.fullmatch(r"DATE\s+'(\d{4}-\d{2}-\d{2})'", tok, re.I)
+        if m:
+            import datetime
+
+            return datetime.date.fromisoformat(m.group(1))
+        if re.fullmatch(r"'(?:[^']|'')*'", tok):
+            return tok[1:-1].replace("''", "'")
+        if re.fullmatch(r"-?\d+", tok):
+            return int(tok)
+        if re.fullmatch(r"-?\d+\.\d+", tok):
+            return float(tok)
+        raise ValueError(tok)
+
+    out: list[tuple[str, str, object]] = []
+    # split on top-level AND only (no OR/NOT handling — those terms are
+    # skipped wholesale by the fullmatch below)
+    for term in re.split(r"\bAND\b", cond, flags=re.I):
+        term = term.strip()
+        # unwrap one balanced enclosing paren pair (never strip chars
+        # blindly — that would eat an IN-list's closing paren)
+        while (
+            term.startswith("(")
+            and term.endswith(")")
+            and term.count("(") == term.count(")")
+            and re.fullmatch(r"\([^()]*(?:\([^()]*\)[^()]*)*\)", term)
+        ):
+            term = term[1:-1].strip()
+        m = re.fullmatch(
+            r"([A-Za-z_]\w*)\s*(=|!=|<>|<=|>=|<|>)\s*(.+)", term
+        )
+        if m:
+            try:
+                op = m.group(2)
+                if op in ("!=", "<>"):
+                    continue  # inequality never prunes partitions
+                out.append((m.group(1), op, lit(m.group(3))))
+            except ValueError:
+                continue
+            continue
+        m = re.fullmatch(
+            r"([A-Za-z_]\w*)\s+IN\s*\(([^()]*)\)", term, re.I
+        )
+        if m:
+            try:
+                vals = [lit(v) for v in m.group(2).split(",")]
+                out.append((m.group(1), "in", vals))
+            except ValueError:
+                continue
+    return out
+
+
+# --------------------------------------------------------------------------
+# Metadata tables ("tbl$files" / "$partitions" / "$snapshots" / "$manifests"
+# — the reference's Iceberg system tables, plugin/trino-iceberg
+# FilesTable/PartitionTable/SnapshotsTable/ManifestsTable)
+# --------------------------------------------------------------------------
+
+
+def _metadata_table(table: "IcebergTable", spark: SparkSession, kind: str):
+    import json as _json
+
+    k = kind.lstrip("$").lower()
+    if k == "snapshots":
+        rows = [
+            (
+                s["snapshot-id"],
+                s["timestamp-ms"],
+                int(s.get("sequence-number") or 0),
+                (s.get("summary") or {}).get("operation", ""),
+                _local(s["manifest-list"]),
+            )
+            for s in table.snapshots()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, committed_at_ms long, sequence_number long, "
+            "operation string, manifest_list string",
+        )
+    if k == "manifests":
+        snap = table.current_snapshot()
+        rows = [
+            (
+                _local(m["manifest_path"]),
+                int(m.get("manifest_length") or 0),
+                int(m.get("partition_spec_id") or 0),
+                int(m.get("content") or 0),
+                int(m.get("sequence_number") or 0),
+                int(m.get("added_snapshot_id") or 0),
+            )
+            for m in read_avro_container(_local(snap["manifest-list"]))
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, length long, partition_spec_id int, content int, "
+            "sequence_number long, added_snapshot_id long",
+        )
+    files = table.data_files()
+    if k == "files":
+        rows = [
+            (
+                f.content,
+                f.path,
+                f.file_format,
+                f.record_count,
+                f.file_size_in_bytes,
+                _json.dumps(dict(f.partition)) if f.partition else None,
+                f.sequence_number,
+            )
+            for f in files
+        ]
+        return spark.createDataFrame(
+            rows,
+            "content int, file_path string, file_format string, "
+            "record_count long, file_size_in_bytes long, partition string, "
+            "sequence_number long",
+        )
+    if k == "partitions":
+        agg: dict[str, list[int]] = {}
+        for f in files:
+            if f.content != 0:
+                continue
+            key = _json.dumps(dict(f.partition)) if f.partition else None
+            cur = agg.setdefault(key, [0, 0, 0])
+            cur[0] += 1
+            cur[1] += f.record_count
+            cur[2] += f.file_size_in_bytes
+        rows = [
+            (k_, v[0], v[1], v[2]) for k_, v in sorted(
+                agg.items(), key=lambda kv: (kv[0] is None, kv[0])
+            )
+        ]
+        return spark.createDataFrame(
+            rows,
+            "partition string, file_count long, record_count long, "
+            "total_size long",
+        )
+    raise ValueError(f"unknown Iceberg metadata table {kind!r}")
+
+
 def read_iceberg(
     spark: SparkSession,
     location: str,
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
     partition_filter: list[tuple[str, str, object]] | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Read an Iceberg v2 table (optionally time-traveled, optionally
-    manifest-partition-pruned)."""
-    return IcebergTable(location).read(
-        spark, snapshot_id, as_of_ms, partition_filter=partition_filter
+    manifest-partition-pruned). ``where`` is a SQL predicate string that
+    BOTH prunes (prunable conjunctive terms derived via
+    parse_partition_predicate) AND applies row-level — the way the
+    reference splits a pushed-down predicate into enforced partition
+    constraints and a residual filter. A ``location$snapshots`` /
+    ``$files`` / ``$partitions`` / ``$manifests`` suffix returns the
+    corresponding metadata table."""
+    if "$" in location:
+        loc, _, kind = location.rpartition("$")
+        return _metadata_table(IcebergTable(loc), spark, kind)
+    pf = list(partition_filter or [])
+    if where:
+        pf.extend(parse_partition_predicate(where))
+    df = IcebergTable(location).read(
+        spark, snapshot_id, as_of_ms, partition_filter=pf or None
     )
+    return df.where(where) if where else df
