@@ -680,3 +680,43 @@ class TestSpanDedup:
         out = span_dedup(df, span_tokens=2).collect()[0]
         assert out.text == "p q p"
         assert out.n_spans == 3 and out.n_spans_kept == 2
+
+
+class TestQualityRepresentatives:
+    def test_exact_dedup_keep_best(self, spark):
+        from trino_private_spark.llm.dedup import exact_dedup_keep
+
+        df = spark.createDataFrame(
+            [
+                (1, "same  text", 5),
+                (2, "same text", 9),   # same fingerprint, higher quality
+                (3, "same TEXT", 9),   # tie on quality -> min id (2) wins
+                (4, "other", 1),
+            ],
+            "doc_id long, text string, q long",
+        )
+        kept = {r.doc_id for r in exact_dedup_keep(df, quality_col="q").collect()}
+        assert kept == {2, 4}
+        # default: min id
+        kept_min = {r.doc_id for r in exact_dedup_keep(df).collect()}
+        assert kept_min == {1, 4}
+
+    def test_dedup_keep_list_quality(self, spark):
+        from trino_private_spark.llm.dedup import dedup_keep_list
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 99), (3, 50), (4, 7)],
+            "doc_id long, q long",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "doc_a long, doc_b long"
+        )
+        # component {1,2,3}: quality rep = 2; doc 4 unpaired -> kept
+        kept = {
+            r.doc_id
+            for r in dedup_keep_list(df, pairs, quality_col="q").collect()
+        }
+        assert kept == {2, 4}
+        # default keeps the min id of the component
+        kept_min = {r.doc_id for r in dedup_keep_list(df, pairs).collect()}
+        assert kept_min == {1, 4}

@@ -454,15 +454,60 @@ def dedup_keep_list(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    quality_col: str | None = None,
 ) -> DataFrame:
-    """End-to-end dedup decision: given candidate near-dup pairs, keep the
-    minimum id of every component plus all unpaired docs. Returns df
-    filtered to the keep set — the materialization step of the pipeline."""
+    """End-to-end dedup decision: given candidate near-dup pairs, keep ONE
+    representative of every component plus all unpaired docs. Returns df
+    filtered to the keep set — the materialization step of the pipeline.
+
+    Default representative = minimum id (deterministic, metadata-only).
+    With ``quality_col``, the component member with the HIGHEST quality
+    survives (ties by min id) — the curation-grade choice: duplicate
+    clusters usually contain one canonical copy and several truncated or
+    boilerplate-wrapped ones, and min-id keeps whichever crawled first.
+    Costs one extra broadcast-scale join of (id, quality) onto the
+    component table; the component computation is unchanged."""
     comps = connected_components(pairs)
-    drop = comps.where(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
+    if quality_col is None:
+        drop = comps.where(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(drop, id_col, "left_anti")
+    q = df.select(
+        F.col(id_col).alias("id"), F.col(quality_col).alias("_q")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("_q").desc(), F.col("id")
+    )
+    drop = (
+        comps.join(q, "id")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") != 1)
+        .select(F.col("id").alias(id_col))
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def exact_dedup_keep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Exact dedup materialization: one surviving row per content
+    fingerprint — min id by default, best ``quality_col`` (ties by min
+    id) when given. One shuffle on the 16-byte fingerprint; the window
+    replaces a groupBy+join (same exchange, no second pass)."""
+    order = [F.col(id_col)]
+    if quality_col is not None:
+        order.insert(0, F.col(quality_col).desc())
+    w = Window.partitionBy("_fp__").orderBy(*order)
+    return (
+        df.withColumn("_fp__", fingerprint(F.col(text_col)))
+        .withColumn("_rk__", F.row_number().over(w))
+        .where(F.col("_rk__") == 1)
+        .drop("_fp__", "_rk__")
+    )
 
 
 def contamination_flags(

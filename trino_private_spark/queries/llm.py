@@ -1746,3 +1746,57 @@ def p_target_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text")
     )
     return target_affinity_scores(docs, target, n_buckets=1024).orderBy("id")
+
+
+@probe(
+    "p_dedup_best_rep",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+      FROM documents),
+    r AS (SELECT doc_id, n_chars, h,
+                 ROW_NUMBER() OVER (PARTITION BY h
+                                    ORDER BY n_chars DESC, doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY h) AS grp_n
+          FROM fp)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           CAST(SUM(CASE WHEN grp_n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS reps_of_dup_groups
+    FROM r WHERE rk = 1
+    """,
+    tags=("llm",),
+)
+def p_dedup_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact-dedup representatives
+    (llm/dedup.exact_dedup_keep with quality_col): per duplicate group the
+    LONGEST document survives (ties by min id) instead of whichever
+    crawled first — the curation-grade choice. Full-hash: DuckDB replays
+    the md5 fingerprint and the same (quality desc, id) window."""
+    from trino_private_spark.llm.dedup import exact_dedup_keep
+
+    t = T(spark, sf_dir)
+    kept = exact_dedup_keep(
+        t.documents.select("doc_id", "text", "n_chars"),
+        quality_col="n_chars",
+    )
+    dup_groups = (
+        t.documents.groupBy(
+            F.md5(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+                ).cast("binary")
+            ).alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    ).select(
+        "n_kept",
+        "kept_chars",
+        F.lit(dup_groups.count()).cast("bigint").alias("reps_of_dup_groups"),
+    )
