@@ -606,15 +606,14 @@ def span_dedup(
         F.sum((F.col("_rk") == 1).cast("bigint")).alias("n_spans_kept"),
     )
     # documents with no tokens at all never reach the explode — restore
-    # them with empty text so the op is total
-    empties = (
-        df.select(F.col(id_col).alias("id"))
-        .join(rebuilt.select("id"), "id", "left_anti")
-        .select(
-            "id",
-            F.lit("").alias("text"),
-            F.lit(0).cast("bigint").alias("n_spans"),
-            F.lit(0).cast("bigint").alias("n_spans_kept"),
-        )
+    # them with empty text so the op is total. Derived directly from the
+    # token count (one scan + filter), NOT by anti-joining against the
+    # rebuilt side, which would re-run the whole span pipeline a third
+    # time just to find the empty docs.
+    empties = df.where(F.size(toks) == 0).select(
+        F.col(id_col).alias("id"),
+        F.lit("").alias("text"),
+        F.lit(0).cast("bigint").alias("n_spans"),
+        F.lit(0).cast("bigint").alias("n_spans_kept"),
     )
     return rebuilt.unionByName(empties)
