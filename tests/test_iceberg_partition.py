@@ -516,3 +516,41 @@ class TestWhereAndMetadataTables:
 
         with _pytest.raises(ValueError, match="metadata table"):
             read_iceberg(spark, loc + "$bogus")
+
+
+class TestDmlPruning:
+    def test_delete_prunes_from_its_own_predicate(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg import IO_SCAN_INFO
+        from trino_private_spark.sources.iceberg_write import (
+            iceberg_create,
+            iceberg_delete,
+        )
+
+        loc = str(tmp_path / "dml")
+        df = spark.range(0, 200).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("grp")
+        )
+        iceberg_create(df, loc, partition_by=["grp"])
+        n = iceberg_delete(spark, loc, "grp = 1 AND k < 100")
+        assert n == 25
+        # the matching scan opened only the grp=1 file of 4
+        assert IO_SCAN_INFO[loc]["scanned_data_files"] == 1
+        t = IcebergTable(loc)
+        assert t.read(spark).count() == 175
+
+    def test_update_prunes_and_stays_atomic(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg import IO_SCAN_INFO
+
+        loc = str(tmp_path / "dml2")
+        df = spark.range(0, 200).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("grp")
+        )
+        iceberg_create(df, loc, partition_by=["grp"])
+        n = iceberg_update(spark, loc, {"k": "k + 1000"}, "grp = 2")
+        assert n == 50
+        assert IO_SCAN_INFO[loc]["scanned_data_files"] == 1
+        t = IcebergTable(loc)
+        out = t.read(spark)
+        assert out.count() == 200
+        assert out.where("k >= 1000").count() == 50
+        assert len(t.snapshots()) == 2  # still ONE atomic update snapshot

@@ -629,9 +629,19 @@ def iceberg_delete(
     number of rows deleted."""
     from pyspark.sql import functions as F
 
+    from trino_private_spark.sources.iceberg import parse_partition_predicate
+
     table = IcebergTable(location)
+    # the DELETE predicate prunes its own scan: conjunctive prunable terms
+    # skip non-matching partitions at the manifest level (conservative —
+    # a pruned file provably holds no matching row), so a partition-
+    # scoped DELETE on a 100 TB table reads only the matching partitions
     matches = (
-        table.read(spark, with_lineage=True)
+        table.read(
+            spark,
+            with_lineage=True,
+            partition_filter=parse_partition_predicate(condition) or None,
+        )
         .where(condition)
         .select(
             F.col("__file").alias("file_path"),
@@ -671,8 +681,15 @@ def iceberg_update(
     """
     from pyspark.sql import functions as F
 
+    from trino_private_spark.sources.iceberg import parse_partition_predicate
+
     table = IcebergTable(location)
-    cur = table.read(spark, with_lineage=True).localCheckpoint(eager=True)
+    # UPDATE's matching scan prunes from its own predicate, like DELETE
+    cur = table.read(
+        spark,
+        with_lineage=True,
+        partition_filter=parse_partition_predicate(condition) or None,
+    ).localCheckpoint(eager=True)
     matched = cur.where(condition)
     upd = matched
     for c, expr in assignments.items():
