@@ -554,3 +554,47 @@ class TestDmlPruning:
         assert out.count() == 200
         assert out.where("k >= 1000").count() == 50
         assert len(t.snapshots()) == 2  # still ONE atomic update snapshot
+
+
+class TestWriterPythonParity:
+    """Pruning is sound ONLY if the writer's JVM-side partition values
+    equal transform_value() of the same source values — the reader prunes
+    by comparing transform_value(filter literal) against stored tuples."""
+
+    def test_all_transforms_agree(self, spark):
+        import json
+
+        from trino_private_spark.sources.iceberg_write import _pv_expr
+
+        df = spark.createDataFrame(
+            [
+                (i, f"s{i}ff{i * 7}", datetime.date(1969, 12, 1)
+                 + datetime.timedelta(days=i * 37),
+                 datetime.datetime(2021, 1, 1) + datetime.timedelta(hours=i * 13))
+                for i in range(-20, 20)
+            ],
+            "k long, s string, d date, ts timestamp",
+        )
+        cases = [
+            ("k", "identity", "long"),
+            ("k", "bucket[16]", "long"),
+            ("k", "truncate[10]", "long"),
+            ("s", "bucket[8]", "string"),
+            ("s", "truncate[3]", "string"),
+            ("d", "identity", "date"),
+            ("d", "year", "date"),
+            ("d", "month", "date"),
+            ("d", "day", "date"),
+            ("ts", "hour", "timestamp"),
+        ]
+        cols = [
+            _pv_expr(c, tr, st).alias(f"pv_{i}")
+            for i, (c, tr, st) in enumerate(cases)
+        ]
+        rows = df.select("k", "s", "d", "ts", *cols).collect()
+        for r in rows:
+            src = {"k": r.k, "s": r.s, "d": r.d, "ts": r.ts}
+            for i, (c, tr, st) in enumerate(cases):
+                expect = transform_value(tr, src[c], st)
+                got = r[f"pv_{i}"]
+                assert got == expect, (c, tr, src[c], got, expect)
