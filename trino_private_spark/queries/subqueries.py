@@ -186,6 +186,38 @@ def p_recursive_sqltext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(_REC_SQLTEXT)
 
 
+_REC_UNION_SQLTEXT = """
+WITH RECURSIVE walk (k) AS (
+    SELECT CAST(0 AS BIGINT) AS k
+    UNION
+    SELECT CAST((k * 2 + 1) % 7 AS BIGINT) FROM walk
+)
+SELECT w.k, count(*) AS n_nations
+FROM walk w JOIN nation ON n_nationkey % 7 = w.k
+GROUP BY w.k
+ORDER BY w.k
+"""
+
+
+@probe(
+    "p_recursive_union_sqltext",
+    oracle=_REC_UNION_SQLTEXT,
+    tags=("core",),
+)
+def p_recursive_union_sqltext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE with UNION (distinct) semantics as SQL text: the
+    step function k -> (2k+1) mod 7 CYCLES (0,1,3 -> 0...), so only the
+    fixpoint dedup against the accumulated set terminates the recursion —
+    the standard's cycle-safe semantics (StatementAnalyzer's recursion
+    over the deduplicating union). DuckDB runs the identical statement
+    natively as the oracle."""
+    from trino_private_spark.api import Engine
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    return eng.sql(_REC_UNION_SQLTEXT)
+
+
 @probe(
     "p_in_subquery_values",
     oracle="""
