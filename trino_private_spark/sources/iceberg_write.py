@@ -235,8 +235,14 @@ def _entry_schema(partition_avro: list[tuple[str, str]] | None) -> dict:
                 {"name": n, "type": ["null", t]} for n, t in partition_avro
             ],
         }
-        df_fields = schema["fields"][3]["type"]["fields"]
-        df_fields.insert(3, {"name": "partition", "type": ["null", part_rec]})
+        data_file = next(
+            f for f in schema["fields"] if f["name"] == "data_file"
+        )
+        df_fields = data_file["type"]["fields"]
+        at = next(
+            i for i, f in enumerate(df_fields) if f["name"] == "file_format"
+        )
+        df_fields.insert(at + 1, {"name": "partition", "type": ["null", part_rec]})
     return schema
 
 
