@@ -150,3 +150,89 @@ def test_explain_analyze_recursive(eng):
         "SELECT n + 1 FROM t WHERE n < 3) SELECT count(*) AS c FROM t"
     ).collect()
     assert len(out) == 1 and out[0]["Query Plan"]
+
+
+def test_multi_branch_recursive_body_rejected(eng):
+    # base1 UNION ALL base2 UNION ALL step must raise (the reference
+    # checkStates the exact two-branch shape) — silently splitting at the
+    # first UNION would re-add base2 every iteration
+    with pytest.raises(ValueError, match="two"):
+        eng.sql(
+            "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT 2 "
+            "UNION ALL SELECT n + 1 FROM t WHERE n < 4) "
+            "SELECT n FROM t ORDER BY n"
+        ).collect()
+
+
+def test_parenthesized_union_in_step_still_allowed(eng):
+    # a UNION nested in parens inside the step is not a third branch
+    rows = eng.sql(
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+        "SELECT n + 1 FROM t WHERE n < 3 AND n IN "
+        "(SELECT 1 UNION SELECT 2)) SELECT n FROM t ORDER BY n"
+    ).collect()
+    assert [r.n for r in rows] == [1, 2, 3]
+
+
+def test_multi_branch_nonrecursive_member_allowed(eng):
+    # a NON-recursive member of a RECURSIVE with-list may hold any number
+    # of top-level UNION branches
+    rows = eng.sql(
+        "WITH RECURSIVE s(n) AS (SELECT 1 UNION ALL SELECT 2 UNION ALL "
+        "SELECT 3), t(n) AS (SELECT n FROM s UNION ALL "
+        "SELECT n + 10 FROM t WHERE n < 10) SELECT n FROM t ORDER BY n"
+    ).collect()
+    assert [r.n for r in rows] == [1, 2, 3, 11, 12, 13]
+
+
+def test_nested_recursive_derived_table(eng):
+    rows = eng.sql(
+        "SELECT SUM(n) AS s FROM (WITH RECURSIVE t(n) AS (SELECT 1 "
+        "UNION ALL SELECT n + 1 FROM t WHERE n < 5) SELECT n FROM t) x"
+    ).collect()
+    assert rows[0].s == 15
+
+
+def test_nested_recursive_scalar_subquery(eng):
+    rows = eng.sql(
+        "SELECT (SELECT MAX(n) FROM (WITH RECURSIVE t(n) AS (SELECT 1 "
+        "UNION ALL SELECT n + 1 FROM t WHERE n < 3) SELECT n FROM t)) AS m"
+    ).collect()
+    assert rows[0].m == 3
+
+
+def test_nested_recursive_in_ctas_and_insert(eng, tmp_path):
+    eng.ctas(
+        "rec_ctas_t",
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+        "SELECT n + 1 FROM t WHERE n < 4) SELECT n FROM t",
+    )
+    assert eng.sql("SELECT COUNT(*) AS c FROM rec_ctas_t").collect()[0].c == 4
+    p = str(tmp_path / "rec_ins")
+    eng.ctas(
+        "rec_ins_t",
+        "WITH RECURSIVE t(n) AS (SELECT 10 UNION ALL "
+        "SELECT n + 1 FROM t WHERE n < 12) SELECT n FROM t",
+        path=p,
+    )
+    eng.insert_into(
+        p,
+        "WITH RECURSIVE t(n) AS (SELECT 20 UNION ALL "
+        "SELECT n + 1 FROM t WHERE n < 21) SELECT n FROM t",
+    )
+    import pyspark.sql.functions as F
+
+    got = sorted(
+        r.n for r in eng.spark.read.parquet(p).collect()
+    )
+    assert got == [10, 11, 12, 20, 21]
+
+
+def test_nested_recursive_string_literal_untouched(eng):
+    rows = eng.sql(
+        "SELECT '(WITH RECURSIVE fake' AS s, n FROM (WITH RECURSIVE t(n) "
+        "AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 2) "
+        "SELECT n FROM t) ORDER BY n"
+    ).collect()
+    assert [r.n for r in rows] == [1, 2]
+    assert rows[0].s == "(WITH RECURSIVE fake"

@@ -174,6 +174,10 @@ class Engine:
         if an:
             self.analyze(an.group(1))
             return self.spark.createDataFrame([(True,)], "`ANALYZE` boolean")
+        if getattr(self, "_iceberg_views", None):
+            # per-query Iceberg re-pruning: a registered iceberg view is
+            # re-resolved against THIS statement's WHERE before execution
+            self._reprune_iceberg_views(text)
         mr = _re.match(
             r"\s*SELECT\s+\*\s+FROM\s+([A-Za-z_][\w.]*)\s+(MATCH_RECOGNIZE\s*\(.*\))\s*(?:AS\s+\w+\s*)?$",
             text,
@@ -194,6 +198,14 @@ class Engine:
             # (SqlBase.g4:339): lower each occurrence to a temp view so it
             # composes under joins, CTEs and subqueries
             text = self._lower_match_recognize(text)
+        if _re.search(r"\(\s*WITH\s+RECURSIVE\b", text, flags=_re.I):
+            # WITH RECURSIVE in a NESTED position — a derived table,
+            # scalar/IN subquery, or INSERT/CTAS body (the grammar allows
+            # the with-clause at any query-expression head,
+            # SqlBase.g4:172 queryNoWith): lower each parenthesized
+            # recursive subtree to a temp view and splice `(SELECT * FROM
+            # <view>)` back in, innermost-first.
+            text = self._lower_nested_recursive(text, dialect)
         if _re.match(r"\s*WITH\s+RECURSIVE\b", text, flags=_re.I):
             # WITH RECURSIVE (SqlBase.g4:172; bounded expansion per
             # StatementAnalyzer.java:1432-1436): lower onto the iterative
@@ -609,11 +621,143 @@ class Engine:
 
             iceberg_create(df, path, partition_by=partition_by)
             read_iceberg(self.spark, path).createOrReplaceTempView(name)
+            # remember the binding so sql() re-derives partition + metrics
+            # pruning (and fresh snapshots) from each query's own WHERE
+            if not hasattr(self, "_iceberg_views"):
+                self._iceberg_views: dict[str, str] = {}
+            self._iceberg_views[name.lower()] = path
         elif path:
             df.write.mode("overwrite").format(fmt).save(path)
             self.spark.read.format(fmt).load(path).createOrReplaceTempView(name)
         else:
             df.createOrReplaceTempView(name)
+
+    def _lower_nested_recursive(self, text: str, dialect: str) -> str:
+        """Replace every parenthesized ``(WITH RECURSIVE ...)`` subtree
+        with ``(SELECT * FROM <temp view>)`` holding its lowered result —
+        valid wherever a query expression may appear (derived table,
+        scalar subquery, IN-list, INSERT/CTAS body). Innermost subtrees
+        lower first so nesting converges. String literals are shielded
+        before the paren scan (a ')' inside a literal must not close the
+        subtree)."""
+        import re as _re
+
+        from trino_private_spark.plans.recursive_sql import (
+            DEFAULT_MAX_RECURSION_DEPTH,
+            lower_recursive,
+        )
+        from trino_private_spark.plans.translate import (
+            _shield_strings,
+            translate,
+        )
+
+        depth_cap = int(
+            getattr(self, "_session_props", {}).get(
+                "max_recursion_depth", DEFAULT_MAX_RECURSION_DEPTH
+            )
+        )
+        xlate = translate if dialect == "trino" else (lambda s: s)
+        if not hasattr(self, "_recsub_n"):
+            self._recsub_n = 0
+        pat = _re.compile(r"\(\s*WITH\s+RECURSIVE\b", _re.I)
+        while True:
+            shielded, restore = _shield_strings(text)
+            candidates = list(pat.finditer(shielded))
+            if not candidates:
+                return text
+            progressed = False
+            for m in candidates:
+                open_i = m.start()
+                depth, j = 1, open_i + 1
+                while j < len(shielded) and depth:
+                    if shielded[j] == "(":
+                        depth += 1
+                    elif shielded[j] == ")":
+                        depth -= 1
+                    j += 1
+                if depth:
+                    raise ValueError(
+                        "unbalanced parentheses around WITH RECURSIVE"
+                    )
+                inner = shielded[open_i + 1 : j - 1]
+                if pat.search(inner):
+                    continue  # lower the innermost occurrence first
+                df = lower_recursive(
+                    self.spark, restore(inner), xlate, max_depth=depth_cap
+                )
+                self._recsub_n += 1
+                vname = f"__recsub_{self._recsub_n}"
+                df.createOrReplaceTempView(vname)
+                text = (
+                    restore(shielded[:open_i])
+                    + f"(SELECT * FROM {vname})"
+                    + restore(shielded[j:])
+                )
+                progressed = True
+                break
+            if not progressed:  # defensive: should be unreachable
+                return text
+
+    def _reprune_iceberg_views(self, text: str) -> None:
+        """Re-register every Iceberg-backed temp view named in ``text``
+        from a FRESH metadata read, pruned by this statement's own WHERE
+        when the clause directly follows ``FROM <view>`` and the view is
+        referenced exactly once (the only shape where the predicate
+        provably scopes this table's scan; anything else gets the full,
+        un-pruned read). The registered relation then shows the same
+        EXPLAIN (TYPE IO) pruned counts as a direct
+        ``read_iceberg(where=...)`` call, and snapshots committed since
+        registration become visible — the reference plans every query
+        against current metadata and prunes per query
+        (IcebergSplitSource). Pruning is file-level and conservative, so
+        Spark's row-level WHERE on top keeps results exact. The view stays
+        bound to this statement's pruning until the next sql() call
+        re-derives it (Spark resolves temp views at analysis time, so the
+        returned DataFrame is unaffected by later re-registrations)."""
+        import re as _re
+
+        from trino_private_spark.plans.translate import _shield_strings
+        from trino_private_spark.sources.iceberg import (
+            parse_partition_predicate,
+            read_iceberg,
+        )
+
+        shielded, restore = _shield_strings(text)
+        for name, path in self._iceberg_views.items():
+            refs = _re.findall(rf"\b{_re.escape(name)}\b", shielded, _re.I)
+            if not refs:
+                continue
+            pf = None
+            m = _re.search(
+                rf"\bFROM\s+{_re.escape(name)}"
+                rf"(?:\s+(?:AS\s+)?(?!WHERE\b)\w+)?\s+WHERE\s+(.*)",
+                shielded,
+                _re.I | _re.S,
+            )
+            if m and len(refs) == 1:
+                body = m.group(1)
+                depth, end = 0, len(body)
+                for t in _re.finditer(
+                    r"[()]|\b(GROUP|ORDER|LIMIT|OFFSET|HAVING|UNION|"
+                    r"INTERSECT|EXCEPT|WINDOW|FETCH)\b",
+                    body,
+                    _re.I,
+                ):
+                    tok = t.group(0)
+                    if tok == "(":
+                        depth += 1
+                    elif tok == ")":
+                        depth -= 1
+                        if depth < 0:
+                            end = t.start()
+                            break
+                    elif depth == 0:
+                        end = t.start()
+                        break
+                pf = parse_partition_predicate(restore(body[:end])) or None
+            read_iceberg(
+                self.spark, path, partition_filter=pf
+            ).createOrReplaceTempView(name)
 
     def insert_into(self, path: str, text: str, fmt: str = "parquet",
                     dialect: str = "trino", table: str | None = None) -> None:
@@ -729,11 +873,63 @@ class Engine:
                 args.append(ast.literal_eval(part))
             except (ValueError, SyntaxError):
                 args.append(part)
+        def _iceberg_loc(arg: str) -> str | None:
+            """Resolve a procedure target to an Iceberg table location:
+            a registered iceberg view name, or a path holding an Iceberg
+            metadata directory."""
+            import os as _os
+
+            loc = getattr(self, "_iceberg_views", {}).get(str(arg).lower())
+            if loc:
+                return loc
+            if _os.path.isdir(_os.path.join(str(arg), "metadata")):
+                return str(arg)
+            return None
+
         if name == "rollback_to_snapshot":
             self.rollback_to(str(args[0]), int(args[1]))
             return self._one("CALL")
         if name == "expire_snapshots":
-            self.vacuum(str(args[0]))
+            loc = _iceberg_loc(args[0])
+            if loc:
+                # ExpireSnapshotsProcedure analogue on a REAL iceberg tree
+                from trino_private_spark.sources.iceberg_maintenance import (
+                    iceberg_expire_snapshots,
+                )
+
+                keep = int(args[1]) if len(args) > 1 else 1
+                iceberg_expire_snapshots(loc, keep_last=keep)
+            else:
+                self.vacuum(str(args[0]))
+            return self._one("CALL")
+        if name == "remove_orphan_files":
+            loc = _iceberg_loc(args[0])
+            if loc is None:
+                raise ValueError(
+                    f"remove_orphan_files: {args[0]!r} is not an Iceberg "
+                    "table"
+                )
+            from trino_private_spark.sources.iceberg_maintenance import (
+                iceberg_remove_orphan_files,
+            )
+
+            iceberg_remove_orphan_files(loc)
+            return self._one("CALL")
+        if name == "optimize":
+            # the reference spells this ALTER TABLE ... EXECUTE optimize;
+            # the shim exposes it as a procedure with the same semantics
+            loc = _iceberg_loc(args[0])
+            if loc is None:
+                raise ValueError(
+                    f"optimize: {args[0]!r} is not an Iceberg table"
+                )
+            from trino_private_spark.sources.iceberg_maintenance import (
+                iceberg_optimize,
+            )
+
+            iceberg_optimize(self.spark, loc)
+            # a registered view keeps serving fresh snapshots through
+            # per-query re-pruning (sql() re-resolves)
             return self._one("CALL")
         raise ValueError(
             f"Procedure not registered: {procedure}"

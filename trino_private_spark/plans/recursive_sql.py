@@ -112,6 +112,23 @@ def _split_union(body: str, name: str):
                     f"WITH RECURSIVE {name}: the base (first UNION branch) "
                     "must not reference the recursive name"
                 )
+            # The reference checkStates the EXACT two-branch shape. A step
+            # still holding a top-level UNION (``base1 UNION ALL base2
+            # UNION ALL step``) must be rejected — splitting at the first
+            # UNION would re-add base2 every iteration (duplicate rows
+            # under UNION ALL), a silent mis-execution.
+            d2 = 0
+            for m2 in re.finditer(r"[()]|\bUNION\b", step, re.IGNORECASE):
+                if m2.group(0) == "(":
+                    d2 += 1
+                elif m2.group(0) == ")":
+                    d2 -= 1
+                elif d2 == 0:
+                    raise ValueError(
+                        f"WITH RECURSIVE {name}: recursive member must be "
+                        "exactly `base UNION [ALL] step` — more than two "
+                        "top-level branches (StatementAnalyzer.java:1432)"
+                    )
             return base, step, m.group(1) is None
     raise ValueError(
         f"WITH RECURSIVE {name}: recursive member must be "
