@@ -1,0 +1,197 @@
+"""Iceberg maintenance: expire_snapshots / remove_orphan_files / OPTIMIZE
+compaction + sorted_by write order (sources/iceberg_maintenance.py,
+iceberg_write sort orders).
+
+Reference parity: plugin/trino-iceberg ExpireSnapshotsProcedure,
+RemoveOrphanFilesProcedure, the OPTIMIZE table-execute procedure, and the
+sorted_by table property (SortFieldUtils / spec §"Sort Orders").
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from trino_private_spark.sources.iceberg import IcebergTable, read_iceberg
+from trino_private_spark.sources.iceberg_maintenance import (
+    iceberg_expire_snapshots,
+    iceberg_optimize,
+    iceberg_remove_orphan_files,
+)
+from trino_private_spark.sources.iceberg_write import (
+    iceberg_append,
+    iceberg_create,
+    iceberg_delete,
+)
+
+
+@pytest.fixture()
+def churned(spark, tmp_path):
+    """Partitioned table after create + 3 single-row appends + a delete:
+    7 data files, 1 position-delete file, 5 snapshots."""
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("grp")
+    )
+    iceberg_create(df, loc, partition_by=["grp"])
+    for i in range(3):
+        iceberg_append(
+            spark.createDataFrame([(1000 + i, i % 4)], "k long, grp long"),
+            loc,
+        )
+    iceberg_delete(spark, loc, "k % 10 = 0")
+    return loc
+
+
+class TestOptimize:
+    def test_compacts_absorbs_deletes_preserves_rows(self, spark, churned):
+        before = read_iceberg(spark, churned).count()
+        t = IcebergTable(churned)
+        assert len([f for f in t.data_files() if f.content == 0]) == 7
+        # one pos-delete file PER SPARK PARTITION of the matched rows
+        assert len([f for f in t.data_files() if f.content == 1]) >= 1
+        stats = iceberg_optimize(spark, churned)
+        assert stats["rewritten_files"] == 4  # one per partition tuple
+        t2 = IcebergTable(churned)
+        assert len([f for f in t2.data_files() if f.content == 0]) == 4
+        assert len([f for f in t2.data_files() if f.content == 1]) == 0
+        assert read_iceberg(spark, churned).count() == before
+
+    def test_time_travel_survives_optimize(self, spark, churned):
+        first = IcebergTable(churned).snapshots()[0]["snapshot-id"]
+        iceberg_optimize(spark, churned)
+        assert read_iceberg(spark, churned, snapshot_id=first).count() == 100
+
+    def test_unpartitioned_size_targeted(self, spark, tmp_path):
+        loc = str(tmp_path / "t")
+        df = spark.range(0, 1000).select(F.col("id").alias("k"))
+        iceberg_create(df.repartition(16), loc)
+        assert len(IcebergTable(loc).data_files()) == 16
+        iceberg_optimize(spark, loc)  # default target >> table size -> 1
+        assert len(IcebergTable(loc).data_files()) == 1
+        assert read_iceberg(spark, loc).count() == 1000
+
+
+class TestExpireSnapshots:
+    def test_expire_keeps_current_drops_files(self, spark, churned):
+        rows = read_iceberg(spark, churned).count()
+        res = iceberg_expire_snapshots(churned, keep_last=1)
+        assert res["expired_snapshots"] == 4
+        # every DATA file is still referenced by the kept snapshot's
+        # manifest list (append-style history) — only the four dropped
+        # snapshots' own manifest LIST files become unreachable
+        assert res["deleted_files"] == 4
+        t = IcebergTable(churned)
+        assert len(t.snapshots()) == 1
+        assert read_iceberg(spark, churned).count() == rows
+
+    def test_expire_after_optimize_deletes_old_files(self, spark, churned):
+        rows = read_iceberg(spark, churned).count()
+        iceberg_optimize(spark, churned)
+        res = iceberg_expire_snapshots(churned, keep_last=1)
+        assert res["expired_snapshots"] == 5
+        # pre-optimize data + delete files are now unreachable -> gone
+        assert res["deleted_files"] >= 8
+        assert read_iceberg(spark, churned).count() == rows
+        # expired snapshots are no longer time-travelable
+        with pytest.raises(KeyError):
+            read_iceberg(spark, churned, snapshot_id=1)
+
+    def test_keep_last_n(self, spark, churned):
+        res = iceberg_expire_snapshots(churned, keep_last=3)
+        assert res["expired_snapshots"] == 2
+        assert len(IcebergTable(churned).snapshots()) == 3
+
+
+class TestRemoveOrphans:
+    def test_removes_only_unreferenced(self, spark, churned):
+        rows = read_iceberg(spark, churned).count()
+        orphan = os.path.join(churned, "data", "orphan-crash-leftover.parquet")
+        with open(orphan, "wb") as fh:
+            fh.write(b"junk")
+        gone = iceberg_remove_orphan_files(churned)
+        assert gone == [orphan]
+        assert read_iceberg(spark, churned).count() == rows
+        assert iceberg_remove_orphan_files(churned) == []
+
+
+class TestSortedBy:
+    def test_sorted_write_tightens_bounds_and_prunes(self, spark, tmp_path):
+        loc = str(tmp_path / "t")
+        # hash-distributed input: WITHOUT sorted_by every file spans the
+        # whole key range and metrics pruning is useless
+        df = (
+            spark.range(0, 800)
+            .select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+            .repartition(8, "v")
+        )
+        iceberg_create(df, loc, sorted_by=["k"])
+        t = IcebergTable(loc)
+        md = t.metadata
+        assert md["default-sort-order-id"] == 1
+        assert md["sort-orders"][1]["fields"][0]["direction"] == "asc"
+        t.read(spark, partition_filter=[("k", "=", 5)])
+        assert t.last_scan["scanned_data_files"] == 1
+        t.read(spark, partition_filter=[("k", ">=", 700)])
+        assert t.last_scan["scanned_data_files"] == 1
+
+    def test_unsorted_same_input_does_not_prune(self, spark, tmp_path):
+        loc = str(tmp_path / "t")
+        df = (
+            spark.range(0, 800)
+            .select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+            .repartition(8, "v")
+        )
+        iceberg_create(df, loc)
+        t = IcebergTable(loc)
+        t.read(spark, partition_filter=[("k", "=", 5)])
+        # every file spans the whole k range -> nothing prunes
+        assert (
+            t.last_scan["scanned_data_files"]
+            == t.last_scan["candidate_data_files"]
+        )
+
+    def test_append_reapplies_sort_order(self, spark, tmp_path):
+        loc = str(tmp_path / "t")
+        iceberg_create(
+            spark.range(0, 100).select(F.col("id").alias("k")),
+            loc,
+            sorted_by=["k"],
+        )
+        iceberg_append(
+            spark.range(100, 900)
+            .select(F.col("id").alias("k"))
+            .repartition(8),
+            loc,
+        )
+        t = IcebergTable(loc)
+        t.read(spark, partition_filter=[("k", "=", 500)])
+        assert t.last_scan["scanned_data_files"] == 1
+        assert read_iceberg(spark, loc).count() == 900
+
+    def test_desc_direction(self, spark, tmp_path):
+        loc = str(tmp_path / "t")
+        iceberg_create(
+            spark.range(0, 100).select(F.col("id").alias("k")).repartition(4),
+            loc,
+            sorted_by=[("k", "desc")],
+        )
+        t = IcebergTable(loc)
+        t.read(spark, partition_filter=[("k", "<", 10)])
+        assert t.last_scan["scanned_data_files"] == 1
+
+
+class TestCallProcedures:
+    def test_call_routes_to_iceberg(self, spark, churned):
+        from trino_private_spark.api import Engine
+
+        eng = Engine(spark)
+        rows = read_iceberg(spark, churned).count()
+        eng.sql(f"CALL system.optimize('{churned}')")
+        assert len(IcebergTable(churned).data_files()) == 4
+        eng.sql(f"CALL system.expire_snapshots('{churned}', 1)")
+        assert len(IcebergTable(churned).snapshots()) == 1
+        eng.sql(f"CALL system.remove_orphan_files('{churned}')")
+        assert read_iceberg(spark, churned).count() == rows

@@ -59,9 +59,38 @@ class TestTransforms:
         assert transform_value("year", d) == 47
         assert transform_value("month", d) == 574
         assert transform_value("day", d) == 17486
-        # int input = days from epoch (the physical manifest encoding)
-        assert transform_value("day", 17486) == 17486
+        # int input = days from epoch ONLY for a date source (the physical
+        # manifest encoding); ambiguous elsewhere
+        assert transform_value("day", 17486, "date") == 17486
         assert transform_value("month", "1969-12-31") == -1
+
+    def test_int_literals_route_by_source_type(self):
+        # a bare int against a timestamp (or unknown) source is ambiguous —
+        # micros? days? seconds? — and must raise (un-evaluable -> NO
+        # prune), never compute a nonsense transform that WRONGLY prunes
+        for st in ("timestamp", "timestamptz", ""):
+            for tr in ("day", "year", "month", "hour"):
+                with pytest.raises(TypeError):
+                    transform_value(tr, 1_700_000_000_000_000, st)
+        with pytest.raises(TypeError):
+            transform_value("identity", 1_700_000_000_000_000, "timestamp")
+        with pytest.raises(TypeError):
+            bucket_hash(1_700_000_000_000_000, "timestamp")
+        # ...and an un-evaluable term never prunes through file_matches
+        spec = TestPruningLogic()._spec("day", "timestamp")
+        assert file_matches(spec, {"p": 0}, [("c", "=", 1_700_000_000_000_000)])
+        # date source: int IS the physical days encoding, prunes exactly
+        spec = TestPruningLogic()._spec("day", "date")
+        assert file_matches(spec, {"p": 17486}, [("c", "=", 17486)])
+        assert not file_matches(spec, {"p": 17486}, [("c", "=", 17487)])
+        # hour-on-date with an int-days literal converts days -> micros
+        assert transform_value("hour", 1, "date") == 24
+
+    def test_identity_timestamp_is_micros(self):
+        ts = datetime.datetime(2021, 6, 1, 12, 0, 0)
+        assert transform_value("identity", ts, "timestamp") == int(
+            ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
+        )
 
     def test_identity_and_void(self):
         assert transform_value("identity", 42) == 42
@@ -139,6 +168,15 @@ class TestPruningLogic:
         assert file_matches(spec, None, [("c", "=", 2)])
         assert not file_matches(spec, {"p": None}, [("c", "=", 2)])
         assert file_matches(spec, {"p": None}, [("c", "=", None)])
+
+    def test_void_field_never_prunes(self):
+        # a void field stores null for EVERY row regardless of the row
+        # value (spec-evolution drops fields by voiding them) — equality
+        # on the source column must not prune any file
+        spec = self._spec("void")
+        assert file_matches(spec, {"p": None}, [("c", "=", 5)])
+        assert file_matches(spec, {"p": None}, [("c", ">=", 5)])
+        assert file_matches(spec, {"p": None}, [("c", "in", [1, 2])])
 
 
 @pytest.fixture(scope="module")
@@ -466,6 +504,9 @@ class TestSpecEvolution:
             "candidate_data_files": 3,
             "scanned_data_files": 2,
             "pruned_data_files": 1,
+            # hand-built manifests carry no column metrics -> no metrics
+            # pruning (conservative)
+            "metrics_pruned_data_files": 0,
         }
         assert sorted(r.k for r in out.where("grp = 1").collect()) == [2, 3, 4]
 
@@ -486,6 +527,38 @@ class TestWhereAndMetadataTables:
         assert any(op == ">=" and str(v) == "2020-03-01" for _, op, v in got)
         # non-conforming and inequality terms contribute nothing
         assert not any(c == "k" for c, _, _ in got)
+
+    def test_parse_partition_predicate_or_precedence(self):
+        from trino_private_spark.sources.iceberg import (
+            parse_partition_predicate,
+        )
+
+        # an unparenthesized OR makes the predicate disjunctive: rows
+        # matching only the other side live in files any term would prune
+        assert parse_partition_predicate("a = 1 AND b = 2 OR c = 3") == []
+        assert parse_partition_predicate("a = 1 OR b = 2 AND c = 3") == []
+        assert parse_partition_predicate("a = 1 OR b = 2") == []
+        # parenthesized OR: the disjunct contributes nothing, siblings prune
+        got = parse_partition_predicate("(a = 1 OR b = 2) AND c = 3")
+        assert got == [("c", "=", 3)]
+        # AND inside a string literal never splits / never fabricates terms
+        got = parse_partition_predicate("msg = 'a AND b = 2 AND c'")
+        assert got == [("msg", "=", "a AND b = 2 AND c")]
+        got = parse_partition_predicate("msg = 'x OR y' AND c = 3")
+        assert ("c", "=", 3) in got and ("msg", "=", "x OR y") in got
+        # NOT terms are skipped, sibling conjuncts still prune
+        got = parse_partition_predicate("NOT (a = 1) AND b = 2")
+        assert got == [("b", "=", 2)]
+        # BETWEEN lowers to a range pair
+        got = parse_partition_predicate("k BETWEEN 3 AND 7 AND g = 1")
+        assert ("k", ">=", 3) in got and ("k", "<=", 7) in got
+        assert ("g", "=", 1) in got
+        got = parse_partition_predicate(
+            "d BETWEEN DATE '2020-01-01' AND DATE '2020-02-01'"
+        )
+        assert len(got) == 2 and {op for _, op, _ in got} == {">=", "<="}
+        # NOT BETWEEN contributes nothing
+        assert parse_partition_predicate("k NOT BETWEEN 3 AND 7") == []
 
     def test_where_read_prunes_and_filters(self, spark, part_table):
         from trino_private_spark.sources.iceberg import (
@@ -514,8 +587,96 @@ class TestWhereAndMetadataTables:
         assert mans.count() >= 1
         import pytest as _pytest
 
-        with _pytest.raises(ValueError, match="metadata table"):
+        # an unknown $suffix is NOT a metadata table — it's a plain path
+        # (which here simply doesn't exist)
+        with _pytest.raises(FileNotFoundError):
             read_iceberg(spark, loc + "$bogus")
+
+    def test_dollar_in_plain_path(self, spark, tmp_path):
+        # a legitimate table path containing '$' must not be misrouted
+        from trino_private_spark.sources.iceberg import read_iceberg
+
+        loc = str(tmp_path / "tmp$dir" / "t")
+        iceberg_create(spark.range(5).select(F.col("id").alias("k")), loc)
+        assert read_iceberg(spark, loc).count() == 5
+
+    def test_new_metadata_tables(self, spark, part_table):
+        from trino_private_spark.sources.iceberg import read_iceberg
+
+        loc, _ = part_table
+        hist = read_iceberg(spark, loc + "$history")
+        rows = hist.collect()
+        assert rows and all(r.is_current_ancestor for r in rows)
+        assert hist.columns == [
+            "made_current_at_ms",
+            "snapshot_id",
+            "parent_id",
+            "is_current_ancestor",
+        ]
+        refs = read_iceberg(spark, loc + "$refs").collect()
+        assert [r.name for r in refs] == ["main"]
+        assert refs[0].type == "BRANCH"
+        props = read_iceberg(spark, loc + "$properties")
+        assert props.columns == ["key", "value"]
+        props.collect()  # empty is fine — shape is the contract
+
+
+class TestPartitionedWriteTypes:
+    def test_nullable_long_survives_partitioned_write(self, spark, tmp_path):
+        # the partition split must happen in Arrow, never pandas: pandas
+        # degrades a nullable int64 to float64 and the file would be
+        # written as DOUBLE where the schema says long
+        from trino_private_spark.sources.iceberg import read_iceberg
+
+        loc = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, 10), (None, 10), (3, 20)], "v long, grp int"
+        )
+        iceberg_create(df, loc, partition_by=[("grp", "identity")])
+        # physical parquet type must be INT64, not DOUBLE
+        import pyarrow.parquet as pq
+
+        tbl = IcebergTable(loc)
+        for f in tbl.data_files():
+            sch = pq.read_schema(f.path)
+            assert str(sch.field("v").type) == "int64", f.path
+        out = read_iceberg(spark, loc)
+        assert dict(out.dtypes)["v"] == "bigint"
+        vals = sorted((r.v if r.v is not None else -1) for r in out.collect())
+        assert vals == [-1, 1, 3]
+
+    def test_identity_timestamp_partition_roundtrip(self, spark, tmp_path):
+        # identity partitioning on a timestamp column: stored as epoch
+        # micros in the manifest (spec), json-serializable, and prunable
+        from trino_private_spark.sources.iceberg import read_iceberg
+
+        loc = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [
+                (1, datetime.datetime(2021, 6, 1, 12, 0, 0)),
+                (2, datetime.datetime(2021, 6, 2, 12, 0, 0)),
+            ],
+            "k long, ts timestamp",
+        )
+        iceberg_create(df, loc, partition_by=[("ts", "identity")])
+        tbl = IcebergTable(loc)
+        parts = [dict(f.partition) for f in tbl.data_files()]
+        assert all(
+            isinstance(next(iter(p.values())), int) for p in parts
+        ), parts
+        # a where-string timestamp literal routes through _temporal by the
+        # column's source type -> prunes to one file AND row-filters
+        out = read_iceberg(spark, loc, where="ts = '2021-06-01 12:00:00'")
+        assert out.count() == 1
+        # typed partition_filter DOES prune to one file
+        out = tbl.read(
+            spark,
+            partition_filter=[
+                ("ts", "=", datetime.datetime(2021, 6, 1, 12, 0, 0))
+            ],
+        )
+        assert tbl.last_scan["scanned_data_files"] == 1
+        assert out.count() == 1
 
 
 class TestDmlPruning:
@@ -598,3 +759,297 @@ class TestWriterPythonParity:
                 expect = transform_value(tr, src[c], st)
                 got = r[f"pv_{i}"]
                 assert got == expect, (c, tr, src[c], got, expect)
+
+
+class TestMetricsPruning:
+    """Column min/max + null-count file pruning (spec column metrics;
+    reference IcebergSplitSource.fileMatchesPredicate over the metrics
+    domain) — prunes on predicates over UNpartitioned columns."""
+
+    def test_single_value_serialization_roundtrip(self):
+        import datetime as dt
+        import decimal
+
+        from trino_private_spark.sources.iceberg_partition import (
+            deserialize_single_value,
+            serialize_single_value,
+        )
+
+        cases = [
+            ("int", 42), ("int", -1), ("long", 2**40), ("long", -7),
+            ("float", 1.5), ("double", -2.25), ("string", "it's"),
+            ("boolean", True), ("boolean", False),
+            ("date", 17486), ("timestamp", 1_700_000_000_000_000),
+        ]
+        for t, v in cases:
+            assert deserialize_single_value(t, serialize_single_value(t, v)) == v
+        d = decimal.Decimal("14.20")
+        got = deserialize_single_value(
+            "decimal(10,2)", serialize_single_value("decimal(10,2)", d)
+        )
+        assert got == d
+        # spec appendix D examples: int 1 -> 01 00 00 00, string 'A' -> 41
+        assert serialize_single_value("int", 1) == b"\x01\x00\x00\x00"
+        assert serialize_single_value("string", "A") == b"A"
+        assert serialize_single_value("long", 1) == b"\x01" + b"\x00" * 7
+
+    def _mk(self, spark, tmp_path, rows=800, files=8):
+        from pyspark.sql import functions as F
+
+        loc = str(tmp_path / "t")
+        df = (
+            spark.range(0, rows)
+            .select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+            .repartitionByRange(files, "k")
+        )
+        iceberg_create(df, loc)
+        return loc
+
+    def test_equality_and_range_prune_unpartitioned(self, spark, tmp_path):
+        loc = self._mk(spark, tmp_path)
+        t = IcebergTable(loc)
+        out = t.read(spark, partition_filter=[("k", "=", 5)])
+        assert t.last_scan["scanned_data_files"] == 1
+        assert out.where("k = 5").count() == 1
+        t.read(spark, partition_filter=[("k", ">=", 700)])
+        assert t.last_scan["scanned_data_files"] == 1
+        t.read(spark, partition_filter=[("k", "<", 100)])
+        assert t.last_scan["scanned_data_files"] == 1
+        # un-prunable op on a metric'd column keeps everything
+        t.read(spark, partition_filter=[("v", "=", 3)])
+        assert t.last_scan["scanned_data_files"] == 8  # v spans 0..6 everywhere
+
+    def test_all_null_column_prunes(self, spark, tmp_path):
+        loc = str(tmp_path / "t")
+        df = spark.createDataFrame([(None, 1), (None, 2)], "s string, k long")
+        iceberg_create(df.repartition(1), loc)
+        t = IcebergTable(loc)
+        t.read(spark, partition_filter=[("s", "=", "x")])
+        assert t.last_scan["scanned_data_files"] == 0
+        # IS-NULL-compatible predicates don't exist in the term grammar;
+        # equality with None never prunes the all-null file
+        t.read(spark, partition_filter=[("s", "=", None)])
+        assert t.last_scan["scanned_data_files"] == 1
+
+    def test_where_string_uses_metrics(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg import read_iceberg
+
+        loc = self._mk(spark, tmp_path)
+        out = read_iceberg(spark, loc, where="k BETWEEN 10 AND 20")
+        t = IcebergTable(loc)
+        t.read(spark, partition_filter=[("k", ">=", 10), ("k", "<=", 20)])
+        assert t.last_scan["scanned_data_files"] == 1
+        assert out.count() == 11
+
+    def test_string_bounds(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        loc = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [("apple",), ("banana",)], "w string"
+        ).repartition(1).union(
+            spark.createDataFrame([("pear",), ("quince",)], "w string")
+            .repartition(1)
+        )
+        # two files via explicit per-partition writes: create then append
+        iceberg_create(
+            spark.createDataFrame([("apple",), ("banana",)], "w string"), loc
+        )
+        iceberg_append(
+            spark.createDataFrame([("pear",), ("quince",)], "w string"), loc
+        )
+        t = IcebergTable(loc)
+        t.read(spark, partition_filter=[("w", "=", "pear")])
+        assert t.last_scan["scanned_data_files"] == 1
+
+    def test_dml_uses_metrics_prune_conservatively(self, spark, tmp_path):
+        # DELETE/UPDATE route their own predicate through the same pruning;
+        # results must stay exact
+        from trino_private_spark.sources.iceberg import read_iceberg
+        from trino_private_spark.sources.iceberg_write import iceberg_delete
+
+        loc = self._mk(spark, tmp_path, rows=100, files=4)
+        n = iceberg_delete(spark, loc, "k >= 90")
+        assert n == 10
+        assert read_iceberg(spark, loc).count() == 90
+
+
+class TestSchemaEvolution:
+    """Field-id projection on the read path (reference:
+    IcebergPageSourceProvider resolves column handles by id per file):
+    add/rename/drop columns, old files read correctly, time travel reads
+    pre-evolution snapshots in their own shape."""
+
+    def _evolved(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg_write import iceberg_alter
+
+        loc = str(tmp_path / "t")
+        iceberg_create(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string"),
+            loc,
+        )
+        iceberg_alter(
+            loc, add_columns={"score": "double"},
+            rename_columns={"name": "label"},
+        )
+        iceberg_append(
+            spark.createDataFrame([(3, "c", 1.5)], "k long, label string, score double"),
+            loc,
+        )
+        return loc
+
+    def test_add_rename_nullfill_and_alias(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg import read_iceberg
+
+        loc = self._evolved(spark, tmp_path)
+        out = read_iceberg(spark, loc)
+        assert out.columns == ["k", "label", "score"]
+        assert sorted((r.k, r.label, r.score) for r in out.collect()) == [
+            (1, "a", None), (2, "b", None), (3, "c", 1.5),
+        ]
+
+    def test_append_nullfills_missing_added_column(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg import read_iceberg
+
+        loc = self._evolved(spark, tmp_path)
+        iceberg_append(
+            spark.createDataFrame([(4, "d")], "k long, label string"), loc
+        )
+        rows = sorted(
+            (r.k, r.label, r.score)
+            for r in read_iceberg(spark, loc).collect()
+        )
+        assert (4, "d", None) in rows
+
+    def test_time_travel_reads_snapshot_schema(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg import read_iceberg
+
+        loc = self._evolved(spark, tmp_path)
+        first = IcebergTable(loc).snapshots()[0]["snapshot-id"]
+        pre = read_iceberg(spark, loc, snapshot_id=first)
+        assert pre.columns == ["k", "name"]
+        assert sorted((r.k, r.name) for r in pre.collect()) == [
+            (1, "a"), (2, "b"),
+        ]
+
+    def test_drop_column(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg import read_iceberg
+        from trino_private_spark.sources.iceberg_write import iceberg_alter
+
+        loc = self._evolved(spark, tmp_path)
+        iceberg_alter(loc, drop_columns=["score"])
+        out = read_iceberg(spark, loc)
+        assert out.columns == ["k", "label"]
+        assert sorted(tuple(r) for r in out.collect()) == [
+            (1, "a"), (2, "b"), (3, "c"),
+        ]
+
+    def test_dml_on_evolved_table(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg import read_iceberg
+        from trino_private_spark.sources.iceberg_write import (
+            iceberg_delete,
+            iceberg_update,
+        )
+
+        loc = self._evolved(spark, tmp_path)
+        assert iceberg_delete(spark, loc, "k = 2") == 1
+        assert iceberg_update(spark, loc, {"label": "'Z'"}, "k = 3") == 1
+        rows = sorted(
+            (r.k, r.label, r.score)
+            for r in read_iceberg(spark, loc).collect()
+        )
+        assert rows == [(1, "a", None), (3, "Z", 1.5)]
+
+    def test_dropped_field_id_never_reused(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg_write import iceberg_alter
+
+        loc = self._evolved(spark, tmp_path)
+        iceberg_alter(loc, drop_columns=["score"])
+        iceberg_alter(loc, add_columns={"score2": "long"})
+        t = IcebergTable(loc)
+        ids = [f["id"] for f in t._current_schema()["fields"]]
+        assert max(ids) == 4  # 1,2 original; 3 score (dropped); 4 score2
+
+    def test_alter_guards(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg_write import iceberg_alter
+
+        loc = str(tmp_path / "t")
+        iceberg_create(
+            spark.createDataFrame([(1, 10)], "k long, grp long"),
+            loc,
+            partition_by=["grp"],
+        )
+        with pytest.raises(ValueError, match="partition source"):
+            iceberg_alter(loc, drop_columns=["grp"])
+        with pytest.raises(ValueError, match="already exists"):
+            iceberg_alter(loc, add_columns={"k": "long"})
+        with pytest.raises(ValueError, match="not in schema"):
+            iceberg_alter(loc, rename_columns={"zzz": "y"})
+
+    def test_rename_only_no_footer_penalty_correctness(self, spark, tmp_path):
+        # rename without add/drop: every file still projects by id
+        from trino_private_spark.sources.iceberg import read_iceberg
+        from trino_private_spark.sources.iceberg_write import iceberg_alter
+
+        loc = str(tmp_path / "t")
+        iceberg_create(
+            spark.createDataFrame([(1, "a")], "k long, name string"), loc
+        )
+        iceberg_alter(loc, rename_columns={"k": "key", "name": "nm"})
+        out = read_iceberg(spark, loc)
+        assert out.columns == ["key", "nm"]
+        assert [(r.key, r.nm) for r in out.collect()] == [(1, "a")]
+
+
+class TestViewReprune:
+    def test_sql_reprunes_per_query_and_sees_new_snapshots(
+        self, spark, tmp_path
+    ):
+        from trino_private_spark.api import Engine
+        from trino_private_spark.sources.iceberg import IO_SCAN_INFO
+        from trino_private_spark.sources.iceberg_write import iceberg_append
+
+        eng = Engine(spark)
+        loc = str(tmp_path / "t")
+        eng.ctas(
+            "vr_t",
+            "SELECT id AS k, id % 4 AS grp FROM RANGE(40)",
+            path=loc,
+            fmt="iceberg",
+            partition_by=["grp"],
+            dialect="spark",
+        )
+        assert eng.sql("SELECT COUNT(*) AS c FROM vr_t WHERE grp = 1").collect()[0].c == 10
+        assert IO_SCAN_INFO[loc]["scanned_data_files"] == 1
+        assert eng.sql("SELECT COUNT(*) AS c FROM vr_t").collect()[0].c == 40
+        assert IO_SCAN_INFO[loc]["scanned_data_files"] == 4
+        # a snapshot committed AFTER registration is visible (re-resolved)
+        iceberg_append(
+            spark.createDataFrame([(100, 1)], "k long, grp long"), loc
+        )
+        assert eng.sql("SELECT COUNT(*) AS c FROM vr_t WHERE grp = 1").collect()[0].c == 11
+        assert IO_SCAN_INFO[loc]["scanned_data_files"] == 2
+
+    def test_multi_reference_never_prunes(self, spark, tmp_path):
+        # the same view twice with different WHEREs: pruning from either
+        # would lose the other's rows -> full read
+        from trino_private_spark.api import Engine
+        from trino_private_spark.sources.iceberg import IO_SCAN_INFO
+
+        eng = Engine(spark)
+        loc = str(tmp_path / "t")
+        eng.ctas(
+            "vr2_t",
+            "SELECT id AS k, id % 4 AS grp FROM RANGE(40)",
+            path=loc,
+            fmt="iceberg",
+            partition_by=["grp"],
+            dialect="spark",
+        )
+        got = eng.sql(
+            "SELECT * FROM vr2_t WHERE grp = 1 UNION ALL "
+            "SELECT * FROM vr2_t WHERE grp = 2",
+            dialect="spark",
+        ).count()
+        assert got == 20
+        assert IO_SCAN_INFO[loc]["scanned_data_files"] == 4

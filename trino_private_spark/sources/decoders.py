@@ -207,7 +207,19 @@ def avro_encode(value, schema) -> bytes:
             out.extend(raw)
         elif t == "record":
             for f in s["fields"]:
-                emit(v[f["name"]], f["type"])
+                ft = f["type"]
+                # a key absent from the record dict encodes as null when
+                # the field is null-unioned (writer-side leniency real
+                # Avro gets from field defaults); a non-nullable field
+                # stays a loud KeyError
+                if (
+                    f["name"] not in v
+                    and isinstance(ft, list)
+                    and "null" in ft
+                ):
+                    emit(None, ft)
+                else:
+                    emit(v[f["name"]], ft)
         elif t == "enum":
             zig(s["symbols"].index(v))
         elif t == "fixed":

@@ -160,6 +160,42 @@ class _DataFile:
     file_format: str = "PARQUET"
     record_count: int = 0
     file_size_in_bytes: int = 0
+    # column metrics (spec: maps keyed by field id; bounds in Appendix-D
+    # single-value serialization) — IcebergSplitSource prunes splits on
+    # these even for predicates on unpartitioned columns
+    lower_bounds: tuple[tuple[int, bytes], ...] = ()
+    upper_bounds: tuple[tuple[int, bytes], ...] = ()
+    null_value_counts: tuple[tuple[int, int], ...] = ()
+    value_counts: tuple[tuple[int, int], ...] = ()
+
+
+_ICEBERG_TO_SPARK = {
+    "long": "bigint", "int": "int", "string": "string",
+    "double": "double", "float": "float", "boolean": "boolean",
+    "date": "date", "binary": "binary", "uuid": "string",
+}
+
+
+def _spark_type(t) -> str | None:
+    """Iceberg type string -> Spark DDL type (None for nested types)."""
+    if not isinstance(t, str):
+        return None
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t.startswith("decimal"):
+        return t
+    return _ICEBERG_TO_SPARK.get(t, t)
+
+
+def _id_map(x) -> tuple:
+    """Normalize a manifest column-metrics map to ((field_id, value)...):
+    this writer emits avro maps keyed by stringified field id; real
+    Iceberg manifests store array<record<key:int, value:...>>."""
+    if not x:
+        return ()
+    if isinstance(x, dict):
+        return tuple(sorted((int(k), v) for k, v in x.items()))
+    return tuple(sorted((int(e["key"]), e["value"]) for e in x))
 
 
 def _local(p: str) -> str:
@@ -294,6 +330,12 @@ class IcebergTable:
                         file_size_in_bytes=int(
                             df.get("file_size_in_bytes") or 0
                         ),
+                        lower_bounds=_id_map(df.get("lower_bounds")),
+                        upper_bounds=_id_map(df.get("upper_bounds")),
+                        null_value_counts=_id_map(
+                            df.get("null_value_counts")
+                        ),
+                        value_counts=_id_map(df.get("value_counts")),
                     )
                 )
         return files
@@ -307,19 +349,14 @@ class IcebergTable:
 
     # -- the read path ---------------------------------------------------------
 
-    def _empty_frame(self, spark: SparkSession) -> DataFrame:
-        """Zero-row DataFrame with the table's current schema (the shape a
-        fully-pruned scan returns)."""
-        inv = {
-            "long": "bigint", "int": "int", "string": "string",
-            "double": "double", "float": "float", "boolean": "boolean",
-            "date": "date", "binary": "binary", "uuid": "string",
-        }
+    def _empty_frame(
+        self, spark: SparkSession, schema: dict | None = None
+    ) -> DataFrame:
+        """Zero-row DataFrame with the table's (or the given) schema (the
+        shape a fully-pruned scan returns)."""
         cols = []
-        for f in self._current_schema().get("fields", []):
-            t = f.get("type")
-            t = t if isinstance(t, str) else "string"
-            spark_t = inv.get(t, "timestamp" if t.startswith("timestamp") else t)
+        for f in (schema or self._current_schema()).get("fields", []):
+            spark_t = _spark_type(f.get("type")) or "string"
             cols.append(f"`{f['name']}` {spark_t}")
         return spark.createDataFrame([], ", ".join(cols))
 
@@ -351,6 +388,124 @@ class IcebergTable:
             df = df.unionByName(p)
         return df
 
+    @staticmethod
+    def _parquet_field_map(path: str) -> dict[int, str]:
+        """field id -> column name as stored in ONE parquet file's footer
+        (the per-file identity resolution the reference's
+        IcebergPageSourceProvider does per split)."""
+        import pyarrow.parquet as pq
+
+        out: dict[int, str] = {}
+        for fld in pq.read_schema(path):
+            md = fld.metadata or {}
+            fid = md.get(b"PARQUET:field_id")
+            if fid is not None:
+                out[int(fid)] = fld.name
+        return out
+
+    def _has_renames(self) -> bool:
+        """True when any field id has carried different names across the
+        table's schema history."""
+        seen: dict[int, str] = {}
+        for s in self.metadata.get("schemas", []):
+            for f in s.get("fields", []):
+                if f["id"] in seen and seen[f["id"]] != f["name"]:
+                    return True
+                seen[f["id"]] = f["name"]
+        return False
+
+    def _read_data(
+        self,
+        spark: SparkSession,
+        files: list[_DataFile],
+        schema: dict,
+        lineage: bool = False,
+    ) -> DataFrame:
+        """Scan data files PROJECTED BY FIELD ID against ``schema`` —
+        schema evolution done the reference's way (plugin/trino-iceberg
+        IcebergPageSourceProvider resolves column handles by id per file):
+        a file written before a column was added null-fills it, a renamed
+        column is selected by its id and aliased to the schema's (current
+        or snapshot-time) name, and dropped ids simply aren't projected.
+        With ``lineage`` each row carries ``__file``/``__pos``.
+
+        Fast path: a table whose metadata holds a single schema has never
+        evolved — every file matches it by name and the per-format union
+        needs no projection (and no footer reads). Evolved tables group
+        parquet files by their footer's field-id map (read driver-side in
+        a thread pool — metadata-scale IO, one footer per file; a
+        production split planner would resolve this executor-side per
+        split) and project each group once. ORC/Avro files carry no
+        parquet field ids, so they project by NAME — sound for add/drop,
+        rejected loudly when the schema history contains a rename."""
+        norm = lambda c: F.regexp_replace(c, "^file:/{0,2}/", "/")  # noqa: E731
+
+        def attach(df: DataFrame) -> DataFrame:
+            if not lineage:
+                return df
+            return df.withColumns(
+                {
+                    "__file": norm(F.col("_metadata.file_path")),
+                    "__pos": F.col("_metadata.row_index"),
+                }
+            )
+
+        evolved = len(self.metadata.get("schemas", [])) > 1
+        if not evolved:
+            return attach(self._read_files(spark, files))
+
+        cur_fields = schema.get("fields", [])
+
+        def project(raw: DataFrame, idmap: dict[int, str], fmt: str):
+            cols = []
+            for f in cur_fields:
+                st = _spark_type(f.get("type")) or "string"
+                in_file = idmap.get(f["id"])
+                if in_file is not None and in_file in raw.columns:
+                    cols.append(F.col(in_file).cast(st).alias(f["name"]))
+                else:
+                    cols.append(F.lit(None).cast(st).alias(f["name"]))
+            if lineage:
+                cols.append(norm(F.col("_metadata.file_path")).alias("__file"))
+                cols.append(F.col("_metadata.row_index").alias("__pos"))
+            return raw.select(*cols)
+
+        by_fmt: dict[str, list[_DataFile]] = {}
+        for f in files:
+            by_fmt.setdefault(f.file_format, []).append(f)
+        parts: list[DataFrame] = []
+        for fmt, group in sorted(by_fmt.items()):
+            if fmt == "PARQUET":
+                from concurrent.futures import ThreadPoolExecutor
+
+                paths = [f.path for f in group]
+                with ThreadPoolExecutor(min(16, len(paths))) as ex:
+                    maps = list(ex.map(self._parquet_field_map, paths))
+                by_sig: dict[tuple, tuple[dict[int, str], list[str]]] = {}
+                for p, m in zip(paths, maps):
+                    if not m:  # no stored ids -> names are the identity
+                        m = {f["id"]: f["name"] for f in cur_fields}
+                    sig = tuple(sorted(m.items()))
+                    by_sig.setdefault(sig, (m, []))[1].append(p)
+                for _sig, (m, ps) in sorted(by_sig.items()):
+                    parts.append(project(spark.read.parquet(*ps), m, fmt))
+            else:
+                if self._has_renames():
+                    raise NotImplementedError(
+                        f"{fmt} data files carry no parquet field ids; "
+                        "reading them from a table whose schema history "
+                        "contains a column RENAME is not supported by this "
+                        "shim (adds/drops are fine — they project by name)"
+                    )
+                byname = {f["id"]: f["name"] for f in cur_fields}
+                raw = self._read_files(spark, group)
+                parts.append(project(raw, byname, fmt))
+        # projected groups share the exact schema -> positional union
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.union(p)
+        return df
+
     def read(
         self,
         spark: SparkSession,
@@ -372,6 +527,16 @@ class IcebergTable:
         files only; the caller still applies the row-level predicate.
         ``self.last_scan`` records candidate/scanned/pruned file counts
         for EXPLAIN (TYPE IO)."""
+        # A current read uses the table's CURRENT schema; TIME TRAVEL reads
+        # with the target snapshot's recorded schema (spec: snapshots carry
+        # schema-id) — a pre-evolution snapshot keeps its pre-evolution
+        # shape. Snapshots without a recorded schema-id (older shim writes,
+        # external fixtures) fall back to the current schema.
+        if snapshot_id is not None or as_of_ms is not None:
+            snap = self.snapshot_for(snapshot_id, as_of_ms)
+            schema = self._schema_by_id(snap.get("schema-id"))
+        else:
+            schema = self._current_schema()
         files = self.data_files(snapshot_id, as_of_ms)
         # A data file can be listed by more than one manifest (ADDED once,
         # EXISTING after rewrites); keep one entry per path, max seq.
@@ -385,9 +550,11 @@ class IcebergTable:
         if not data:
             raise ValueError("snapshot has no data files")
         candidates = len(data)
+        metrics_pruned = 0
         if partition_filter:
             from trino_private_spark.sources.iceberg_partition import (
                 file_matches,
+                metrics_match,
             )
 
             specs = self.partition_specs()
@@ -400,10 +567,30 @@ class IcebergTable:
                     partition_filter,
                 )
             ]
+            # second pruning pass: per-file column metrics (min/max
+            # bounds, null counts) — prunes on predicates over columns
+            # the partition spec never mentions, the reference's
+            # fileMatchesPredicate over the metrics domain
+            sf = schema.get("fields", [])
+            before = len(data)
+            data = [
+                f
+                for f in data
+                if metrics_match(
+                    sf,
+                    partition_filter,
+                    dict(f.lower_bounds),
+                    dict(f.upper_bounds),
+                    dict(f.null_value_counts),
+                    dict(f.value_counts),
+                )
+            ]
+            metrics_pruned = before - len(data)
         self.last_scan = {
             "candidate_data_files": candidates,
             "scanned_data_files": len(data),
             "pruned_data_files": candidates - len(data),
+            "metrics_pruned_data_files": metrics_pruned,
         }
         IO_SCAN_INFO[_local(self.location)] = dict(self.last_scan)
         pos_del = [f for f in files if f.content == 1]
@@ -421,7 +608,7 @@ class IcebergTable:
                 "this table has non-parquet data files"
             )
         if not data:
-            df = self._empty_frame(spark)
+            df = self._empty_frame(spark, schema)
             if with_lineage:
                 df = df.withColumns(
                     {
@@ -430,27 +617,14 @@ class IcebergTable:
                     }
                 )
             return df
-        df = self._read_files(spark, data)
-        norm0 = lambda c: F.regexp_replace(c, "^file:/{0,2}/", "/")  # noqa: E731
-        if not pos_del and not eq_del:
-            if with_lineage:
-                df = df.withColumns(
-                    {
-                        "__file": norm0(F.col("_metadata.file_path")),
-                        "__pos": F.col("_metadata.row_index"),
-                    }
-                )
-            return df
-
         # Delete files carry the data file's ORIGINAL (possibly file:- or
-        # file://-prefixed) path; normalize both sides identically.
+        # file://-prefixed) path; _read_data normalizes the __file side
+        # identically to the norm below.
+        need_meta = with_lineage or bool(pos_del) or bool(eq_del)
+        df = self._read_data(spark, data, schema, lineage=need_meta)
+        if not pos_del and not eq_del:
+            return df
         norm = lambda c: F.regexp_replace(c, "^file:/{0,2}/", "/")  # noqa: E731
-        df = df.withColumns(
-            {
-                "__file": norm(F.col("_metadata.file_path")),
-                "__pos": F.col("_metadata.row_index"),
-            }
-        )
         # Attach each row's data sequence number (metadata-scale: one entry
         # per data file, broadcast-joined on the file path) so that delete
         # application can be scoped per the spec — without this, a row
@@ -555,6 +729,14 @@ class IcebergTable:
                 return s
         return self.metadata.get("schema") or {}
 
+    def _schema_by_id(self, schema_id: int | None) -> dict:
+        """Schema for a recorded snapshot schema-id; current when absent."""
+        if schema_id is not None:
+            for s in self.metadata.get("schemas", []):
+                if s.get("schema-id") == schema_id:
+                    return s
+        return self._current_schema()
+
     def _eq_select(self, f: _DataFile):
         """Resolve equality-delete field ids to (current column names,
         column names as stored in the delete file itself).
@@ -608,12 +790,22 @@ class IcebergTable:
 
 def parse_partition_predicate(cond: str) -> list[tuple[str, str, object]]:
     """Extract prunable conjunctive terms from a SQL WHERE string —
-    ``col op literal`` joined by AND (op in = != < <= > >=, IN (...));
-    literals: numbers, 'strings', DATE 'yyyy-mm-dd'. Anything else simply
-    contributes no pruning term (never a wrong prune) — the reference
-    derives its split-pruning domain from the query predicate the same
-    conservative way (enforced vs unenforced constraint split)."""
+    ``col op literal`` joined by AND (op in = != < <= > >=, IN (...),
+    BETWEEN); literals: numbers, 'strings', DATE 'yyyy-mm-dd'. Anything
+    else simply contributes no pruning term (never a wrong prune) — the
+    reference derives its split-pruning domain from the query predicate
+    the same conservative way (enforced vs unenforced constraint split).
+
+    The predicate must be a PURE top-level conjunction: string literals
+    are shielded first (an AND inside a 'literal' never splits), and any
+    unparenthesized OR makes the whole predicate unprunable (returns []) —
+    ``a = 1 AND b = 2 OR c = 3`` means ``(a AND b) OR c``, so rows
+    matching only ``c = 3`` may live in files the a/b terms would prune.
+    A parenthesized OR disjunct is simply skipped as a term; its sibling
+    conjuncts still prune."""
     import re
+
+    from trino_private_spark.plans.translate import _shield_strings
 
     def lit(tok: str):
         tok = tok.strip()
@@ -630,11 +822,36 @@ def parse_partition_predicate(cond: str) -> list[tuple[str, str, object]]:
             return float(tok)
         raise ValueError(tok)
 
+    shielded, restore = _shield_strings(cond)
+    # col BETWEEN a AND b -> col >= a AND col <= b (literal operands only;
+    # NOT BETWEEN is left alone and its fragments won't fullmatch below)
+    _btw_lit = r"(?:DATE\s+)?(?:\x00\d+\x00|-?\d+(?:\.\d+)?)"
+    shielded = re.sub(
+        rf"\b(?!NOT\b)([A-Za-z_]\w*)\s+BETWEEN\s+({_btw_lit})\s+AND\s+({_btw_lit})",
+        r"\1 >= \2 AND \1 <= \3",
+        shielded,
+        flags=re.I,
+    )
+    # split at depth-0 ANDs only; any depth-0 OR -> whole predicate is
+    # disjunctive, nothing may prune
+    terms: list[str] = []
+    depth, start = 0, 0
+    for m in re.finditer(r"[()]|\b(AND|OR)\b", shielded, flags=re.I):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            if m.group(1).upper() == "OR":
+                return []
+            terms.append(shielded[start : m.start()])
+            start = m.end()
+    terms.append(shielded[start:])
+
     out: list[tuple[str, str, object]] = []
-    # split on top-level AND only (no OR/NOT handling — those terms are
-    # skipped wholesale by the fullmatch below)
-    for term in re.split(r"\bAND\b", cond, flags=re.I):
-        term = term.strip()
+    for term in terms:
+        term = restore(term).strip()
         # unwrap one balanced enclosing paren pair (never strip chars
         # blindly — that would eat an IN-list's closing paren)
         while (
@@ -673,6 +890,21 @@ def parse_partition_predicate(cond: str) -> list[tuple[str, str, object]]:
 # — the reference's Iceberg system tables, plugin/trino-iceberg
 # FilesTable/PartitionTable/SnapshotsTable/ManifestsTable)
 # --------------------------------------------------------------------------
+
+
+#: metadata-table suffixes served by _metadata_table (the reference's
+#: plugin/trino-iceberg TableType.java enum, minus data/changelog)
+_METADATA_TABLE_KINDS = frozenset(
+    {
+        "snapshots",
+        "files",
+        "partitions",
+        "manifests",
+        "history",
+        "refs",
+        "properties",
+    }
+)
 
 
 def _metadata_table(table: "IcebergTable", spark: SparkSession, kind: str):
@@ -715,6 +947,39 @@ def _metadata_table(table: "IcebergTable", spark: SparkSession, kind: str):
         )
     files = table.data_files()
     if k == "files":
+        # FilesTable shape incl. the column-metrics maps; bounds render
+        # READABLY (deserialized via the schema's field types, keyed by
+        # field id) — the reference's readable_metrics discipline
+        from trino_private_spark.sources.iceberg_partition import (
+            deserialize_single_value,
+        )
+
+        types_by_id = {
+            fld["id"]: fld["type"]
+            for fld in table._current_schema().get("fields", [])  # noqa: SLF001
+            if isinstance(fld.get("type"), str)
+        }
+
+        def jmap(pairs) -> str | None:
+            return (
+                _json.dumps({str(i): v for i, v in pairs}, sort_keys=True)
+                if pairs
+                else None
+            )
+
+        def jbounds(pairs) -> str | None:
+            out = {}
+            for i, b in pairs:
+                t = types_by_id.get(i)
+                if t is None:
+                    continue
+                try:
+                    v = deserialize_single_value(t, b)
+                except (TypeError, ValueError):
+                    continue
+                out[str(i)] = v if isinstance(v, (int, float, bool)) else str(v)
+            return _json.dumps(out, sort_keys=True) if out else None
+
         rows = [
             (
                 f.content,
@@ -724,6 +989,10 @@ def _metadata_table(table: "IcebergTable", spark: SparkSession, kind: str):
                 f.file_size_in_bytes,
                 _json.dumps(dict(f.partition)) if f.partition else None,
                 f.sequence_number,
+                jmap(f.value_counts),
+                jmap(f.null_value_counts),
+                jbounds(f.lower_bounds),
+                jbounds(f.upper_bounds),
             )
             for f in files
         ]
@@ -731,8 +1000,73 @@ def _metadata_table(table: "IcebergTable", spark: SparkSession, kind: str):
             rows,
             "content int, file_path string, file_format string, "
             "record_count long, file_size_in_bytes long, partition string, "
-            "sequence_number long",
+            "sequence_number long, value_counts string, "
+            "null_value_counts string, lower_bounds string, "
+            "upper_bounds string",
         )
+    if k == "history":
+        # HistoryTable.java: made_current_at, snapshot_id, parent_id,
+        # is_current_ancestor. Ancestry walks parent-snapshot-id pointers
+        # from the current snapshot; snapshots without parent info (older
+        # shim writes) fall back to list-order ancestry (this writer's
+        # history is linear, so list order IS the ancestry chain).
+        snaps = table.snapshots()
+        by_id = {s["snapshot-id"]: s for s in snaps}
+        cur = table.metadata.get("current-snapshot-id", -1)
+        ancestors: set[int] = set()
+        if all("parent-snapshot-id" in s for s in snaps):
+            walk = cur
+            while walk in by_id:
+                ancestors.add(walk)
+                walk = by_id[walk].get("parent-snapshot-id")
+        else:
+            for s in snaps:
+                ancestors.add(s["snapshot-id"])
+                if s["snapshot-id"] == cur:
+                    break
+        rows = [
+            (
+                s["timestamp-ms"],
+                s["snapshot-id"],
+                s.get("parent-snapshot-id"),
+                s["snapshot-id"] in ancestors,
+            )
+            for s in snaps
+        ]
+        return spark.createDataFrame(
+            rows,
+            "made_current_at_ms long, snapshot_id long, parent_id long, "
+            "is_current_ancestor boolean",
+        )
+    if k == "refs":
+        # RefsTable.java six-column shape; metadata 'refs' map when present,
+        # else the implicit main branch at the current snapshot.
+        refs = table.metadata.get("refs") or {}
+        if not refs:
+            cur = table.current_snapshot()
+            if cur is not None:
+                refs = {"main": {"snapshot-id": cur["snapshot-id"], "type": "branch"}}
+        rows = [
+            (
+                name,
+                str(r.get("type", "branch")).upper(),
+                r.get("snapshot-id"),
+                r.get("max-ref-age-ms"),
+                r.get("min-snapshots-to-keep"),
+                r.get("max-snapshot-age-ms"),
+            )
+            for name, r in sorted(refs.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "name string, type string, snapshot_id long, "
+            "max_reference_age_in_ms long, min_snapshots_to_keep int, "
+            "max_snapshot_age_in_ms long",
+        )
+    if k == "properties":
+        props = table.metadata.get("properties") or {}
+        rows = [(str(pk), str(pv)) for pk, pv in sorted(props.items())]
+        return spark.createDataFrame(rows, "key string, value string")
     if k == "partitions":
         agg: dict[str, list[int]] = {}
         for f in files:
@@ -774,7 +1108,11 @@ def read_iceberg(
     corresponding metadata table."""
     if "$" in location:
         loc, _, kind = location.rpartition("$")
-        return _metadata_table(IcebergTable(loc), spark, kind)
+        # Only a KNOWN metadata-table suffix routes to _metadata_table — a
+        # legitimate path containing '$' (shell-expanded dirs, temp names)
+        # must stay a plain table path.
+        if kind.lower() in _METADATA_TABLE_KINDS:
+            return _metadata_table(IcebergTable(loc), spark, kind)
     pf = list(partition_filter or [])
     if where:
         pf.extend(parse_partition_predicate(where))

@@ -37,6 +37,9 @@ __all__ = [
     "parse_specs",
     "transform_value",
     "file_matches",
+    "serialize_single_value",
+    "deserialize_single_value",
+    "metrics_match",
 ]
 
 _EPOCH = date(1970, 1, 1)
@@ -79,9 +82,38 @@ def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
     return h - 0x100000000 if h >= 0x80000000 else h
 
 
-def _to_days(v) -> int:
+def _temporal(v, source_type: str):
+    """Normalize a literal against a temporal source column, routing by
+    ``source_type`` FIRST — never by Python type alone. A bare int is the
+    physical encoding only for ``date`` sources (days from epoch); against
+    a timestamp or unknown source it is ambiguous (micros? days? seconds?)
+    and raises TypeError, which the pruning layer treats as un-evaluable
+    (no prune) — pruning must be conservative by construction."""
+    t = source_type.lower()
+    if isinstance(v, bool):
+        raise TypeError(f"cannot interpret {v!r} as a temporal value")
     if isinstance(v, int):
+        if t == "date":
+            return date.fromordinal(_EPOCH.toordinal() + v)
+        raise TypeError(
+            f"bare integer {v!r} is ambiguous for source type "
+            f"{source_type or 'unknown'!r}; refusing to prune"
+        )
+    if isinstance(v, str):
+        try:
+            return (
+                datetime.fromisoformat(v)
+                if len(v) > 10
+                else date.fromisoformat(v)
+            )
+        except ValueError as exc:
+            raise TypeError(f"cannot parse {v!r} as a temporal value") from exc
+    if isinstance(v, (datetime, date)):
         return v
+    raise TypeError(f"cannot interpret {v!r} as a temporal value")
+
+
+def _to_days(v) -> int:
     if isinstance(v, datetime):
         return (v.date() - _EPOCH).days
     if isinstance(v, date):
@@ -92,8 +124,6 @@ def _to_days(v) -> int:
 
 
 def _to_micros(v) -> int:
-    if isinstance(v, int):
-        return v
     if isinstance(v, datetime):
         if v.tzinfo is None:
             v = v.replace(tzinfo=timezone.utc)
@@ -107,9 +137,7 @@ def _to_micros(v) -> int:
 
 def _date_parts(v) -> tuple[int, int, int]:
     """(year, month, day-of-month) of a date-ish value."""
-    if isinstance(v, int):  # days from epoch (the avro/physical encoding)
-        d = date.fromordinal(_EPOCH.toordinal() + v)
-    elif isinstance(v, datetime):
+    if isinstance(v, datetime):
         d = v.date()
     elif isinstance(v, date):
         d = v
@@ -129,6 +157,13 @@ def bucket_hash(v, source_type: str = "") -> int:
     t = source_type.lower()
     if isinstance(v, bool):
         raise TypeError("bucket over boolean is not allowed by the spec")
+    if isinstance(v, int) and t.startswith("timestamp"):
+        # ambiguous: a bare int against a timestamp source might be micros
+        # or seconds — refusing beats hashing a wrong encoding and pruning
+        # files that hold matching rows
+        raise TypeError(
+            f"bare integer {v!r} is ambiguous for timestamp bucket source"
+        )
     if isinstance(v, str) and t in ("date",):
         v = _to_days(v)
     if isinstance(v, (datetime, date)):
@@ -153,9 +188,14 @@ def transform_value(transform: str, v, source_type: str = ""):
     if v is None:
         return None
     t = transform.lower()
+    st = source_type.lower()
     if t == "identity":
-        if source_type.lower() == "date":
-            return _to_days(v)
+        if st == "date":
+            return _to_days(_temporal(v, source_type))
+        if st.startswith("timestamp"):
+            # stored as epoch micros (spec partition-value encoding, and
+            # what _pv_expr writes via unix_micros)
+            return _to_micros(_temporal(v, source_type))
         return v
     if t == "void":
         return None
@@ -171,15 +211,18 @@ def transform_value(transform: str, v, source_type: str = ""):
         if isinstance(v, int):
             return v - (((v % w) + w) % w)
         raise TypeError(f"truncate over {type(v).__name__} unsupported")
+    # temporal transforms: normalize the literal by SOURCE TYPE first —
+    # a bare int is days only for date sources; ambiguous ints raise and
+    # the term becomes un-evaluable (no prune)
     if t in ("year", "years"):
-        return _date_parts(v)[0] - 1970
+        return _date_parts(_temporal(v, source_type))[0] - 1970
     if t in ("month", "months"):
-        y, mo, _ = _date_parts(v)
+        y, mo, _ = _date_parts(_temporal(v, source_type))
         return (y - 1970) * 12 + (mo - 1)
     if t in ("day", "days"):
-        return _to_days(v)
+        return _to_days(_temporal(v, source_type))
     if t in ("hour", "hours"):
-        return _to_micros(v) // 3_600_000_000
+        return _to_micros(_temporal(v, source_type)) // 3_600_000_000
     raise ValueError(f"unknown partition transform {transform!r}")
 
 
@@ -245,6 +288,11 @@ def parse_specs(metadata: dict) -> dict[int, PartitionSpec]:
 def _term_possible(field: PartitionField, pv, op: str, value) -> bool:
     """Can ``source op value`` hold for a row whose partition value is
     ``pv``? Conservative: True unless provably impossible."""
+    if field.transform.lower() == "void":
+        # a void field's stored partition value is ALWAYS null while row
+        # values are arbitrary (partition-spec evolution drops fields by
+        # voiding them) — it can never prove anything about rows
+        return True
     if op in ("=", "==", "eq"):
         values = [value]
         op = "in"
@@ -293,4 +341,159 @@ def file_matches(
                 continue
             if not _term_possible(f, partition[f.name], op, value):
                 return False
+    return True
+
+
+# --------------------------------------------------------------------------
+# Column metrics: single-value serialization (Iceberg spec Appendix D
+# "Single-value serialization") + min/max file pruning on manifest-entry
+# lower_bounds/upper_bounds/null_value_counts — the reference prunes splits
+# on these even for UNpartitioned predicates
+# (plugin/trino-iceberg/.../IcebergSplitSource.java fileMatchesPredicate
+# over the metrics domain). At 100 TB a selective predicate on a
+# non-partition column must still skip files from metadata alone.
+# --------------------------------------------------------------------------
+
+
+def serialize_single_value(iceberg_type: str, v) -> bytes:
+    """Spec Appendix D binary single-value serialization. Temporal values
+    are expected in their PHYSICAL encoding already (date -> days int,
+    timestamp -> micros int) — the writer normalizes before calling."""
+    t = iceberg_type.lower()
+    if t == "boolean":
+        return b"\x01" if v else b"\x00"
+    if t == "int":
+        return struct.pack("<i", v)
+    if t == "long":
+        return struct.pack("<q", v)
+    if t == "float":
+        return struct.pack("<f", v)
+    if t == "double":
+        return struct.pack("<d", v)
+    if t == "date":
+        return struct.pack("<i", v)  # days from epoch
+    if t.startswith("timestamp"):
+        return struct.pack("<q", v)  # micros from epoch
+    if t == "string":
+        return str(v).encode("utf-8")
+    if t.startswith("decimal"):
+        import decimal
+
+        unscaled = int(decimal.Decimal(v).scaleb(_dec_scale(t)))
+        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(nbytes, "big", signed=True)
+    raise TypeError(f"no single-value serialization for {iceberg_type!r}")
+
+
+def _dec_scale(t: str) -> int:
+    m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+    return int(m.group(2)) if m else 0
+
+
+def deserialize_single_value(iceberg_type: str, b: bytes):
+    """Inverse of serialize_single_value; temporal values come back in
+    their physical encoding (ints)."""
+    t = iceberg_type.lower()
+    b = bytes(b)
+    if t == "boolean":
+        return b != b"\x00"
+    if t in ("int", "date"):
+        return struct.unpack("<i", b)[0]
+    if t == "long" or t.startswith("timestamp"):
+        return struct.unpack("<q", b)[0]
+    if t == "float":
+        return struct.unpack("<f", b)[0]
+    if t == "double":
+        return struct.unpack("<d", b)[0]
+    if t == "string":
+        return b.decode("utf-8")
+    if t.startswith("decimal"):
+        import decimal
+
+        return decimal.Decimal(
+            int.from_bytes(b, "big", signed=True)
+        ).scaleb(-_dec_scale(t))
+    raise TypeError(f"no single-value deserialization for {iceberg_type!r}")
+
+
+def _physical(v, iceberg_type: str):
+    """Query literal -> the physical comparison domain of the stored
+    bounds (date -> days, timestamp -> micros; everything else as-is).
+    Raises TypeError for un-evaluable combinations — callers skip the
+    term (no prune)."""
+    t = iceberg_type.lower()
+    if t == "date":
+        return _to_days(_temporal(v, t))
+    if t.startswith("timestamp"):
+        return _to_micros(_temporal(v, t))
+    if isinstance(v, bool) or v is None:
+        return v
+    if t in ("int", "long") and not isinstance(v, int):
+        raise TypeError(f"{v!r} is not comparable to {iceberg_type}")
+    if t in ("float", "double") and not isinstance(v, (int, float)):
+        raise TypeError(f"{v!r} is not comparable to {iceberg_type}")
+    if t == "string" and not isinstance(v, str):
+        raise TypeError(f"{v!r} is not comparable to string")
+    return v
+
+
+def metrics_match(
+    schema_fields: list[dict],
+    predicate: list[tuple[str, str, object]],
+    lower_bounds: dict[int, bytes],
+    upper_bounds: dict[int, bytes],
+    null_value_counts: dict[int, int],
+    value_counts: dict[int, int],
+) -> bool:
+    """True iff a data file whose manifest entry carries these column
+    metrics can contain rows satisfying the conjunctive ``predicate``
+    [(col, op, value), ...]. Conservative by construction: a column with
+    no recorded metrics, an un-deserializable bound, or an un-evaluable
+    literal never prunes. Mirrors IcebergSplitSource.fileMatchesPredicate:
+    equality/IN prune outside [lo, hi] and on all-null columns; ranges
+    prune against the opposing bound; NaN-bearing float bounds are not
+    written by this writer (skipped at write time), keeping comparisons
+    total."""
+    by_name = {f["name"]: f for f in schema_fields}
+    for col, op, value in predicate:
+        fld = by_name.get(col)
+        if fld is None or not isinstance(fld.get("type"), str):
+            continue
+        fid, t = fld["id"], fld["type"]
+        nulls = null_value_counts.get(fid)
+        cnt = value_counts.get(fid)
+        all_null = (
+            nulls is not None and cnt is not None and cnt > 0 and nulls == cnt
+        )
+        values = value if op.lower() == "in" else [value]
+        if all_null and all(v is not None for v in values):
+            # every comparison/equality with a non-null literal is false
+            # on an all-null column (3VL: NULL op x is never TRUE)
+            return False
+        lo_b, hi_b = lower_bounds.get(fid), upper_bounds.get(fid)
+        if lo_b is None or hi_b is None:
+            continue
+        try:
+            lo = deserialize_single_value(t, lo_b)
+            hi = deserialize_single_value(t, hi_b)
+            if op in ("=", "==", "eq", "IN", "in", "In"):
+                phys = [
+                    _physical(v, t) for v in values if v is not None
+                ]
+                if phys and not any(lo <= p <= hi for p in phys):
+                    return False
+            elif op in (">", "gt"):
+                if value is not None and not hi > _physical(value, t):
+                    return False
+            elif op in (">=", "ge"):
+                if value is not None and not hi >= _physical(value, t):
+                    return False
+            elif op in ("<", "lt"):
+                if value is not None and not lo < _physical(value, t):
+                    return False
+            elif op in ("<=", "le"):
+                if value is not None and not lo <= _physical(value, t):
+                    return False
+        except (TypeError, ValueError, struct.error):
+            continue  # un-evaluable term never prunes
     return True

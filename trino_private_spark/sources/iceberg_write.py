@@ -55,6 +55,9 @@ from trino_private_spark.sources.iceberg import (
     read_avro_container,
     write_avro_container,
 )
+from trino_private_spark.sources.iceberg_partition import (
+    serialize_single_value,
+)
 from trino_private_spark.sources.iceberg_testing import (
     MANIFEST_ENTRY_SCHEMA,
     MANIFEST_LIST_SCHEMA,
@@ -126,6 +129,51 @@ def _write_files_distributed(
             return
         table = pa.Table.from_batches(collected)
 
+        def column_metrics(data):
+            """Per-column {nulls, count[, lo, hi]} for the manifest entry
+            (spec column metrics; physical encodings for temporal types).
+            Columns where a sound bound can't be produced (NaN floats,
+            long strings, nested/binary types) record counts only —
+            missing bounds never prune."""
+            import datetime as _dt  # noqa: PLC0415
+
+            import pyarrow.compute as pc  # noqa: PLC0415
+            import pyarrow.types as pt  # noqa: PLC0415
+
+            out = {}
+            for name in data.schema.names:
+                col = data.column(name)
+                n = len(col)
+                entry = {"nulls": col.null_count, "count": n}
+                typ = data.schema.field(name).type
+                boundable = (
+                    pt.is_integer(typ)
+                    or pt.is_floating(typ)
+                    or pt.is_string(typ)
+                    or pt.is_date(typ)
+                    or pt.is_timestamp(typ)
+                    or pt.is_boolean(typ)
+                )
+                if boundable and col.null_count < n:
+                    mm = pc.min_max(col)
+                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    if isinstance(lo, _dt.datetime):
+                        lo, hi = (
+                            _plain(v) for v in (lo, hi)
+                        )  # -> epoch micros
+                    elif isinstance(lo, _dt.date):
+                        lo, hi = (_plain(v) for v in (lo, hi))  # -> days
+                    if isinstance(lo, float) and (lo != lo or hi != hi):
+                        lo = None  # NaN poisons ordering; skip bounds
+                    if isinstance(lo, str) and (
+                        len(lo) > 64 or len(hi) > 64
+                    ):
+                        lo = None  # spec truncates; we skip (conservative)
+                    if lo is not None:
+                        entry["lo"], entry["hi"] = lo, hi
+                out[name] = entry
+            return out
+
         def emit_one(tbl, part_json):
             data = tbl.drop_columns(pvs) if pvs else tbl
             fields = []
@@ -150,28 +198,44 @@ def _write_files_distributed(
                     "record_count": [data.num_rows],
                     "file_size_in_bytes": [os.path.getsize(path)],
                     "partition_json": [part_json],
+                    "metrics_json": [json.dumps(column_metrics(data))],
                 }
             )
 
         if not pvs:
             yield emit_one(table, None)
             return
-        pdf = table.to_pandas()
-        for key, grp in pdf.groupby(pvs, dropna=False, sort=True):
-            key = key if isinstance(key, tuple) else (key,)
+        # Split per partition tuple in Arrow DIRECTLY — never through
+        # pandas: to_pandas() degrades a nullable int64 column to float64,
+        # and rebuilding the parquet schema from the degraded frame would
+        # write DOUBLE where the table schema says long (silent type
+        # corruption + precision loss past 2^53).
+        import pyarrow.compute as pc  # noqa: PLC0415
+
+        distinct = table.select(pvs).group_by(pvs).aggregate([])
+        tuples = sorted(
+            distinct.to_pylist(),
+            key=lambda d: tuple((v is None, v) for v in d.values()),
+        )
+        for key in tuples:
+            mask = None
+            for c in pvs:
+                col = table.column(c)
+                term = (
+                    pc.is_null(col)
+                    if key[c] is None
+                    else pc.equal(col, key[c])
+                )
+                mask = term if mask is None else pc.and_kleene(mask, term)
             part = {
-                c[len("__pv__") :]: (None if _is_na(v) else _plain(v))
-                for c, v in zip(pvs, key)
+                c[len("__pv__") :]: _plain(key[c]) for c in pvs
             }
-            yield emit_one(
-                pa.Table.from_pandas(grp, preserve_index=False),
-                json.dumps(part),
-            )
+            yield emit_one(table.filter(mask), json.dumps(part))
 
     stats = df.mapInArrow(
         write_partition,
         "path string, record_count long, file_size_in_bytes long, "
-        "partition_json string",
+        "partition_json string, metrics_json string",
     ).collect()
     return [
         {
@@ -183,28 +247,31 @@ def _write_files_distributed(
                 if r["partition_json"] is not None
                 else None
             ),
+            "metrics": json.loads(r["metrics_json"]),
         }
         for r in stats
     ]
 
 
-def _is_na(v) -> bool:
-    import pandas as pd
-
-    try:
-        return v is None or bool(pd.isna(v))
-    except (TypeError, ValueError):
-        return False
-
-
 def _plain(v):
-    """numpy scalar -> plain Python (json/avro-encodable)."""
+    """numpy/temporal scalar -> plain Python (json/avro-encodable).
+    Temporal values store as the spec's physical encoding (timestamp ->
+    epoch micros, date -> days from epoch) — the same longs/ints
+    transform_value produces on the read-pruning side."""
+    import datetime as _dt
+
     import numpy as np
 
     if isinstance(v, np.integer):
         return int(v)
     if isinstance(v, np.floating):
         return float(v)
+    if isinstance(v, _dt.datetime):  # pd.Timestamp is a datetime subclass
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
     return v
 
 
@@ -220,13 +287,32 @@ def _latest_version(location: str) -> int:
     return best
 
 
+_METRIC_FIELDS = (
+    ("value_counts", "long"),
+    ("null_value_counts", "long"),
+    ("lower_bounds", "bytes"),
+    ("upper_bounds", "bytes"),
+)
+
+
 def _entry_schema(partition_avro: list[tuple[str, str]] | None) -> dict:
     """Manifest-entry Avro schema, extended with the table's partition
     record when the table is partitioned (spec: data_file.partition,
-    field 102)."""
+    field 102) and the column-metrics maps (spec fields 109/110/125/128;
+    keyed by field id — avro map keys are strings, so ids stringify)."""
     import copy
 
     schema = copy.deepcopy(MANIFEST_ENTRY_SCHEMA)
+    data_file_fields = next(
+        f for f in schema["fields"] if f["name"] == "data_file"
+    )["type"]["fields"]
+    for name, vt in _METRIC_FIELDS:
+        data_file_fields.append(
+            {
+                "name": name,
+                "type": ["null", {"type": "map", "values": vt}],
+            }
+        )
     if partition_avro:
         part_rec = {
             "type": "record",
@@ -254,6 +340,9 @@ def _commit_snapshot(
     schema_fields: list[tuple[int, str, str]] | None = None,
     partition_spec: list[dict] | None = None,
     file_format: str = "PARQUET",
+    properties: dict[str, str] | None = None,
+    replace: bool = False,
+    sort_order: list[dict] | None = None,
 ) -> int:
     """Commit ONE snapshot referencing every file group in ``groups``
     (``[(files, content), ...]``) — one manifest per group, all at the
@@ -264,8 +353,11 @@ def _commit_snapshot(
     orphan files, never an intermediate visible state. Creates the table
     metadata if this is the first commit (``schema_fields`` required;
     ``partition_spec`` optional spec fields
-    ``[{name, transform, source-id, field-id}]``). Returns the new
-    snapshot id."""
+    ``[{name, transform, source-id, field-id}]``). With ``replace`` the
+    new manifest list carries ONLY the new manifests (OPTIMIZE /
+    rewrite commits: prior files drop out of the new snapshot while old
+    snapshots keep their own manifest lists). Returns the new snapshot
+    id."""
     md_dir = os.path.join(location, "metadata")
     os.makedirs(md_dir, exist_ok=True)
     version = _latest_version(location)
@@ -279,6 +371,7 @@ def _commit_snapshot(
             "last-sequence-number": 0,
             "last-updated-ms": 0,
             "current-schema-id": 0,
+            "last-column-id": max((i for i, _, _ in schema_fields), default=0),
             "schemas": [
                 {
                     "type": "struct",
@@ -295,6 +388,18 @@ def _commit_snapshot(
             ],
             "current-snapshot-id": -1,
             "snapshots": [],
+            "properties": dict(properties or {}),
+            # spec §"Sort Orders": order 0 = unsorted; a real sorted_by
+            # records order 1 and makes it the default
+            "sort-orders": (
+                [
+                    {"order-id": 0, "fields": []},
+                    {"order-id": 1, "fields": sort_order},
+                ]
+                if sort_order
+                else [{"order-id": 0, "fields": []}]
+            ),
+            "default-sort-order-id": 1 if sort_order else 0,
         }
         prior_manifests: list[dict] = []
     else:
@@ -319,6 +424,20 @@ def _commit_snapshot(
     )
     part_avro = _partition_avro_fields(metadata, spec_fields)
     entry_schema = _entry_schema(part_avro)
+    cur_schema_id = metadata.get("current-schema-id")
+    cur_schema = next(
+        (
+            s
+            for s in metadata.get("schemas", [])
+            if s.get("schema-id") == cur_schema_id
+        ),
+        {},
+    )
+    field_by_name = {
+        f["name"]: (f["id"], f["type"])
+        for f in cur_schema.get("fields", [])
+        if isinstance(f.get("type"), str)
+    }
 
     seq = int(metadata.get("last-sequence-number", 0)) + 1
     snap_id = (
@@ -345,6 +464,32 @@ def _commit_snapshot(
                 "file_size_in_bytes": f["file_size_in_bytes"],
                 "equality_ids": f.get("equality_ids"),
             }
+            # column metrics (spec: value_counts/null_value_counts by
+            # field id; lower/upper bounds in Appendix-D single-value
+            # serialization) — the read side prunes files on these even
+            # for predicates on UNpartitioned columns
+            vc, nvc, lob, upb = {}, {}, {}, {}
+            for name, e in (f.get("metrics") or {}).items():
+                ft = field_by_name.get(name)
+                if ft is None or content != 0:
+                    continue
+                fid, ityp = ft
+                vc[str(fid)] = int(e["count"])
+                nvc[str(fid)] = int(e["nulls"])
+                if "lo" in e:
+                    try:
+                        lob[str(fid)] = serialize_single_value(
+                            ityp, e["lo"]
+                        )
+                        upb[str(fid)] = serialize_single_value(
+                            ityp, e["hi"]
+                        )
+                    except (TypeError, ValueError, OverflowError):
+                        pass  # unserializable bound -> counts only
+            data_file["value_counts"] = vc or None
+            data_file["null_value_counts"] = nvc or None
+            data_file["lower_bounds"] = lob or None
+            data_file["upper_bounds"] = upb or None
             if part_avro:
                 part = f.get("partition") or {}
                 data_file["partition"] = {
@@ -375,8 +520,9 @@ def _commit_snapshot(
     write_avro_container(
         manifest_list_path,
         MANIFEST_LIST_SCHEMA,
-        list(prior_manifests) + new_manifests,
+        new_manifests if replace else list(prior_manifests) + new_manifests,
     )
+    parent = metadata.get("current-snapshot-id", -1)
     metadata["snapshots"] = list(metadata.get("snapshots", [])) + [
         {
             "snapshot-id": snap_id,
@@ -384,6 +530,11 @@ def _commit_snapshot(
             "sequence-number": seq,
             "manifest-list": manifest_list_path,
             "summary": {"operation": operation},
+            # spec: ancestry pointer ($history / expire-snapshots walk it)
+            "parent-snapshot-id": parent if parent != -1 else None,
+            # spec: snapshots record the schema they were written under —
+            # time travel reads a pre-evolution snapshot in its own shape
+            "schema-id": int(metadata.get("current-schema-id", 0)),
         }
     ]
     metadata["current-snapshot-id"] = snap_id
@@ -429,7 +580,11 @@ def _partition_avro_fields(
                 "int": "int", "long": "long", "string": "string",
                 "double": "double", "float": "float",
                 "boolean": "boolean", "date": "int",
-            }.get(src_t, "string")
+            }.get(
+                src_t,
+                # spec: timestamp partition values are epoch micros
+                "long" if src_t.startswith("timestamp") else "string",
+            )
         out.append((f["name"], avro_t))
     return out
 
@@ -475,6 +630,10 @@ def _pv_expr(source_col: str, transform: str, source_type: str):
     if t == "identity":
         if source_type == "date":
             return F.datediff(c, F.lit("1970-01-01")).cast("int")
+        if source_type.startswith("timestamp"):
+            # spec stores timestamp partition values as epoch micros (long);
+            # the raw timestamp would also crash json.dumps in the executor
+            return F.unix_micros(c)
         return c
     if t == "void":
         return F.lit(None).cast("int")
@@ -547,11 +706,80 @@ def _apply_spec(df: DataFrame, spec_fields: list[dict], schema) -> tuple:
     return df.repartition(*[F.col(c) for c in pv_cols]), pv_cols
 
 
+def _normalize_sorted_by(
+    sorted_by, schema_fields: list[tuple[int, str, str]]
+) -> list[dict]:
+    """User spec (['col'] or [('col', 'desc')]) -> metadata.json
+    sort-order fields [{transform, source-id, direction, null-order}]
+    (spec §"Sort Orders"; the reference's sorted_by table property,
+    plugin/trino-iceberg SortFieldUtils)."""
+    by_name = {n: i for i, n, _ in schema_fields}
+    out = []
+    for item in sorted_by or []:
+        col, direction = (
+            item if isinstance(item, tuple) else (item, "asc")
+        )
+        if col not in by_name:
+            raise ValueError(f"sort column {col!r} not in schema")
+        d = direction.lower()
+        if d not in ("asc", "desc"):
+            raise ValueError(f"sort direction {direction!r}")
+        out.append(
+            {
+                "transform": "identity",
+                "source-id": by_name[col],
+                "direction": d,
+                "null-order": "nulls-first" if d == "asc" else "nulls-last",
+            }
+        )
+    return out
+
+
+def _apply_sort(df: DataFrame, metadata: dict, pv_cols: list[str]):
+    """Apply the table's default sort order to a write: unpartitioned
+    tables RANGE-partition on the sort key first (write.distribution-mode
+    = range — what actually clusters values so per-file min/max bounds
+    are tight and metrics pruning bites), partitioned tables sort WITHIN
+    their partition-tuple tasks. No-op for order-id 0 / absent orders."""
+    from pyspark.sql import functions as F
+
+    oid = int(metadata.get("default-sort-order-id", 0))
+    order = next(
+        (
+            o
+            for o in metadata.get("sort-orders", [])
+            if o.get("order-id") == oid
+        ),
+        None,
+    )
+    if not order or not order.get("fields"):
+        return df
+    cur = metadata.get("current-schema-id")
+    schema = next(
+        (s for s in metadata.get("schemas", []) if s.get("schema-id") == cur),
+        {},
+    )
+    by_id = {f["id"]: f["name"] for f in schema.get("fields", [])}
+    cols = []
+    for f in order["fields"]:
+        name = by_id.get(f.get("source-id"))
+        if name is None:
+            return df  # unknown source column -> skip sorting, never fail
+        c = F.col(name)
+        cols.append(c.desc() if f.get("direction") == "desc" else c.asc())
+    if pv_cols:
+        return df.sortWithinPartitions(*[F.col(c) for c in pv_cols], *cols)
+    n = max(1, df.rdd.getNumPartitions())
+    return df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+
+
 def iceberg_create(
     df: DataFrame,
     location: str,
     partition_by: list | None = None,
     file_format: str = "PARQUET",
+    properties: dict[str, str] | None = None,
+    sorted_by: list | None = None,
 ) -> None:
     """CTAS: materialize ``df`` as a brand-new Iceberg v2 table
     (IcebergMetadata.beginCreateTable + finishCreateTable analogue).
@@ -568,12 +796,24 @@ def iceberg_create(
     ]
     field_ids = {n: i for i, n, _ in fields}
     spec_fields = _normalize_partition_by(partition_by, fields)
+    sort_fields = _normalize_sorted_by(sorted_by, fields)
     schema = {
         "fields": [
             {"id": i, "name": n, "type": t} for i, n, t in fields
         ]
     }
     df, pv_cols = _apply_spec(df, spec_fields, schema)
+    if sort_fields:
+        df = _apply_sort(
+            df,
+            {
+                "default-sort-order-id": 1,
+                "sort-orders": [{"order-id": 1, "fields": sort_fields}],
+                "current-schema-id": 0,
+                "schemas": [{"schema-id": 0, "fields": schema["fields"]}],
+            },
+            pv_cols,
+        )
     files = _write_files_distributed(
         df,
         os.path.join(location, "data"),
@@ -588,6 +828,8 @@ def iceberg_create(
         schema_fields=fields,
         partition_spec=spec_fields,
         file_format=file_format,
+        properties=properties,
+        sort_order=sort_fields or None,
     )
 
 
@@ -597,13 +839,28 @@ def iceberg_append(
     """INSERT INTO (append snapshot; IcebergMetadata.beginInsert). A
     partitioned table's default spec is applied automatically — appended
     files stay one-partition-per-file and prunable."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.sources.iceberg import _spark_type
+
     table = IcebergTable(location)
     schema = table._current_schema()  # noqa: SLF001
     field_ids = {f["name"]: f["id"] for f in schema.get("fields", [])}
     missing = [c for c in df.columns if c not in field_ids]
     if missing:
         raise ValueError(f"columns not in table schema: {missing}")
-    df = df.select(*[f["name"] for f in schema.get("fields", [])])
+    # schema columns absent from the input null-fill (INSERT INTO t(cols)
+    # semantics — routine right after an ALTER ... ADD COLUMN)
+    df = df.select(
+        *[
+            F.col(f["name"])
+            if f["name"] in df.columns
+            else F.lit(None)
+            .cast(_spark_type(f.get("type")) or "string")
+            .alias(f["name"])
+            for f in schema.get("fields", [])
+        ]
+    )
     spec_id = int(table.metadata.get("default-spec-id", 0))
     spec_fields = next(
         (
@@ -614,6 +871,7 @@ def iceberg_append(
         [],
     )
     df, pv_cols = _apply_spec(df, spec_fields, schema)
+    df = _apply_sort(df, table.metadata, pv_cols)
     files = _write_files_distributed(
         df,
         os.path.join(location, "data"),
@@ -624,6 +882,101 @@ def iceberg_append(
     _commit_snapshot(
         location, [(files, 0)], operation="append", file_format=file_format
     )
+
+
+_ALTERABLE_TYPES = frozenset(
+    {"long", "int", "double", "float", "string", "boolean", "date", "binary"}
+)
+
+
+def iceberg_alter(
+    location: str,
+    *,
+    add_columns: dict[str, str] | None = None,
+    rename_columns: dict[str, str] | None = None,
+    drop_columns: list[str] | None = None,
+) -> int:
+    """ALTER TABLE ADD / RENAME / DROP COLUMN: commit a NEW schema with a
+    bumped schema-id and move ``current-schema-id`` — data files are never
+    touched (the read path projects every file by field id against the
+    query schema, so old files null-fill added columns and keep serving
+    renamed ones). Applied in order rename -> drop -> add within one call.
+
+    Reference: plugin/trino-iceberg IcebergMetadata.addColumn /
+    renameColumn / dropColumn (each a metadata-only schema commit).
+    ``add_columns`` maps name -> iceberg type ('long', 'string',
+    'timestamp', 'decimal(p,s)', ...); new field ids come from
+    ``last-column-id`` so a dropped id is NEVER reused (the spec's
+    invariant — reusing one would resurrect old files' values under the
+    new column). Returns the new schema id."""
+    from trino_private_spark.sources.iceberg import IcebergTable
+
+    table = IcebergTable(location)
+    metadata = table.metadata
+    cur = table._current_schema()  # noqa: SLF001
+    fields = [dict(f) for f in cur.get("fields", [])]
+    last_col = int(
+        metadata.get(
+            "last-column-id", max((f["id"] for f in fields), default=0)
+        )
+    )
+    part_source_ids = {
+        f.get("source-id")
+        for s in metadata.get("partition-specs", [])
+        for f in s.get("fields", [])
+        if f.get("transform", "void") != "void"
+    }
+
+    for old, new in (rename_columns or {}).items():
+        tgt = next((f for f in fields if f["name"] == old), None)
+        if tgt is None:
+            raise ValueError(f"rename: column {old!r} not in schema")
+        if any(f["name"] == new for f in fields):
+            raise ValueError(f"rename: column {new!r} already exists")
+        tgt["name"] = new
+    for col in drop_columns or []:
+        tgt = next((f for f in fields if f["name"] == col), None)
+        if tgt is None:
+            raise ValueError(f"drop: column {col!r} not in schema")
+        if tgt["id"] in part_source_ids:
+            raise ValueError(
+                f"drop: column {col!r} is a partition source "
+                "(void the partition field first)"
+            )
+        fields.remove(tgt)
+    for name, typ in (add_columns or {}).items():
+        if any(f["name"] == name for f in fields):
+            raise ValueError(f"add: column {name!r} already exists")
+        t = typ.lower()
+        if t not in _ALTERABLE_TYPES and not (
+            t.startswith("decimal") or t.startswith("timestamp")
+        ):
+            raise ValueError(f"add: unsupported iceberg type {typ!r}")
+        last_col += 1
+        fields.append(
+            {"id": last_col, "name": name, "required": False, "type": t}
+        )
+
+    new_sid = (
+        max(
+            (s.get("schema-id", 0) for s in metadata.get("schemas", [])),
+            default=0,
+        )
+        + 1
+    )
+    metadata.setdefault("schemas", []).append(
+        {"type": "struct", "schema-id": new_sid, "fields": fields}
+    )
+    metadata["current-schema-id"] = new_sid
+    metadata["last-column-id"] = last_col
+    metadata["last-updated-ms"] = int(time.time() * 1000)
+    version = _latest_version(location)
+    md_dir = os.path.join(location, "metadata")
+    with open(
+        os.path.join(md_dir, f"v{version + 1}.metadata.json"), "w"
+    ) as fh:
+        json.dump(metadata, fh)
+    return new_sid
 
 
 def iceberg_delete(
@@ -725,6 +1078,7 @@ def iceberg_update(
         [],
     )
     upd, pv_cols = _apply_spec(upd, spec_fields, schema)
+    upd = _apply_sort(upd, table.metadata, pv_cols)
     data_files = _write_files_distributed(
         upd, os.path.join(location, "data"), field_ids, part_cols=pv_cols
     )
