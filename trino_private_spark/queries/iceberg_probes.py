@@ -456,3 +456,448 @@ def p_iceberg_snapshots_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("snapshot_id")
     )
+
+
+@probe(
+    "p_iceberg_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, nation_name, note FROM (
+      SELECT n_nationkey, n_name AS nation_name, CAST(NULL AS VARCHAR) AS note
+      FROM nation
+      UNION ALL
+      SELECT n_nationkey + 1000, n_name, 'post' FROM nation
+    ) ORDER BY n_nationkey
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution read (reference: IcebergPageSourceProvider
+    resolves column handles BY FIELD ID per file): create -> ALTER ADD
+    COLUMN note + RENAME n_name -> nation_name -> append post-evolution
+    rows. Files written before the ALTER lack the new column (null-filled
+    by id projection) and carry the old name for the renamed one (selected
+    by id, aliased to the current name) — never unionByName."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.sources.iceberg_write import (
+        iceberg_alter,
+        iceberg_append,
+        iceberg_create,
+    )
+
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_se_") + "/t"
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name"
+    )
+    iceberg_create(nation, loc)
+    iceberg_alter(
+        loc,
+        add_columns={"note": "string"},
+        rename_columns={"n_name": "nation_name"},
+    )
+    iceberg_append(
+        nation.select(
+            (F.col("n_nationkey") + 1000).alias("n_nationkey"),
+            F.col("n_name").alias("nation_name"),
+            F.lit("post").alias("note"),
+        ),
+        loc,
+    )
+    return read_iceberg(spark, loc).orderBy("n_nationkey")
+
+
+@probe(
+    "p_iceberg_schema_evolution_tt",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_schema_evolution_tt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time travel TO A PRE-EVOLUTION snapshot reads the snapshot's own
+    recorded schema (spec: snapshots carry schema-id) — the original
+    column names and no later-added columns, even though the table has
+    since been altered and appended to."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.sources.iceberg import IcebergTable
+    from trino_private_spark.sources.iceberg_write import (
+        iceberg_alter,
+        iceberg_append,
+        iceberg_create,
+    )
+
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_sett_") + "/t"
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name"
+    )
+    iceberg_create(nation, loc)
+    iceberg_alter(
+        loc, add_columns={"note": "string"},
+        rename_columns={"n_name": "nation_label"},
+    )
+    iceberg_append(
+        nation.select(
+            (F.col("n_nationkey") + 1000).alias("n_nationkey"),
+            F.col("n_name").alias("nation_label"),
+            F.lit("post").alias("note"),
+        ),
+        loc,
+    )
+    first = IcebergTable(loc).snapshots()[0]["snapshot-id"]
+    return read_iceberg(spark, loc, snapshot_id=first).orderBy("n_nationkey")
+
+
+@probe(
+    "p_iceberg_metrics_prune",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           1 AS scanned_files, 4 AS candidate_files
+    FROM orders
+    WHERE o_orderkey < (SELECT CAST(FLOOR(MAX(o_orderkey) / 8.0) AS BIGINT)
+                        FROM orders)
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_metrics_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-metrics (min/max) file pruning on an UNPARTITIONED column
+    (reference: IcebergSplitSource.fileMatchesPredicate over the metrics
+    domain; bounds in spec Appendix-D single-value serialization): four
+    disjoint o_orderkey range slices are committed as separate files, and
+    a range predicate must open exactly ONE from the manifest bounds
+    alone — the scan counts ride in the hashed result so a regression to
+    O(table) scanning hash-fails."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.sources.iceberg import IcebergTable
+    from trino_private_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_create,
+    )
+
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_mp_") + "/t"
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    q = mx // 4 + 1  # slice width; 4 disjoint key ranges
+    base = orders.where(F.col("o_orderkey") < q).coalesce(1)
+    iceberg_create(base, loc)
+    for i in (1, 2, 3):
+        iceberg_append(
+            orders.where(
+                (F.col("o_orderkey") >= i * q)
+                & (F.col("o_orderkey") < (i + 1) * q)
+            ).coalesce(1),
+            loc,
+        )
+    t = IcebergTable(loc)
+    cut = mx // 8  # inside slice 0 only
+    out = t.read(spark, partition_filter=[("o_orderkey", "<", cut)]).where(
+        F.col("o_orderkey") < cut
+    )
+    scan = t.last_scan
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    ).select(
+        "n",
+        "total",
+        F.lit(scan["scanned_data_files"]).alias("scanned_files"),
+        F.lit(scan["candidate_data_files"]).alias("candidate_files"),
+    )
+
+
+@probe(
+    "p_iceberg_history_refs",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, CAST(NULL AS BIGINT), TRUE, 'main', 'BRANCH', 3),
+        (2, CAST(1 AS BIGINT),    TRUE, 'main', 'BRANCH', 3),
+        (3, CAST(2 AS BIGINT),    TRUE, 'main', 'BRANCH', 3))
+      AS t(snapshot_id, parent_id, is_current_ancestor,
+           ref_name, ref_type, ref_snapshot)
+    ORDER BY snapshot_id
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_history_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$history and $refs metadata tables (reference: plugin/trino-iceberg
+    TableType.java; shapes from HistoryTable/RefsTable): after create ->
+    append -> delete the history is a linear ancestry chain of three
+    snapshots (parent pointers recorded per spec) and the implicit main
+    branch ref points at the head."""
+    from pyspark.sql import functions as _F
+
+    from trino_private_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_create,
+        iceberg_delete,
+    )
+
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_hr_") + "/t"
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name"
+    )
+    iceberg_create(nation, loc)
+    iceberg_append(
+        nation.withColumn("n_nationkey", nation.n_nationkey + 100), loc
+    )
+    iceberg_delete(spark, loc, "n_nationkey % 7 = 0")
+    hist = read_iceberg(spark, loc + "$history").select(
+        _F.col("snapshot_id").cast("int").alias("snapshot_id"),
+        "parent_id",
+        "is_current_ancestor",
+    )
+    refs = read_iceberg(spark, loc + "$refs").select(
+        _F.col("name").alias("ref_name"),
+        _F.col("type").alias("ref_type"),
+        _F.col("snapshot_id").cast("int").alias("ref_snapshot"),
+    )
+    return hist.crossJoin(refs).orderBy("snapshot_id")
+
+
+@probe(
+    "p_iceberg_properties_table",
+    oracle="""
+    SELECT * FROM (VALUES ('fmt', 'demo'), ('write.owner', 'tps'))
+        AS t(key, value) ORDER BY key
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_properties_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$properties metadata table (PropertiesTable shape: key, value) —
+    table properties recorded at create come back verbatim."""
+    from trino_private_spark.sources.iceberg_write import iceberg_create
+
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_props_") + "/t"
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey"
+    )
+    iceberg_create(
+        nation, loc, properties={"fmt": "demo", "write.owner": "tps"}
+    )
+    return read_iceberg(spark, loc + "$properties").orderBy("key")
+
+
+@probe(
+    "p_iceberg_view_reprune",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, 1 AS scanned_files
+    FROM orders WHERE o_custkey % 8 = 3
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_view_reprune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query re-pruning THROUGH sql(): an iceberg CTAS registered as a
+    view re-derives manifest pruning from each statement's own WHERE
+    (api._reprune_iceberg_views) — the same pruned counts a direct
+    read_iceberg(where=...) shows, instead of one frozen full read at
+    registration time."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.api import Engine
+    from trino_private_spark.sources.iceberg import IO_SCAN_INFO
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_vr_") + "/t"
+    eng.ctas(
+        "ice_reprune_orders",
+        "SELECT o_orderkey, o_custkey % 8 AS grp FROM orders",
+        path=loc,
+        fmt="iceberg",
+        partition_by=["grp"],
+    )
+    out = eng.sql(
+        "SELECT COUNT(*) AS n FROM ice_reprune_orders WHERE grp = 3"
+    ).localCheckpoint(eager=True)
+    scanned = IO_SCAN_INFO[loc]["scanned_data_files"]
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(scanned).alias("scanned_files"),
+    )
+
+
+@probe(
+    "p_iceberg_optimize",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           1 AS files_after, 0 AS deletes_after
+    FROM orders WHERE o_orderkey % 3 <> 0
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE compaction (the reference's ALTER TABLE ... EXECUTE
+    optimize; iceberg_maintenance.iceberg_optimize): a fragmented table
+    (8-file create + DELETE's position-delete files) rewrites to ONE
+    size-targeted file in a replace snapshot — merge-on-read deletes
+    absorbed, rows bit-identical, file counts pinned in the hash."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.sources.iceberg import IcebergTable
+    from trino_private_spark.sources.iceberg_maintenance import (
+        iceberg_optimize,
+    )
+    from trino_private_spark.sources.iceberg_write import (
+        iceberg_create,
+        iceberg_delete,
+    )
+
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_opt_") + "/t"
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    iceberg_create(orders.repartition(8), loc)
+    iceberg_delete(spark, loc, "o_orderkey % 3 = 0")
+    iceberg_optimize(spark, loc)
+    t = IcebergTable(loc)
+    files = t.data_files()
+    return (
+        read_iceberg(spark, loc)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            "n_rows",
+            "total",
+            F.lit(len([f for f in files if f.content == 0])).alias(
+                "files_after"
+            ),
+            F.lit(len([f for f in files if f.content == 1])).alias(
+                "deletes_after"
+            ),
+        )
+    )
+
+
+@probe(
+    "p_iceberg_expire_snapshots",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           1 AS snapshots_left, 2 AS snapshots_expired
+    FROM nation WHERE n_nationkey % 5 <> 0
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expire_snapshots (ExpireSnapshotsProcedure analogue): after
+    create -> append -> delete, keep_last=1 drops the two old snapshot
+    entries (their manifest-list files become unreachable and are
+    removed) while the current state stays bit-identical."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.sources.iceberg import IcebergTable
+    from trino_private_spark.sources.iceberg_maintenance import (
+        iceberg_expire_snapshots,
+    )
+    from trino_private_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_create,
+        iceberg_delete,
+    )
+
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_exp_") + "/t"
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name"
+    )
+    half = nation.where("n_nationkey < 12")
+    iceberg_create(half, loc)
+    iceberg_append(nation.where("n_nationkey >= 12"), loc)
+    iceberg_delete(spark, loc, "n_nationkey % 5 = 0")
+    res = iceberg_expire_snapshots(loc, keep_last=1)
+    left = len(IcebergTable(loc).snapshots())
+    return (
+        read_iceberg(spark, loc)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "n_rows",
+            F.lit(left).alias("snapshots_left"),
+            F.lit(res["expired_snapshots"]).alias("snapshots_expired"),
+        )
+    )
+
+
+@probe(
+    "p_iceberg_sorted_write",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           1 AS scanned_files, 8 AS candidate_files
+    FROM orders
+    WHERE o_orderkey <= (SELECT CAST(FLOOR(MAX(o_orderkey) / 16.0) AS BIGINT)
+                         FROM orders)
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sorted_by write order (spec §Sort Orders; the reference's sorted_by
+    table property): a HASH-distributed input — every file would span the
+    whole key range — range-redistributes on the sort key at write time,
+    so per-file min/max bounds are tight and a key predicate opens 1 of 8
+    files from metadata alone. The scan counts ride in the hash."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.sources.iceberg import IcebergTable
+    from trino_private_spark.sources.iceberg_write import iceberg_create
+
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_srt_") + "/t"
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey"
+    )
+    iceberg_create(
+        orders.repartition(8, "o_orderkey"), loc, sorted_by=["o_orderkey"]
+    )
+    t = IcebergTable(loc)
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    cut = mx // 16
+    out = t.read(spark, partition_filter=[("o_orderkey", "<=", cut)]).where(
+        F.col("o_orderkey") <= cut
+    )
+    return out.agg(F.count(F.lit(1)).alias("n")).select(
+        "n",
+        F.lit(t.last_scan["scanned_data_files"]).alias("scanned_files"),
+        F.lit(t.last_scan["candidate_data_files"]).alias("candidate_files"),
+    )
+
+
+@probe(
+    "p_iceberg_files_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS record_count,
+           CAST(MIN(n_nationkey) AS BIGINT) AS lo,
+           CAST(MAX(n_nationkey) AS BIGINT) AS hi,
+           CAST(0 AS BIGINT) AS nulls
+    FROM nation
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_files_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$files metadata-table column metrics (FilesTable shape with
+    value/null counts and READABLE min/max bounds deserialized per the
+    schema's field types): a one-file table's recorded bounds equal the
+    data's true MIN/MAX — read from the manifest alone, no data IO."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.sources.iceberg_write import iceberg_create
+
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_fm_") + "/t"
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name"
+    )
+    iceberg_create(nation.coalesce(1), loc)
+    row = read_iceberg(spark, loc + "$files").collect()[0]
+    lo = _json.loads(row.lower_bounds)["1"]
+    hi = _json.loads(row.upper_bounds)["1"]
+    nulls = _json.loads(row.null_value_counts)["1"]
+    return spark.createDataFrame(
+        [(row.record_count, lo, hi, nulls)],
+        "record_count long, lo long, hi long, nulls long",
+    )

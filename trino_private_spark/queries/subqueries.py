@@ -218,6 +218,42 @@ def p_recursive_union_sqltext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(_REC_UNION_SQLTEXT)
 
 
+_REC_NESTED_SQLTEXT = """
+SELECT n_regionkey AS rkey, count(*) AS n_nations,
+       (SELECT max(n) FROM (WITH RECURSIVE m (n) AS (
+            SELECT 1 UNION ALL SELECT n + 1 FROM m WHERE n < 3)
+        SELECT n FROM m) q2) AS depth_max
+FROM nation
+WHERE n_regionkey IN (SELECT n FROM (WITH RECURSIVE seq (n) AS (
+    SELECT 0
+    UNION ALL
+    SELECT n + 1 FROM seq WHERE n < 2
+) SELECT n FROM seq) q)
+GROUP BY n_regionkey
+ORDER BY rkey
+"""
+
+
+@probe(
+    "p_recursive_nested",
+    oracle=_REC_NESTED_SQLTEXT,
+    tags=("core",),
+)
+def p_recursive_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE in NESTED positions — a derived-table subquery
+    inside IN and a scalar subquery in the select list (the grammar
+    allows the with-clause at any query-expression head, SqlBase.g4:172
+    queryNoWith; previously only statement-head recursion lowered). Each
+    parenthesized recursive subtree lowers to the iterative loop and
+    splices back as a view reference (api._lower_nested_recursive).
+    DuckDB runs the identical statement natively as the oracle."""
+    from trino_private_spark.api import Engine
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    return eng.sql(_REC_NESTED_SQLTEXT)
+
+
 @probe(
     "p_in_subquery_values",
     oracle="""
