@@ -1800,3 +1800,128 @@ def p_dedup_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kept_chars",
         F.lit(dup_groups.count()).cast("bigint").alias("reps_of_dup_groups"),
     )
+
+
+@probe(
+    "p_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t
+      FROM documents
+      WHERE doc_id < (SELECT CAST(FLOOR(COUNT(*) / 2.0) AS BIGINT)
+                      FROM documents)),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM toks, UNNEST(range(1, GREATEST(len(t) - 1, 1))) AS r(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(common / CAST(sa.sz AS DOUBLE), 6) AS containment
+    FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE ROUND(common / CAST(sa.sz AS DOUBLE), 6) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm",),
+)
+def p_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ASYMMETRIC containment pairs |S(a)∩S(b)|/|S(a)| >= 0.5
+    (llm/containment.containment_pairs) — the superset/subset near-dups
+    resemblance Jaccard misses (a short doc inside a long one has
+    Jaccard ~ |A|/|B| but containment ~ 1). One (shingle, doc) shuffle
+    through the inverted-index join; both directions emitted."""
+    from trino_private_spark.llm.containment import containment_pairs
+
+    t = T(spark, sf_dir)
+    # cutoff derived from the corpus size — a FIXED id slice goes vacuous
+    # at other scale factors (dup partners are uniform over the id range)
+    cut = t.documents.count() // 2
+    docs = t.documents.where(F.col("doc_id") < cut).select("doc_id", "text")
+    return containment_pairs(docs, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+@probe(
+    "p_containment_lsh_recall",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t
+      FROM documents
+      WHERE doc_id < (SELECT CAST(FLOOR(COUNT(*) / 2.0) AS BIGINT)
+                      FROM documents)),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM toks, UNNEST(range(1, GREATEST(len(t) - 1, 1))) AS r(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, 1.0 AS recall
+    FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE ROUND(common / CAST(sa.sz AS DOUBLE), 6) >= 0.5
+    """,
+    tags=("llm",),
+)
+def p_containment_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment LSH candidate generation (LSH-Ensemble shape, Zhu 2016:
+    single-row MinHash bands — per-hash collision prob is exactly the
+    Jaccard, so 64 bands recall 1-(1-J)^64 even for the small-in-large
+    pairs whose J is tiny — plus the necessary |B| >= t|A| size bound).
+    Property oracle: every exact containment pair at t=0.5 must appear
+    among the candidates (recall = 1.0 at the fixed seed), candidates
+    shuffle signatures only."""
+    from trino_private_spark.llm.containment import (
+        containment_candidates_lsh,
+        containment_pairs,
+    )
+
+    t = T(spark, sf_dir)
+    cut = t.documents.count() // 2
+    docs = t.documents.where(F.col("doc_id") < cut).select("doc_id", "text")
+    exact = containment_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    cand = containment_candidates_lsh(docs, threshold=0.5)
+    missed = exact.join(cand, ["doc_a", "doc_b"], "left_anti").count()
+    n_exact = exact.count()
+    return spark.createDataFrame(
+        [(n_exact, round(1.0 - missed / max(1, n_exact), 6))],
+        "n_exact long, recall double",
+    )
+
+
+@probe(
+    "p_boilerplate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t
+      FROM documents WHERE doc_id < 300),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM toks, UNNEST(range(1, GREATEST(len(t) - 1, 1))) AS r(i)),
+    freq AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY s)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           ROUND(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS boilerplate
+    FROM sh JOIN freq USING (s)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm",),
+)
+def p_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate fraction (llm/containment.
+    boilerplate_fraction): share of a doc's distinct 3-gram shingles that
+    occur in >= 1 other document — the corpus-level template signal
+    CCNet-style curation thresholds on. One shuffle (shingle df table
+    joined back); full-hash oracle."""
+    from trino_private_spark.llm.containment import boilerplate_fraction
+
+    t = T(spark, sf_dir)
+    docs = t.documents.where(F.col("doc_id") < 300).select("doc_id", "text")
+    return boilerplate_fraction(docs).orderBy("doc_id")
