@@ -195,3 +195,59 @@ class TestCallProcedures:
         assert len(IcebergTable(churned).snapshots()) == 1
         eng.sql(f"CALL system.remove_orphan_files('{churned}')")
         assert read_iceberg(spark, churned).count() == rows
+
+
+class TestOptimizeEmptyTable:
+    def test_optimize_after_full_delete_keeps_table_readable(
+        self, spark, tmp_path
+    ):
+        # ADVICE r7: OPTIMIZE after a full-table DELETE used to commit a
+        # zero-data-file replace snapshot that read() refused to serve
+        loc = str(tmp_path / "t")
+        iceberg_create(spark.range(0, 20).selectExpr("id AS k"), loc)
+        assert iceberg_delete(spark, loc, "k >= 0") == 20
+        assert read_iceberg(spark, loc).count() == 0
+        iceberg_optimize(spark, loc)
+        out = read_iceberg(spark, loc)
+        assert out.count() == 0
+        assert out.columns == ["k"]
+        # and optimize on the already-empty table is a no-op, not a crash
+        iceberg_optimize(spark, loc)
+        assert read_iceberg(spark, loc).count() == 0
+
+
+class TestExpireRetentionThreshold:
+    def test_duration_argument_expires_older_than(self, spark, churned):
+        from trino_private_spark.api import Engine
+
+        eng = Engine(spark)
+        # all snapshots are seconds old -> a 7d retention keeps everything
+        eng.sql(f"CALL system.expire_snapshots('{churned}', '7d')")
+        assert len(IcebergTable(churned).snapshots()) == 5
+        # a 0s retention expires everything but the current snapshot
+        eng.sql(f"CALL system.expire_snapshots('{churned}', '0s')")
+        assert len(IcebergTable(churned).snapshots()) == 1
+        assert read_iceberg(spark, churned).count() == 92
+
+    def test_interval_literal_and_bad_arg(self, spark, churned):
+        from trino_private_spark.api import Engine
+
+        eng = Engine(spark)
+        eng.sql(
+            f"CALL system.expire_snapshots('{churned}', INTERVAL '7' DAY)"
+        )
+        assert len(IcebergTable(churned).snapshots()) == 5
+        with pytest.raises(ValueError, match="retention_threshold"):
+            eng.sql(f"CALL system.expire_snapshots('{churned}', 1.5)")
+
+    def test_duration_ms_parser(self):
+        from trino_private_spark.api import Engine
+
+        assert Engine._duration_ms("7d") == 7 * 86_400_000
+        assert Engine._duration_ms("12H") == 12 * 3_600_000
+        assert Engine._duration_ms("30m") == 30 * 60_000
+        assert Engine._duration_ms("45s") == 45_000
+        assert Engine._duration_ms("250ms") == 250
+        assert Engine._duration_ms("INTERVAL '3' HOUR") == 3 * 3_600_000
+        assert Engine._duration_ms(7) is None
+        assert Engine._duration_ms("7x") is None

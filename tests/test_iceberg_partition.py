@@ -507,6 +507,10 @@ class TestSpecEvolution:
             # hand-built manifests carry no column metrics -> no metrics
             # pruning (conservative)
             "metrics_pruned_data_files": 0,
+            # and no manifest-list field_summaries -> both manifests open
+            "manifests_total": 2,
+            "manifests_opened": 2,
+            "manifests_pruned": 0,
         }
         assert sorted(r.k for r in out.where("grp = 1").collect()) == [2, 3, 4]
 
@@ -1053,3 +1057,309 @@ class TestViewReprune:
         ).count()
         assert got == 20
         assert IO_SCAN_INFO[loc]["scanned_data_files"] == 4
+
+
+class TestSessionTimezoneLiterals:
+    """Naive timestamp literals must prune in the Spark session timezone —
+    the zone the row-level filter (and the writer's stored epoch micros)
+    uses. ADVICE r7: parsing them as UTC silently dropped files in
+    non-UTC sessions."""
+
+    def teardown_method(self):
+        from trino_private_spark.sources.iceberg_partition import (
+            set_session_timezone,
+        )
+
+        set_session_timezone("UTC")
+
+    def test_transform_value_localizes_naive_literals(self):
+        from trino_private_spark.sources.iceberg_partition import (
+            set_session_timezone,
+        )
+
+        utc_hours = transform_value(
+            "hour", "2021-06-01 00:30:00", "timestamp"
+        )
+        set_session_timezone("America/New_York")
+        est_hours = transform_value(
+            "hour", "2021-06-01 00:30:00", "timestamp"
+        )
+        # 00:30 EDT == 04:30 UTC -> 4 hours later on the epoch-hour line
+        assert est_hours == utc_hours + 4
+        set_session_timezone("+05:30")
+        assert (
+            transform_value("hour", "2021-06-01 06:30:00", "timestamp")
+            == utc_hours + 1  # 06:30+05:30 == 01:00 UTC
+        )
+
+    def test_non_utc_session_does_not_misprune(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg import read_iceberg
+
+        loc = str(tmp_path / "tz_t")
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            df = spark.createDataFrame(
+                [(datetime.datetime(2021, 6, 1, 2, 0, 0), 1)],
+                "ts timestamp, k long",
+            )
+            iceberg_create(df, loc)
+            # row filter (session wall time): 02:00 <= 05:00 -> row matches.
+            # A UTC-parsed literal (05:00Z) would sit BELOW the stored
+            # lower bound (02:00 EDT == 06:00Z) and wrongly prune the file.
+            out = read_iceberg(
+                spark, loc, where="ts <= '2021-06-01 05:00:00'"
+            )
+            assert out.count() == 1
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+class TestManifestLevelPruning:
+    """Manifest-list field_summaries let the reader SKIP whole manifests
+    without opening them (iceberg-core ManifestGroup / ManifestFile
+    partitions(), consumed by the reference's IcebergSplitSource). After
+    heavy DML a 100-TB table holds thousands of manifests; metadata IO
+    must be O(matching manifests), not O(manifests)."""
+
+    def _churn(self, spark, tmp_path):
+        loc = str(tmp_path / "t")
+        df = spark.range(0, 40).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("grp")
+        )
+        iceberg_create(df, loc, partition_by=["grp"])  # manifest: grp 0..3
+        for g in range(4, 10):  # one single-partition manifest per append
+            iceberg_append(
+                spark.createDataFrame([(100 + g, g)], "k long, grp long"),
+                loc,
+            )
+        return loc
+
+    def test_equality_skips_whole_manifests(self, spark, tmp_path):
+        loc = self._churn(spark, tmp_path)
+        t = IcebergTable(loc)
+        out = t.read(spark, partition_filter=[("grp", "=", 7)])
+        assert t.last_scan["manifests_total"] == 7
+        assert t.last_scan["manifests_opened"] == 1
+        assert t.last_scan["scanned_data_files"] == 1
+        assert [r.k for r in out.collect()] == [107]
+
+    def test_range_skips_and_full_read_opens_all(self, spark, tmp_path):
+        loc = self._churn(spark, tmp_path)
+        t = IcebergTable(loc)
+        t.read(spark, partition_filter=[("grp", ">=", 8)])
+        assert t.last_scan["manifests_opened"] == 2
+        assert t.read(spark).count() == 46
+        assert t.last_manifest_scan["manifests_opened"] == 7
+
+    def test_delete_manifests_always_open(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg_write import iceberg_delete
+
+        loc = self._churn(spark, tmp_path)
+        assert iceberg_delete(spark, loc, "k = 107") == 1
+        t = IcebergTable(loc)
+        out = t.read(spark, partition_filter=[("grp", "=", 7)])
+        # grp=7 data manifest + the (never-pruned) delete manifest
+        assert t.last_scan["manifests_total"] == 8
+        assert t.last_scan["manifests_opened"] == 2
+        assert out.count() == 0  # the one grp=7 row was deleted
+
+    def test_results_identical_with_and_without_summaries(
+        self, spark, tmp_path
+    ):
+        loc = self._churn(spark, tmp_path)
+        t = IcebergTable(loc)
+        pruned = t.read(
+            spark, partition_filter=[("grp", "in", [2, 9])]
+        ).where("grp IN (2, 9)")
+        full = t.read(spark).where("grp IN (2, 9)")
+        assert sorted(r.k for r in pruned.collect()) == sorted(
+            r.k for r in full.collect()
+        )
+
+
+class TestImmutableManifestCache:
+    def test_cache_hits_and_correctness(self, spark, tmp_path):
+        from trino_private_spark.sources import iceberg as ice
+
+        loc = str(tmp_path / "t")
+        iceberg_create(
+            spark.range(0, 10).selectExpr("id AS k"), loc
+        )
+        t = IcebergTable(loc)
+        t.data_files()
+        before = len(ice._AVRO_CACHE)
+        # repeated planning re-reads nothing (manifests are immutable)
+        for _ in range(3):
+            assert len(t.data_files()) == len(t.data_files())
+        assert len(ice._AVRO_CACHE) == before
+        # a NEW commit adds new metadata files; old entries still valid
+        iceberg_append(spark.createDataFrame([(99,)], "k long"), loc)
+        t2 = IcebergTable(loc)
+        assert len([f for f in t2.data_files() if f.content == 0]) > len(
+            [f for f in t.data_files() if f.content == 0]
+        )
+        assert t2.read(spark).count() == 11
+
+
+class TestJoinShapedPruning:
+    """Per-statement, alias-aware conjunct pruning through Engine.sql —
+    the reference's PushPredicateIntoTableScan -> applyFilter: a join
+    over two Iceberg views prunes BOTH scans, each by its own WHERE
+    conjuncts, and the PUBLIC view names always stay full."""
+
+    def _two_tables(self, spark, tmp_path):
+        from trino_private_spark.api import Engine
+
+        eng = Engine(spark)
+        loc_a = str(tmp_path / "a")
+        loc_b = str(tmp_path / "b")
+        eng.ctas(
+            "jp_a",
+            "SELECT id AS k, id % 4 AS grp FROM RANGE(40)",
+            path=loc_a, fmt="iceberg", partition_by=["grp"],
+            dialect="spark",
+        )
+        eng.ctas(
+            "jp_b",
+            "SELECT id AS k, id % 5 AS seg FROM RANGE(40)",
+            path=loc_b, fmt="iceberg", partition_by=["seg"],
+            dialect="spark",
+        )
+        return eng, loc_a, loc_b
+
+    def test_join_prunes_both_sides(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg import IO_SCAN_INFO
+
+        eng, loc_a, loc_b = self._two_tables(spark, tmp_path)
+        got = eng.sql(
+            "SELECT a.k FROM jp_a a JOIN jp_b b ON a.k = b.k "
+            "WHERE a.grp = 1 AND b.seg = 2",
+            dialect="spark",
+        ).collect()
+        # truth: k % 4 = 1 AND k % 5 = 2 over 0..39 -> k in {17, 37}
+        assert sorted(r.k for r in got) == [17, 37]
+        assert IO_SCAN_INFO[loc_a]["scanned_data_files"] == 1
+        assert IO_SCAN_INFO[loc_b]["scanned_data_files"] == 1
+
+    def test_public_view_never_left_pruned(self, spark, tmp_path):
+        eng, loc_a, _ = self._two_tables(spark, tmp_path)
+        assert (
+            eng.sql(
+                "SELECT COUNT(*) AS c FROM jp_a WHERE grp = 3",
+                dialect="spark",
+            ).collect()[0].c
+            == 10
+        )
+        # ADVICE r7: direct spark.table access between sql() calls must
+        # see the WHOLE table, not the last statement's pruned subset
+        assert spark.table("jp_a").count() == 40
+        assert spark.sql("SELECT COUNT(*) AS c FROM jp_a").collect()[0].c == 40
+
+    def test_outer_join_where_conjunct_prunes_safely(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg import IO_SCAN_INFO
+
+        eng, loc_a, loc_b = self._two_tables(spark, tmp_path)
+        got = eng.sql(
+            "SELECT a.k FROM jp_a a LEFT JOIN jp_b b ON a.k = b.k "
+            "WHERE b.seg = 2 AND a.grp = 1",
+            dialect="spark",
+        ).collect()
+        assert sorted(r.k for r in got) == [17, 37]
+        assert IO_SCAN_INFO[loc_b]["scanned_data_files"] == 1
+
+    def test_subquery_reference_keeps_full_read(self, spark, tmp_path):
+        eng, loc_a, _ = self._two_tables(spark, tmp_path)
+        # outer WHERE names a column that ALSO exists in jp_a — pruning
+        # the inner aggregate's scan by it would corrupt the count
+        got = eng.sql(
+            "SELECT grp, n FROM (SELECT grp, COUNT(*) AS n FROM jp_a "
+            "GROUP BY grp) x WHERE grp = 2",
+            dialect="spark",
+        ).collect()
+        assert [(r.grp, r.n) for r in got] == [(2, 10)]
+
+    def test_or_in_pruning_via_sql(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg import IO_SCAN_INFO
+
+        eng, loc_a, _ = self._two_tables(spark, tmp_path)
+        got = eng.sql(
+            "SELECT COUNT(*) AS c FROM jp_a WHERE (grp = 1 OR grp = 2)",
+            dialect="spark",
+        ).collect()
+        assert got[0].c == 20
+        assert IO_SCAN_INFO[loc_a]["scanned_data_files"] == 2
+
+
+class TestOrInParse:
+    def test_same_column_or_becomes_in(self):
+        from trino_private_spark.sources.iceberg import (
+            parse_partition_predicate,
+        )
+
+        assert parse_partition_predicate("(k = 1 OR k = 2)") == [
+            ("k", "in", [1, 2])
+        ]
+        assert parse_partition_predicate(
+            "(k = 1 OR k IN (2, 3) OR k = 4) AND j >= 5"
+        ) == [("k", "in", [1, 2, 3, 4]), ("j", ">=", 5)]
+        assert parse_partition_predicate("(s = 'a' OR s = 'b''c')") == [
+            ("s", "in", ["a", "b'c"])
+        ]
+
+    def test_mixed_or_never_prunes(self):
+        from trino_private_spark.sources.iceberg import (
+            parse_partition_predicate,
+        )
+
+        assert parse_partition_predicate("(k = 1 OR j = 2)") == []
+        assert parse_partition_predicate("(k = 1 OR k > 2)") == []
+        assert parse_partition_predicate("k = 1 OR k = 2") == []
+        assert parse_partition_predicate("NOT (k = 1 OR k = 2)") == []
+        assert parse_partition_predicate("(k = 1 OR lower(s) = 'x')") == []
+
+    def test_qualified_predicate_split(self):
+        from trino_private_spark.sources.iceberg import (
+            parse_qualified_predicate,
+        )
+
+        got = parse_qualified_predicate(
+            "a.k = 3 AND b.d >= DATE '2021-01-01' AND plain = 7 "
+            "AND a.k = b.j AND a.x BETWEEN 1 AND 5"
+        )
+        assert got[None] == [("plain", "=", 7)]
+        assert ("k", "=", 3) in got["a"]
+        assert ("x", ">=", 1) in got["a"] and ("x", "<=", 5) in got["a"]
+        assert got["b"][0][0] == "d"
+        # depth-0 OR poisons everything
+        assert parse_qualified_predicate("a.k = 1 OR b.j = 2") == {}
+
+
+class TestExecutorSideFooterMaps:
+    def test_distributed_footer_resolution_matches_driver(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from trino_private_spark.sources.iceberg_write import iceberg_alter
+
+        loc = str(tmp_path / "t")
+        iceberg_create(
+            spark.range(0, 24).selectExpr("id AS k", "id * 2 AS v")
+            .repartition(6),
+            loc,
+        )
+        iceberg_alter(loc, rename_columns={"v": "w"}, add_columns={"z": "long"})
+        iceberg_append(
+            spark.createDataFrame([(100, 1, 2)], "k long, w long, z long"),
+            loc,
+        )
+        t = IcebergTable(loc)
+        driver_rows = sorted(
+            (r.k, r.w, r.z) for r in t.read(spark).collect()
+        )
+        # force the DISTRIBUTED mapInArrow path and compare
+        monkeypatch.setattr(IcebergTable, "FOOTER_DRIVER_THRESHOLD", 1)
+        dist_rows = sorted(
+            (r.k, r.w, r.z) for r in IcebergTable(loc).read(spark).collect()
+        )
+        assert dist_rows == driver_rows
+        assert len(dist_rows) == 25

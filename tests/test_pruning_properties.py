@@ -219,3 +219,118 @@ class TestMetricsPruneConservative:
         else:
             v = i
         assert deserialize_single_value(t, serialize_single_value(t, v)) == v
+
+
+class TestManifestPruneConservative:
+    """manifest_matches (manifest-list field_summary skip) must never
+    skip a manifest that lists a file holding a satisfying row — the
+    summaries are [min, max] + contains_null over the manifest's
+    partition VALUES, so this mirrors the file-level property one level
+    up the metadata tree."""
+
+    @staticmethod
+    def _summary(pvs, transform, source_type):
+        from trino_private_spark.sources.iceberg_partition import (
+            partition_value_type,
+        )
+
+        present = [p for p in pvs if p is not None]
+        s = {
+            "contains_null": any(p is None for p in pvs),
+            "lower_bound": None,
+            "upper_bound": None,
+        }
+        if present:
+            vt = partition_value_type(transform, source_type)
+            s["lower_bound"] = serialize_single_value(vt, min(present))
+            s["upper_bound"] = serialize_single_value(vt, max(present))
+        return s
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        rows=st.lists(
+            st.one_of(st.none(), st.integers(-50, 50)), min_size=1, max_size=8
+        ),
+        op=_OPS,
+        val=st.integers(-50, 50),
+        transform=_TRANSFORMS,
+    )
+    def test_long_column(self, rows, op, val, transform):
+        from trino_private_spark.sources.iceberg_partition import (
+            manifest_matches,
+        )
+
+        spec = PartitionSpec(
+            0, (PartitionField("p", "c", "long", transform),)
+        )
+        pvs = [transform_value(transform, r, "long") for r in rows]
+        summary = self._summary(pvs, transform, "long")
+        if any(_eval(op, r, val) for r in rows):
+            assert manifest_matches(spec, [summary], [("c", op, val)]), (
+                rows, op, val, transform, summary,
+            )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        days=st.lists(st.integers(-3000, 3000), min_size=1, max_size=8),
+        op=_OPS,
+        val_day=st.integers(-3000, 3000),
+        transform=_DATE_TRANSFORMS,
+    )
+    def test_date_column(self, days, op, val_day, transform):
+        from trino_private_spark.sources.iceberg_partition import (
+            manifest_matches,
+        )
+
+        epoch = datetime.date(1970, 1, 1)
+        spec = PartitionSpec(
+            0, (PartitionField("p", "c", "date", transform),)
+        )
+        val = epoch + datetime.timedelta(days=val_day)
+        rows = [epoch + datetime.timedelta(days=d) for d in days]
+        pvs = [transform_value(transform, r, "date") for r in rows]
+        summary = self._summary(pvs, transform, "date")
+        if any(_eval(op, r, val) for r in rows):
+            assert manifest_matches(spec, [summary], [("c", op, val)]), (
+                rows, op, val, transform, summary,
+            )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        rows=st.lists(st.text(min_size=0, max_size=6), min_size=1, max_size=6),
+        val=st.text(min_size=0, max_size=6),
+        transform=st.sampled_from(
+            ["identity", "bucket[8]", "truncate[10]", "truncate[3]", "void"]
+        ),
+    )
+    def test_string_equality(self, rows, val, transform):
+        from trino_private_spark.sources.iceberg_partition import (
+            manifest_matches,
+        )
+
+        spec = PartitionSpec(
+            0, (PartitionField("p", "c", "string", transform),)
+        )
+        pvs = [transform_value(transform, r, "string") for r in rows]
+        summary = self._summary(pvs, transform, "string")
+        if val in rows:
+            assert manifest_matches(spec, [summary], [("c", "=", val)])
+
+    def test_missing_summaries_never_prune(self):
+        from trino_private_spark.sources.iceberg_partition import (
+            manifest_matches,
+        )
+
+        spec = PartitionSpec(
+            0, (PartitionField("p", "c", "long", "identity"),)
+        )
+        assert manifest_matches(spec, None, [("c", "=", 1)])
+        assert manifest_matches(spec, [], [("c", "=", 1)])
+        assert manifest_matches(None, [{}], [("c", "=", 1)])
+        # a summary without bounds proves nothing
+        assert manifest_matches(
+            spec,
+            [{"contains_null": False, "lower_bound": None,
+              "upper_bound": None}],
+            [("c", "=", 1)],
+        )

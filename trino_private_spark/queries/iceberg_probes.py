@@ -901,3 +901,150 @@ def p_iceberg_files_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(row.record_count, lo, hi, nulls)],
         "record_count long, lo long, hi long, nulls long",
     )
+
+
+@probe(
+    "p_iceberg_manifest_prune",
+    oracle="""
+    WITH grp AS (
+      SELECT o_custkey % 8 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(o_orderkey) AS BIGINT) AS s
+      FROM orders GROUP BY 1)
+    SELECT n, s,
+           8 AS manifests_total, 1 AS manifests_opened,
+           1 AS scanned_files
+    FROM grp WHERE g = 5
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-LIST field_summary pruning: whole manifests are skipped
+    without being opened when their per-partition-field [lower, upper]
+    summaries exclude the predicate (iceberg-core ManifestGroup over
+    ManifestFile.partitions(); the reference consumes them in
+    IcebergSplitSource split planning). Eight single-partition commits ->
+    eight manifests; an equality predicate must open exactly ONE. The
+    manifest counts ride in the hashed result, so a regression to
+    O(manifests) metadata IO hash-fails — the difference between
+    O(matching) and O(all) metadata reads per query at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.sources.iceberg import IcebergTable
+    from trino_private_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_create,
+    )
+
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_mlp_") + "/t"
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", (F.col("o_custkey") % 8).alias("g")
+    )
+    # grp 0 seeds the table; grps 1..7 arrive as separate APPEND commits
+    # -> one single-partition manifest each (the post-DML shape of a real
+    # table before compaction)
+    iceberg_create(orders.where("g = 0").coalesce(1), loc, partition_by=["g"])
+    for g in range(1, 8):
+        iceberg_append(orders.where(F.col("g") == g).coalesce(1), loc)
+    t = IcebergTable(loc)
+    out = t.read(spark, partition_filter=[("g", "=", 5)]).where("g = 5")
+    scan = dict(t.last_scan)
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("long").alias("s"),
+    ).select(
+        "n",
+        "s",
+        F.lit(scan["manifests_total"]).alias("manifests_total"),
+        F.lit(scan["manifests_opened"]).alias("manifests_opened"),
+        F.lit(scan["scanned_data_files"]).alias("scanned_files"),
+    )
+
+
+@probe(
+    "p_iceberg_join_prune",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o.o_totalprice) AS DOUBLE) IS NOT NULL AS has_total,
+           1 AS o_scanned, 1 AS c_scanned
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_custkey % 8 = 3 AND c.c_custkey % 4 = 3
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-shaped per-query Iceberg pruning (the reference's
+    PushPredicateIntoTableScan -> applyFilter): a join over TWO
+    registered Iceberg views prunes BOTH scans, each by its own
+    alias-qualified WHERE conjuncts — both per-table scanned-file counts
+    ride in the hashed result, so a regression to full reads on either
+    side hash-fails."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.api import Engine
+    from trino_private_spark.sources.iceberg import IO_SCAN_INFO
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    loc_o = tempfile.mkdtemp(prefix="tps_iceberg_jpo_") + "/t"
+    loc_c = tempfile.mkdtemp(prefix="tps_iceberg_jpc_") + "/t"
+    eng.ctas(
+        "ice_jp_orders",
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_custkey % 8 AS grp "
+        "FROM orders",
+        path=loc_o, fmt="iceberg", partition_by=["grp"],
+    )
+    eng.ctas(
+        "ice_jp_cust",
+        "SELECT c_custkey, c_custkey % 4 AS seg FROM customer",
+        path=loc_c, fmt="iceberg", partition_by=["seg"],
+    )
+    out = eng.sql(
+        "SELECT COUNT(*) AS n, SUM(o.o_totalprice) IS NOT NULL AS has_total "
+        "FROM ice_jp_orders o JOIN ice_jp_cust c "
+        "ON o.o_custkey = c.c_custkey "
+        "WHERE o.grp = 3 AND c.seg = 3"
+    ).localCheckpoint(eager=True)
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        "has_total",
+        F.lit(IO_SCAN_INFO[loc_o]["scanned_data_files"]).alias("o_scanned"),
+        F.lit(IO_SCAN_INFO[loc_c]["scanned_data_files"]).alias("c_scanned"),
+    )
+
+
+@probe(
+    "p_iceberg_or_in_prune",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, 2 AS scanned_files
+    FROM orders WHERE o_custkey % 8 IN (2, 5)
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_or_in_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-column parenthesized OR prunes as an IN-list (the reference's
+    TupleDomain union): `(grp = 2 OR grp = 5)` through sql() opens
+    exactly the two matching partitions — the count rides in the hashed
+    result."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.api import Engine
+    from trino_private_spark.sources.iceberg import IO_SCAN_INFO
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_oip_") + "/t"
+    eng.ctas(
+        "ice_orin_orders",
+        "SELECT o_orderkey, o_custkey % 8 AS grp FROM orders",
+        path=loc, fmt="iceberg", partition_by=["grp"],
+    )
+    out = eng.sql(
+        "SELECT COUNT(*) AS n FROM ice_orin_orders "
+        "WHERE (grp = 2 OR grp = 5)"
+    ).localCheckpoint(eager=True)
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(IO_SCAN_INFO[loc]["scanned_data_files"]).alias(
+            "scanned_files"
+        ),
+    )

@@ -41,6 +41,7 @@ from trino_private_spark.sources.decoders import _AvroReader, avro_encode
 
 __all__ = [
     "read_avro_container",
+    "read_avro_container_cached",
     "write_avro_container",
     "IcebergTable",
     "read_iceberg",
@@ -133,6 +134,42 @@ def write_avro_container(
             fh.write(avro_encode(len(body), "long"))
             fh.write(body)
             fh.write(sync)
+
+
+# --------------------------------------------------------------------------
+# Immutable-metadata cache: Iceberg manifests and manifest lists are
+# content-addressed and NEVER mutate after commit (a new snapshot writes
+# new files), so parsed records are safe to reuse across statements. The
+# (size, mtime_ns) key guards against path reuse after delete/rewrite.
+# This is what keeps scan planning O(matching manifests) per statement
+# instead of re-parsing the whole metadata tree on every query — at
+# 100 TB / 10^5 files the difference between milliseconds and minutes of
+# driver time. Callers MUST NOT mutate the returned records.
+# --------------------------------------------------------------------------
+
+from collections import OrderedDict as _OrderedDict
+
+_AVRO_CACHE: "_OrderedDict[tuple, list]" = _OrderedDict()
+_AVRO_CACHE_MAX = 4096  # manifests are small; bound driver memory anyway
+
+
+def read_avro_container_cached(path: str) -> list:
+    """``read_avro_container`` through the immutable-metadata cache
+    (LRU, keyed by path + size + mtime_ns)."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return read_avro_container(path)  # surface the real read error
+    key = (path, st.st_size, st.st_mtime_ns)
+    hit = _AVRO_CACHE.get(key)
+    if hit is None:
+        hit = read_avro_container(path)
+        _AVRO_CACHE[key] = hit
+        if len(_AVRO_CACHE) > _AVRO_CACHE_MAX:
+            _AVRO_CACHE.popitem(last=False)
+    else:
+        _AVRO_CACHE.move_to_end(key)
+    return hit
 
 
 # --------------------------------------------------------------------------
@@ -288,16 +325,40 @@ class IcebergTable:
     # -- manifest walking ----------------------------------------------------
 
     def data_files(
-        self, snapshot_id: int | None = None, as_of_ms: int | None = None
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        partition_filter: list[tuple[str, str, object]] | None = None,
     ) -> list[_DataFile]:
+        """Walk the snapshot's manifest list. With ``partition_filter``,
+        DATA manifests whose manifest-list field_summaries exclude every
+        predicate term are SKIPPED WITHOUT BEING OPENED — the reference's
+        manifest-level pruning (iceberg-core ManifestGroup over
+        ManifestFile.partitions(), consumed by IcebergSplitSource). Delete
+        manifests are always opened (a skipped delete could resurrect
+        rows). ``self.last_manifest_scan`` records total/opened/pruned
+        manifest counts for EXPLAIN (TYPE IO)."""
         snap = self.snapshot_for(snapshot_id, as_of_ms)
         manifest_list = _local(snap["manifest-list"])
+        specs = self.partition_specs() if partition_filter else {}
         files: list[_DataFile] = []
-        for m in read_avro_container(manifest_list):
+        manifests = read_avro_container_cached(manifest_list)
+        opened = 0
+        for m in manifests:
             manifest_path = _local(m["manifest_path"])
             m_seq = int(m.get("sequence_number") or 0)
             m_spec = int(m.get("partition_spec_id") or 0)
-            for entry in read_avro_container(manifest_path):
+            if partition_filter and int(m.get("content") or 0) == 0:
+                from trino_private_spark.sources.iceberg_partition import (
+                    manifest_matches,
+                )
+
+                if not manifest_matches(
+                    specs.get(m_spec), m.get("partitions"), partition_filter
+                ):
+                    continue
+            opened += 1
+            for entry in read_avro_container_cached(manifest_path):
                 status = entry.get("status")
                 if status == 2:  # DELETED entry
                     continue
@@ -338,6 +399,11 @@ class IcebergTable:
                         value_counts=_id_map(df.get("value_counts")),
                     )
                 )
+        self.last_manifest_scan = {
+            "manifests_total": len(manifests),
+            "manifests_opened": opened,
+            "manifests_pruned": len(manifests) - opened,
+        }
         return files
 
     def partition_specs(self):
@@ -403,6 +469,61 @@ class IcebergTable:
                 out[int(fid)] = fld.name
         return out
 
+    #: evolved-table footer id-maps resolve driver-side (thread pool)
+    #: up to this many files; above it, a distributed mapInArrow job
+    #: reads the footers executor-side — the reference resolves per
+    #: split on workers, and at 10^5 files a single driver must not
+    #: serialize that IO
+    FOOTER_DRIVER_THRESHOLD = 256
+
+    @classmethod
+    def _parquet_field_maps(
+        cls, spark: SparkSession, paths: list[str]
+    ) -> list[dict[int, str]]:
+        """Footer id-maps for many files: driver thread pool below
+        FOOTER_DRIVER_THRESHOLD, a distributed job above it (one row per
+        file comes back — metadata-scale driver traffic either way)."""
+        if len(paths) <= cls.FOOTER_DRIVER_THRESHOLD:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(16, len(paths))) as ex:
+                return list(ex.map(cls._parquet_field_map, paths))
+
+        def _maps(batches):
+            import json as _json  # noqa: PLC0415 (executor-side)
+
+            import pyarrow as pa  # noqa: PLC0415
+            import pyarrow.parquet as pq  # noqa: PLC0415
+
+            for batch in batches:
+                out_p, out_m = [], []
+                for p in batch.column("path").to_pylist():
+                    m = {}
+                    for fld in pq.read_schema(p):
+                        md = fld.metadata or {}
+                        fid = md.get(b"PARQUET:field_id")
+                        if fid is not None:
+                            m[int(fid)] = fld.name
+                    out_p.append(p)
+                    out_m.append(_json.dumps(m))
+                yield pa.RecordBatch.from_pydict(
+                    {"path": out_p, "idmap": out_m}
+                )
+
+        rows = (
+            spark.createDataFrame([(p,) for p in paths], "path string")
+            .repartition(min(64, max(1, len(paths) // 32)))
+            .mapInArrow(_maps, "path string, idmap string")
+            .collect()
+        )
+        by_path = {
+            r["path"]: {
+                int(k): v for k, v in json.loads(r["idmap"]).items()
+            }
+            for r in rows
+        }
+        return [by_path[p] for p in paths]
+
     def _has_renames(self) -> bool:
         """True when any field id has carried different names across the
         table's schema history."""
@@ -432,12 +553,14 @@ class IcebergTable:
         Fast path: a table whose metadata holds a single schema has never
         evolved — every file matches it by name and the per-format union
         needs no projection (and no footer reads). Evolved tables group
-        parquet files by their footer's field-id map (read driver-side in
-        a thread pool — metadata-scale IO, one footer per file; a
-        production split planner would resolve this executor-side per
-        split) and project each group once. ORC/Avro files carry no
-        parquet field ids, so they project by NAME — sound for add/drop,
-        rejected loudly when the schema history contains a rename."""
+        parquet files by their footer's field-id map — resolved by a
+        driver thread pool for small file counts and by a DISTRIBUTED
+        mapInArrow job above FOOTER_DRIVER_THRESHOLD (the reference
+        resolves per split on workers; only (path, id-map) rows return
+        to the driver) — and project each group once. ORC/Avro files
+        carry no parquet field ids, so they project by NAME — sound for
+        add/drop, rejected loudly when the schema history contains a
+        rename."""
         norm = lambda c: F.regexp_replace(c, "^file:/{0,2}/", "/")  # noqa: E731
 
         def attach(df: DataFrame) -> DataFrame:
@@ -476,11 +599,8 @@ class IcebergTable:
         parts: list[DataFrame] = []
         for fmt, group in sorted(by_fmt.items()):
             if fmt == "PARQUET":
-                from concurrent.futures import ThreadPoolExecutor
-
                 paths = [f.path for f in group]
-                with ThreadPoolExecutor(min(16, len(paths))) as ex:
-                    maps = list(ex.map(self._parquet_field_map, paths))
+                maps = self._parquet_field_maps(spark, paths)
                 by_sig: dict[tuple, tuple[dict[int, str], list[str]]] = {}
                 for p, m in zip(paths, maps):
                     if not m:  # no stored ids -> names are the identity
@@ -537,7 +657,25 @@ class IcebergTable:
             schema = self._schema_by_id(snap.get("schema-id"))
         else:
             schema = self._current_schema()
-        files = self.data_files(snapshot_id, as_of_ms)
+        if partition_filter:
+            # naive timestamp literals must prune in the SAME zone the
+            # row filter evaluates them (ADVICE r7: a non-UTC session
+            # would otherwise compare shifted instants and drop files
+            # holding matching rows) — bind it before ANY pruning runs,
+            # manifest-level included
+            from trino_private_spark.sources.iceberg_partition import (
+                set_session_timezone,
+            )
+
+            try:
+                set_session_timezone(
+                    spark.conf.get("spark.sql.session.timeZone")
+                )
+            except Exception:
+                pass  # unknown zone: keep the previous binding
+        files = self.data_files(
+            snapshot_id, as_of_ms, partition_filter=partition_filter
+        )
         # A data file can be listed by more than one manifest (ADDED once,
         # EXISTING after rewrites); keep one entry per path, max seq.
         by_path: dict[str, _DataFile] = {}
@@ -546,9 +684,10 @@ class IcebergTable:
                 prev = by_path.get(f.path)
                 if prev is None or f.sequence_number > prev.sequence_number:
                     by_path[f.path] = f
+        # a snapshot with ZERO data files (OPTIMIZE after a full-table
+        # DELETE, CTAS from an empty query) is a readable EMPTY table,
+        # not an error — the fall-through below returns _empty_frame
         data = list(by_path.values())
-        if not data:
-            raise ValueError("snapshot has no data files")
         candidates = len(data)
         metrics_pruned = 0
         if partition_filter:
@@ -587,10 +726,14 @@ class IcebergTable:
             ]
             metrics_pruned = before - len(data)
         self.last_scan = {
+            # candidates count files of OPENED manifests only — files in
+            # manifests skipped from their field_summaries were never
+            # even enumerated (that is the point of manifest pruning)
             "candidate_data_files": candidates,
             "scanned_data_files": len(data),
             "pruned_data_files": candidates - len(data),
             "metrics_pruned_data_files": metrics_pruned,
+            **getattr(self, "last_manifest_scan", {}),
         }
         IO_SCAN_INFO[_local(self.location)] = dict(self.last_scan)
         pos_del = [f for f in files if f.content == 1]
@@ -801,8 +944,10 @@ def parse_partition_predicate(cond: str) -> list[tuple[str, str, object]]:
     unparenthesized OR makes the whole predicate unprunable (returns []) —
     ``a = 1 AND b = 2 OR c = 3`` means ``(a AND b) OR c``, so rows
     matching only ``c = 3`` may live in files the a/b terms would prune.
-    A parenthesized OR disjunct is simply skipped as a term; its sibling
-    conjuncts still prune."""
+    A parenthesized SAME-COLUMN disjunction of equalities/IN-lists
+    (``(k = 1 OR k = 2)``) becomes an IN term — the reference prunes it
+    as a TupleDomain union; any other parenthesized OR is skipped as a
+    term while its sibling conjuncts still prune."""
     import re
 
     from trino_private_spark.plans.translate import _shield_strings
@@ -861,6 +1006,16 @@ def parse_partition_predicate(cond: str) -> list[tuple[str, str, object]]:
             and re.fullmatch(r"\([^()]*(?:\([^()]*\)[^()]*)*\)", term)
         ):
             term = term[1:-1].strip()
+        # same-column parenthesized disjunction -> IN term (the reference
+        # prunes (k = 1 OR k = 2) as a TupleDomain union); any disjunct
+        # that is not `col = lit` / `col IN (lits)` over ONE shared column
+        # disqualifies the whole term (conservative — it just never
+        # prunes). Checked FIRST: the eq-regex's greedy literal would
+        # otherwise swallow `k = 1 OR k = 2` whole and discard it.
+        sh2, rs2 = _shield_strings(term)
+        if re.search(r"\bOR\b", sh2, re.I):
+            _or_term(term, out, lit)
+            continue
         m = re.fullmatch(
             r"([A-Za-z_]\w*)\s*(=|!=|<>|<=|>=|<|>)\s*(.+)", term
         )
@@ -882,6 +1037,115 @@ def parse_partition_predicate(cond: str) -> list[tuple[str, str, object]]:
                 out.append((m.group(1), "in", vals))
             except ValueError:
                 continue
+    return out
+
+
+def _or_term(term: str, out: list, lit) -> None:
+    """parse_partition_predicate helper: fold a same-column disjunction
+    of equalities/IN-lists into one IN term; anything else contributes
+    nothing."""
+    import re
+
+    from trino_private_spark.plans.translate import _shield_strings
+
+    sh2, rs2 = _shield_strings(term)
+    parts, depth2, start2 = [], 0, 0
+    for m2 in re.finditer(r"[()]|\bOR\b", sh2, re.I):
+        tok = m2.group(0)
+        if tok == "(":
+            depth2 += 1
+        elif tok == ")":
+            depth2 -= 1
+        elif depth2 == 0:
+            parts.append(sh2[start2 : m2.start()])
+            start2 = m2.end()
+    parts.append(sh2[start2:])
+    if len(parts) < 2:
+        return
+    col0, vals2 = None, []
+    for p in parts:
+        p = rs2(p).strip()
+        me = re.fullmatch(r"([A-Za-z_]\w*)\s*=\s*([^()]+)", p)
+        mi = re.fullmatch(r"([A-Za-z_]\w*)\s+IN\s*\(([^()]*)\)", p, re.I)
+        try:
+            if me:
+                c, vs = me.group(1), [lit(me.group(2))]
+            elif mi:
+                c, vs = (
+                    mi.group(1),
+                    [lit(v) for v in mi.group(2).split(",")],
+                )
+            else:
+                return
+        except ValueError:
+            return
+        if col0 is None:
+            col0 = c
+        elif c.lower() != col0.lower():
+            return
+        vals2.extend(vs)
+    if col0 is not None and vals2:
+        out.append((col0, "in", vals2))
+
+
+def parse_qualified_predicate(
+    cond: str,
+) -> dict[str | None, list[tuple[str, str, object]]]:
+    """Split a WHERE body into per-qualifier prunable term lists — the
+    alias-aware per-table conjunct extraction the reference performs in
+    PushPredicateIntoTableScan -> ConnectorMetadata.applyFilter: a
+    conjunct referencing exactly one alias (``a.k = 3``) contributes
+    terms under key ``'a'``; a fully unqualified conjunct (``k = 3``)
+    under key ``None``; a conjunct mixing qualifiers (``a.k = b.j``)
+    contributes nothing. Any DEPTH-0 OR makes the whole body unprunable
+    (``{}``) — its branches are alternatives, not conjuncts."""
+    import re
+
+    from trino_private_spark.plans.translate import _shield_strings
+
+    shielded, restore = _shield_strings(cond)
+    # qualified BETWEEN -> two range conjuncts BEFORE the AND split (the
+    # unqualified form is rewritten inside parse_partition_predicate)
+    _btw_lit = r"(?:DATE\s+)?(?:\x00\d+\x00|-?\d+(?:\.\d+)?)"
+    shielded = re.sub(
+        rf"\b(?!NOT\b)([A-Za-z_]\w*\.[A-Za-z_]\w*)\s+BETWEEN\s+"
+        rf"({_btw_lit})\s+AND\s+({_btw_lit})",
+        r"\1 >= \2 AND \1 <= \3",
+        shielded,
+        flags=re.I,
+    )
+    conjuncts: list[str] = []
+    depth, start = 0, 0
+    for m in re.finditer(r"[()]|\b(AND|OR)\b", shielded, flags=re.I):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            if m.group(1).upper() == "OR":
+                return {}
+            conjuncts.append(shielded[start : m.start()])
+            start = m.end()
+    conjuncts.append(shielded[start:])
+
+    out: dict[str | None, list[tuple[str, str, object]]] = {}
+    for c in conjuncts:
+        quals = {
+            q.lower()
+            for q in re.findall(r"\b([A-Za-z_]\w*)\s*\.(?=[A-Za-z_])", c)
+        }
+        if len(quals) > 1:
+            continue
+        key = quals.pop() if quals else None
+        body = restore(c)
+        if key is not None:
+            body = re.sub(
+                rf"\b{re.escape(key)}\s*\.\s*", "", body, flags=re.I
+            )
+        terms = parse_partition_predicate(body)
+        if terms:
+            out.setdefault(key, []).extend(terms)
     return out
 
 
@@ -938,7 +1202,7 @@ def _metadata_table(table: "IcebergTable", spark: SparkSession, kind: str):
                 int(m.get("sequence_number") or 0),
                 int(m.get("added_snapshot_id") or 0),
             )
-            for m in read_avro_container(_local(snap["manifest-list"]))
+            for m in read_avro_container_cached(_local(snap["manifest-list"]))
         ]
         return spark.createDataFrame(
             rows,

@@ -36,7 +36,7 @@ from pyspark.sql import SparkSession
 from trino_private_spark.sources.iceberg import (
     IcebergTable,
     _local,
-    read_avro_container,
+    read_avro_container_cached,
 )
 
 __all__ = [
@@ -55,12 +55,12 @@ def _snapshot_closure(table: IcebergTable, snapshots: list[dict]) -> set[str]:
         out.add(ml)
         if not os.path.exists(ml):
             continue
-        for m in read_avro_container(ml):
+        for m in read_avro_container_cached(ml):
             mp = _local(m["manifest_path"])
             out.add(mp)
             if not os.path.exists(mp):
                 continue
-            for entry in read_avro_container(mp):
+            for entry in read_avro_container_cached(mp):
                 df = entry.get("data_file") or {}
                 if df.get("file_path"):
                     out.add(_local(df["file_path"]))

@@ -36,13 +36,49 @@ __all__ = [
     "PartitionSpec",
     "parse_specs",
     "transform_value",
+    "partition_value_type",
     "file_matches",
+    "manifest_matches",
     "serialize_single_value",
     "deserialize_single_value",
     "metrics_match",
 ]
 
 _EPOCH = date(1970, 1, 1)
+
+#: IANA zone used to interpret NAIVE timestamp literals during pruning.
+#: Spark evaluates the row-level predicate (and wrote the stored epoch
+#: micros) in the session timezone, so the pruning instant must be
+#: derived in the SAME zone or a non-UTC session could wrongly drop
+#: files whose bounds fall inside the offset window. IcebergTable.read
+#: syncs this from spark.sql.session.timeZone before pruning; the
+#: default matches the engine's pinned UTC.
+_SESSION_TZ = timezone.utc
+
+
+def set_session_timezone(tz: str | None) -> None:
+    """Bind the zone used for naive timestamp literals (called by the
+    read path with the Spark session's ``spark.sql.session.timeZone``).
+    Unknown/unloadable zone names fall back to UTC-offset spellings
+    ('+05:30'); anything else keeps the previous zone — a wrong zone can
+    only mis-prune, so the caller should treat failures as 'do not
+    change'."""
+    global _SESSION_TZ
+    if not tz or tz.upper() in ("UTC", "Z", "GMT"):
+        _SESSION_TZ = timezone.utc
+        return
+    m = re.fullmatch(r"([+-])(\d{2}):?(\d{2})", tz)
+    if m:
+        from datetime import timedelta
+
+        sign = 1 if m.group(1) == "+" else -1
+        _SESSION_TZ = timezone(
+            sign * timedelta(hours=int(m.group(2)), minutes=int(m.group(3)))
+        )
+        return
+    from zoneinfo import ZoneInfo
+
+    _SESSION_TZ = ZoneInfo(tz)  # raises for unknown names (caller guards)
 
 
 def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
@@ -124,12 +160,17 @@ def _to_days(v) -> int:
 
 
 def _to_micros(v) -> int:
+    """Epoch micros of a literal. NAIVE datetimes (and bare dates, which
+    mean midnight) localize in the SESSION timezone — Spark's row filter
+    interprets the same literal there, so pruning in any other zone
+    would compare a shifted instant against the stored epoch-micros
+    bounds (silent missing rows in non-UTC sessions)."""
     if isinstance(v, datetime):
         if v.tzinfo is None:
-            v = v.replace(tzinfo=timezone.utc)
+            v = v.replace(tzinfo=_SESSION_TZ)
         return int(v.timestamp() * 1_000_000)
     if isinstance(v, date):
-        return _to_days(v) * 86_400_000_000
+        return _to_micros(datetime(v.year, v.month, v.day))
     if isinstance(v, str):
         return _to_micros(datetime.fromisoformat(v))
     raise TypeError(f"cannot interpret {v!r} as a timestamp")
@@ -231,6 +272,38 @@ def transform_value(transform: str, v, source_type: str = ""):
 _MONOTONIC = re.compile(r"identity|truncate\[\d+\]|years?|months?|days?|hours?")
 
 
+def partition_value_type(transform: str, source_type: str) -> str:
+    """Iceberg primitive type of the partition VALUE a transform produces
+    over a column of ``source_type`` (spec §"Partition Transforms" result
+    types, narrowed to this writer's physical encodings: date -> int days,
+    timestamp -> long micros). This is the type manifest-list
+    field_summary bounds serialize under (Appendix D), shared by the
+    writer (iceberg_write._partition_avro_fields) and the manifest-level
+    pruner (manifest_matches) so both sides agree byte-for-byte."""
+    t = transform.lower()
+    st = (source_type or "").lower()
+    if (
+        t.startswith("bucket")
+        or t == "void"
+        or t in ("year", "years", "month", "months",
+                 "day", "days", "hour", "hours")
+    ):
+        # day values are "days from epoch" ints like date; hour fits int
+        return "int"
+    if t.startswith("truncate"):
+        return "string" if st == "string" else "long"
+    # identity
+    if st == "date":
+        return "int"  # days from epoch
+    if st.startswith("timestamp"):
+        return "long"  # epoch micros
+    if st in ("int", "long", "string", "double", "float", "boolean"):
+        return st
+    if st.startswith("decimal"):
+        return st
+    return "string"
+
+
 @dataclass(frozen=True)
 class PartitionField:
     name: str  # partition field name (as stored in the manifest struct)
@@ -321,6 +394,83 @@ def _term_possible(field: PartitionField, pv, op: str, value) -> bool:
         return True
     except (TypeError, ValueError):
         return True  # un-evaluable term never prunes
+
+
+def _summary_possible(field: PartitionField, summary: dict, op: str, value) -> bool:
+    """Can ``source op value`` hold for ANY row of a manifest whose
+    field_summary (contains_null + [lower, upper] partition-value bounds)
+    is ``summary``? Conservative: True unless provably impossible for the
+    whole manifest."""
+    if field.transform.lower() == "void":
+        return True
+    contains_null = bool(summary.get("contains_null"))
+    lo_b = summary.get("lower_bound")
+    hi_b = summary.get("upper_bound")
+    if op in ("=", "==", "eq"):
+        values = [value]
+        op = "in"
+    elif op.lower() == "in":
+        values = list(value)
+    else:
+        values = None
+    try:
+        if lo_b is None or hi_b is None:
+            # no recorded bounds: prune only the null-literal equality case
+            # (bounds cover non-null values; their absence proves nothing)
+            return True
+        vt = partition_value_type(field.transform, field.source_type)
+        lo = deserialize_single_value(vt, lo_b)
+        hi = deserialize_single_value(vt, hi_b)
+        if values is not None:
+            if any(v is None for v in values) and contains_null:
+                return True
+            return any(
+                lo <= transform_value(field.transform, v, field.source_type) <= hi
+                for v in values
+                if v is not None
+            )
+        if not _MONOTONIC.fullmatch(field.transform.lower()):
+            return True
+        if value is None:
+            return True
+        tv = transform_value(field.transform, value, field.source_type)
+        if op in (">", ">=", "gt", "ge"):
+            return hi >= tv
+        if op in ("<", "<=", "lt", "le"):
+            return lo <= tv
+        return True
+    except (TypeError, ValueError, struct.error):
+        return True  # un-evaluable term never prunes
+
+
+def manifest_matches(
+    spec: PartitionSpec | None,
+    summaries: list[dict] | None,
+    predicate: list[tuple[str, str, object]],
+) -> bool:
+    """True iff a DATA manifest whose manifest-list entry carries these
+    per-partition-field summaries can list files holding rows that satisfy
+    the conjunctive ``predicate`` — the reference's manifest-level skip
+    (iceberg-core ManifestGroup consuming ManifestFile.partitions(), used
+    by plugin/trino-iceberg IcebergSplitSource split planning). Summaries
+    are ordered like ``spec.fields`` (Iceberg spec: manifest_file field
+    508). Manifests without summaries, from an unknown spec, or with
+    un-evaluable terms are never skipped."""
+    if spec is None or not summaries:
+        return True
+    by_index = {
+        i: f for i, f in enumerate(spec.fields) if i < len(summaries)
+    }
+    for col, op, value in predicate:
+        for i, f in by_index.items():
+            if f.source_name != col:
+                continue
+            s = summaries[i]
+            if not isinstance(s, dict):
+                continue
+            if not _summary_possible(f, s, op, value):
+                return False
+    return True
 
 
 def file_matches(

@@ -31,6 +31,36 @@ MANIFEST_LIST_SCHEMA = {
         {"name": "sequence_number", "type": "long"},
         {"name": "min_sequence_number", "type": "long"},
         {"name": "added_snapshot_id", "type": "long"},
+        # spec manifest_file field 507/508: per-partition-field summaries
+        # (contains_null + Appendix-D bounds of the partition VALUES), in
+        # partition-spec field order — what lets a reader skip a whole
+        # manifest without opening it (iceberg-core ManifestFile
+        # partitions(), consumed by the reference's split planning).
+        # Null-unioned, so tables written before this field parse fine.
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean"},
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "bytes"],
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "bytes"],
+                            },
+                        ],
+                    },
+                },
+            ],
+        },
     ],
 }
 

@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from trino_private_spark.sources.iceberg import (
     IcebergTable,
-    read_avro_container,
+    read_avro_container_cached,
     write_avro_container,
 )
 from trino_private_spark.sources.iceberg_partition import (
@@ -410,7 +410,7 @@ def _commit_snapshot(
             if s["snapshot-id"] == cur_id:
                 cur = s
         prior_manifests = (
-            read_avro_container(cur["manifest-list"]) if cur else []
+            read_avro_container_cached(cur["manifest-list"]) if cur else []
         )
 
     spec_id = int(metadata.get("default-spec-id", 0))
@@ -438,6 +438,57 @@ def _commit_snapshot(
         for f in cur_schema.get("fields", [])
         if isinstance(f.get("type"), str)
     }
+
+    src_type_by_id = {
+        f["id"]: f["type"]
+        for f in cur_schema.get("fields", [])
+        if isinstance(f.get("type"), str)
+    }
+
+    def _field_summaries(entries: list[dict]) -> list[dict] | None:
+        """Manifest-list field_summary per partition field (spec field
+        508): contains_null + Appendix-D bounds over the manifest's
+        partition VALUES — the metadata that lets a reader skip this
+        whole manifest. Bounds that fail to serialize are simply omitted
+        (absent bounds never prune)."""
+        if not spec_fields or not entries:
+            return None
+        from trino_private_spark.sources.iceberg_partition import (
+            partition_value_type,
+        )
+
+        out = []
+        for sf in spec_fields:
+            pname = sf["name"]
+            st = src_type_by_id.get(sf.get("source-id"), "")
+            vt = partition_value_type(sf.get("transform", "identity"), st)
+            vals: list = []
+            contains_null = False
+            for e in entries:
+                part = e["data_file"].get("partition") or {}
+                v = part.get(pname)
+                if v is None:
+                    contains_null = True
+                else:
+                    vals.append(v)
+            s: dict = {
+                "contains_null": contains_null,
+                "lower_bound": None,
+                "upper_bound": None,
+            }
+            if vt.startswith("decimal"):
+                # identity-decimal partition values are stored as strings
+                # whose lexicographic min/max is NOT the numeric one —
+                # bounds from them could wrongly prune; omit (conservative)
+                vals = []
+            if vals:
+                try:
+                    s["lower_bound"] = serialize_single_value(vt, min(vals))
+                    s["upper_bound"] = serialize_single_value(vt, max(vals))
+                except (TypeError, ValueError, OverflowError):
+                    pass
+            out.append(s)
+        return out
 
     seq = int(metadata.get("last-sequence-number", 0)) + 1
     snap_id = (
@@ -514,6 +565,7 @@ def _commit_snapshot(
                 "sequence_number": seq,
                 "min_sequence_number": seq,
                 "added_snapshot_id": snap_id,
+                "partitions": _field_summaries(entries),
             }
         )
     manifest_list_path = os.path.join(md_dir, f"snap-{snap_id}.avro")
@@ -561,31 +613,21 @@ def _partition_avro_fields(
     for fld in schema.get("fields", []):
         t = fld.get("type")
         by_id[fld["id"]] = t if isinstance(t, str) else "string"
+    from trino_private_spark.sources.iceberg_partition import (
+        partition_value_type,
+    )
+
+    prim_to_avro = {
+        "int": "int", "long": "long", "string": "string",
+        "double": "double", "float": "float", "boolean": "boolean",
+    }
     out: list[tuple[str, str]] = []
     for f in spec_fields:
-        tr = f.get("transform", "identity").lower()
-        src_t = by_id.get(f.get("source-id"), "string")
-        if tr.startswith("bucket") or tr in (
-            "year", "years", "month", "months", "hour", "hours",
-        ):
-            avro_t = "int"
-        elif tr in ("day", "days"):
-            avro_t = "int"  # days from epoch
-        elif tr.startswith("truncate"):
-            avro_t = "string" if src_t == "string" else "long"
-        elif tr == "void":
-            avro_t = "int"
-        else:  # identity
-            avro_t = {
-                "int": "int", "long": "long", "string": "string",
-                "double": "double", "float": "float",
-                "boolean": "boolean", "date": "int",
-            }.get(
-                src_t,
-                # spec: timestamp partition values are epoch micros
-                "long" if src_t.startswith("timestamp") else "string",
-            )
-        out.append((f["name"], avro_t))
+        vt = partition_value_type(
+            f.get("transform", "identity"),
+            by_id.get(f.get("source-id"), "string"),
+        )
+        out.append((f["name"], prim_to_avro.get(vt, "string")))
     return out
 
 
