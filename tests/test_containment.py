@@ -133,3 +133,50 @@ class TestBoilerplate:
         )
         ids = {r.doc_id for r in boilerplate_fraction(df).collect()}
         assert ids == {2}  # doc 1 has no 3-gram shingles
+
+
+class TestCandidateScopedVerify:
+    def test_verified_equals_exact(self, spark, docs):
+        cand = containment_candidates_lsh(docs, threshold=0.5)
+        verified = {
+            (r.doc_a, r.doc_b): r.containment
+            for r in containment_pairs(
+                docs, threshold=0.5, candidates=cand
+            ).collect()
+        }
+        exact = {
+            (r.doc_a, r.doc_b): r.containment
+            for r in containment_pairs(docs, threshold=0.5).collect()
+        }
+        assert verified == exact
+
+    def test_candidates_scope_the_comparison(self, spark, docs):
+        # restricting to an explicit pair list computes ONLY those pairs
+        cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        got = containment_pairs(
+            docs, threshold=0.0001, candidates=cand
+        ).collect()
+        assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
+        assert got[0].containment == 1.0
+
+    def test_default_df_cap_survives_corpus_wide_boilerplate(self, spark):
+        # a licence block shared by EVERY document: the default cap keeps
+        # the exact path away from the quadratic self-join blowup and
+        # (with distinct suffixes) yields no spurious pairs
+        licence = "this work is licensed under the terms of the license"
+        n = 60
+        df = spark.createDataFrame(
+            [
+                (i, licence + f" body{i} text{i} unique{i} tail{i}")
+                for i in range(n)
+            ],
+            "doc_id long, text string",
+        )
+        out = containment_pairs(df, threshold=0.9, max_shingle_df=10)
+        assert out.count() == 0
+        # and the DEFAULT cap (10k) leaves small corpora untouched
+        from trino_private_spark.llm.containment import (
+            DEFAULT_MAX_SHINGLE_DF,
+        )
+
+        assert DEFAULT_MAX_SHINGLE_DF == 10_000

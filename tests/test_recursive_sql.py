@@ -99,7 +99,7 @@ def test_no_catalog_shadowing(eng, spark):
 
 
 def test_base_referencing_name_rejected(eng):
-    with pytest.raises(ValueError, match="base"):
+    with pytest.raises(ValueError, match="anchor"):
         eng.sql(
             "WITH RECURSIVE t(n) AS (SELECT n FROM t UNION ALL SELECT 1) "
             "SELECT * FROM t"
@@ -152,16 +152,46 @@ def test_explain_analyze_recursive(eng):
     assert len(out) == 1 and out[0]["Query Plan"]
 
 
-def test_multi_branch_recursive_body_rejected(eng):
-    # base1 UNION ALL base2 UNION ALL step must raise (the reference
-    # checkStates the exact two-branch shape) — silently splitting at the
-    # first UNION would re-add base2 every iteration
-    with pytest.raises(ValueError, match="two"):
+def test_multi_branch_anchor_left_assoc(eng):
+    # the reference parses set ops LEFT-associatively (AstBuilder
+    # visitSetOperation), so base1 UNION ALL base2 UNION ALL step is a
+    # valid linearly-recursive query with anchor=(base1 UNION ALL base2)
+    rows = eng.sql(
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT 2 "
+        "UNION ALL SELECT n + 1 FROM t WHERE n < 4) "
+        "SELECT n FROM t ORDER BY n"
+    ).collect()
+    assert [r.n for r in rows] == [1, 2, 2, 3, 3, 4, 4]
+
+
+def test_recursive_ref_in_anchor_rejected(eng):
+    # a recursive reference BEFORE the last top-level UNION lands in the
+    # anchor — the reference's analyzer error (StatementAnalyzer.java:1432)
+    with pytest.raises(ValueError, match="anchor"):
         eng.sql(
-            "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT 2 "
-            "UNION ALL SELECT n + 1 FROM t WHERE n < 4) "
+            "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+            "SELECT n + 1 FROM t WHERE n < 4 UNION ALL SELECT 9) "
             "SELECT n FROM t ORDER BY n"
         ).collect()
+
+
+def test_recsub_views_dropped_after_statement(eng):
+    # nested-recursive lowering must not leak __recsub_* temp views —
+    # catalog view count is stable across repeated sql() calls
+    def recsub_count():
+        return sum(
+            1
+            for t in eng.spark.catalog.listTables()
+            if t.name.startswith("__recsub_")
+        )
+
+    q = (
+        "SELECT SUM(n) AS s FROM (WITH RECURSIVE t(n) AS (SELECT 1 "
+        "UNION ALL SELECT n + 1 FROM t WHERE n < 5) SELECT n FROM t) x"
+    )
+    for _ in range(3):
+        assert eng.sql(q).collect()[0].s == 15
+        assert recsub_count() == 0
 
 
 def test_parenthesized_union_in_step_still_allowed(eng):

@@ -175,9 +175,10 @@ class Engine:
             self.analyze(an.group(1))
             return self.spark.createDataFrame([(True,)], "`ANALYZE` boolean")
         if getattr(self, "_iceberg_views", None):
-            # per-query Iceberg re-pruning: a registered iceberg view is
-            # re-resolved against THIS statement's WHERE before execution
-            self._reprune_iceberg_views(text)
+            # per-query Iceberg re-planning: registered iceberg views are
+            # re-resolved fresh, and references governed by THIS
+            # statement's WHERE are rewritten to pruned private views
+            text = self._reprune_iceberg_views(text)
         mr = _re.match(
             r"\s*SELECT\s+\*\s+FROM\s+([A-Za-z_][\w.]*)\s+(MATCH_RECOGNIZE\s*\(.*\))\s*(?:AS\s+\w+\s*)?$",
             text,
@@ -198,6 +199,7 @@ class Engine:
             # (SqlBase.g4:339): lower each occurrence to a temp view so it
             # composes under joins, CTEs and subqueries
             text = self._lower_match_recognize(text)
+        recsub_views: list[str] = []
         if _re.search(r"\(\s*WITH\s+RECURSIVE\b", text, flags=_re.I):
             # WITH RECURSIVE in a NESTED position — a derived table,
             # scalar/IN subquery, or INSERT/CTAS body (the grammar allows
@@ -205,31 +207,39 @@ class Engine:
             # SqlBase.g4:172 queryNoWith): lower each parenthesized
             # recursive subtree to a temp view and splice `(SELECT * FROM
             # <view>)` back in, innermost-first.
-            text = self._lower_nested_recursive(text, dialect)
-        if _re.match(r"\s*WITH\s+RECURSIVE\b", text, flags=_re.I):
-            # WITH RECURSIVE (SqlBase.g4:172; bounded expansion per
-            # StatementAnalyzer.java:1432-1436): lower onto the iterative
-            # recursive_cte loop, honoring the max_recursion_depth session
-            # property like the reference.
-            from trino_private_spark.plans.recursive_sql import (
-                DEFAULT_MAX_RECURSION_DEPTH,
-                lower_recursive,
-            )
-
-            depth = int(
-                getattr(self, "_session_props", {}).get(
-                    "max_recursion_depth", DEFAULT_MAX_RECURSION_DEPTH
+            text = self._lower_nested_recursive(text, dialect, recsub_views)
+        try:
+            if _re.match(r"\s*WITH\s+RECURSIVE\b", text, flags=_re.I):
+                # WITH RECURSIVE (SqlBase.g4:172; bounded expansion per
+                # StatementAnalyzer.java:1432-1436): lower onto the
+                # iterative recursive_cte loop, honoring the
+                # max_recursion_depth session property like the reference.
+                from trino_private_spark.plans.recursive_sql import (
+                    DEFAULT_MAX_RECURSION_DEPTH,
+                    lower_recursive,
                 )
-            )
-            xlate = translate if dialect == "trino" else (lambda s: s)
-            df = lower_recursive(self.spark, text, xlate, max_depth=depth)
+
+                depth = int(
+                    getattr(self, "_session_props", {}).get(
+                        "max_recursion_depth", DEFAULT_MAX_RECURSION_DEPTH
+                    )
+                )
+                xlate = translate if dialect == "trino" else (lambda s: s)
+                df = lower_recursive(self.spark, text, xlate, max_depth=depth)
+                self._enforce_select(df)
+                return df
+            if dialect == "trino":
+                text = translate(text)
+            df = self.spark.sql(text)
             self._enforce_select(df)
             return df
-        if dialect == "trino":
-            text = translate(text)
-        df = self.spark.sql(text)
-        self._enforce_select(df)
-        return df
+        finally:
+            # temp views lowered for nested recursive subtrees resolve at
+            # analysis time (spark.sql above), so dropping them here keeps
+            # the returned plan intact while the catalog stays bounded in
+            # a long-lived session (lower_recursive drops its own views)
+            for v in recsub_views:
+                self.spark.catalog.dropTempView(v)
 
     def _lower_match_recognize(self, text: str) -> str:
         """Rewrite every ``<table> MATCH_RECOGNIZE (...)`` table primary
@@ -632,14 +642,17 @@ class Engine:
         else:
             df.createOrReplaceTempView(name)
 
-    def _lower_nested_recursive(self, text: str, dialect: str) -> str:
+    def _lower_nested_recursive(
+        self, text: str, dialect: str, created: list[str] | None = None
+    ) -> str:
         """Replace every parenthesized ``(WITH RECURSIVE ...)`` subtree
         with ``(SELECT * FROM <temp view>)`` holding its lowered result —
         valid wherever a query expression may appear (derived table,
         scalar subquery, IN-list, INSERT/CTAS body). Innermost subtrees
         lower first so nesting converges. String literals are shielded
         before the paren scan (a ')' inside a literal must not close the
-        subtree)."""
+        subtree). View names created here are appended to ``created`` so
+        the caller can drop them once the statement resolves."""
         import re as _re
 
         from trino_private_spark.plans.recursive_sql import (
@@ -688,6 +701,8 @@ class Engine:
                 self._recsub_n += 1
                 vname = f"__recsub_{self._recsub_n}"
                 df.createOrReplaceTempView(vname)
+                if created is not None:
+                    created.append(vname)
                 text = (
                     restore(shielded[:open_i])
                     + f"(SELECT * FROM {vname})"
@@ -698,66 +713,154 @@ class Engine:
             if not progressed:  # defensive: should be unreachable
                 return text
 
-    def _reprune_iceberg_views(self, text: str) -> None:
-        """Re-register every Iceberg-backed temp view named in ``text``
-        from a FRESH metadata read, pruned by this statement's own WHERE
-        when the clause directly follows ``FROM <view>`` and the view is
-        referenced exactly once (the only shape where the predicate
-        provably scopes this table's scan; anything else gets the full,
-        un-pruned read). The registered relation then shows the same
-        EXPLAIN (TYPE IO) pruned counts as a direct
-        ``read_iceberg(where=...)`` call, and snapshots committed since
-        registration become visible — the reference plans every query
-        against current metadata and prunes per query
-        (IcebergSplitSource). Pruning is file-level and conservative, so
-        Spark's row-level WHERE on top keeps results exact. The view stays
-        bound to this statement's pruning until the next sql() call
-        re-derives it (Spark resolves temp views at analysis time, so the
-        returned DataFrame is unaffected by later re-registrations)."""
+    def _reprune_iceberg_views(self, text: str) -> str:
+        """Per-statement Iceberg re-planning, the reference's
+        PushPredicateIntoTableScan -> applyFilter shape. Two effects:
+
+        1. Every referenced Iceberg view re-registers from a FRESH, FULL
+           metadata read — snapshots committed since registration become
+           visible, and the shared view name NEVER serves a
+           statement-scoped subset (direct ``spark.table(name)`` between
+           ``sql()`` calls always sees the whole table).
+        2. When the statement is a single query block (exactly one
+           depth-0 WHERE, no depth-0 set operation), its WHERE conjuncts
+           are split per table alias (parse_qualified_predicate) and each
+           depth-0 ``FROM``/``JOIN`` reference with prunable terms is
+           REWRITTEN to a private pruned view (``__icep_<name>_<i>``,
+           aliased back to its original name) — so a join over two
+           Iceberg views prunes BOTH scans, each by its own conjuncts,
+           while the public view names stay full. Unqualified conjuncts
+           bind only when the block references exactly one table.
+           References inside subqueries keep the full read (the outer
+           WHERE does not govern them). Pruning is file-level and
+           conservative; the statement's own row-level WHERE keeps
+           results exact. Returns the (possibly rewritten) text."""
         import re as _re
 
         from trino_private_spark.plans.translate import _shield_strings
         from trino_private_spark.sources.iceberg import (
-            parse_partition_predicate,
+            parse_qualified_predicate,
             read_iceberg,
         )
 
         shielded, restore = _shield_strings(text)
-        for name, path in self._iceberg_views.items():
-            refs = _re.findall(rf"\b{_re.escape(name)}\b", shielded, _re.I)
-            if not refs:
+        referenced = {
+            n: p
+            for n, p in self._iceberg_views.items()
+            if _re.search(rf"\b{_re.escape(n)}\b", shielded, _re.I)
+        }
+        if not referenced:
+            return text
+        for n, p in referenced.items():
+            read_iceberg(self.spark, p).createOrReplaceTempView(n)
+
+        # single depth-0 query block?
+        depth = 0
+        where_at: list[tuple[int, int]] = []  # (kw start, body start)
+        setop = False
+        joins = 0
+        for m in _re.finditer(
+            r"[()]|\b(WHERE|UNION|INTERSECT|EXCEPT|JOIN)\b", shielded, _re.I
+        ):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                kw0 = m.group(1).upper()
+                if kw0 == "WHERE":
+                    where_at.append((m.start(), m.end()))
+                elif kw0 == "JOIN":
+                    joins += 1
+                else:
+                    setop = True
+        if setop or len(where_at) != 1:
+            return text
+        body_start = where_at[0][1]
+        depth, body_end = 0, len(shielded)
+        for m in _re.finditer(
+            r"[()]|\b(GROUP|ORDER|LIMIT|OFFSET|HAVING|WINDOW|FETCH)\b",
+            shielded[body_start:],
+            _re.I,
+        ):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+                if depth < 0:
+                    body_end = body_start + m.start()
+                    break
+            elif depth == 0:
+                body_end = body_start + m.start()
+                break
+        per_alias = parse_qualified_predicate(
+            restore(shielded[body_start:body_end])
+        )
+        if not per_alias:
+            return text
+
+        # depth-0 FROM/JOIN table references (derived tables start with a
+        # paren and simply don't match; comma-joined tail tables are not
+        # matched either — they just keep the full read)
+        kw = (
+            "ON|WHERE|JOIN|LEFT|RIGHT|FULL|INNER|CROSS|OUTER|USING|GROUP|"
+            "ORDER|HAVING|LIMIT|OFFSET|UNION|NATURAL|LATERAL|SEMI|ANTI|"
+            "SET|VALUES|SELECT|FETCH|WINDOW|TABLESAMPLE|MATCH_RECOGNIZE"
+        )
+        ref_pat = _re.compile(
+            rf"\b(FROM|JOIN)\s+([A-Za-z_]\w*)"
+            rf"(\s+(?:AS\s+)?(?!(?:{kw})\b)([A-Za-z_]\w*))?",
+            _re.I,
+        )
+        refs = [
+            m
+            for m in ref_pat.finditer(shielded)
+            if shielded[: m.start()].count("(")
+            == shielded[: m.start()].count(")")
+        ]
+        # a depth-0 comma between FROM and WHERE = old-style join list:
+        # more tables than `refs` saw, so unqualified conjuncts are
+        # ambiguous (and any depth-0 JOIN — even against a derived table
+        # `refs` can't see — means multi-table)
+        multi_table = len(refs) > 1 or joins > 0
+        if refs and not multi_table:
+            region = shielded[refs[0].start() : where_at[0][0]]
+            d = 0
+            for ch in region:
+                if ch == "(":
+                    d += 1
+                elif ch == ")":
+                    d -= 1
+                elif ch == "," and d == 0:
+                    multi_table = True
+                    break
+        out, last = [], 0
+        n_pruned = 0
+        for m in refs:
+            name = m.group(2).lower()
+            path = referenced.get(name)
+            if path is None:
                 continue
-            pf = None
-            m = _re.search(
-                rf"\bFROM\s+{_re.escape(name)}"
-                rf"(?:\s+(?:AS\s+)?(?!WHERE\b)\w+)?\s+WHERE\s+(.*)",
-                shielded,
-                _re.I | _re.S,
-            )
-            if m and len(refs) == 1:
-                body = m.group(1)
-                depth, end = 0, len(body)
-                for t in _re.finditer(
-                    r"[()]|\b(GROUP|ORDER|LIMIT|OFFSET|HAVING|UNION|"
-                    r"INTERSECT|EXCEPT|WINDOW|FETCH)\b",
-                    body,
-                    _re.I,
-                ):
-                    tok = t.group(0)
-                    if tok == "(":
-                        depth += 1
-                    elif tok == ")":
-                        depth -= 1
-                        if depth < 0:
-                            end = t.start()
-                            break
-                    elif depth == 0:
-                        end = t.start()
-                        break
-                pf = parse_partition_predicate(restore(body[:end])) or None
+            alias = (m.group(4) or m.group(2)).lower()
+            terms = list(per_alias.get(alias, []))
+            if not multi_table:
+                terms.extend(per_alias.get(None, []))
+            if not terms:
+                continue
+            n_pruned += 1
+            vname = f"__icep_{name}_{n_pruned}"
             read_iceberg(
-                self.spark, path, partition_filter=pf
-            ).createOrReplaceTempView(name)
+                self.spark, path, partition_filter=terms
+            ).createOrReplaceTempView(vname)
+            out.append(shielded[last : m.start(2)])
+            out.append(vname if m.group(4) else f"{vname} AS {m.group(2)}")
+            last = m.end(2)
+        if not n_pruned:
+            return text
+        out.append(shielded[last:])
+        return restore("".join(out))
 
     def insert_into(self, path: str, text: str, fmt: str = "parquet",
                     dialect: str = "trino", table: str | None = None) -> None:
@@ -892,13 +995,34 @@ class Engine:
         if name == "expire_snapshots":
             loc = _iceberg_loc(args[0])
             if loc:
-                # ExpireSnapshotsProcedure analogue on a REAL iceberg tree
+                # ExpireSnapshotsProcedure analogue on a REAL iceberg tree.
+                # The reference's parameter is retention_threshold — a
+                # DURATION ('7d', INTERVAL '7' DAY): snapshots older than
+                # now − duration expire. A plain integer is the shim's
+                # keep_last extension (N most recent snapshots survive).
                 from trino_private_spark.sources.iceberg_maintenance import (
                     iceberg_expire_snapshots,
                 )
 
-                keep = int(args[1]) if len(args) > 1 else 1
-                iceberg_expire_snapshots(loc, keep_last=keep)
+                if len(args) > 1:
+                    dur_ms = self._duration_ms(args[1])
+                    if dur_ms is not None:
+                        import time as _time
+
+                        iceberg_expire_snapshots(
+                            loc,
+                            keep_last=1,
+                            older_than_ms=int(_time.time() * 1000) - dur_ms,
+                        )
+                    elif isinstance(args[1], int):
+                        iceberg_expire_snapshots(loc, keep_last=args[1])
+                    else:
+                        raise ValueError(
+                            "expire_snapshots: retention_threshold must be "
+                            f"a duration ('7d') or an integer, got {args[1]!r}"
+                        )
+                else:
+                    iceberg_expire_snapshots(loc, keep_last=1)
             else:
                 self.vacuum(str(args[0]))
             return self._one("CALL")
@@ -934,6 +1058,37 @@ class Engine:
         raise ValueError(
             f"Procedure not registered: {procedure}"
         )
+
+    @staticmethod
+    def _duration_ms(v) -> int | None:
+        """Parse a reference-style duration value — '7d', '12h', '30m',
+        '45s', or an ``INTERVAL '7' DAY`` literal — to milliseconds;
+        None when ``v`` is not duration-shaped (e.g. a plain integer,
+        which CALL treats as the shim's keep_last count)."""
+        import re as _re
+
+        if not isinstance(v, str):
+            return None
+        units = {
+            "ms": 1,
+            "s": 1000,
+            "m": 60_000,
+            "h": 3_600_000,
+            "d": 86_400_000,
+        }
+        m = _re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*(ms|[smhd])\s*", v, _re.I)
+        if m:
+            return int(float(m.group(1)) * units[m.group(2).lower()])
+        m = _re.fullmatch(
+            r"\s*INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?\s*",
+            v,
+            _re.I,
+        )
+        if m:
+            per = {"SECOND": 1000, "MINUTE": 60_000,
+                   "HOUR": 3_600_000, "DAY": 86_400_000}
+            return int(m.group(1)) * per[m.group(2).upper()]
+        return None
 
     def set_session(self, key: str, value: str) -> None:
         """SET SESSION shim (SqlBase.g4:148): reference session property

@@ -74,30 +74,59 @@ def _shingle_index(
     return sh
 
 
+#: default document-frequency cap for the exact containment path. The
+#: inverted-index self-join emits df² rows PER SHINGLE — a licence block
+#: shared by 10^6 documents would alone produce 10^12 join rows, so an
+#: uncapped run on a real corpus is quadratic on its hottest boilerplate.
+#: A shingle in >10k documents is corpus boilerplate, not signal (the
+#: same reasoning as LSH Ensemble's frequency-based pruning); pass
+#: ``max_shingle_df=None`` explicitly to disable.
+DEFAULT_MAX_SHINGLE_DF = 10_000
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact containment pairs: (doc_a, doc_b, containment) for every
     ordered pair a != b sharing >= 1 shingle with
     containment = |S(a) ∩ S(b)| / |S(a)| >= threshold. Asymmetric by
     construction — (a contained in b) and (b contained in a) are separate
-    rows. Plan: inverted-index self-join on the shingle (the only
-    shuffle), count the intersection per pair, divide by the LEFT doc's
-    distinct-shingle count."""
+    rows.
+
+    Without ``candidates``: inverted-index SELF-join on the shingle (the
+    only shuffle), df-capped by default (see DEFAULT_MAX_SHINGLE_DF) so a
+    corpus-wide boilerplate shingle cannot make the join quadratic.
+
+    With ``candidates`` (a (doc_a, doc_b) frame, e.g. the LSH output):
+    the exact comparison is SCOPED to those pairs — the a-side shingle
+    index joins the candidate set first, then probes the b-side on
+    (shingle, doc_b), so the work is O(candidate pairs x shingles(a))
+    instead of O(df²) per shingle. This is the LSH-Ensemble
+    candidate/verify split, the same shape llm/dedup uses for Jaccard
+    verification."""
     sh = _shingle_index(df, id_col, text_col, n, max_shingle_df)
     a = sh.select(
         F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), "sh"
     )
-    b = sh.select(F.col("doc").alias("doc_b"), "sh")
+    if candidates is not None:
+        cand = candidates.select("doc_a", "doc_b").distinct()
+        b = sh.select(F.col("doc").alias("doc_b"), "sh")
+        joined = (
+            a.join(cand, "doc_a")
+            .join(b, ["doc_b", "sh"])
+            .where(F.col("doc_a") != F.col("doc_b"))
+        )
+    else:
+        b = sh.select(F.col("doc").alias("doc_b"), "sh")
+        joined = a.join(b, "sh").where(F.col("doc_a") != F.col("doc_b"))
     return (
-        a.join(b, "sh")
-        .where(F.col("doc_a") != F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "sz_a")
+        joined.groupBy("doc_a", "doc_b", "sz_a")
         .agg(F.count(F.lit(1)).alias("common"))
         .select(
             "doc_a",

@@ -91,14 +91,19 @@ def _parse(text: str):
 
 
 def _split_union(body: str, name: str):
-    """Split a recursive body at its top-level UNION [ALL] into
-    (base, step, distinct). The reference requires exactly this two-branch
-    shape for a recursive withQuery (StatementAnalyzer checkState on the
-    Union node). Returns (body, None, False) when the CTE never references
-    itself (a plain member of a RECURSIVE with-list, allowed by the spec)."""
+    """Split a recursive body at its LAST top-level UNION [ALL] into
+    (anchor, step, distinct). The reference parses set operations
+    LEFT-associatively into binary Union nodes (AstBuilder
+    visitSetOperation), so ``base1 UNION ALL base2 UNION ALL step``
+    reaches StatementAnalyzer as anchor=(base1 UNION ALL base2),
+    step=step — splitting at the last top-level UNION reproduces exactly
+    that shape, and the anchor (which must not reference the recursive
+    name, StatementAnalyzer.java:1432) runs as ordinary multi-branch SQL.
+    Returns (body, None, False) when the CTE never references itself (a
+    plain member of a RECURSIVE with-list, allowed by the spec)."""
     if not re.search(rf"\b{re.escape(name)}\b", body, re.IGNORECASE):
         return body, None, False
-    depth = 0
+    depth, last = 0, None
     for m in re.finditer(r"[()]|\bUNION\b(\s+ALL\b)?", body, re.IGNORECASE):
         tok = m.group(0)
         if tok == "(":
@@ -106,34 +111,22 @@ def _split_union(body: str, name: str):
         elif tok == ")":
             depth -= 1
         elif depth == 0:
-            base, step = body[: m.start()], body[m.end() :]
-            if re.search(rf"\b{re.escape(name)}\b", base, re.IGNORECASE):
-                raise ValueError(
-                    f"WITH RECURSIVE {name}: the base (first UNION branch) "
-                    "must not reference the recursive name"
-                )
-            # The reference checkStates the EXACT two-branch shape. A step
-            # still holding a top-level UNION (``base1 UNION ALL base2
-            # UNION ALL step``) must be rejected — splitting at the first
-            # UNION would re-add base2 every iteration (duplicate rows
-            # under UNION ALL), a silent mis-execution.
-            d2 = 0
-            for m2 in re.finditer(r"[()]|\bUNION\b", step, re.IGNORECASE):
-                if m2.group(0) == "(":
-                    d2 += 1
-                elif m2.group(0) == ")":
-                    d2 -= 1
-                elif d2 == 0:
-                    raise ValueError(
-                        f"WITH RECURSIVE {name}: recursive member must be "
-                        "exactly `base UNION [ALL] step` — more than two "
-                        "top-level branches (StatementAnalyzer.java:1432)"
-                    )
-            return base, step, m.group(1) is None
-    raise ValueError(
-        f"WITH RECURSIVE {name}: recursive member must be "
-        "`base UNION [ALL] step` (StatementAnalyzer.java:1432)"
-    )
+            last = m
+    if last is None:
+        raise ValueError(
+            f"WITH RECURSIVE {name}: recursive member must be "
+            "`base UNION [ALL] step` (StatementAnalyzer.java:1432)"
+        )
+    base, step = body[: last.start()], body[last.end() :]
+    if re.search(rf"\b{re.escape(name)}\b", base, re.IGNORECASE):
+        # left-assoc: everything before the last UNION is the anchor —
+        # a recursive reference there is the reference's analyzer error
+        raise ValueError(
+            f"WITH RECURSIVE {name}: the anchor (every UNION branch "
+            "before the recursive step) must not reference the "
+            "recursive name (StatementAnalyzer.java:1432)"
+        )
+    return base, step, last.group(1) is None
 
 
 def lower_recursive(

@@ -1814,10 +1814,16 @@ def p_dedup_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id,
              t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       FROM toks, UNNEST(range(1, GREATEST(len(t) - 1, 1))) AS r(i)),
+    -- mirror of DEFAULT_MAX_SHINGLE_DF: the exact path drops shingles
+    -- shared by > 10000 docs (sizes stay over the UNCAPPED set)
+    shf AS (
+      SELECT sh.* FROM sh
+      JOIN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 10000) f
+      USING (s)),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id <> b.doc_id
       GROUP BY 1, 2)
     SELECT doc_a, doc_b,
            ROUND(common / CAST(sa.sz AS DOUBLE), 6) AS containment
@@ -1855,10 +1861,14 @@ def p_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id,
              t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       FROM toks, UNNEST(range(1, GREATEST(len(t) - 1, 1))) AS r(i)),
+    shf AS (
+      SELECT sh.* FROM sh
+      JOIN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 10000) f
+      USING (s)),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id <> b.doc_id
       GROUP BY 1, 2)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, 1.0 AS recall
     FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
@@ -1890,6 +1900,58 @@ def p_containment_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_exact, round(1.0 - missed / max(1, n_exact), 6))],
         "n_exact long, recall double",
     )
+
+
+@probe(
+    "p_containment_lsh_verified",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t
+      FROM documents
+      WHERE doc_id < (SELECT CAST(FLOOR(COUNT(*) / 2.0) AS BIGINT)
+                      FROM documents)),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM toks, UNNEST(range(1, GREATEST(len(t) - 1, 1))) AS r(i)),
+    shf AS (
+      SELECT sh.* FROM sh
+      JOIN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 10000) f
+      USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(common / CAST(sa.sz AS DOUBLE), 6) AS containment
+    FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE ROUND(common / CAST(sa.sz AS DOUBLE), 6) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm",),
+)
+def p_containment_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete LSH-Ensemble candidate/VERIFY pipeline at scale
+    shape: single-row-band MinHash candidates (signatures only through
+    the shuffle) -> EXACT containment verification SCOPED to the
+    candidate pairs (containment_pairs(candidates=...): the a-side
+    shingle index joins the candidate set, then probes (shingle, doc_b)
+    — O(pairs x shingles) work, never the full inverted-index
+    self-join). Full-hash oracle: the verified output must equal the
+    exhaustive exact comparator's result."""
+    from trino_private_spark.llm.containment import (
+        containment_candidates_lsh,
+        containment_pairs,
+    )
+
+    t = T(spark, sf_dir)
+    cut = t.documents.count() // 2
+    docs = t.documents.where(F.col("doc_id") < cut).select("doc_id", "text")
+    cand = containment_candidates_lsh(docs, threshold=0.5)
+    return containment_pairs(
+        docs, threshold=0.5, candidates=cand
+    ).orderBy("doc_a", "doc_b")
 
 
 @probe(
