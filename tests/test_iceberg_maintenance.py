@@ -251,3 +251,63 @@ class TestExpireRetentionThreshold:
         assert Engine._duration_ms("INTERVAL '3' HOUR") == 3 * 3_600_000
         assert Engine._duration_ms(7) is None
         assert Engine._duration_ms("7x") is None
+
+
+class TestRefs:
+    def test_tag_pins_snapshot_and_survives_expire(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg_maintenance import (
+            iceberg_create_ref,
+        )
+
+        loc = str(tmp_path / "t")
+        iceberg_create(spark.range(0, 10).selectExpr("id AS k"), loc)
+        iceberg_create_ref(loc, "v1", ref_type="tag")
+        iceberg_append(spark.range(10, 20).selectExpr("id AS k"), loc)
+        iceberg_append(spark.range(20, 30).selectExpr("id AS k"), loc)
+        # the tag reads the OLD snapshot's content
+        assert read_iceberg(spark, loc, ref="v1").count() == 10
+        assert read_iceberg(spark, loc).count() == 30
+        # expire keeps the tagged snapshot alive (reference retention)
+        iceberg_expire_snapshots(loc, keep_last=1)
+        assert read_iceberg(spark, loc, ref="v1").count() == 10
+        snaps = {s["snapshot-id"] for s in IcebergTable(loc).snapshots()}
+        assert len(snaps) == 2  # current + the tag-pinned one
+
+    def test_refs_metadata_table_and_sql_routes(self, spark, tmp_path):
+        from trino_private_spark.api import Engine
+
+        eng = Engine(spark)
+        loc = str(tmp_path / "t")
+        eng.ctas(
+            "ref_t",
+            "SELECT id AS k FROM RANGE(5)",
+            path=loc, fmt="iceberg", dialect="spark",
+        )
+        eng.sql("ALTER TABLE ref_t CREATE TAG release_1")
+        eng.sql("ALTER TABLE ref_t CREATE BRANCH dev")
+        rows = {
+            r.name: r.type
+            for r in read_iceberg(spark, loc + "$refs").collect()
+        }
+        assert rows["release_1"] == "TAG" and rows["dev"] == "BRANCH"
+        eng.sql("ALTER TABLE ref_t DROP BRANCH dev")
+        names = {
+            r.name for r in read_iceberg(spark, loc + "$refs").collect()
+        }
+        assert "dev" not in names and "release_1" in names
+        # unknown ref errors with the reference's wording
+        with pytest.raises(KeyError, match="reference name"):
+            read_iceberg(spark, loc, ref="nope")
+
+    def test_manifests_partition_summaries_column(self, spark, tmp_path):
+        import json as _json
+
+        loc = str(tmp_path / "t")
+        df = spark.range(0, 20).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("grp")
+        )
+        iceberg_create(df, loc, partition_by=["grp"])
+        row = read_iceberg(spark, loc + "$manifests").collect()[0]
+        summ = _json.loads(row.partition_summaries)
+        assert summ[0]["contains_null"] is False
+        assert summ[0]["lower_bound"] == 0 and summ[0]["upper_bound"] == 3

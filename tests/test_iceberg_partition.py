@@ -1363,3 +1363,131 @@ class TestExecutorSideFooterMaps:
         )
         assert dist_rows == driver_rows
         assert len(dist_rows) == 25
+
+
+class TestPartitionSpecEvolution:
+    """Partition-spec evolution (spec §"Partition Evolution"; the
+    reference's ALTER TABLE ... SET PROPERTIES partitioning): a new
+    default spec is a metadata-only commit; old files keep their spec
+    and stay prunable under it, new writes lay out under the new one."""
+
+    def test_evolve_and_prune_both_specs(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg_write import (
+            iceberg_set_partitioning,
+        )
+
+        loc = str(tmp_path / "t")
+        df = spark.range(0, 40).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).alias("grp"),
+            (F.col("id") % 5).alias("seg"),
+        )
+        iceberg_create(df, loc, partition_by=["grp"])
+        sid = iceberg_set_partitioning(loc, ["seg"])
+        assert sid == 1
+        iceberg_append(
+            spark.range(100, 120).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 4).alias("grp"),
+                (F.col("id") % 5).alias("seg"),
+            ),
+            loc,
+        )
+        t = IcebergTable(loc)
+        assert t.read(spark).count() == 60
+        # grp filter prunes OLD files (their spec partitions on grp);
+        # new-spec files are never pruned by it (conservative)
+        out = t.read(spark, partition_filter=[("grp", "=", 1)])
+        # old: 1 of 4 grp files; new: all 5 seg files kept
+        assert t.last_scan["scanned_data_files"] == 6
+        assert out.where("grp = 1").count() == 15
+        # seg filter prunes NEW files only
+        t.read(spark, partition_filter=[("seg", "=", 2)])
+        assert t.last_scan["scanned_data_files"] == 4 + 1
+
+    def test_field_id_reuse_for_same_transform(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg_write import (
+            iceberg_set_partitioning,
+        )
+
+        loc = str(tmp_path / "t")
+        df = spark.range(0, 8).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("grp")
+        )
+        iceberg_create(df, loc, partition_by=["grp"])
+        iceberg_set_partitioning(loc, ["k", "grp"])
+        specs = IcebergTable(loc).metadata["partition-specs"]
+        by_sid = {s["spec-id"]: s["fields"] for s in specs}
+        grp0 = next(f for f in by_sid[0] if f["name"] == "grp")
+        grp1 = next(f for f in by_sid[1] if f["name"] == "grp")
+        k1 = next(f for f in by_sid[1] if f["name"] == "k")
+        assert grp0["field-id"] == grp1["field-id"]  # reused
+        assert k1["field-id"] == grp0["field-id"] + 1  # fresh, never reused
+
+
+class TestAlterTableSql:
+    def _eng_table(self, spark, tmp_path):
+        from trino_private_spark.api import Engine
+
+        eng = Engine(spark)
+        loc = str(tmp_path / "t")
+        eng.ctas(
+            "alt_t",
+            "SELECT id AS k, id % 4 AS grp FROM RANGE(40)",
+            path=loc, fmt="iceberg", partition_by=["grp"],
+            dialect="spark",
+        )
+        return eng, loc
+
+    def test_add_rename_drop_column(self, spark, tmp_path):
+        eng, loc = self._eng_table(spark, tmp_path)
+        eng.sql("ALTER TABLE alt_t ADD COLUMN note varchar")
+        assert "note" in spark.table("alt_t").columns
+        eng.sql("ALTER TABLE alt_t RENAME COLUMN note TO remark")
+        cols = spark.table("alt_t").columns
+        assert "remark" in cols and "note" not in cols
+        eng.sql("ALTER TABLE alt_t DROP COLUMN remark")
+        assert "remark" not in spark.table("alt_t").columns
+        assert eng.sql(
+            "SELECT COUNT(*) AS c FROM alt_t", dialect="spark"
+        ).collect()[0].c == 40
+
+    def test_execute_optimize(self, spark, tmp_path):
+        eng, loc = self._eng_table(spark, tmp_path)
+        iceberg_append(
+            spark.createDataFrame([(100, 1)], "k long, grp long"), loc
+        )
+        eng.sql("ALTER TABLE alt_t EXECUTE optimize")
+        files = [
+            f for f in IcebergTable(loc).data_files() if f.content == 0
+        ]
+        assert len(files) == 4  # one per partition tuple after compaction
+        assert spark.table("alt_t").count() == 41
+
+    def test_set_properties_partitioning(self, spark, tmp_path):
+        eng, loc = self._eng_table(spark, tmp_path)
+        eng.sql(
+            "ALTER TABLE alt_t SET PROPERTIES partitioning = "
+            "ARRAY['bucket(k, 8)']"
+        )
+        md = IcebergTable(loc).metadata
+        assert md["default-spec-id"] == 1
+        spec = next(
+            s for s in md["partition-specs"] if s["spec-id"] == 1
+        )
+        assert spec["fields"][0]["transform"] == "bucket[8]"
+        iceberg_append(
+            spark.createDataFrame([(500, 0)], "k long, grp long"), loc
+        )
+        assert eng.sql(
+            "SELECT COUNT(*) AS c FROM alt_t WHERE k = 500",
+            dialect="spark",
+        ).collect()[0].c == 1
+
+    def test_non_iceberg_alter_falls_through(self, spark, tmp_path):
+        from trino_private_spark.api import Engine
+
+        eng = Engine(spark)
+        # not a registered iceberg view -> Spark's own ALTER error path
+        with pytest.raises(Exception):
+            eng.sql("ALTER TABLE definitely_missing_t DROP COLUMN x")

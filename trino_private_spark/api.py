@@ -86,6 +86,16 @@ class Engine:
         )
         if cm:
             return self.call(cm.group(1), cm.group(2))
+        at = _re.match(
+            r"\s*ALTER\s+TABLE\s+([\w.]+)\s+(.+?)\s*;?\s*$",
+            text,
+            flags=_re.I | _re.S,
+        )
+        if at and at.group(1).lower() in getattr(self, "_iceberg_views", {}):
+            # ALTER TABLE on a registered Iceberg view routes to the
+            # Iceberg metadata commits; other tables fall through to
+            # Spark's own ALTER handling below
+            return self._alter_iceberg_table(at.group(1), at.group(2))
         m = _re.match(
             r"\s*SET\s+SESSION\s+([\w.]+)\s*=\s*(.+?)\s*$", text, flags=_re.I
         )
@@ -1058,6 +1068,148 @@ class Engine:
         raise ValueError(
             f"Procedure not registered: {procedure}"
         )
+
+    #: Trino column-type spellings -> iceberg types (ALTER ADD COLUMN)
+    _TRINO_TO_ICEBERG = {
+        "bigint": "long", "integer": "int", "int": "int",
+        "smallint": "int", "tinyint": "int", "varchar": "string",
+        "string": "string", "double": "double", "real": "float",
+        "float": "float", "boolean": "boolean", "date": "date",
+        "varbinary": "binary", "binary": "binary",
+        "timestamp": "timestamp",
+    }
+
+    def _alter_iceberg_table(self, name: str, rest: str) -> DataFrame:
+        """ALTER TABLE <iceberg view> ... (SqlBase.g4:56-79 subset the
+        reference's Iceberg connector accepts): ADD/RENAME/DROP COLUMN
+        (metadata-only schema commits, iceberg_alter), EXECUTE optimize
+        (small-file compaction), and SET PROPERTIES partitioning =
+        ARRAY['month(d)', 'bucket(16, k)', 'c'] (partition-spec
+        EVOLUTION — new default spec, old files stay prunable under
+        theirs). The view re-registers from fresh metadata afterwards."""
+        import re as _re
+
+        from trino_private_spark.sources.iceberg import read_iceberg
+        from trino_private_spark.sources.iceberg_write import (
+            iceberg_alter,
+            iceberg_set_partitioning,
+        )
+
+        loc = self._iceberg_views[name.lower()]
+        r = rest.strip().rstrip(";").strip()
+        m = _re.fullmatch(
+            r"ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+"
+            r"([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
+            r,
+            _re.I,
+        )
+        if m:
+            t = m.group(2).lower().replace(" ", "")
+            ice_t = (
+                t
+                if t.startswith("decimal") or t.startswith("timestamp")
+                else self._TRINO_TO_ICEBERG.get(t)
+            )
+            if ice_t is None:
+                raise ValueError(f"ADD COLUMN: unsupported type {m.group(2)!r}")
+            iceberg_alter(loc, add_columns={m.group(1): ice_t})
+        elif (
+            m := _re.fullmatch(
+                r"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)", r, _re.I
+            )
+        ):
+            iceberg_alter(loc, rename_columns={m.group(1): m.group(2)})
+        elif m := _re.fullmatch(r"DROP\s+COLUMN\s+(\w+)", r, _re.I):
+            iceberg_alter(loc, drop_columns=[m.group(1)])
+        elif _re.fullmatch(r"EXECUTE\s+optimize(?:\s*\(\s*\))?", r, _re.I):
+            from trino_private_spark.sources.iceberg_maintenance import (
+                iceberg_optimize,
+            )
+
+            iceberg_optimize(self.spark, loc)
+        elif (
+            m := _re.fullmatch(
+                r"CREATE\s+(BRANCH|TAG)\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)"
+                r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?",
+                r,
+                _re.I,
+            )
+        ):
+            from trino_private_spark.sources.iceberg_maintenance import (
+                iceberg_create_ref,
+            )
+
+            iceberg_create_ref(
+                loc,
+                m.group(2),
+                ref_type=m.group(1).lower(),
+                snapshot_id=int(m.group(3)) if m.group(3) else None,
+            )
+        elif (
+            m := _re.fullmatch(
+                r"DROP\s+(BRANCH|TAG)\s+(?:IF\s+EXISTS\s+)?(\w+)", r, _re.I
+            )
+        ):
+            from trino_private_spark.sources.iceberg_maintenance import (
+                iceberg_drop_ref,
+            )
+
+            iceberg_drop_ref(loc, m.group(2))
+        elif (
+            m := _re.fullmatch(
+                r"SET\s+PROPERTIES\s+partitioning\s*=\s*ARRAY\s*"
+                r"\[([^\]]*)\]",
+                r,
+                _re.I,
+            )
+        ):
+            entries = [
+                e.strip().strip("'")
+                for e in m.group(1).split(",")
+                if e.strip()
+            ]
+            # re-join split transform args: "bucket(16" + "k)" -> one entry
+            merged: list[str] = []
+            for e in entries:
+                if merged and "(" in merged[-1] and ")" not in merged[-1]:
+                    merged[-1] += "," + e
+                else:
+                    merged.append(e)
+            spec = [self._parse_partitioning_entry(e) for e in merged]
+            iceberg_set_partitioning(loc, spec)
+        else:
+            raise ValueError(f"unsupported ALTER TABLE action: {rest!r}")
+        read_iceberg(self.spark, loc).createOrReplaceTempView(name)
+        return self._one("ALTER TABLE")
+
+    @staticmethod
+    def _parse_partitioning_entry(e: str):
+        """'month(d)' -> ('d', 'month'); 'bucket(16, k)' -> ('k',
+        'bucket[16]'); 'truncate(3, s)' -> ('s', 'truncate[3]'); bare
+        column -> identity (the reference's partitioning array syntax,
+        plugin/trino-iceberg PartitionFields parser)."""
+        import re as _re
+
+        e = e.strip().strip("'").strip()
+        m = _re.fullmatch(
+            r"(year|month|day|hour|void)\s*\(\s*(\w+)\s*\)", e, _re.I
+        )
+        if m:
+            return (m.group(2), m.group(1).lower())
+        m = _re.fullmatch(
+            r"(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)", e, _re.I
+        )
+        if m:  # Spark-style arg order: bucket(16, col)
+            return (m.group(3), f"{m.group(1).lower()}[{m.group(2)}]")
+        m = _re.fullmatch(
+            r"(bucket|truncate)\s*\(\s*(\w+)\s*,\s*(\d+)\s*\)", e, _re.I
+        )
+        if m:  # the reference's arg order: bucket(col, 16)
+            return (m.group(2), f"{m.group(1).lower()}[{m.group(3)}]")
+        m = _re.fullmatch(r"\w+", e)
+        if m:
+            return (e, "identity")
+        raise ValueError(f"unsupported partitioning entry {e!r}")
 
     @staticmethod
     def _duration_ms(v) -> int | None:

@@ -1048,3 +1048,105 @@ def p_iceberg_or_in_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scanned_files"
         ),
     )
+
+
+@probe(
+    "p_iceberg_spec_evolution",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN o_custkey % 8 = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_grp3,
+           CAST(SUM(CASE WHEN o_orderkey % 5 = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_seg2,
+           6 AS grp_scanned, 9 AS seg_scanned
+    FROM orders
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION (Iceberg spec §"Partition Evolution";
+    reference ALTER TABLE ... SET PROPERTIES partitioning ->
+    IcebergMetadata.setTableProperties): old files keep their spec and
+    stay prunable under it, new appends lay out under the new default
+    spec, and a mixed-spec read prunes each manifest under ITS OWN
+    spec. grp filter: 1 of 8 old files + all 5 new (unprunable by grp)
+    = 6 scanned; seg filter: 8 old + 1 of 5 new = 9. Both counts ride
+    in the hashed result."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.api import Engine
+    from trino_private_spark.sources.iceberg import IcebergTable
+    from trino_private_spark.sources.iceberg_write import iceberg_append
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_se_") + "/t"
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey",
+        (F.col("o_custkey") % 8).alias("grp"),
+        (F.col("o_orderkey") % 5).alias("seg"),
+    )
+    eng.ctas(
+        "ice_se_orders",
+        "SELECT o_orderkey, o_custkey % 8 AS grp, o_orderkey % 5 AS seg "
+        "FROM orders WHERE o_orderkey % 2 = 0",
+        path=loc, fmt="iceberg", partition_by=["grp"],
+    )
+    eng.sql(
+        "ALTER TABLE ice_se_orders SET PROPERTIES partitioning = "
+        "ARRAY['seg']"
+    )
+    iceberg_append(orders.where("o_orderkey % 2 = 1"), loc)
+    t = IcebergTable(loc)
+    g = t.read(spark, partition_filter=[("grp", "=", 3)])
+    n_grp3 = g.where("grp = 3").count()
+    grp_scanned = t.last_scan["scanned_data_files"]
+    s = t.read(spark, partition_filter=[("seg", "=", 2)])
+    n_seg2 = s.where("seg = 2").count()
+    seg_scanned = t.last_scan["scanned_data_files"]
+    return spark.createDataFrame(
+        [(n_grp3, n_seg2, grp_scanned, seg_scanned)],
+        "n_grp3 long, n_seg2 long, grp_scanned int, seg_scanned int",
+    )
+
+
+@probe(
+    "p_iceberg_branch_tag",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tag,
+           CAST(2 * COUNT(*) AS BIGINT) AS n_head,
+           CAST(COUNT(*) AS BIGINT) AS n_after_expire
+    FROM nation
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_branch_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs (spec §"Snapshot References"; the reference resolves
+    FOR VERSION AS OF 'name' through the metadata refs map and honors
+    refs in snapshot retention): a TAG created before an append keeps
+    reading the old snapshot, the head reads both, and expire_snapshots
+    keeps the tag-pinned snapshot alive."""
+    from trino_private_spark.sources.iceberg_maintenance import (
+        iceberg_create_ref,
+        iceberg_expire_snapshots,
+    )
+    from trino_private_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_create,
+    )
+
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_bt_") + "/t"
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name"
+    )
+    iceberg_create(nation, loc)
+    iceberg_create_ref(loc, "v1", ref_type="tag")
+    iceberg_append(nation.selectExpr("n_nationkey + 1000 AS n_nationkey",
+                                     "n_name"), loc)
+    n_tag = read_iceberg(spark, loc, ref="v1").count()
+    n_head = read_iceberg(spark, loc).count()
+    iceberg_expire_snapshots(loc, keep_last=1)
+    n_after = read_iceberg(spark, loc, ref="v1").count()
+    return spark.createDataFrame(
+        [(n_tag, n_head, n_after)],
+        "n_tag long, n_head long, n_after_expire long",
+    )

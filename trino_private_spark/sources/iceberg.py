@@ -626,6 +626,19 @@ class IcebergTable:
             df = df.union(p)
         return df
 
+    def resolve_ref(self, ref: str) -> int:
+        """Named branch/tag -> snapshot id (spec §"Snapshot References";
+        the reference resolves FOR VERSION AS OF 'name' through the
+        metadata refs map; 'main' falls back to the current snapshot)."""
+        refs = self.metadata.get("refs") or {}
+        if ref in refs and refs[ref].get("snapshot-id") is not None:
+            return int(refs[ref]["snapshot-id"])
+        if ref == "main":
+            cur = self.current_snapshot()
+            if cur is not None:
+                return cur["snapshot-id"]
+        raise KeyError(f"Cannot find snapshot with reference name: {ref}")
+
     def read(
         self,
         spark: SparkSession,
@@ -633,6 +646,7 @@ class IcebergTable:
         as_of_ms: int | None = None,
         with_lineage: bool = False,
         partition_filter: list[tuple[str, str, object]] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Read the table contents after delete application. With
         ``with_lineage`` the result keeps ``__file``/``__pos`` columns
@@ -652,6 +666,12 @@ class IcebergTable:
         # schema-id) — a pre-evolution snapshot keeps its pre-evolution
         # shape. Snapshots without a recorded schema-id (older shim writes,
         # external fixtures) fall back to the current schema.
+        if ref is not None:
+            if snapshot_id is not None or as_of_ms is not None:
+                raise ValueError(
+                    "ref cannot combine with snapshot_id/as_of_ms"
+                )
+            snapshot_id = self.resolve_ref(ref)
         if snapshot_id is not None or as_of_ms is not None:
             snap = self.snapshot_for(snapshot_id, as_of_ms)
             schema = self._schema_by_id(snap.get("schema-id"))
@@ -1192,6 +1212,50 @@ def _metadata_table(table: "IcebergTable", spark: SparkSession, kind: str):
             "operation string, manifest_list string",
         )
     if k == "manifests":
+        # ManifestsTable.java shape incl. the partition_summaries column
+        # (field_summary per spec field: contains_null + readable bounds)
+        from trino_private_spark.sources.iceberg_partition import (
+            deserialize_single_value,
+            partition_value_type,
+        )
+
+        specs = {
+            s.get("spec-id", 0): s.get("fields", [])
+            for s in table.metadata.get("partition-specs", [])
+        }
+        types_by_id = {
+            fld["id"]: fld["type"]
+            for fld in table._current_schema().get("fields", [])  # noqa: SLF001
+            if isinstance(fld.get("type"), str)
+        }
+
+        def jsummaries(m) -> str | None:
+            parts = m.get("partitions")
+            if not parts:
+                return None
+            sf = specs.get(int(m.get("partition_spec_id") or 0), [])
+            out = []
+            for i, s in enumerate(parts):
+                e: dict = {"contains_null": bool(s.get("contains_null"))}
+                if i < len(sf):
+                    vt = partition_value_type(
+                        sf[i].get("transform", "identity"),
+                        types_by_id.get(sf[i].get("source-id"), ""),
+                    )
+                    for key in ("lower_bound", "upper_bound"):
+                        b = s.get(key)
+                        if b is None:
+                            continue
+                        try:
+                            v = deserialize_single_value(vt, b)
+                        except (TypeError, ValueError):
+                            continue
+                        e[key] = (
+                            v if isinstance(v, (int, float, bool)) else str(v)
+                        )
+                out.append(e)
+            return _json.dumps(out, sort_keys=True)
+
         snap = table.current_snapshot()
         rows = [
             (
@@ -1201,13 +1265,15 @@ def _metadata_table(table: "IcebergTable", spark: SparkSession, kind: str):
                 int(m.get("content") or 0),
                 int(m.get("sequence_number") or 0),
                 int(m.get("added_snapshot_id") or 0),
+                jsummaries(m),
             )
             for m in read_avro_container_cached(_local(snap["manifest-list"]))
         ]
         return spark.createDataFrame(
             rows,
             "path string, length long, partition_spec_id int, content int, "
-            "sequence_number long, added_snapshot_id long",
+            "sequence_number long, added_snapshot_id long, "
+            "partition_summaries string",
         )
     files = table.data_files()
     if k == "files":
@@ -1361,8 +1427,10 @@ def read_iceberg(
     as_of_ms: int | None = None,
     partition_filter: list[tuple[str, str, object]] | None = None,
     where: str | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
-    """Read an Iceberg v2 table (optionally time-traveled, optionally
+    """Read an Iceberg v2 table (optionally time-traveled — by snapshot
+    id, timestamp, or a named branch/tag ``ref`` — optionally
     manifest-partition-pruned). ``where`` is a SQL predicate string that
     BOTH prunes (prunable conjunctive terms derived via
     parse_partition_predicate) AND applies row-level — the way the
@@ -1381,6 +1449,6 @@ def read_iceberg(
     if where:
         pf.extend(parse_partition_predicate(where))
     df = IcebergTable(location).read(
-        spark, snapshot_id, as_of_ms, partition_filter=pf or None
+        spark, snapshot_id, as_of_ms, partition_filter=pf or None, ref=ref
     )
     return df.where(where) if where else df

@@ -43,7 +43,67 @@ __all__ = [
     "iceberg_expire_snapshots",
     "iceberg_remove_orphan_files",
     "iceberg_optimize",
+    "iceberg_create_ref",
+    "iceberg_drop_ref",
 ]
+
+
+def _write_metadata(location: str, metadata: dict) -> None:
+    import json
+    import time
+
+    from trino_private_spark.sources.iceberg_write import _latest_version
+
+    metadata["last-updated-ms"] = int(time.time() * 1000)
+    version = _latest_version(location)
+    with open(
+        os.path.join(location, "metadata", f"v{version + 1}.metadata.json"),
+        "w",
+    ) as fh:
+        json.dump(metadata, fh)
+
+
+def iceberg_create_ref(
+    location: str,
+    name: str,
+    ref_type: str = "branch",
+    snapshot_id: int | None = None,
+) -> None:
+    """Create (or move) a named ref — BRANCH or TAG — pointing at
+    ``snapshot_id`` (default: the current snapshot). Refs live in the
+    metadata ``refs`` map (spec §"Snapshot References"); the reference
+    reads them for ``FOR VERSION AS OF 'name'`` resolution and its
+    RefsTable. Tags and branches both pin their snapshot against
+    expire_snapshots here (retention policies are not modeled)."""
+    if ref_type.lower() not in ("branch", "tag"):
+        raise ValueError(f"ref type must be branch or tag, got {ref_type!r}")
+    table = IcebergTable(location)
+    metadata = table.metadata
+    if snapshot_id is None:
+        cur = table.current_snapshot()
+        if cur is None:
+            raise ValueError("table has no snapshots to reference")
+        snapshot_id = cur["snapshot-id"]
+    elif all(
+        s["snapshot-id"] != snapshot_id for s in metadata.get("snapshots", [])
+    ):
+        raise KeyError(f"snapshot {snapshot_id} not found")
+    refs = dict(metadata.get("refs") or {})
+    refs[name] = {"snapshot-id": snapshot_id, "type": ref_type.lower()}
+    metadata["refs"] = refs
+    _write_metadata(location, metadata)
+
+
+def iceberg_drop_ref(location: str, name: str) -> None:
+    """Remove a named branch/tag from the metadata refs map."""
+    table = IcebergTable(location)
+    metadata = table.metadata
+    refs = dict(metadata.get("refs") or {})
+    if name not in refs:
+        raise KeyError(f"ref {name!r} not found")
+    del refs[name]
+    metadata["refs"] = refs
+    _write_metadata(location, metadata)
 
 
 def _snapshot_closure(table: IcebergTable, snapshots: list[dict]) -> set[str]:
@@ -97,6 +157,13 @@ def iceberg_expire_snapshots(
             for s in snaps
             if s["timestamp-ms"] >= older_than_ms
         }
+    # snapshots pinned by a named branch/tag never expire (spec:
+    # reference retention; the reference's ExpireSnapshots honors refs)
+    keep_ids |= {
+        int(r["snapshot-id"])
+        for r in (metadata.get("refs") or {}).values()
+        if r.get("snapshot-id") is not None
+    }
     kept = [s for s in snaps if s["snapshot-id"] in keep_ids]
     dropped = [s for s in snaps if s["snapshot-id"] not in keep_ids]
     if not dropped:

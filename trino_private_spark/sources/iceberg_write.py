@@ -1021,6 +1021,66 @@ def iceberg_alter(
     return new_sid
 
 
+def iceberg_set_partitioning(location: str, partition_by: list) -> int:
+    """Partition-spec EVOLUTION (Iceberg spec §"Partition Evolution";
+    the reference's ``ALTER TABLE ... SET PROPERTIES partitioning =
+    ARRAY[...]``, plugin/trino-iceberg IcebergMetadata.setTableProperties
+    -> updateSpec): commit a NEW spec with a bumped spec-id and move
+    ``default-spec-id`` — a metadata-only change. Existing data files
+    keep their old spec-id and stay prunable under THEIR spec (each
+    manifest records its partition_spec_id; the reader resolves
+    per-manifest); only new writes lay out under the new spec.
+
+    Field-id discipline per the spec: a (source column, transform) pair
+    that appeared in ANY earlier spec reuses its field-id and name;
+    genuinely new fields get fresh never-reused ids continuing from the
+    table-wide maximum. Returns the new spec id."""
+    table = IcebergTable(location)
+    metadata = table.metadata
+    schema = table._current_schema()  # noqa: SLF001
+    fields = [
+        (f["id"], f["name"], f["type"])
+        for f in schema.get("fields", [])
+        if isinstance(f.get("type"), str)
+    ]
+    wanted = _normalize_partition_by(partition_by, fields)
+    prior: dict[tuple, dict] = {}
+    last_pid = 999
+    for s in metadata.get("partition-specs", []):
+        for f in s.get("fields", []):
+            prior[(f.get("source-id"), f.get("transform"))] = f
+            last_pid = max(last_pid, int(f.get("field-id", 999)))
+    out_fields = []
+    for f in wanted:
+        prev = prior.get((f["source-id"], f["transform"]))
+        if prev is not None:
+            out_fields.append(
+                {**f, "field-id": prev["field-id"], "name": prev["name"]}
+            )
+        else:
+            last_pid += 1
+            out_fields.append({**f, "field-id": last_pid})
+    new_sid = (
+        max(
+            (s.get("spec-id", 0) for s in metadata.get("partition-specs", [])),
+            default=0,
+        )
+        + 1
+    )
+    metadata.setdefault("partition-specs", []).append(
+        {"spec-id": new_sid, "fields": out_fields}
+    )
+    metadata["default-spec-id"] = new_sid
+    metadata["last-updated-ms"] = int(time.time() * 1000)
+    version = _latest_version(location)
+    with open(
+        os.path.join(location, "metadata", f"v{version + 1}.metadata.json"),
+        "w",
+    ) as fh:
+        json.dump(metadata, fh)
+    return new_sid
+
+
 def iceberg_delete(
     spark: SparkSession, location: str, condition: str
 ) -> int:
