@@ -1491,3 +1491,154 @@ class TestAlterTableSql:
         # not a registered iceberg view -> Spark's own ALTER error path
         with pytest.raises(Exception):
             eng.sql("ALTER TABLE definitely_missing_t DROP COLUMN x")
+
+
+class TestSqlDmlAndTimeTravel:
+    """DELETE/UPDATE as SQL text (SqlBase.g4:61,160) and queryPeriod
+    time travel (FOR VERSION/TIMESTAMP AS OF) through Engine.sql."""
+
+    def _eng(self, spark, tmp_path):
+        from trino_private_spark.api import Engine
+
+        eng = Engine(spark)
+        loc = str(tmp_path / "t")
+        eng.ctas(
+            "dml_t",
+            "SELECT id AS k, id % 4 AS grp FROM RANGE(40)",
+            path=loc, fmt="iceberg", partition_by=["grp"],
+            dialect="spark",
+        )
+        return eng, loc
+
+    def test_sql_delete_and_update(self, spark, tmp_path):
+        eng, loc = self._eng(spark, tmp_path)
+        out = eng.sql("DELETE FROM dml_t WHERE k >= 30").collect()
+        assert out[0].rows == 10
+        assert spark.table("dml_t").count() == 30
+        out = eng.sql(
+            "UPDATE dml_t SET k = k + 100 WHERE grp = 1"
+        ).collect()
+        assert out[0].rows == 8  # k in {1,5,...,29}: 8 rows remain
+        got = sorted(
+            r.k for r in spark.table("dml_t").where("grp = 1").collect()
+        )
+        assert got[0] == 101 and got[-1] == 129
+        # both mutations are snapshots: the pre-delete state time-travels
+        snaps = eng.sql(
+            f"SELECT COUNT(*) AS c FROM dml_t FOR VERSION AS OF 1",
+            dialect="spark",
+        ).collect()
+        assert snaps[0].c == 40
+
+    def test_sql_time_travel_by_tag_and_timestamp(self, spark, tmp_path):
+        import time as _time
+
+        eng, loc = self._eng(spark, tmp_path)
+        eng.sql("ALTER TABLE dml_t CREATE TAG before_dml")
+        before_ms = int(_time.time() * 1000) + 500
+        _time.sleep(1)
+        eng.sql("DELETE FROM dml_t WHERE k < 20")
+        assert spark.table("dml_t").count() == 20
+        by_tag = eng.sql(
+            "SELECT COUNT(*) AS c FROM dml_t FOR VERSION AS OF 'before_dml'",
+            dialect="spark",
+        ).collect()
+        assert by_tag[0].c == 40
+        import datetime as _dt
+
+        ts = _dt.datetime.fromtimestamp(
+            before_ms / 1000, _dt.timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S+00:00")
+        by_ts = eng.sql(
+            f"SELECT COUNT(*) AS c FROM dml_t "
+            f"FOR TIMESTAMP AS OF TIMESTAMP '{ts}'",
+            dialect="spark",
+        ).collect()
+        assert by_ts[0].c == 40
+
+    def test_dml_on_unknown_table_errors(self, spark, tmp_path):
+        from trino_private_spark.api import Engine
+
+        eng = Engine(spark)
+        with pytest.raises(ValueError, match="not a mutable table"):
+            eng.sql("DELETE FROM missing_tbl WHERE x = 1")
+        with pytest.raises(ValueError, match="not a mutable table"):
+            eng.sql("UPDATE missing_tbl SET x = 1")
+
+    def test_sql_dml_on_cow_table(self, spark, tmp_path):
+        from trino_private_spark.api import Engine
+
+        eng = Engine(spark)
+        eng.create_cow_table(
+            "cow_dml_t",
+            "SELECT id AS k FROM RANGE(10)",
+            str(tmp_path / "cow"),
+            dialect="spark",
+        )
+        assert eng.sql("DELETE FROM cow_dml_t WHERE k >= 8").collect()[0].rows == 2
+        assert eng.sql(
+            "UPDATE cow_dml_t SET k = k * 10 WHERE k < 2"
+        ).collect()[0].rows == 2
+        got = sorted(r.k for r in spark.table("cow_dml_t").collect())
+        assert got == [0, 2, 3, 4, 5, 6, 7, 10]
+
+
+class TestSqlCtasAndInsert:
+    def test_create_table_with_properties_as(self, spark, tmp_path):
+        from trino_private_spark.api import Engine
+        from trino_private_spark.sources.iceberg import IO_SCAN_INFO
+
+        eng = Engine(spark)
+        loc = str(tmp_path / "ct")
+        eng.sql(
+            f"CREATE TABLE ctas_ice WITH (format = 'ICEBERG', "
+            f"partitioning = ARRAY['grp'], location = '{loc}') AS "
+            "SELECT id AS k, id % 4 AS grp FROM RANGE(40)",
+            dialect="spark",
+        )
+        assert spark.table("ctas_ice").count() == 40
+        # it is a REAL iceberg tree with a recorded spec
+        t = IcebergTable(loc)
+        assert t.partition_specs()[0].fields[0].transform == "identity"
+        # and per-query pruning works on it
+        assert eng.sql(
+            "SELECT COUNT(*) AS c FROM ctas_ice WHERE grp = 2",
+            dialect="spark",
+        ).collect()[0].c == 10
+        assert IO_SCAN_INFO[loc]["scanned_data_files"] == 1
+
+    def test_insert_into_iceberg_view(self, spark, tmp_path):
+        from trino_private_spark.api import Engine
+
+        eng = Engine(spark)
+        loc = str(tmp_path / "ins")
+        eng.ctas(
+            "ins_ice",
+            "SELECT id AS k, id % 4 AS grp FROM RANGE(10)",
+            path=loc, fmt="iceberg", partition_by=["grp"],
+            dialect="spark",
+        )
+        out = eng.sql(
+            "INSERT INTO ins_ice SELECT id AS k, id % 4 AS grp "
+            "FROM RANGE(100, 105)",
+            dialect="spark",
+        ).collect()
+        assert out[0].rows == 5
+        assert spark.table("ins_ice").count() == 15
+        # appended files follow the default spec (still prunable)
+        t = IcebergTable(loc)
+        t.read(spark, partition_filter=[("grp", "=", 0)])
+        assert t.last_scan["scanned_data_files"] == 2  # create + append
+
+    def test_plain_format_falls_back_to_file_ctas(self, spark, tmp_path):
+        from trino_private_spark.api import Engine
+
+        eng = Engine(spark)
+        p = str(tmp_path / "plainct")
+        eng.sql(
+            f"CREATE TABLE ctas_plain WITH (format = 'PARQUET', "
+            f"location = '{p}') AS SELECT id AS k FROM RANGE(7)",
+            dialect="spark",
+        )
+        assert spark.table("ctas_plain").count() == 7
+        assert spark.read.parquet(p).count() == 7

@@ -96,6 +96,62 @@ class Engine:
             # Iceberg metadata commits; other tables fall through to
             # Spark's own ALTER handling below
             return self._alter_iceberg_table(at.group(1), at.group(2))
+        im = _re.match(
+            r"\s*INSERT\s+INTO\s+([\w.]+)\s+(.+?)\s*;?\s*$",
+            text,
+            flags=_re.I | _re.S,
+        )
+        if im and im.group(1).lower() in getattr(self, "_iceberg_views", {}):
+            # INSERT INTO a registered Iceberg view = append snapshot
+            # (IcebergMetadata.beginInsert); other targets fall through
+            # to Spark's own INSERT handling
+            from trino_private_spark.sources.iceberg import read_iceberg
+            from trino_private_spark.sources.iceberg_write import (
+                iceberg_append,
+            )
+
+            name = im.group(1).lower()
+            loc = self._iceberg_views[name]
+            if hasattr(self, "_acl") and self._acl.enforce:
+                self._acl.check(
+                    self._user, self._enabled_roles, "INSERT", name
+                )
+            df = self.sql(im.group(2), dialect)
+            n = df.count()
+            iceberg_append(df, loc)
+            read_iceberg(self.spark, loc).createOrReplaceTempView(name)
+            return self._rows_result(n)
+        cw = _re.match(
+            r"\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+"
+            r"WITH\s*\((.*?)\)\s*AS\s+(.+?)\s*;?\s*$",
+            text,
+            flags=_re.I | _re.S,
+        )
+        if cw:
+            return self._ctas_with_properties(
+                cw.group(1), cw.group(2), cw.group(3), dialect
+            )
+        dm = _re.match(
+            r"\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+            text,
+            flags=_re.I | _re.S,
+        )
+        if dm:
+            return self._delete_statement(dm.group(1), dm.group(2))
+        um = _re.match(
+            r"\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)"
+            r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+            text,
+            flags=_re.I | _re.S,
+        )
+        if um:
+            return self._update_statement(
+                um.group(1), um.group(2), um.group(3)
+            )
+        if _re.search(r"\bFOR\s+(?:VERSION|TIMESTAMP)\s+AS\s+OF\b", text, _re.I):
+            # time-travel table references (SqlBase.g4 queryPeriod) lower
+            # to temp views over the snapshot read before planning
+            text = self._lower_time_travel(text)
         m = _re.match(
             r"\s*SET\s+SESSION\s+([\w.]+)\s*=\s*(.+?)\s*$", text, flags=_re.I
         )
@@ -1068,6 +1124,256 @@ class Engine:
         raise ValueError(
             f"Procedure not registered: {procedure}"
         )
+
+    def _ctas_with_properties(
+        self, name: str, props_text: str, query: str, dialect: str
+    ) -> DataFrame:
+        """CREATE TABLE t WITH (format = 'ICEBERG', partitioning =
+        ARRAY['month(d)'], sorted_by = ARRAY['k'], location = '...') AS
+        <query> (SqlBase.g4:51-54 with table properties — the
+        reference's Iceberg CTAS surface). format='ICEBERG' (or a
+        partitioning/sorted_by property) commits a real Iceberg v2
+        table; a plain format property falls back to the file CTAS.
+        Without an explicit location the table lands under
+        ``spark-warehouse/iceberg/<name>``."""
+        import os as _os
+        import re as _re
+
+        from trino_private_spark.plans.translate import _shield_strings
+
+        shielded, restore = _shield_strings(props_text)
+        props: dict[str, str] = {}
+        depth, start, parts = 0, 0, []
+        for m in _re.finditer(r"[()\[\]]|,", shielded):
+            tok = m.group(0)
+            if tok in "([":
+                depth += 1
+            elif tok in ")]":
+                depth -= 1
+            elif depth == 0:
+                parts.append(shielded[start : m.start()])
+                start = m.end()
+        parts.append(shielded[start:])
+        for p in parts:
+            pm = _re.fullmatch(r"\s*(\w+)\s*=\s*(.+?)\s*", p, _re.S)
+            if pm:
+                props[pm.group(1).lower()] = restore(pm.group(2)).strip()
+
+        def arr(key: str) -> list[str] | None:
+            v = props.get(key)
+            if v is None:
+                return None
+            am = _re.fullmatch(r"ARRAY\s*\[(.*)\]", v, _re.I | _re.S)
+            if not am:
+                raise ValueError(f"{key} must be an ARRAY[...] literal")
+            return [
+                e.strip().strip("'") for e in am.group(1).split(",") if e.strip()
+            ]
+
+        fmt = props.get("format", "").strip("'").lower()
+        partitioning = arr("partitioning")
+        sorted_by = arr("sorted_by")
+        location = props.get("location", "").strip("'")
+        if fmt == "iceberg" or partitioning or sorted_by:
+            if not location:
+                location = _os.path.join(
+                    "spark-warehouse", "iceberg", name.lower()
+                )
+            from trino_private_spark.sources.iceberg import read_iceberg
+            from trino_private_spark.sources.iceberg_write import (
+                iceberg_create,
+            )
+
+            if hasattr(self, "_acl") and self._acl.enforce:
+                self._acl.check(
+                    self._user, self._enabled_roles, "INSERT", name
+                )
+            df = self.sql(query, dialect)
+            iceberg_create(
+                df,
+                location,
+                partition_by=[
+                    self._parse_partitioning_entry(e)
+                    for e in (partitioning or [])
+                ]
+                or None,
+                sorted_by=sorted_by,
+            )
+            read_iceberg(self.spark, location).createOrReplaceTempView(name)
+            if not hasattr(self, "_iceberg_views"):
+                self._iceberg_views: dict[str, str] = {}
+            self._iceberg_views[name.lower()] = location
+            return self._one("CREATE TABLE")
+        self.ctas(
+            name,
+            query,
+            path=location or None,
+            fmt=fmt or "parquet",
+            dialect=dialect,
+        )
+        return self._one("CREATE TABLE")
+
+    def _rows_result(self, n: int) -> DataFrame:
+        """DML result shape: the affected-row count (the reference
+        reports it via TableFinishOperator)."""
+        return self.spark.createDataFrame([(n,)], "rows bigint")
+
+    def _delete_statement(self, name: str, cond: str | None) -> DataFrame:
+        """DELETE FROM <table> [WHERE ...] (SqlBase.g4:61): Iceberg views
+        write position-delete files (merge-on-read, executeDelete
+        analogue); CoW tables rewrite their snapshot. Anything else is
+        not a mutable table here — loud error, like a connector without
+        delete support."""
+        cond = (cond or "true").strip()
+        loc = getattr(self, "_iceberg_views", {}).get(name.lower())
+        if loc is not None:
+            if hasattr(self, "_acl") and self._acl.enforce:
+                self._acl.check(
+                    self._user, self._enabled_roles, "DELETE", name
+                )
+            from trino_private_spark.sources.iceberg import read_iceberg
+            from trino_private_spark.sources.iceberg_write import (
+                iceberg_delete,
+            )
+
+            n = iceberg_delete(self.spark, loc, cond)
+            read_iceberg(self.spark, loc).createOrReplaceTempView(name)
+            return self._rows_result(n)
+        if name in getattr(self, "_cow", {}):
+            return self._rows_result(self.delete_from(name, cond))
+        raise ValueError(
+            f"DELETE: {name!r} is not a mutable table (not an Iceberg "
+            "view or CoW table of this engine)"
+        )
+
+    def _update_statement(
+        self, name: str, set_clause: str, cond: str | None
+    ) -> DataFrame:
+        """UPDATE <table> SET c = expr, ... [WHERE ...]
+        (SqlBase.g4:160-162): Iceberg views commit position deletes +
+        replacement rows atomically in ONE snapshot (RowDelta); CoW
+        tables rewrite. SET expressions split at top-level commas with
+        string literals shielded."""
+        import re as _re
+
+        from trino_private_spark.plans.translate import _shield_strings
+
+        shielded, restore = _shield_strings(set_clause)
+        parts, depth, start = [], 0, 0
+        for m in _re.finditer(r"[()]|,", shielded):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                parts.append(shielded[start : m.start()])
+                start = m.end()
+        parts.append(shielded[start:])
+        assignments: dict[str, str] = {}
+        for p in parts:
+            am = _re.fullmatch(r"\s*(\w+)\s*=\s*(.+?)\s*", p, _re.S)
+            if not am:
+                raise ValueError(f"UPDATE: bad SET item {restore(p)!r}")
+            assignments[am.group(1)] = restore(am.group(2))
+        cond = (cond or "true").strip()
+        loc = getattr(self, "_iceberg_views", {}).get(name.lower())
+        if loc is not None:
+            if hasattr(self, "_acl") and self._acl.enforce:
+                self._acl.check(
+                    self._user, self._enabled_roles, "UPDATE", name
+                )
+            from trino_private_spark.sources.iceberg import read_iceberg
+            from trino_private_spark.sources.iceberg_write import (
+                iceberg_update,
+            )
+
+            n = iceberg_update(self.spark, loc, assignments, cond)
+            read_iceberg(self.spark, loc).createOrReplaceTempView(name)
+            return self._rows_result(n)
+        if name in getattr(self, "_cow", {}):
+            return self._rows_result(self.update(name, assignments, cond))
+        raise ValueError(
+            f"UPDATE: {name!r} is not a mutable table (not an Iceberg "
+            "view or CoW table of this engine)"
+        )
+
+    def _lower_time_travel(self, text: str) -> str:
+        """Rewrite ``<table> FOR VERSION AS OF <n | 'ref'>`` /
+        ``<table> FOR TIMESTAMP AS OF TIMESTAMP '...'`` references
+        (SqlBase.g4 queryPeriod; the reference resolves them in
+        IcebergMetadata.getTableHandle) to temp views over the snapshot
+        read — Iceberg views travel by snapshot id, named branch/tag, or
+        timestamp; CoW tables by version or timestamp. Unknown tables
+        are left untouched."""
+        import datetime as _dt
+        import re as _re
+
+        from trino_private_spark.plans.translate import _shield_strings
+
+        shielded, restore = _shield_strings(text)
+        pat = _re.compile(
+            r"\b([A-Za-z_]\w*)\s+FOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+            r"(TIMESTAMP\s+\x00\d+\x00|\x00\d+\x00|\d+)",
+            _re.I,
+        )
+        out, last, n = [], 0, 0
+        for m in pat.finditer(shielded):
+            name = m.group(1).lower()
+            kind = m.group(2).upper()
+            lit = restore(m.group(3)).strip()
+            loc = getattr(self, "_iceberg_views", {}).get(name)
+            is_cow = name in getattr(self, "_cow", {})
+            if loc is None and not is_cow:
+                continue
+            ts_ms = None
+            if kind == "TIMESTAMP" or lit.upper().startswith("TIMESTAMP"):
+                s = _re.sub(r"^TIMESTAMP\s+", "", lit, flags=_re.I).strip("'")
+                dt = _dt.datetime.fromisoformat(s)
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=_dt.timezone.utc)
+                ts_ms = int(dt.timestamp() * 1000)
+            if loc is not None:
+                from trino_private_spark.sources.iceberg import read_iceberg
+
+                if ts_ms is not None:
+                    df = read_iceberg(self.spark, loc, as_of_ms=ts_ms)
+                elif lit.isdigit():
+                    df = read_iceberg(
+                        self.spark, loc, snapshot_id=int(lit)
+                    )
+                else:
+                    df = read_iceberg(self.spark, loc, ref=lit.strip("'"))
+            else:
+                if ts_ms is not None:
+                    df = self.read_as_of(name, ts_ms)
+                elif lit.isdigit():
+                    df = self.read_version(name, int(lit))
+                else:
+                    raise ValueError(
+                        f"FOR VERSION AS OF {lit!r}: CoW tables travel "
+                        "by integer version or timestamp"
+                    )
+            n += 1
+            vname = f"__tt_{name}_{n}"
+            df.createOrReplaceTempView(vname)
+            out.append(shielded[last : m.start()])
+            # keep an explicit alias only when the query didn't write one
+            rest = shielded[m.end() :]
+            has_alias = _re.match(
+                r"\s+(?:AS\s+)?(?!ON\b|WHERE\b|JOIN\b|LEFT\b|RIGHT\b|"
+                r"FULL\b|INNER\b|CROSS\b|OUTER\b|USING\b|GROUP\b|ORDER\b|"
+                r"HAVING\b|LIMIT\b|OFFSET\b|UNION\b|FETCH\b|SELECT\b)"
+                r"[A-Za-z_]\w*",
+                rest,
+                _re.I,
+            )
+            out.append(vname if has_alias else f"{vname} AS {m.group(1)}")
+            last = m.end()
+        if not n:
+            return text
+        out.append(shielded[last:])
+        return restore("".join(out))
 
     #: Trino column-type spellings -> iceberg types (ALTER ADD COLUMN)
     _TRINO_TO_ICEBERG = {

@@ -1150,3 +1150,104 @@ def p_iceberg_branch_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_tag, n_head, n_after)],
         "n_tag long, n_head long, n_after_expire long",
     )
+
+
+@probe(
+    "p_iceberg_sql_dml",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_custkey % 8 AS grp FROM orders),
+    after_del AS (SELECT * FROM base WHERE grp <> 3)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE grp = 3)
+               AS deleted,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM after_del WHERE grp = 5)
+               AS updated,
+           (SELECT CAST(SUM(CASE WHEN grp = 5
+                            THEN o_orderkey + 1000000
+                            ELSE o_orderkey END) AS BIGINT)
+            FROM after_del) AS key_sum,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS tt_rows
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE / UPDATE as SQL text through Engine.sql (SqlBase.g4:61,
+    160-162; the reference's executeDelete + RowDelta UPDATE): DELETE
+    writes position-delete files, UPDATE commits deletes + replacement
+    rows in one atomic snapshot, and FOR VERSION AS OF still reads the
+    pre-DML state — row counts and the post-DML key sum ride in the
+    hashed result."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.api import Engine
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_dml_") + "/t"
+    eng.ctas(
+        "ice_dml_orders",
+        "SELECT o_orderkey, o_custkey % 8 AS grp FROM orders",
+        path=loc, fmt="iceberg", partition_by=["grp"],
+    )
+    deleted = eng.sql(
+        "DELETE FROM ice_dml_orders WHERE grp = 3"
+    ).collect()[0].rows
+    updated = eng.sql(
+        "UPDATE ice_dml_orders SET o_orderkey = o_orderkey + 1000000 "
+        "WHERE grp = 5"
+    ).collect()[0].rows
+    key_sum = (
+        spark.table("ice_dml_orders")
+        .agg(F.sum("o_orderkey").cast("long").alias("s"))
+        .collect()[0].s
+    )
+    tt_rows = eng.sql(
+        "SELECT COUNT(*) AS c FROM ice_dml_orders FOR VERSION AS OF 1"
+    ).collect()[0].c
+    return spark.createDataFrame(
+        [(deleted, updated, key_sum, tt_rows)],
+        "deleted long, updated long, key_sum long, tt_rows long",
+    )
+
+
+@probe(
+    "p_iceberg_sql_ctas_insert",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) + 25 AS n_total,
+           CAST(25 AS BIGINT) AS n_inserted,
+           1 AS scanned_files
+    FROM orders
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_sql_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text Iceberg DDL/DML round trip: CREATE TABLE ... WITH
+    (format='ICEBERG', partitioning=ARRAY[...]) AS <query> commits a
+    real v2 tree and registers the view; INSERT INTO <view> appends a
+    prunable snapshot (beginInsert); a pruned per-query read confirms
+    the table stays partition-aligned end-to-end."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.api import Engine
+    from trino_private_spark.sources.iceberg import IO_SCAN_INFO
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_ci_") + "/t"
+    eng.sql(
+        f"CREATE TABLE ice_ci_orders WITH (format = 'ICEBERG', "
+        f"partitioning = ARRAY['grp'], location = '{loc}') AS "
+        "SELECT o_orderkey, o_custkey % 8 AS grp FROM orders"
+    )
+    ins = eng.sql(
+        "INSERT INTO ice_ci_orders "
+        "SELECT CAST(90000000 + n AS BIGINT) AS o_orderkey, "
+        "CAST(3 AS BIGINT) AS grp "
+        "FROM UNNEST(SEQUENCE(1, 25)) AS t(n)"
+    ).collect()[0].rows
+    total = spark.table("ice_ci_orders").count()
+    eng.sql("SELECT COUNT(*) AS c FROM ice_ci_orders WHERE grp = 5")
+    scanned = IO_SCAN_INFO[loc]["scanned_data_files"]
+    return spark.createDataFrame(
+        [(total, ins, scanned)],
+        "n_total long, n_inserted long, scanned_files int",
+    )
