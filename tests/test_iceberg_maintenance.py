@@ -311,3 +311,19 @@ class TestRefs:
         summ = _json.loads(row.partition_summaries)
         assert summ[0]["contains_null"] is False
         assert summ[0]["lower_bound"] == 0 and summ[0]["upper_bound"] == 3
+
+
+class TestMetadataLogEntries:
+    def test_log_grows_with_commits(self, spark, tmp_path):
+        loc = str(tmp_path / "t")
+        iceberg_create(spark.range(0, 5).selectExpr("id AS k"), loc)
+        iceberg_append(spark.range(5, 8).selectExpr("id AS k"), loc)
+        iceberg_append(spark.range(8, 9).selectExpr("id AS k"), loc)
+        rows = read_iceberg(spark, loc + "$metadata_log_entries").collect()
+        # 2 previous metadata versions + the current entry
+        assert len(rows) == 3
+        assert rows[-1].file == "(current)"
+        assert rows[-1].latest_snapshot_id == 3
+        # the first logged version held snapshot 1
+        assert rows[0].latest_snapshot_id == 1
+        assert rows[0].file.endswith("v1.metadata.json")

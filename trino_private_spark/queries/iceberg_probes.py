@@ -1251,3 +1251,58 @@ def p_iceberg_sql_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(total, ins, scanned)],
         "n_total long, n_inserted long, scanned_files int",
     )
+
+
+@probe(
+    "p_iceberg_metadata_log",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(0 AS INT), FALSE),
+        (CAST(2 AS BIGINT), CAST(1 AS INT), FALSE),
+        (CAST(3 AS BIGINT), CAST(1 AS INT), TRUE))
+        AS t(latest_snapshot_id, latest_schema_id, is_current)
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_metadata_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$metadata_log_entries (MetadataLogEntriesTable.java; spec
+    "metadata-log"): one row per previous metadata.json version plus the
+    current state, each carrying the snapshot/schema ids current AT that
+    version — so the log shows snapshot 1, 2, 3 and the schema flip
+    after an ALTER."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.sources.iceberg_write import (
+        iceberg_alter,
+        iceberg_append,
+        iceberg_create,
+    )
+
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_mle_") + "/t"
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name"
+    )
+    iceberg_create(nation, loc)
+    iceberg_append(nation.limit(3), loc)
+    iceberg_alter(loc, add_columns={"note": "string"})
+    iceberg_append(nation.limit(1), loc)
+    out = read_iceberg(spark, loc + "$metadata_log_entries")
+    # the ALTER writes a metadata version with the SAME snapshot id as
+    # the append before it; keep one row per snapshot id (latest wins)
+    # to make the probe robust to that interleaving
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("latest_snapshot_id").orderBy(
+        F.col("timestamp_ms").desc(),
+        F.col("latest_schema_id").desc(),
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "latest_snapshot_id",
+            "latest_schema_id",
+            (F.col("file") == "(current)").alias("is_current"),
+        )
+        .orderBy("latest_snapshot_id")
+    )

@@ -1187,6 +1187,7 @@ _METADATA_TABLE_KINDS = frozenset(
         "history",
         "refs",
         "properties",
+        "metadata_log_entries",
     }
 )
 
@@ -1397,6 +1398,41 @@ def _metadata_table(table: "IcebergTable", spark: SparkSession, kind: str):
         props = table.metadata.get("properties") or {}
         rows = [(str(pk), str(pv)) for pk, pv in sorted(props.items())]
         return spark.createDataFrame(rows, "key string, value string")
+    if k == "metadata_log_entries":
+        # MetadataLogEntriesTable.java shape: every previous metadata
+        # file (spec "metadata-log", oldest first) plus the current one,
+        # each with the snapshot/schema ids current AT that version
+        entries = list(table.metadata.get("metadata-log") or [])
+        rows = []
+        for e in entries:
+            mf = _local(str(e.get("metadata-file", "")))
+            snap_id = schema_id = None
+            try:
+                with open(mf) as fh:
+                    old = _json.load(fh)
+                snap_id = old.get("current-snapshot-id")
+                if snap_id == -1:
+                    snap_id = None
+                schema_id = old.get("current-schema-id")
+            except (OSError, ValueError):
+                pass  # expired/moved metadata version: ids unknown
+            rows.append(
+                (int(e.get("timestamp-ms") or 0), mf, snap_id, schema_id)
+            )
+        cur = table.current_snapshot()
+        rows.append(
+            (
+                int(table.metadata.get("last-updated-ms") or 0),
+                "(current)",
+                cur["snapshot-id"] if cur else None,
+                table.metadata.get("current-schema-id"),
+            )
+        )
+        return spark.createDataFrame(
+            rows,
+            "timestamp_ms long, file string, latest_snapshot_id long, "
+            "latest_schema_id int",
+        )
     if k == "partitions":
         agg: dict[str, list[int]] = {}
         for f in files:

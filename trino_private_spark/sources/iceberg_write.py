@@ -592,6 +592,17 @@ def _commit_snapshot(
     metadata["current-snapshot-id"] = snap_id
     metadata["last-sequence-number"] = seq
     metadata["last-updated-ms"] = now_ms
+    # spec "metadata-log": previous metadata files, oldest first — the
+    # $metadata_log_entries table and metadata rollback tooling read it
+    if version:
+        metadata["metadata-log"] = list(metadata.get("metadata-log") or []) + [
+            {
+                "timestamp-ms": now_ms,
+                "metadata-file": os.path.join(
+                    md_dir, f"v{version}.metadata.json"
+                ),
+            }
+        ]
     with open(os.path.join(md_dir, f"v{version + 1}.metadata.json"), "w") as fh:
         json.dump(metadata, fh)
     return snap_id
