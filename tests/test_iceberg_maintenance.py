@@ -327,3 +327,106 @@ class TestMetadataLogEntries:
         # the first logged version held snapshot 1
         assert rows[0].latest_snapshot_id == 1
         assert rows[0].file.endswith("v1.metadata.json")
+
+
+class TestRewriteManifests:
+    """rewrite_manifests (iceberg-core RewriteManifests, registered by
+    the reference as a table procedure): metadata-only manifest
+    compaction — content and delete applicability must be byte-identical
+    before and after, pre-rewrite snapshots stay time-travelable, and
+    merged field_summaries still manifest-prune."""
+
+    def test_merges_manifests_preserves_content(self, spark, churned):
+        from trino_private_spark.sources.iceberg_maintenance import (
+            iceberg_rewrite_manifests,
+        )
+
+        before = sorted(
+            r["k"] for r in read_iceberg(spark, churned).collect()
+        )
+        pre_snap = IcebergTable(churned).current_snapshot()["snapshot-id"]
+        stats = iceberg_rewrite_manifests(churned)
+        assert stats["rewritten_manifests"] == 5
+        assert stats["new_manifests"] == 2  # one data + one delete group
+        t = IcebergTable(churned)
+        t.data_files()
+        assert t.last_manifest_scan["manifests_total"] == 2
+        after = sorted(
+            r["k"] for r in read_iceberg(spark, churned).collect()
+        )
+        assert after == before  # position deletes still apply (seq kept)
+        # pre-rewrite time travel sees the old manifest layout
+        tt = sorted(
+            r["k"]
+            for r in read_iceberg(
+                spark, churned, snapshot_id=pre_snap
+            ).collect()
+        )
+        assert tt == before
+
+    def test_merged_summaries_still_prune(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg_maintenance import (
+            iceberg_rewrite_manifests,
+        )
+
+        loc = str(tmp_path / "t")
+        df = spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("grp")
+        )
+        iceberg_create(df, loc, partition_by=["grp"])
+        iceberg_append(
+            spark.range(50, 100).select(
+                F.col("id").alias("k"), (F.col("id") % 2 + 2).alias("grp")
+            ),
+            loc,
+        )
+        stats = iceberg_rewrite_manifests(loc)
+        assert stats == {"rewritten_manifests": 2, "new_manifests": 1}
+        t = IcebergTable(loc)
+        t.data_files(partition_filter=[("grp", "=", 99)])
+        assert t.last_manifest_scan["manifests_opened"] == 0
+        t.data_files(partition_filter=[("grp", "=", 3)])
+        assert t.last_manifest_scan["manifests_opened"] == 1
+        assert read_iceberg(spark, loc, where="grp = 3").count() == 25
+
+    def test_noop_on_single_manifest(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg_maintenance import (
+            iceberg_rewrite_manifests,
+        )
+
+        loc = str(tmp_path / "t")
+        iceberg_create(spark.range(0, 5).selectExpr("id AS k"), loc)
+        snaps_before = len(IcebergTable(loc).snapshots())
+        stats = iceberg_rewrite_manifests(loc)
+        assert stats["rewritten_manifests"] == 0
+        assert len(IcebergTable(loc).snapshots()) == snaps_before
+
+
+class TestDistributedManifestPrefetch:
+    def test_prefetch_matches_serial_walk(self, spark, churned, monkeypatch):
+        import trino_private_spark.sources.iceberg as ice
+
+        t = IcebergTable(churned)
+        serial = sorted(f.path for f in t.data_files())
+        ice._AVRO_CACHE.clear()
+        ice._DATAFILE_CACHE.clear()
+        # force every manifest through the distributed decode path
+        monkeypatch.setattr(ice, "MANIFEST_DRIVER_THRESHOLD", 0)
+        monkeypatch.setattr(ice, "MANIFEST_DISTRIBUTED_MIN_BYTES", 0)
+        dist = sorted(f.path for f in t.data_files(spark=spark))
+        assert dist == serial
+        assert len(ice._AVRO_CACHE) > 0  # cache was seeded by the job
+        rows = sorted(r["k"] for r in read_iceberg(spark, churned).collect())
+        assert len(rows) == 92
+
+    def test_constructed_cache_reuses_entries(self, spark, churned):
+        import trino_private_spark.sources.iceberg as ice
+
+        t = IcebergTable(churned)
+        first = t.data_files()
+        # a second walk serves the SAME immutable tuples from the
+        # constructed cache without re-reading any manifest
+        ice._AVRO_CACHE.clear()
+        second = t.data_files()
+        assert [f.path for f in first] == [f.path for f in second]
+        assert len(ice._AVRO_CACHE) == 1  # only the manifest LIST re-read

@@ -1121,6 +1121,21 @@ class Engine:
             # a registered view keeps serving fresh snapshots through
             # per-query re-pruning (sql() re-resolves)
             return self._one("CALL")
+        if name == "rewrite_manifests":
+            # iceberg-core RewriteManifests, registered by the reference
+            # as a table procedure: metadata-only manifest compaction
+            loc = _iceberg_loc(args[0])
+            if loc is None:
+                raise ValueError(
+                    f"rewrite_manifests: {args[0]!r} is not an Iceberg "
+                    "table"
+                )
+            from trino_private_spark.sources.iceberg_maintenance import (
+                iceberg_rewrite_manifests,
+            )
+
+            iceberg_rewrite_manifests(loc)
+            return self._one("CALL")
         raise ValueError(
             f"Procedure not registered: {procedure}"
         )
@@ -1433,6 +1448,14 @@ class Engine:
             )
 
             iceberg_optimize(self.spark, loc)
+        elif _re.fullmatch(
+            r"EXECUTE\s+rewrite_manifests(?:\s*\(\s*\))?", r, _re.I
+        ):
+            from trino_private_spark.sources.iceberg_maintenance import (
+                iceberg_rewrite_manifests,
+            )
+
+            iceberg_rewrite_manifests(loc)
         elif (
             m := _re.fullmatch(
                 r"CREATE\s+(BRANCH|TAG)\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)"

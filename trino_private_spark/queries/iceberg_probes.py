@@ -1306,3 +1306,65 @@ def p_iceberg_metadata_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("latest_snapshot_id")
     )
+
+
+@probe(
+    "p_iceberg_rewrite_manifests",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           4 AS manifests_before, 2 AS manifests_after,
+           CAST(COUNT(*) AS BIGINT) AS tt_rows
+    FROM nation WHERE n_nationkey % 7 <> 0
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rewrite_manifests via CALL system.rewrite_manifests (iceberg-core
+    RewriteManifests registered as a procedure by plugin/trino-iceberg):
+    create + 2 appends + a position-delete commit accrete 4 manifests;
+    the rewrite folds them to 2 (one data group, one delete group) in a
+    METADATA-ONLY replace snapshot. Pinned in the hash: row count and
+    key sum unchanged (delete applicability preserved — rewritten
+    entries carry their resolved sequence numbers), manifest counts
+    before/after, and pre-rewrite time travel still serving the same
+    rows from the OLD manifest list."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.api import Engine
+    from trino_private_spark.sources.iceberg import IcebergTable
+    from trino_private_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_create,
+        iceberg_delete,
+    )
+
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", (F.col("n_nationkey") % 4).alias("grp")
+    )
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_rwm_") + "/t"
+    iceberg_create(nation.where("n_nationkey < 10"), loc, partition_by=["grp"])
+    iceberg_append(
+        nation.where("n_nationkey >= 10 AND n_nationkey < 20"), loc
+    )
+    iceberg_append(nation.where("n_nationkey >= 20"), loc)
+    iceberg_delete(spark, loc, "n_nationkey % 7 = 0")
+    t = IcebergTable(loc)
+    t.data_files()
+    before = t.last_manifest_scan["manifests_total"]
+    pre_snap = t.current_snapshot()["snapshot-id"]
+
+    eng = Engine(spark)
+    eng.sql(f"CALL system.rewrite_manifests('{loc}')")
+
+    t2 = IcebergTable(loc)
+    rows = t2.read(spark)
+    after = t2.last_manifest_scan["manifests_total"]
+    tt_rows = t2.read(spark, snapshot_id=pre_snap).count()
+    return rows.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_nationkey").alias("key_sum"),
+        F.lit(before).alias("manifests_before"),
+        F.lit(after).alias("manifests_after"),
+        F.lit(tt_rows).alias("tt_rows"),
+    )

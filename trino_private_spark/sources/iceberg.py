@@ -42,6 +42,7 @@ from trino_private_spark.sources.decoders import _AvroReader, avro_encode
 __all__ = [
     "read_avro_container",
     "read_avro_container_cached",
+    "prefetch_manifests",
     "write_avro_container",
     "IcebergTable",
     "read_iceberg",
@@ -172,6 +173,90 @@ def read_avro_container_cached(path: str) -> list:
     return hit
 
 
+#: more than this many manifests to open makes data_files consider the
+#: distributed decode at all (a cheap count guard before any stat calls)
+MANIFEST_DRIVER_THRESHOLD = 64
+
+#: ... and the distributed job actually launches only when the UNCACHED
+#: manifest bytes exceed this — decode cost tracks bytes, not manifest
+#: count, and the measured warm-local-disk crossover (pure-Python avro
+#: decode ~8 MB/s serial vs job overhead + pickle collect + driver
+#: loads) sits near 20-30 MiB of manifest data (SCALE.md round 8). On
+#: object storage — the 100-TB reality — serial planning is
+#: LATENCY-bound (one RTT per manifest), so erring low there is free;
+#: the reference reads manifests through iceberg-core's ManifestGroup
+#: with a worker pool for the same reason.
+MANIFEST_DISTRIBUTED_MIN_BYTES = 24 * 1024 * 1024
+
+
+def prefetch_manifests(
+    spark: SparkSession, paths: list[str], min_bytes: int | None = None
+) -> int:
+    """Parse many Avro manifest files in ONE distributed ``mapInArrow``
+    job and seed the immutable-metadata cache with the decoded records —
+    metadata-scale driver traffic (one pickled record list per manifest
+    comes back), data-scale IO stays on the executors. Returns the
+    number of manifests fetched. Paths already cached are skipped; the
+    job launches only when the uncached bytes clear ``min_bytes``
+    (default MANIFEST_DISTRIBUTED_MIN_BYTES) — below that the serial
+    driver decode is measurably faster."""
+    import pickle
+
+    if min_bytes is None:
+        min_bytes = MANIFEST_DISTRIBUTED_MIN_BYTES
+    todo: list[tuple[str, tuple]] = []
+    todo_bytes = 0
+    for p in paths:
+        try:
+            st = os.stat(p)
+        except OSError:
+            continue  # unreadable here: the serial path surfaces the error
+        key = (p, st.st_size, st.st_mtime_ns)
+        if key not in _AVRO_CACHE:
+            todo.append((p, key))
+            todo_bytes += st.st_size
+    if not todo or todo_bytes < min_bytes:
+        return 0
+
+    def _parse(batches):
+        import pickle as _p  # noqa: PLC0415 (executor-side)
+
+        import pyarrow as pa  # noqa: PLC0415
+
+        from trino_private_spark.sources.iceberg import (  # noqa: PLC0415
+            read_avro_container,
+        )
+
+        for batch in batches:
+            out_p, out_b = [], []
+            for p in batch.column("path").to_pylist():
+                out_p.append(p)
+                out_b.append(
+                    _p.dumps(read_avro_container(p), protocol=4)
+                )
+            yield pa.RecordBatch.from_pydict(
+                {"path": out_p, "blob": out_b}
+            )
+
+    rows = (
+        spark.createDataFrame([(p,) for p, _ in todo], "path string")
+        .repartition(min(64, max(1, len(todo) // 8)))
+        .mapInArrow(_parse, "path string, blob binary")
+        .collect()
+    )
+    by_path = {r["path"]: bytes(r["blob"]) for r in rows}
+    fetched = 0
+    for p, key in todo:
+        blob = by_path.get(p)
+        if blob is None:
+            continue
+        _AVRO_CACHE[key] = pickle.loads(blob)
+        fetched += 1
+        if len(_AVRO_CACHE) > _AVRO_CACHE_MAX:
+            _AVRO_CACHE.popitem(last=False)
+    return fetched
+
+
 # --------------------------------------------------------------------------
 # Iceberg metadata walking
 # --------------------------------------------------------------------------
@@ -241,6 +326,81 @@ def _local(p: str) -> str:
     import re
 
     return re.sub(r"^file:/{0,2}(?=/)", "", p)
+
+
+#: constructed per-manifest _DataFile tuples, keyed like the avro cache
+#: plus the manifest-list context the entries resolve under (the
+#: manifest's own sequence number drives spec "Sequence Number
+#: Inheritance", its spec id tags every file). A manifest file is
+#: immutable and always listed at the same sequence number, so the
+#: entry is a pure function of the key — this turns REPEAT scan
+#: planning into O(matching manifests) dict lookups instead of
+#: re-materializing 10^5 Python objects per statement at 100-TB file
+#: counts (measured: ~1 s -> ~ms at 102k files, SCALE.md round 8).
+_DATAFILE_CACHE: "_OrderedDict[tuple, tuple]" = _OrderedDict()
+
+
+def _manifest_datafiles(
+    manifest_path: str, m_seq: int, m_spec: int
+) -> "tuple[_DataFile, ...]":
+    """One manifest's live entries as constructed _DataFile tuples,
+    through _DATAFILE_CACHE. Callers MUST NOT mutate the result."""
+    try:
+        st = os.stat(manifest_path)
+        key = (manifest_path, st.st_size, st.st_mtime_ns, m_seq, m_spec)
+    except OSError:
+        key = None
+    if key is not None:
+        hit = _DATAFILE_CACHE.get(key)
+        if hit is not None:
+            _DATAFILE_CACHE.move_to_end(key)
+            return hit
+    out: list[_DataFile] = []
+    for entry in read_avro_container_cached(manifest_path):
+        status = entry.get("status")
+        if status == 2:  # DELETED entry
+            continue
+        # Sequence-number inheritance (spec "Sequence Number
+        # Inheritance"): a null data sequence number on an ADDED
+        # (status=1) entry inherits the manifest's sequence number
+        # from the manifest list; EXISTING entries must carry their
+        # own. v1 manifests have neither -> 0.
+        seq = entry.get("sequence_number")
+        if seq is None:
+            seq = m_seq if status == 1 else 0
+        df = entry["data_file"]
+        part = df.get("partition")
+        out.append(
+            _DataFile(
+                path=_local(df["file_path"]),
+                content=df.get("content") or 0,
+                equality_ids=tuple(df.get("equality_ids") or ()),
+                sequence_number=int(seq),
+                partition=(
+                    tuple(sorted(part.items()))
+                    if isinstance(part, dict)
+                    else None
+                ),
+                spec_id=m_spec,
+                file_format=str(
+                    df.get("file_format") or "PARQUET"
+                ).upper(),
+                record_count=int(df.get("record_count") or 0),
+                file_size_in_bytes=int(
+                    df.get("file_size_in_bytes") or 0
+                ),
+                lower_bounds=_id_map(df.get("lower_bounds")),
+                upper_bounds=_id_map(df.get("upper_bounds")),
+                null_value_counts=_id_map(df.get("null_value_counts")),
+                value_counts=_id_map(df.get("value_counts")),
+            )
+        )
+    result = tuple(out)
+    if key is not None:
+        _DATAFILE_CACHE[key] = result
+        if len(_DATAFILE_CACHE) > _AVRO_CACHE_MAX:
+            _DATAFILE_CACHE.popitem(last=False)
+    return result
 
 
 # table roots seen by this process, so EXPLAIN (TYPE IO) can attribute a
@@ -329,6 +489,7 @@ class IcebergTable:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         partition_filter: list[tuple[str, str, object]] | None = None,
+        spark: SparkSession | None = None,
     ) -> list[_DataFile]:
         """Walk the snapshot's manifest list. With ``partition_filter``,
         DATA manifests whose manifest-list field_summaries exclude every
@@ -337,13 +498,17 @@ class IcebergTable:
         ManifestFile.partitions(), consumed by IcebergSplitSource). Delete
         manifests are always opened (a skipped delete could resurrect
         rows). ``self.last_manifest_scan`` records total/opened/pruned
-        manifest counts for EXPLAIN (TYPE IO)."""
+        manifest counts for EXPLAIN (TYPE IO). With ``spark``, a cold
+        scan of more than MANIFEST_DRIVER_THRESHOLD uncached manifests
+        decodes them in one distributed job instead of serial driver
+        Python (the entries come back once and land in the immutable-
+        metadata cache)."""
         snap = self.snapshot_for(snapshot_id, as_of_ms)
         manifest_list = _local(snap["manifest-list"])
         specs = self.partition_specs() if partition_filter else {}
         files: list[_DataFile] = []
         manifests = read_avro_container_cached(manifest_list)
-        opened = 0
+        to_open: list[tuple[str, int, int]] = []
         for m in manifests:
             manifest_path = _local(m["manifest_path"])
             m_seq = int(m.get("sequence_number") or 0)
@@ -357,48 +522,12 @@ class IcebergTable:
                     specs.get(m_spec), m.get("partitions"), partition_filter
                 ):
                     continue
-            opened += 1
-            for entry in read_avro_container_cached(manifest_path):
-                status = entry.get("status")
-                if status == 2:  # DELETED entry
-                    continue
-                # Sequence-number inheritance (spec "Sequence Number
-                # Inheritance"): a null data sequence number on an ADDED
-                # (status=1) entry inherits the manifest's sequence number
-                # from the manifest list; EXISTING entries must carry their
-                # own. v1 manifests have neither -> 0.
-                seq = entry.get("sequence_number")
-                if seq is None:
-                    seq = m_seq if status == 1 else 0
-                df = entry["data_file"]
-                part = df.get("partition")
-                files.append(
-                    _DataFile(
-                        path=_local(df["file_path"]),
-                        content=df.get("content") or 0,
-                        equality_ids=tuple(df.get("equality_ids") or ()),
-                        sequence_number=int(seq),
-                        partition=(
-                            tuple(sorted(part.items()))
-                            if isinstance(part, dict)
-                            else None
-                        ),
-                        spec_id=m_spec,
-                        file_format=str(
-                            df.get("file_format") or "PARQUET"
-                        ).upper(),
-                        record_count=int(df.get("record_count") or 0),
-                        file_size_in_bytes=int(
-                            df.get("file_size_in_bytes") or 0
-                        ),
-                        lower_bounds=_id_map(df.get("lower_bounds")),
-                        upper_bounds=_id_map(df.get("upper_bounds")),
-                        null_value_counts=_id_map(
-                            df.get("null_value_counts")
-                        ),
-                        value_counts=_id_map(df.get("value_counts")),
-                    )
-                )
+            to_open.append((manifest_path, m_seq, m_spec))
+        if spark is not None and len(to_open) > MANIFEST_DRIVER_THRESHOLD:
+            prefetch_manifests(spark, [p for p, _, _ in to_open])
+        opened = len(to_open)
+        for manifest_path, m_seq, m_spec in to_open:
+            files.extend(_manifest_datafiles(manifest_path, m_seq, m_spec))
         self.last_manifest_scan = {
             "manifests_total": len(manifests),
             "manifests_opened": opened,
@@ -694,7 +823,8 @@ class IcebergTable:
             except Exception:
                 pass  # unknown zone: keep the previous binding
         files = self.data_files(
-            snapshot_id, as_of_ms, partition_filter=partition_filter
+            snapshot_id, as_of_ms, partition_filter=partition_filter,
+            spark=spark,
         )
         # A data file can be listed by more than one manifest (ADDED once,
         # EXISTING after rewrites); keep one entry per path, max seq.

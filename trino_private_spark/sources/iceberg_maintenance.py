@@ -43,6 +43,7 @@ __all__ = [
     "iceberg_expire_snapshots",
     "iceberg_remove_orphan_files",
     "iceberg_optimize",
+    "iceberg_rewrite_manifests",
     "iceberg_create_ref",
     "iceberg_drop_ref",
 ]
@@ -221,6 +222,211 @@ def iceberg_remove_orphan_files(location: str) -> list[str]:
             except OSError:
                 pass
     return deleted
+
+
+def iceberg_rewrite_manifests(location: str) -> dict:
+    """rewrite_manifests (the reference registers iceberg-core's
+    RewriteManifests as a table procedure): merge the CURRENT snapshot's
+    manifests into ONE manifest per (content, partition-spec) group and
+    commit the result as a new `replace` snapshot. Data and delete files
+    are untouched — this is a METADATA-ONLY commit; after heavy DML it is
+    the lever that returns scan planning from O(thousands of accreted
+    manifests) to O(groups). Entries are rewritten as EXISTING (status 0)
+    with their RESOLVED data sequence numbers materialized (spec
+    "Sequence Number Inheritance" — an EXISTING entry must carry its own
+    seq), so position/equality-delete applicability is byte-identical
+    before and after. Manifest-list field_summaries for each merged
+    manifest are folded from the source manifests' summaries
+    (deserialize -> min/max -> reserialize); a source manifest without
+    summaries makes the merged group's summaries absent, which never
+    wrong-prunes. Pre-rewrite snapshots keep their own manifest lists, so
+    time travel still sees the old layout. Returns {'rewritten_manifests',
+    'new_manifests'}."""
+    import json
+    import time
+
+    from trino_private_spark.sources.iceberg import write_avro_container
+    from trino_private_spark.sources.iceberg_partition import (
+        deserialize_single_value,
+        partition_value_type,
+        serialize_single_value,
+    )
+    from trino_private_spark.sources.iceberg_testing import (
+        MANIFEST_LIST_SCHEMA,
+    )
+    from trino_private_spark.sources.iceberg_write import (
+        _entry_schema,
+        _latest_version,
+        _partition_avro_fields,
+    )
+
+    table = IcebergTable(location)
+    metadata = table.metadata
+    snap = table.current_snapshot()
+    if snap is None:
+        return {"rewritten_manifests": 0, "new_manifests": 0}
+    manifests = list(read_avro_container_cached(_local(snap["manifest-list"])))
+    if len(manifests) <= 1:
+        return {"rewritten_manifests": 0, "new_manifests": len(manifests)}
+
+    specs_fields = {
+        s.get("spec-id", 0): s.get("fields", [])
+        for s in metadata.get("partition-specs", [])
+    }
+    cur_schema = next(
+        (
+            s
+            for s in metadata.get("schemas", [])
+            if s.get("schema-id") == metadata.get("current-schema-id")
+        ),
+        metadata.get("schema") or {},
+    )
+    src_type_by_id = {
+        f["id"]: f["type"]
+        for f in cur_schema.get("fields", [])
+        if isinstance(f.get("type"), str)
+    }
+
+    # (list_content, spec_id) -> [resolved entries], [source summaries]
+    groups: dict[tuple[int, int], list[dict]] = {}
+    summaries: dict[tuple[int, int], list] = {}
+    for m in manifests:
+        m_seq = int(m.get("sequence_number") or 0)
+        m_spec = int(m.get("partition_spec_id") or 0)
+        m_content = int(m.get("content") or 0)
+        key = (m_content, m_spec)
+        summaries.setdefault(key, []).append(m.get("partitions"))
+        for entry in read_avro_container_cached(_local(m["manifest_path"])):
+            status = entry.get("status")
+            if status == 2:  # DELETED entries drop out of the rewrite
+                continue
+            seq = entry.get("sequence_number")
+            if seq is None:
+                seq = m_seq if status == 1 else 0
+            groups.setdefault(key, []).append(
+                {
+                    "status": 0,  # EXISTING: file predates this snapshot
+                    "snapshot_id": entry.get("snapshot_id"),
+                    "sequence_number": int(seq),
+                    "data_file": entry["data_file"],
+                }
+            )
+
+    def _merge_summaries(key: tuple[int, int]) -> list | None:
+        """Fold per-manifest field_summaries; ANY absent source summary
+        makes the merged one absent (absent never prunes)."""
+        srcs = summaries.get(key, [])
+        if not srcs or any(s is None for s in srcs):
+            return None
+        sf = specs_fields.get(key[1], [])
+        if not sf or any(len(s) != len(sf) for s in srcs):
+            return None
+        out = []
+        for i, fld in enumerate(sf):
+            vt = partition_value_type(
+                fld.get("transform", "identity"),
+                src_type_by_id.get(fld.get("source-id"), ""),
+            )
+            contains_null = any(s[i].get("contains_null") for s in srcs)
+            vals = []
+            for s in srcs:
+                lo, hi = s[i].get("lower_bound"), s[i].get("upper_bound")
+                if lo is None or hi is None:
+                    # a boundless source -> no merged bounds for the field
+                    vals = None
+                    break
+                try:
+                    vals.append(deserialize_single_value(vt, lo))
+                    vals.append(deserialize_single_value(vt, hi))
+                except (TypeError, ValueError):
+                    vals = None
+                    break
+            e = {
+                "contains_null": contains_null,
+                "lower_bound": None,
+                "upper_bound": None,
+            }
+            if vals:
+                try:
+                    e["lower_bound"] = serialize_single_value(vt, min(vals))
+                    e["upper_bound"] = serialize_single_value(vt, max(vals))
+                except (TypeError, ValueError, OverflowError):
+                    pass
+            out.append(e)
+        return out
+
+    md_dir = os.path.join(location, "metadata")
+    seq = int(metadata.get("last-sequence-number", 0)) + 1
+    snap_id = (
+        max(
+            (s["snapshot-id"] for s in metadata.get("snapshots", [])),
+            default=0,
+        )
+        + 1
+    )
+    new_manifests: list[dict] = []
+    for gi, (key, entries) in enumerate(sorted(groups.items())):
+        m_content, m_spec = key
+        part_avro = _partition_avro_fields(
+            metadata, specs_fields.get(m_spec, [])
+        )
+        manifest_path = os.path.join(
+            md_dir, f"manifest-{snap_id}-rw{gi}.avro"
+        )
+        write_avro_container(
+            manifest_path, _entry_schema(part_avro), entries
+        )
+        new_manifests.append(
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": m_spec,
+                "content": m_content,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    e["sequence_number"] for e in entries
+                ),
+                "added_snapshot_id": snap_id,
+                "partitions": _merge_summaries(key),
+            }
+        )
+    manifest_list_path = os.path.join(md_dir, f"snap-{snap_id}.avro")
+    write_avro_container(
+        manifest_list_path, MANIFEST_LIST_SCHEMA, new_manifests
+    )
+    now_ms = int(time.time() * 1000)
+    parent = metadata.get("current-snapshot-id", -1)
+    metadata["snapshots"] = list(metadata.get("snapshots", [])) + [
+        {
+            "snapshot-id": snap_id,
+            "timestamp-ms": now_ms,
+            "sequence-number": seq,
+            "manifest-list": manifest_list_path,
+            "summary": {"operation": "replace"},
+            "parent-snapshot-id": parent if parent != -1 else None,
+            "schema-id": int(metadata.get("current-schema-id", 0)),
+        }
+    ]
+    metadata["current-snapshot-id"] = snap_id
+    metadata["last-sequence-number"] = seq
+    metadata["last-updated-ms"] = now_ms
+    version = _latest_version(location)
+    metadata["metadata-log"] = list(metadata.get("metadata-log") or []) + [
+        {
+            "timestamp-ms": now_ms,
+            "metadata-file": os.path.join(
+                md_dir, f"v{version}.metadata.json"
+            ),
+        }
+    ]
+    with open(
+        os.path.join(md_dir, f"v{version + 1}.metadata.json"), "w"
+    ) as fh:
+        json.dump(metadata, fh)
+    return {
+        "rewritten_manifests": len(manifests),
+        "new_manifests": len(new_manifests),
+    }
 
 
 def iceberg_optimize(
