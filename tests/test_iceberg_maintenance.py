@@ -430,3 +430,119 @@ class TestDistributedManifestPrefetch:
         second = t.data_files()
         assert [f.path for f in first] == [f.path for f in second]
         assert len(ice._AVRO_CACHE) == 1  # only the manifest LIST re-read
+
+
+class TestOptimisticCommit:
+    """atomic_write_metadata / _commit_snapshot retry: the reference's
+    SnapshotProducer optimistic-concurrency shape — a lost race raises
+    CommitFailedException on the raw write, and the snapshot-commit
+    wrapper re-derives against the new base instead of clobbering."""
+
+    def test_version_conflict_raises(self, spark, tmp_path):
+        from trino_private_spark.sources.iceberg_write import (
+            CommitFailedException,
+            atomic_write_metadata,
+            iceberg_create,
+        )
+
+        loc = str(tmp_path / "t")
+        iceberg_create(spark.range(0, 5).selectExpr("id AS k"), loc)
+        t = IcebergTable(loc)
+        with pytest.raises(CommitFailedException):
+            # v1 is taken: a concurrent writer must NOT clobber it
+            atomic_write_metadata(loc, t.metadata, 1)
+
+    def test_commit_retries_against_new_base(self, spark, tmp_path):
+        import threading
+
+        from trino_private_spark.sources.iceberg import read_iceberg as ri
+
+        loc = str(tmp_path / "t")
+        iceberg_create(spark.range(0, 10).selectExpr("id AS k"), loc)
+        # two appends race: both read base v1, both target v2 — one
+        # must lose the link and retry against the winner's v2
+        errs: list = []
+
+        def append(lo: int) -> None:
+            try:
+                iceberg_append(
+                    spark.range(lo, lo + 10).selectExpr("id AS k"), loc
+                )
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+
+        t1 = threading.Thread(target=append, args=(100,))
+        t2 = threading.Thread(target=append, args=(200,))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert not errs
+        rows = sorted(r["k"] for r in ri(spark, loc).collect())
+        assert rows == sorted(
+            list(range(10)) + list(range(100, 110)) + list(range(200, 210))
+        )
+        # three snapshots: create + both appends survived the race
+        assert len(IcebergTable(loc).snapshots()) == 3
+
+
+class TestRandomDmlModel:
+    """Model-based sequence test: random interleavings of append /
+    delete / update / optimize / rewrite_manifests must keep the
+    readable table equal to a plain Python dict model after EVERY
+    operation — the whole-surface interaction pin (deletes must survive
+    compaction, rewrites must preserve sequence scoping, updates must
+    not resurrect deleted keys)."""
+
+    def test_random_sequences_match_model(self, spark, tmp_path):
+        import random
+
+        from trino_private_spark.sources.iceberg_maintenance import (
+            iceberg_rewrite_manifests,
+        )
+        from trino_private_spark.sources.iceberg_write import iceberg_update
+
+        rng = random.Random(20260816)
+        next_key = [0]
+
+        def fresh_rows(n: int) -> list[tuple[int, int]]:
+            lo = next_key[0]
+            next_key[0] += n
+            return [(k, k * 10) for k in range(lo, lo + n)]
+
+        for trial in range(3):
+            loc = str(tmp_path / f"t{trial}")
+            rows = fresh_rows(20)
+            model = dict(rows)
+            iceberg_create(
+                spark.createDataFrame(rows, "k long, v long"), loc
+            )
+            for _ in range(6):
+                op = rng.choice(
+                    ["append", "delete", "update", "optimize", "rewrite"]
+                )
+                if op == "append":
+                    rows = fresh_rows(rng.randint(1, 10))
+                    iceberg_append(
+                        spark.createDataFrame(rows, "k long, v long"), loc
+                    )
+                    model.update(rows)
+                elif op == "delete":
+                    m = rng.randint(2, 5)
+                    iceberg_delete(spark, loc, f"k % {m} = 0")
+                    model = {k: v for k, v in model.items() if k % m != 0}
+                elif op == "update":
+                    m = rng.randint(2, 5)
+                    iceberg_update(
+                        spark, loc, {"v": "v + 1"}, f"k % {m} = 1"
+                    )
+                    model = {
+                        k: (v + 1 if k % m == 1 else v)
+                        for k, v in model.items()
+                    }
+                elif op == "optimize":
+                    iceberg_optimize(spark, loc)
+                else:
+                    iceberg_rewrite_manifests(loc)
+                got = sorted(
+                    (r["k"], r["v"])
+                    for r in read_iceberg(spark, loc).collect()
+                )
+                assert got == sorted(model.items()), (trial, op)

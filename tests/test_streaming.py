@@ -455,3 +455,35 @@ def test_click_view_full_outer_stream_equals_batch(spark, batch_events, tmp_path
     assert batch_c["view_id"].isna().sum() > 0, "need unmatched clicks"
     assert batch_c["click_id"].isna().sum() > 0, "need unmatched views"
     compare_frames(got_c, batch_c, "click_view_full_outer (closed region)")
+
+
+def test_iceberg_sink_exactly_once_round_trip(spark, batch_events, tmp_path):
+    """availableNow drain into an ICEBERG table: committed rows == source
+    rows, one append snapshot per micro-batch with its batch id in the
+    snapshot summary, and a second drain of the fully-consumed source
+    commits nothing new (checkpoint + batch-id markers make it
+    idempotent). A replayed batch id is also skipped WITHOUT the
+    checkpoint's help."""
+    from trino_private_spark.sources.iceberg import IcebergTable, read_iceberg
+    from trino_private_spark.streaming.events import iceberg_sink
+
+    out, ckpt = str(tmp_path / "ice"), str(tmp_path / "ckpt")
+    iceberg_sink(events_stream(spark, SF_SMOKE), out, ckpt)
+    n1 = read_iceberg(spark, out).count()
+    assert n1 == batch_events.count()
+    snaps = IcebergTable(out).snapshots()
+    batch_ids = [
+        (s.get("summary") or {}).get("streaming-batch-id") for s in snaps
+    ]
+    assert "0" in batch_ids  # batch 0 committed with its marker
+    # drain again: source fully consumed -> no new snapshots with rows
+    iceberg_sink(events_stream(spark, SF_SMOKE), out, ckpt)
+    assert read_iceberg(spark, out).count() == n1
+    # a REAL replay: drain the same source with a FRESH checkpoint, so
+    # the restarted query re-emits the data as batch 0 — only the
+    # snapshot-summary batch-id marker stands between that and
+    # duplicate rows
+    iceberg_sink(
+        events_stream(spark, SF_SMOKE), out, str(tmp_path / "ckpt2")
+    )
+    assert read_iceberg(spark, out).count() == n1

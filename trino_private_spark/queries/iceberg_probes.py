@@ -1368,3 +1368,56 @@ def p_iceberg_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(after).alias("manifests_after"),
         F.lit(tt_rows).alias("tt_rows"),
     )
+
+
+@probe(
+    "p_iceberg_entries_all_manifests",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           4 AS n_entries, 2 AS n_del_entries, 8 AS seq_sum,
+           6 AS n_all_manifests, 68 AS ref_sum
+    FROM nation WHERE n_nationkey % 5 <> 0 AND n_nationkey <> 19
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_entries_all_manifests(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """$entries + $all_manifests metadata tables (the reference's
+    EntriesTable / AllManifestsTable, plugin/trino-iceberg
+    TableType.ENTRIES / ALL_MANIFESTS). On the deterministic 3-snapshot
+    fixture: the current snapshot's manifests hold 4 entries (data d1,
+    pos-delete pd1, eq-delete ed1, data d2) with inherited sequence
+    numbers 1+2+2+3=8 and 2 delete-content entries; $all_manifests
+    unions 1+2+3 manifest rows across the 3 snapshots with
+    reference_snapshot_id sum 10+2*11+3*12=68. The row count ties the
+    fixture's delete semantics to the nation oracle."""
+    from pyspark.sql import functions as F
+
+    loc = _build(sf_dir)
+    n_rows = read_iceberg(spark, loc).count()
+    e = read_iceberg(spark, loc + "$entries")
+    am = read_iceberg(spark, loc + "$all_manifests")
+    return (
+        e.agg(
+            F.count("*").alias("n_entries"),
+            F.sum((F.col("content") > 0).cast("int")).alias(
+                "n_del_entries"
+            ),
+            F.sum("sequence_number").alias("seq_sum"),
+        )
+        .crossJoin(
+            am.agg(
+                F.count("*").alias("n_all_manifests"),
+                F.sum("reference_snapshot_id").alias("ref_sum"),
+            )
+        )
+        .select(
+            F.lit(n_rows).alias("n_rows"),
+            F.col("n_entries").cast("int"),
+            F.col("n_del_entries").cast("int"),
+            F.col("seq_sum").cast("int"),
+            F.col("n_all_manifests").cast("int"),
+            F.col("ref_sum").cast("int"),
+        )
+    )

@@ -1318,6 +1318,8 @@ _METADATA_TABLE_KINDS = frozenset(
         "refs",
         "properties",
         "metadata_log_entries",
+        "entries",
+        "all_manifests",
     }
 )
 
@@ -1405,6 +1407,68 @@ def _metadata_table(table: "IcebergTable", spark: SparkSession, kind: str):
             "path string, length long, partition_spec_id int, content int, "
             "sequence_number long, added_snapshot_id long, "
             "partition_summaries string",
+        )
+    if k == "entries":
+        # EntriesTable shape (manifest_entry verbatim, data_file
+        # flattened to its headline columns): every entry of the CURRENT
+        # snapshot's manifests INCLUDING status-2 deletions — this is
+        # the raw planning view $files post-filters
+        snap = table.current_snapshot()
+        rows = []
+        if snap is not None:
+            for m in read_avro_container_cached(_local(snap["manifest-list"])):
+                m_seq = int(m.get("sequence_number") or 0)
+                for e in read_avro_container_cached(_local(m["manifest_path"])):
+                    status = int(e.get("status") or 0)
+                    seq = e.get("sequence_number")
+                    if seq is None:
+                        seq = m_seq if status == 1 else 0
+                    df_ = e.get("data_file") or {}
+                    part = df_.get("partition")
+                    rows.append(
+                        (
+                            status,
+                            e.get("snapshot_id"),
+                            int(seq),
+                            int(df_.get("content") or 0),
+                            _local(df_.get("file_path") or ""),
+                            str(df_.get("file_format") or "PARQUET").upper(),
+                            int(df_.get("record_count") or 0),
+                            int(df_.get("file_size_in_bytes") or 0),
+                            _json.dumps(part) if isinstance(part, dict) else None,
+                        )
+                    )
+        return spark.createDataFrame(
+            rows,
+            "status int, snapshot_id long, sequence_number long, "
+            "content int, file_path string, file_format string, "
+            "record_count long, file_size_in_bytes long, partition string",
+        )
+    if k == "all_manifests":
+        # AllManifestsTable: the $manifests shape unioned over EVERY
+        # snapshot, each row tagged with the snapshot that references it
+        rows = []
+        for s in table.snapshots():
+            ml = _local(s["manifest-list"])
+            if not os.path.exists(ml):
+                continue  # expired manifest list
+            for m in read_avro_container_cached(ml):
+                rows.append(
+                    (
+                        _local(m["manifest_path"]),
+                        int(m.get("manifest_length") or 0),
+                        int(m.get("partition_spec_id") or 0),
+                        int(m.get("content") or 0),
+                        int(m.get("sequence_number") or 0),
+                        int(m.get("added_snapshot_id") or 0),
+                        s["snapshot-id"],
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "path string, length long, partition_spec_id int, "
+            "content int, sequence_number long, added_snapshot_id long, "
+            "reference_snapshot_id long",
         )
     files = table.data_files()
     if k == "files":

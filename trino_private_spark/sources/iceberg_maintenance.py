@@ -50,18 +50,16 @@ __all__ = [
 
 
 def _write_metadata(location: str, metadata: dict) -> None:
-    import json
     import time
 
-    from trino_private_spark.sources.iceberg_write import _latest_version
+    from trino_private_spark.sources.iceberg_write import (
+        _latest_version,
+        atomic_write_metadata,
+    )
 
     metadata["last-updated-ms"] = int(time.time() * 1000)
     version = _latest_version(location)
-    with open(
-        os.path.join(location, "metadata", f"v{version + 1}.metadata.json"),
-        "w",
-    ) as fh:
-        json.dump(metadata, fh)
+    atomic_write_metadata(location, metadata, version + 1)
 
 
 def iceberg_create_ref(
@@ -187,18 +185,7 @@ def iceberg_expire_snapshots(
                 pass
 
     metadata["snapshots"] = kept
-    import json
-    import time
-
-    metadata["last-updated-ms"] = int(time.time() * 1000)
-    from trino_private_spark.sources.iceberg_write import _latest_version
-
-    version = _latest_version(location)
-    with open(
-        os.path.join(location, "metadata", f"v{version + 1}.metadata.json"),
-        "w",
-    ) as fh:
-        json.dump(metadata, fh)
+    _write_metadata(location, metadata)
     return {"expired_snapshots": len(dropped), "deleted_files": deleted}
 
 
@@ -242,7 +229,6 @@ def iceberg_rewrite_manifests(location: str) -> dict:
     wrong-prunes. Pre-rewrite snapshots keep their own manifest lists, so
     time travel still sees the old layout. Returns {'rewritten_manifests',
     'new_manifests'}."""
-    import json
     import time
 
     from trino_private_spark.sources.iceberg import write_avro_container
@@ -364,6 +350,11 @@ def iceberg_rewrite_manifests(location: str) -> dict:
         )
         + 1
     )
+    import uuid as _uuid
+
+    attempt = _uuid.uuid4().hex[:8]  # attempt-unique names (see
+    # iceberg_write._commit_snapshot_once: a lost optimistic race must
+    # never share file paths with the winner)
     new_manifests: list[dict] = []
     for gi, (key, entries) in enumerate(sorted(groups.items())):
         m_content, m_spec = key
@@ -371,7 +362,7 @@ def iceberg_rewrite_manifests(location: str) -> dict:
             metadata, specs_fields.get(m_spec, [])
         )
         manifest_path = os.path.join(
-            md_dir, f"manifest-{snap_id}-rw{gi}.avro"
+            md_dir, f"manifest-{snap_id}-rw{gi}-{attempt}.avro"
         )
         write_avro_container(
             manifest_path, _entry_schema(part_avro), entries
@@ -390,7 +381,9 @@ def iceberg_rewrite_manifests(location: str) -> dict:
                 "partitions": _merge_summaries(key),
             }
         )
-    manifest_list_path = os.path.join(md_dir, f"snap-{snap_id}.avro")
+    manifest_list_path = os.path.join(
+        md_dir, f"snap-{snap_id}-{attempt}.avro"
+    )
     write_avro_container(
         manifest_list_path, MANIFEST_LIST_SCHEMA, new_manifests
     )
@@ -419,10 +412,11 @@ def iceberg_rewrite_manifests(location: str) -> dict:
             ),
         }
     ]
-    with open(
-        os.path.join(md_dir, f"v{version + 1}.metadata.json"), "w"
-    ) as fh:
-        json.dump(metadata, fh)
+    from trino_private_spark.sources.iceberg_write import (
+        atomic_write_metadata,
+    )
+
+    atomic_write_metadata(location, metadata, version + 1)
     return {
         "rewritten_manifests": len(manifests),
         "new_manifests": len(new_manifests),

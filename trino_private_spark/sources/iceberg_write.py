@@ -287,6 +287,44 @@ def _latest_version(location: str) -> int:
     return best
 
 
+class CommitFailedException(RuntimeError):
+    """A concurrent writer committed the metadata version this commit
+    targeted (the reference's org.apache.iceberg CommitFailedException,
+    surfaced through plugin/trino-iceberg on optimistic-lock loss)."""
+
+
+def atomic_write_metadata(location: str, metadata: dict, version: int) -> str:
+    """Commit ``metadata`` as ``v{version}.metadata.json`` ATOMICALLY:
+    write a temp file in the same directory, then hard-link it to the
+    target name — the link fails with FileExistsError when a concurrent
+    writer already claimed the version (raised as
+    CommitFailedException). Readers never observe a partial file, and
+    two writers never silently clobber each other — the optimistic
+    swap HadoopTableOperations performs with rename-if-absent."""
+    import json as _json
+    import uuid as _uuid
+
+    md_dir = os.path.join(location, "metadata")
+    os.makedirs(md_dir, exist_ok=True)
+    target = os.path.join(md_dir, f"v{version}.metadata.json")
+    tmp = os.path.join(md_dir, f".tmp-{_uuid.uuid4().hex}.metadata.json")
+    with open(tmp, "w") as fh:
+        _json.dump(metadata, fh)
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise CommitFailedException(
+            f"metadata version {version} was committed concurrently "
+            f"({target} exists); retry the commit against the new base"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    return target
+
+
 _METRIC_FIELDS = (
     ("value_counts", "long"),
     ("null_value_counts", "long"),
@@ -335,6 +373,26 @@ def _entry_schema(partition_avro: list[tuple[str, str]] | None) -> dict:
 def _commit_snapshot(
     location: str,
     groups: list[tuple[list[dict], int]],
+    **kwargs,
+) -> int:
+    """Optimistic-concurrency wrapper over _commit_snapshot_once (the
+    reference's SnapshotProducer.commit retry loop): when a concurrent
+    writer claims the targeted metadata version, the WHOLE commit
+    re-derives against the new base — already-written data files are
+    inputs and stay valid; manifests and the snapshot id recompute. Two
+    retries, then the CommitFailedException surfaces."""
+    last: CommitFailedException | None = None
+    for _ in range(3):
+        try:
+            return _commit_snapshot_once(location, groups, **kwargs)
+        except CommitFailedException as exc:
+            last = exc
+    raise last  # type: ignore[misc]
+
+
+def _commit_snapshot_once(
+    location: str,
+    groups: list[tuple[list[dict], int]],
     *,
     operation: str,
     schema_fields: list[tuple[int, str, str]] | None = None,
@@ -343,6 +401,7 @@ def _commit_snapshot(
     properties: dict[str, str] | None = None,
     replace: bool = False,
     sort_order: list[dict] | None = None,
+    summary_extra: dict[str, str] | None = None,
 ) -> int:
     """Commit ONE snapshot referencing every file group in ``groups``
     (``[(files, content), ...]``) — one manifest per group, all at the
@@ -500,10 +559,16 @@ def _commit_snapshot(
     )
     now_ms = int(time.time() * 1000)
 
+    # attempt-unique file names: a commit that loses the optimistic
+    # race and retries must never have SHARED a manifest/manifest-list
+    # path with the winner (same base -> same snap_id -> a name collision
+    # would let the loser clobber the winner's committed files); real
+    # Iceberg suffixes a commit UUID for exactly this reason
+    attempt = uuid.uuid4().hex[:8]
     new_manifests: list[dict] = []
     for gi, (new_files, content) in enumerate(groups):
         manifest_path = os.path.join(
-            md_dir, f"manifest-{snap_id}-{gi}.avro"
+            md_dir, f"manifest-{snap_id}-{gi}-{attempt}.avro"
         )
         entries = []
         for f in new_files:
@@ -568,7 +633,9 @@ def _commit_snapshot(
                 "partitions": _field_summaries(entries),
             }
         )
-    manifest_list_path = os.path.join(md_dir, f"snap-{snap_id}.avro")
+    manifest_list_path = os.path.join(
+        md_dir, f"snap-{snap_id}-{attempt}.avro"
+    )
     write_avro_container(
         manifest_list_path,
         MANIFEST_LIST_SCHEMA,
@@ -581,7 +648,10 @@ def _commit_snapshot(
             "timestamp-ms": now_ms,
             "sequence-number": seq,
             "manifest-list": manifest_list_path,
-            "summary": {"operation": operation},
+            # summary_extra carries writer markers alongside the spec's
+            # operation key (e.g. the streaming sink's batch id — the
+            # idempotence marker Iceberg's own streaming writers record)
+            "summary": {"operation": operation, **(summary_extra or {})},
             # spec: ancestry pointer ($history / expire-snapshots walk it)
             "parent-snapshot-id": parent if parent != -1 else None,
             # spec: snapshots record the schema they were written under —
@@ -603,8 +673,7 @@ def _commit_snapshot(
                 ),
             }
         ]
-    with open(os.path.join(md_dir, f"v{version + 1}.metadata.json"), "w") as fh:
-        json.dump(metadata, fh)
+    atomic_write_metadata(location, metadata, version + 1)
     return snap_id
 
 
@@ -887,7 +956,10 @@ def iceberg_create(
 
 
 def iceberg_append(
-    df: DataFrame, location: str, file_format: str = "PARQUET"
+    df: DataFrame,
+    location: str,
+    file_format: str = "PARQUET",
+    summary_extra: dict[str, str] | None = None,
 ) -> None:
     """INSERT INTO (append snapshot; IcebergMetadata.beginInsert). A
     partitioned table's default spec is applied automatically — appended
@@ -933,7 +1005,11 @@ def iceberg_append(
         file_format=file_format,
     )
     _commit_snapshot(
-        location, [(files, 0)], operation="append", file_format=file_format
+        location,
+        [(files, 0)],
+        operation="append",
+        file_format=file_format,
+        summary_extra=summary_extra,
     )
 
 

@@ -223,6 +223,62 @@ def parquet_sink(
     return q
 
 
+def iceberg_sink(
+    stream_df: DataFrame,
+    location: str,
+    checkpoint: str,
+    timeout_s: int = 120,
+    partition_by: list | None = None,
+):
+    """Exactly-once ICEBERG sink: each micro-batch commits as ONE append
+    snapshot whose summary records the micro-batch id — the idempotence
+    marker Iceberg's own Spark structured-streaming writer stores
+    (iceberg-spark SparkWrite commits `spark.app.id`/batch epoch in the
+    snapshot summary; the reference reads such tables through
+    plugin/trino-iceberg like any other). A restarted query that replays
+    a committed batch finds its id already in the snapshot log and skips
+    the commit, so checkpoint-replay never duplicates rows. The table is
+    created empty up front from the stream schema (a zero-data-file
+    snapshot reads as an empty table), so batch 0 is an ordinary append.
+    ``availableNow`` drains the backlog then stops."""
+    import os as _os
+
+    from trino_private_spark.sources.iceberg import IcebergTable
+    from trino_private_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_create,
+    )
+
+    if not _os.path.isdir(_os.path.join(location, "metadata")):
+        empty = stream_df.sparkSession.createDataFrame(
+            [], stream_df.schema
+        )
+        iceberg_create(empty, location, partition_by=partition_by)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        committed = {
+            (s.get("summary") or {}).get("streaming-batch-id")
+            for s in IcebergTable(location).snapshots()
+        }
+        if str(batch_id) in committed:
+            return  # checkpoint replay of an already-committed batch
+        iceberg_append(
+            batch_df,
+            location,
+            summary_extra={"streaming-batch-id": str(batch_id)},
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(commit_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
+
+
 def windowed_approx_distinct(
     events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
