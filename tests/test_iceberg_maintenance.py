@@ -546,3 +546,56 @@ class TestRandomDmlModel:
                     for r in read_iceberg(spark, loc).collect()
                 )
                 assert got == sorted(model.items()), (trial, op)
+
+
+class TestRewritePruneEquivalence:
+    """Randomized prune-equivalence: after rewrite_manifests the merged
+    field_summaries must NEVER change query results — for random
+    predicates, the manifest-pruned read equals the unpruned read
+    row-for-row (conservative-skip invariant, end to end)."""
+
+    def test_random_predicates_match_unpruned(self, spark, tmp_path):
+        import random
+
+        from trino_private_spark.sources.iceberg_maintenance import (
+            iceberg_rewrite_manifests,
+        )
+
+        rng = random.Random(8)
+        loc = str(tmp_path / "t")
+        # three appends with disjoint-ish grp windows so summaries are
+        # non-trivial, then a delete so a delete manifest joins the mix
+        df = spark.range(0, 60).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("grp")
+        )
+        iceberg_create(df, loc, partition_by=["grp"])
+        iceberg_append(
+            spark.range(60, 120).select(
+                F.col("id").alias("k"), (F.col("id") % 4 + 3).alias("grp")
+            ),
+            loc,
+        )
+        iceberg_delete(spark, loc, "k % 7 = 0")
+        iceberg_rewrite_manifests(loc)
+        t = IcebergTable(loc)
+        full = {}
+        for _ in range(8):
+            op = rng.choice(["=", "<", ">", "<=", ">="])
+            lit = rng.randint(-1, 8)
+            key = (op, lit)
+            if key not in full:
+                full[key] = sorted(
+                    r["k"]
+                    for r in t.read(spark)
+                    .where(f"grp {op} {lit}")
+                    .collect()
+                )
+            pruned = sorted(
+                r["k"]
+                for r in t.read(
+                    spark, partition_filter=[("grp", op, lit)]
+                )
+                .where(f"grp {op} {lit}")
+                .collect()
+            )
+            assert pruned == full[key], key

@@ -66,6 +66,18 @@ class Engine:
             r"\s*SHOW\s+STATS\s+FOR\s+([A-Za-z_][\w.]*)\s*$", text, flags=_re.I
         )
         if ss:
+            name = ss.group(1).lower()
+            if name in getattr(self, "_iceberg_views", {}):
+                # the reference serves Iceberg SHOW STATS from manifest
+                # metrics + ANALYZE-written NDVs, zero data IO
+                # (TableStatisticsReader); so does the shim
+                from trino_private_spark.sources.iceberg_stats import (
+                    show_stats_frame,
+                )
+
+                return show_stats_frame(
+                    self.spark, self._iceberg_views[name]
+                )
             return self.show_stats(ss.group(1))
         sq = _re.match(
             r"\s*SHOW\s+STATS\s+FOR\s*\((.+)\)\s*$", text, flags=_re.I | _re.S
@@ -238,7 +250,17 @@ class Engine:
             return sec
         an = _re.match(r"\s*ANALYZE\s+([A-Za-z_][\w.]*)\s*$", text, flags=_re.I)
         if an:
-            self.analyze(an.group(1))
+            name = an.group(1).lower()
+            if name in getattr(self, "_iceberg_views", {}):
+                # ANALYZE on an Iceberg table = one distributed NDV pass
+                # committed as a statistics file (TableStatisticsWriter)
+                from trino_private_spark.sources.iceberg_stats import (
+                    analyze_table,
+                )
+
+                analyze_table(self.spark, self._iceberg_views[name])
+            else:
+                self.analyze(an.group(1))
             return self.spark.createDataFrame([(True,)], "`ANALYZE` boolean")
         if getattr(self, "_iceberg_views", None):
             # per-query Iceberg re-planning: registered iceberg views are

@@ -1421,3 +1421,69 @@ def p_iceberg_entries_all_manifests(
             F.col("ref_sum").cast("int"),
         )
     )
+
+
+@probe(
+    "p_iceberg_show_stats",
+    oracle="""
+    WITH kept AS (SELECT * FROM nation WHERE n_nationkey % 5 <> 0)
+    SELECT 'n_nationkey' AS column_name,
+           (SELECT CAST(COUNT(DISTINCT n_nationkey) AS DOUBLE) FROM kept)
+             AS ndv,
+           0.0 AS nulls_fraction, CAST(NULL AS DOUBLE) AS row_count,
+           CAST(MIN(n_nationkey) AS VARCHAR) AS low_value,
+           CAST(MAX(n_nationkey) AS VARCHAR) AS high_value
+    FROM nation
+    UNION ALL
+    SELECT 'n_regionkey',
+           (SELECT CAST(COUNT(DISTINCT n_regionkey) AS DOUBLE) FROM kept),
+           0.0, NULL,
+           CAST(MIN(n_regionkey) AS VARCHAR),
+           CAST(MAX(n_regionkey) AS VARCHAR)
+    FROM nation
+    UNION ALL
+    SELECT 'n_name',
+           (SELECT CAST(COUNT(DISTINCT n_name) AS DOUBLE) FROM kept),
+           0.0, NULL, MIN(n_name), MAX(n_name)
+    FROM nation
+    UNION ALL
+    SELECT NULL, NULL, NULL, CAST(COUNT(*) AS DOUBLE), NULL, NULL
+    FROM kept
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_show_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE + SHOW STATS on an Iceberg table (the reference's
+    TableStatisticsReader / TableStatisticsWriter,
+    plugin/trino-iceberg): row count, null fractions, and min/max
+    bounds come from MANIFEST METRICS ALONE (zero data IO): the row
+    count subtracts position-delete record counts, while bounds stay
+    WRITE-TIME — deletes never narrow file metrics, exactly the
+    reference's estimate semantics. NDVs come from the
+    ANALYZE-committed statistics file (spec §"Table Statistics") over
+    the CURRENT rows. The result is the reference's ShowStatsRewrite
+    shape minus the encoding-dependent data_size column; the oracle
+    mirrors the split (bounds over all written rows, counts/NDVs over
+    survivors)."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.api import Engine
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_st_") + "/t"
+    eng.ctas(
+        "ice_stats_nation",
+        "SELECT n_nationkey, n_regionkey, n_name FROM nation",
+        path=loc, fmt="iceberg",
+    )
+    eng.sql("DELETE FROM ice_stats_nation WHERE n_nationkey % 5 = 0")
+    eng.sql("ANALYZE ice_stats_nation")
+    return eng.sql("SHOW STATS FOR ice_stats_nation").select(
+        "column_name",
+        F.col("distinct_values_count").alias("ndv"),
+        "nulls_fraction",
+        "row_count",
+        "low_value",
+        "high_value",
+    )

@@ -1,0 +1,228 @@
+"""Iceberg table statistics: SHOW STATS from manifests alone + ANALYZE
+writing spec-shaped NDV statistics files.
+
+Reference parity: plugin/trino-iceberg TableStatisticsReader builds the
+connector stats the cost-based optimizer consumes from exactly two
+sources — (a) the manifests' per-file column metrics (record counts,
+null counts, Appendix-D min/max bounds), which cost ZERO data IO, and
+(b) NDV sketches written by ANALYZE (TableStatisticsWriter) into Puffin
+files referenced from the metadata's top-level "statistics" list
+(spec §"Table Statistics"). The shim mirrors both: `table_stats`
+aggregates the manifest metrics driver-side (metadata-scale work — one
+pass over already-cached manifest entries), and `analyze_table` runs ONE
+distributed pass of approx_count_distinct over the table and commits a
+JSON statistics file referenced with the spec's statistics-file fields
+(snapshot-id, statistics-path, blob metadata with the ndv property —
+the same property key iceberg-core's StandardBlobTypes documents for
+`apache-datasketches-theta-v1` blobs).
+
+At 100 TB the split matters: SHOW STATS must never scan data (the
+reference serves it from metadata, and so does this), while ANALYZE is
+an explicit, user-priced single scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from trino_private_spark.sources.iceberg import IcebergTable
+
+__all__ = ["table_stats", "analyze_table", "show_stats_frame"]
+
+
+def _read_ndv(table: IcebergTable) -> dict[int, int]:
+    """NDV per field id from the newest statistics file covering the
+    current snapshot (metadata "statistics" list; absent -> {})."""
+    cur = table.current_snapshot()
+    if cur is None:
+        return {}
+    out: dict[int, int] = {}
+    for st in table.metadata.get("statistics") or []:
+        if st.get("snapshot-id") != cur["snapshot-id"]:
+            continue
+        path = st.get("statistics-path")
+        try:
+            with open(path) as fh:
+                blobs = json.load(fh).get("blobs", [])
+        except (OSError, ValueError, TypeError):
+            continue
+        for b in blobs:
+            ndv = (b.get("properties") or {}).get("ndv")
+            for fid in b.get("fields", []):
+                try:
+                    out[int(fid)] = int(ndv)
+                except (TypeError, ValueError):
+                    pass
+    return out
+
+
+def table_stats(location: str) -> dict:
+    """Connector-level statistics from MANIFESTS ALONE (zero data IO —
+    TableStatisticsReader's metadata path): row count (sum of live data
+    files' record counts minus position-delete rows), total data size,
+    and per-column null counts + deserialized min/max bounds, merged
+    across files by field id. Returns
+    ``{"row_count", "data_size", "columns": {name: {nulls, low, high,
+    ndv}}}``; bounds/nulls are None when any live file lacks the metric
+    (absent metrics must widen, never narrow)."""
+    from trino_private_spark.sources.iceberg_partition import (
+        deserialize_single_value,
+    )
+
+    table = IcebergTable(location)
+    schema = table._current_schema()  # noqa: SLF001
+    fields = [
+        f for f in schema.get("fields", []) if isinstance(f.get("type"), str)
+    ]
+    files = table.data_files()
+    data = [f for f in files if f.content == 0]
+    pos_del_rows = sum(
+        f.record_count for f in files if f.content == 1
+    )
+    row_count = max(0, sum(f.record_count for f in data) - pos_del_rows)
+    data_size = sum(f.file_size_in_bytes for f in data)
+    ndv = _read_ndv(table)
+
+    cols: dict[str, dict] = {}
+    for fld in fields:
+        fid, t = fld["id"], fld["type"]
+        nulls: int | None = 0
+        low = high = None
+        complete_bounds = bool(data)
+        for f in data:
+            nv = dict(f.null_value_counts).get(fid)
+            if nv is None:
+                nulls = None
+            elif nulls is not None:
+                nulls += int(nv)
+            lo_b = dict(f.lower_bounds).get(fid)
+            hi_b = dict(f.upper_bounds).get(fid)
+            if lo_b is None or hi_b is None:
+                complete_bounds = False
+                continue
+            try:
+                lo_v = deserialize_single_value(t, lo_b)
+                hi_v = deserialize_single_value(t, hi_b)
+            except (TypeError, ValueError):
+                complete_bounds = False
+                continue
+            low = lo_v if low is None else min(low, lo_v)
+            high = hi_v if high is None else max(high, hi_v)
+        if not complete_bounds:
+            # a file without bounds could hold values outside the
+            # others' range — the merged bound would be a LIE
+            low = high = None
+        cols[fld["name"]] = {
+            "nulls": nulls,
+            "low": low,
+            "high": high,
+            "ndv": ndv.get(fid),
+        }
+    return {"row_count": row_count, "data_size": data_size, "columns": cols}
+
+
+def analyze_table(spark: SparkSession, location: str) -> dict:
+    """ANALYZE (TableStatisticsWriter analogue): ONE distributed pass of
+    approx_count_distinct per column over the current table contents
+    (merge-on-read deletes applied), committed as a statistics file
+    referenced from the metadata "statistics" list with the spec's
+    fields. Re-running ANALYZE replaces the entry for the current
+    snapshot. Returns {column: ndv}."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.sources.iceberg_write import (
+        _latest_version,
+        atomic_write_metadata,
+    )
+
+    table = IcebergTable(location)
+    cur = table.current_snapshot()
+    if cur is None:
+        raise ValueError("table has no snapshots to analyze")
+    schema = table._current_schema()  # noqa: SLF001
+    fields = [
+        f for f in schema.get("fields", []) if isinstance(f.get("type"), str)
+    ]
+    df = table.read(spark)
+    aggs = [
+        F.approx_count_distinct(f["name"]).alias(f["name"]) for f in fields
+    ]
+    row = df.agg(*aggs).collect()[0] if aggs else {}
+    ndvs = {f["name"]: int(row[f["name"]]) for f in fields}
+
+    md_dir = os.path.join(location, "metadata")
+    stats_path = os.path.join(
+        md_dir, f"stats-{cur['snapshot-id']}.json"
+    )
+    blobs = [
+        {
+            # the ndv property key matches iceberg-core StandardBlobTypes'
+            # apache-datasketches-theta-v1 blob metadata; the sketch body
+            # is not needed for SHOW STATS, only the resolved ndv
+            "type": "ndv-json-v1",
+            "fields": [f["id"]],
+            "snapshot-id": cur["snapshot-id"],
+            "properties": {"ndv": str(ndvs[f["name"]])},
+        }
+        for f in fields
+    ]
+    with open(stats_path, "w") as fh:
+        json.dump({"blobs": blobs}, fh)
+
+    metadata = table.metadata
+    stats = [
+        s
+        for s in (metadata.get("statistics") or [])
+        if s.get("snapshot-id") != cur["snapshot-id"]
+    ]
+    stats.append(
+        {
+            "snapshot-id": cur["snapshot-id"],
+            "statistics-path": stats_path,
+            "file-size-in-bytes": os.path.getsize(stats_path),
+            "blob-metadata": blobs,
+        }
+    )
+    metadata["statistics"] = stats
+    atomic_write_metadata(location, metadata, _latest_version(location) + 1)
+    return ndvs
+
+
+def show_stats_frame(spark: SparkSession, location: str) -> DataFrame:
+    """SHOW STATS FOR <iceberg table> in the reference's result shape
+    (ShowStatsRewrite: column_name, data_size, distinct_values_count,
+    nulls_fraction, row_count, low_value, high_value; summary row with
+    NULL column_name carrying row_count) — filled from table_stats,
+    i.e. manifests + any ANALYZE-written NDVs, zero data IO."""
+    st = table_stats(location)
+    rc = st["row_count"]
+    rows = []
+    for name, c in st["columns"].items():
+        nf = (
+            (c["nulls"] / rc)
+            if (c["nulls"] is not None and rc)
+            else None
+        )
+        rows.append(
+            (
+                name,
+                None,
+                float(c["ndv"]) if c["ndv"] is not None else None,
+                round(nf, 6) if nf is not None else None,
+                None,
+                str(c["low"]) if c["low"] is not None else None,
+                str(c["high"]) if c["high"] is not None else None,
+            )
+        )
+    rows.append(
+        (None, float(st["data_size"]), None, None, float(rc), None, None)
+    )
+    return spark.createDataFrame(
+        rows,
+        "column_name string, data_size double, distinct_values_count "
+        "double, nulls_fraction double, row_count double, "
+        "low_value string, high_value string",
+    )
