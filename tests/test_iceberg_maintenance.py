@@ -599,3 +599,76 @@ class TestRewritePruneEquivalence:
                 .collect()
             )
             assert pruned == full[key], key
+
+
+class TestPartialOptimize:
+    """Partial OPTIMIZE (the reference's optimize(file_size_threshold)
+    + WHERE partition predicate): only matching/small files rewrite;
+    everything else — data files AND delete files — carries over as
+    EXISTING entries with resolved sequence numbers."""
+
+    def test_where_scopes_compaction(self, spark, churned):
+        before = sorted(
+            (r["k"], r["grp"])
+            for r in read_iceberg(spark, churned).collect()
+        )
+        t = IcebergTable(churned)
+        old = {
+            dict(f.partition or ()).get("grp"): f.path
+            for f in t.data_files()
+            if f.content == 0
+            and dict(f.partition or ()).get("grp") != 0
+        }
+        stats = iceberg_optimize(spark, churned, where="grp = 0")
+        assert stats["rewritten_files"] == 1
+        assert stats["compacted_files"] == 2
+        t2 = IcebergTable(churned)
+        d2 = [f for f in t2.data_files() if f.content == 0]
+        by_grp: dict = {}
+        for f in d2:
+            by_grp.setdefault(dict(f.partition or ()).get("grp"), []).append(
+                f.path
+            )
+        assert len(by_grp[0]) == 1  # grp 0 compacted to one file
+        # untouched partitions keep their EXACT old files
+        for grp, path in old.items():
+            assert path in by_grp[grp]
+        # deletes on untouched files still apply
+        after = sorted(
+            (r["k"], r["grp"])
+            for r in read_iceberg(spark, churned).collect()
+        )
+        assert after == before
+
+    def test_threshold_scopes_by_size(self, spark, tmp_path):
+        loc = str(tmp_path / "t")
+        # one big file + three tiny ones
+        iceberg_create(
+            spark.range(0, 5000).selectExpr("id AS k").coalesce(1), loc
+        )
+        for i in range(3):
+            iceberg_append(
+                spark.createDataFrame([(10_000 + i,)], "k long"), loc
+            )
+        t = IcebergTable(loc)
+        sizes = sorted(
+            f.file_size_in_bytes for f in t.data_files()
+        )
+        thr = sizes[-1]  # everything smaller than the big file
+        stats = iceberg_optimize(
+            spark, loc, file_size_threshold_bytes=thr
+        )
+        assert stats["compacted_files"] == 3
+        t2 = IcebergTable(loc)
+        d2 = [f for f in t2.data_files() if f.content == 0]
+        assert len(d2) == 2  # big file untouched + one merged small file
+        assert max(f.file_size_in_bytes for f in d2) == sizes[-1]
+        assert read_iceberg(spark, loc).count() == 5003
+
+    def test_noop_when_nothing_qualifies(self, spark, churned):
+        snaps = len(IcebergTable(churned).snapshots())
+        stats = iceberg_optimize(spark, churned, where="grp = 99")
+        assert stats == {
+            "rewritten_files": 0, "compacted_files": 0, "rows": 0
+        }
+        assert len(IcebergTable(churned).snapshots()) == snaps

@@ -1101,16 +1101,21 @@ class Engine:
                             loc,
                             keep_last=1,
                             older_than_ms=int(_time.time() * 1000) - dur_ms,
+                            spark=self.spark,
                         )
                     elif isinstance(args[1], int):
-                        iceberg_expire_snapshots(loc, keep_last=args[1])
+                        iceberg_expire_snapshots(
+                            loc, keep_last=args[1], spark=self.spark
+                        )
                     else:
                         raise ValueError(
                             "expire_snapshots: retention_threshold must be "
                             f"a duration ('7d') or an integer, got {args[1]!r}"
                         )
                 else:
-                    iceberg_expire_snapshots(loc, keep_last=1)
+                    iceberg_expire_snapshots(
+                        loc, keep_last=1, spark=self.spark
+                    )
             else:
                 self.vacuum(str(args[0]))
             return self._one("CALL")
@@ -1156,7 +1161,7 @@ class Engine:
                 iceberg_rewrite_manifests,
             )
 
-            iceberg_rewrite_manifests(loc)
+            iceberg_rewrite_manifests(loc, spark=self.spark)
             return self._one("CALL")
         raise ValueError(
             f"Procedure not registered: {procedure}"
@@ -1464,12 +1469,28 @@ class Engine:
             iceberg_alter(loc, rename_columns={m.group(1): m.group(2)})
         elif m := _re.fullmatch(r"DROP\s+COLUMN\s+(\w+)", r, _re.I):
             iceberg_alter(loc, drop_columns=[m.group(1)])
-        elif _re.fullmatch(r"EXECUTE\s+optimize(?:\s*\(\s*\))?", r, _re.I):
+        elif m := _re.fullmatch(
+            # the reference's optimize surface: optional
+            # file_size_threshold parameter + optional WHERE partition
+            # predicate (OptimizeTableProcedure; partial compaction)
+            r"EXECUTE\s+optimize\s*"
+            r"(?:\(\s*(?:file_size_threshold\s*=>\s*'([^']+)')?\s*\))?"
+            r"(?:\s+WHERE\s+(.+))?",
+            r,
+            _re.I | _re.S,
+        ):
             from trino_private_spark.sources.iceberg_maintenance import (
                 iceberg_optimize,
             )
 
-            iceberg_optimize(self.spark, loc)
+            iceberg_optimize(
+                self.spark,
+                loc,
+                where=m.group(2),
+                file_size_threshold_bytes=(
+                    self._size_bytes(m.group(1)) if m.group(1) else None
+                ),
+            )
         elif _re.fullmatch(
             r"EXECUTE\s+rewrite_manifests(?:\s*\(\s*\))?", r, _re.I
         ):
@@ -1477,7 +1498,7 @@ class Engine:
                 iceberg_rewrite_manifests,
             )
 
-            iceberg_rewrite_manifests(loc)
+            iceberg_rewrite_manifests(loc, spark=self.spark)
         elif (
             m := _re.fullmatch(
                 r"CREATE\s+(BRANCH|TAG)\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)"
@@ -1561,6 +1582,23 @@ class Engine:
         if m:
             return (e, "identity")
         raise ValueError(f"unsupported partitioning entry {e!r}")
+
+    @staticmethod
+    def _size_bytes(v: str) -> int:
+        """Parse a reference-style DataSize literal — '10MB', '128kB',
+        '1GB', '4096B' (io.airlift.units.DataSize spellings) — to
+        bytes. Loud on anything else: a mis-parsed threshold would
+        silently compact the wrong files."""
+        import re as _re
+
+        m = _re.fullmatch(
+            r"\s*(\d+(?:\.\d+)?)\s*(B|kB|MB|GB|TB|PB)\s*", v
+        )
+        if not m:
+            raise ValueError(f"invalid file_size_threshold {v!r}")
+        mult = {"B": 1, "kB": 1024, "MB": 1024**2, "GB": 1024**3,
+                "TB": 1024**4, "PB": 1024**5}[m.group(2)]
+        return int(float(m.group(1)) * mult)
 
     @staticmethod
     def _duration_ms(v) -> int | None:

@@ -1487,3 +1487,71 @@ def p_iceberg_show_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "low_value",
         "high_value",
     )
+
+
+@probe(
+    "p_iceberg_partial_optimize",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN o_custkey % 8 = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_g3,
+           16 AS files_before, 15 AS files_after, 1 AS g3_files,
+           1 AS g3_scanned
+    FROM orders
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_partial_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL OPTIMIZE (the reference's `ALTER TABLE ... EXECUTE
+    optimize ... WHERE <partition predicate>`, OptimizeTableProcedure):
+    an identity-partitioned CTAS (8 files) + an append (8 more) leaves
+    2 files per grp; optimize WHERE grp = 3 rewrites ONLY that
+    partition's pair into one file — every other data file carries over
+    as an EXISTING entry byte-identically (16 -> 15 files, grp-3 reads
+    open exactly 1). Row count and the grp-3 count tie the carried-over
+    content to the orders oracle."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.api import Engine
+    from trino_private_spark.sources.iceberg import IcebergTable
+    from trino_private_spark.sources.iceberg_write import iceberg_append
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_po_") + "/t"
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", (F.col("o_custkey") % 8).alias("grp")
+    )
+    eng.ctas(
+        "ice_po_orders",
+        "SELECT o_orderkey, o_custkey % 8 AS grp FROM orders "
+        "WHERE o_orderkey % 2 = 0",
+        path=loc, fmt="iceberg", partition_by=["grp"],
+    )
+    iceberg_append(orders.where("o_orderkey % 2 = 1"), loc)
+    t = IcebergTable(loc)
+    files_before = len([f for f in t.data_files() if f.content == 0])
+    eng.sql("ALTER TABLE ice_po_orders EXECUTE optimize WHERE grp = 3")
+    t2 = IcebergTable(loc)
+    data = [f for f in t2.data_files() if f.content == 0]
+    g3_files = len(
+        [f for f in data if dict(f.partition or ()).get("grp") == 3]
+    )
+    out = t2.read(spark, partition_filter=[("grp", "=", 3)])
+    n_g3 = out.where("grp = 3").count()
+    g3_scanned = t2.last_scan["scanned_data_files"]
+    n_total = t2.read(spark).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_total,
+                n_g3,
+                files_before,
+                len(data),
+                g3_files,
+                g3_scanned,
+            )
+        ],
+        "n_total long, n_g3 long, files_before int, files_after int, "
+        "g3_files int, g3_scanned int",
+    )

@@ -105,9 +105,27 @@ def iceberg_drop_ref(location: str, name: str) -> None:
     _write_metadata(location, metadata)
 
 
-def _snapshot_closure(table: IcebergTable, snapshots: list[dict]) -> set[str]:
+def _snapshot_closure(
+    table: IcebergTable, snapshots: list[dict], spark=None
+) -> set[str]:
     """Every file path reachable from ``snapshots``: manifest lists,
-    manifests, and the data/delete files their entries name."""
+    manifests, and the data/delete files their entries name. With
+    ``spark``, the manifests of ALL snapshots prefetch in one
+    distributed job when they clear the byte gate (an expire over a
+    long history walks every manifest ever written — the same
+    driver-serialization hazard data_files() guards against)."""
+    if spark is not None:
+        from trino_private_spark.sources.iceberg import prefetch_manifests
+
+        mpaths: list[str] = []
+        for s in snapshots:
+            ml = _local(s["manifest-list"])
+            if os.path.exists(ml):
+                mpaths.extend(
+                    _local(m["manifest_path"])
+                    for m in read_avro_container_cached(ml)
+                )
+        prefetch_manifests(spark, mpaths)
     out: set[str] = set()
     for s in snapshots:
         ml = _local(s["manifest-list"])
@@ -132,6 +150,7 @@ def iceberg_expire_snapshots(
     keep_last: int = 1,
     older_than_ms: int | None = None,
     delete_files: bool = True,
+    spark=None,
 ) -> dict:
     """Expire old snapshots (ExpireSnapshotsProcedure analogue): keep the
     current snapshot, the ``keep_last`` most recent, and — when
@@ -170,8 +189,8 @@ def iceberg_expire_snapshots(
 
     deleted = 0
     if delete_files:
-        reachable = _snapshot_closure(table, kept)
-        dropped_only = _snapshot_closure(table, dropped) - reachable
+        reachable = _snapshot_closure(table, kept, spark=spark)
+        dropped_only = _snapshot_closure(table, dropped, spark=spark) - reachable
         for p in sorted(dropped_only):
             # only ever delete files under this table's own location
             if os.path.commonpath(
@@ -211,7 +230,7 @@ def iceberg_remove_orphan_files(location: str) -> list[str]:
     return deleted
 
 
-def iceberg_rewrite_manifests(location: str) -> dict:
+def iceberg_rewrite_manifests(location: str, spark=None) -> dict:
     """rewrite_manifests (the reference registers iceberg-core's
     RewriteManifests as a table procedure): merge the CURRENT snapshot's
     manifests into ONE manifest per (content, partition-spec) group and
@@ -254,6 +273,12 @@ def iceberg_rewrite_manifests(location: str) -> dict:
     manifests = list(read_avro_container_cached(_local(snap["manifest-list"])))
     if len(manifests) <= 1:
         return {"rewritten_manifests": 0, "new_manifests": len(manifests)}
+    if spark is not None:
+        from trino_private_spark.sources.iceberg import prefetch_manifests
+
+        prefetch_manifests(
+            spark, [_local(m["manifest_path"]) for m in manifests]
+        )
 
     specs_fields = {
         s.get("spec-id", 0): s.get("fields", [])
@@ -423,22 +448,69 @@ def iceberg_rewrite_manifests(location: str) -> dict:
     }
 
 
+def _datafile_entry(f) -> dict:
+    """A _DataFile back to its raw manifest-entry dict, rewritten as
+    EXISTING (status 0) with its resolved sequence number — the
+    carry-over shape partial OPTIMIZE commits for untouched files."""
+    return {
+        "status": 0,
+        "snapshot_id": None,
+        "sequence_number": int(f.sequence_number),
+        "data_file": {
+            "content": f.content,
+            "file_path": f.path,
+            "file_format": f.file_format,
+            "record_count": f.record_count,
+            "file_size_in_bytes": f.file_size_in_bytes,
+            "equality_ids": list(f.equality_ids) or None,
+            "value_counts": {str(i): v for i, v in f.value_counts} or None,
+            "null_value_counts": (
+                {str(i): v for i, v in f.null_value_counts} or None
+            ),
+            "lower_bounds": {str(i): b for i, b in f.lower_bounds} or None,
+            "upper_bounds": {str(i): b for i, b in f.upper_bounds} or None,
+            **(
+                {"partition": dict(f.partition)}
+                if f.partition is not None
+                else {}
+            ),
+        },
+    }
+
+
 def iceberg_optimize(
     spark: SparkSession,
     location: str,
     target_file_size_bytes: int = 128 * 1024 * 1024,
+    where: str | None = None,
+    file_size_threshold_bytes: int | None = None,
 ) -> dict:
     """OPTIMIZE (small-file compaction; the reference's ALTER TABLE ...
     EXECUTE optimize): materialize the CURRENT rows — merge-on-read
     position/equality deletes applied — rewrite them as one file per
     partition tuple (partitioned tables) or ``ceil(bytes/target)``
-    size-targeted files (unpartitioned), and commit a REPLACE snapshot
-    whose manifest list holds ONLY the new manifest. Deletes are absorbed,
-    the manifest graph collapses to one manifest, pre-optimize snapshots
-    remain time-travelable. Returns {'rewritten_files', 'compacted_files',
-    'rows'}."""
+    size-targeted files (unpartitioned), and commit a REPLACE snapshot.
+    Deletes are absorbed, pre-optimize snapshots remain time-travelable.
+
+    PARTIAL optimize — the reference's actual surface (`ALTER TABLE t
+    EXECUTE optimize(file_size_threshold => '10MB') WHERE <partition
+    predicate>`): with ``where`` and/or ``file_size_threshold_bytes``,
+    only data files matching the partition predicate (conservatively —
+    a file the pruner cannot exclude is included, like the reference's
+    enforced-constraint split) AND below the size threshold are
+    rewritten; every other data file carries over as an EXISTING entry
+    with its resolved sequence number, and ALL delete files carry over
+    too (they cannot affect the rewritten files' new sequence number;
+    dangling targets are ignored at read). Returns {'rewritten_files',
+    'compacted_files', 'rows'}."""
     import math
 
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.sources.iceberg import (
+        parse_partition_predicate,
+    )
+    from trino_private_spark.sources.iceberg_partition import file_matches
     from trino_private_spark.sources.iceberg_write import (
         _apply_sort,
         _apply_spec,
@@ -449,9 +521,47 @@ def iceberg_optimize(
     table = IcebergTable(location)
     schema = table._current_schema()  # noqa: SLF001
     field_ids = {f["name"]: f["id"] for f in schema.get("fields", [])}
-    old_files = [f for f in table.data_files() if f.content == 0]
-    old_bytes = sum(f.file_size_in_bytes for f in old_files)
-    df = table.read(spark)
+    all_files = table.data_files()
+    data_files = [f for f in all_files if f.content == 0]
+    del_files = [f for f in all_files if f.content != 0]
+
+    partial = where is not None or file_size_threshold_bytes is not None
+    pf = parse_partition_predicate(where) if where else []
+    specs = table.partition_specs() if pf else {}
+
+    def _matched(f) -> bool:
+        if pf and not file_matches(
+            specs.get(f.spec_id),
+            dict(f.partition) if f.partition is not None else None,
+            pf,
+        ):
+            return False
+        if (
+            file_size_threshold_bytes is not None
+            and f.file_size_in_bytes >= file_size_threshold_bytes
+        ):
+            return False
+        return True
+
+    compact = [f for f in data_files if _matched(f)] if partial else data_files
+    keep = (
+        [f for f in data_files if not _matched(f)] if partial else []
+    )
+    if partial and len(compact) <= 1:
+        # nothing worth rewriting: no commit at all (the reference's
+        # optimize is a no-op when no file group qualifies)
+        return {"rewritten_files": 0, "compacted_files": 0, "rows": 0}
+
+    old_bytes = sum(f.file_size_in_bytes for f in compact)
+    df = table.read(spark, with_lineage=partial)
+    if partial:
+        paths = spark.createDataFrame(
+            [(f.path,) for f in compact], "__file string"
+        )
+        df = (
+            df.join(F.broadcast(paths), "__file", "semi")
+            .drop("__file", "__pos")
+        )
     spec_id = int(table.metadata.get("default-spec-id", 0))
     spec_fields = next(
         (
@@ -471,11 +581,27 @@ def iceberg_optimize(
     files = _write_files_distributed(
         df, os.path.join(location, "data"), field_ids, part_cols=pv_cols
     )
+    extra: list[tuple[list[dict], int, int]] = []
+    if partial:
+        by_group: dict[tuple[int, int], list] = {}
+        for f in keep + del_files:
+            lc = 0 if f.content == 0 else 1
+            by_group.setdefault((f.spec_id, lc), []).append(
+                _datafile_entry(f)
+            )
+        extra = [
+            (entries, sid, lc)
+            for (sid, lc), entries in sorted(by_group.items())
+        ]
     _commit_snapshot(
-        location, [(files, 0)], operation="replace", replace=True
+        location,
+        [(files, 0)],
+        operation="replace",
+        replace=True,
+        extra_manifest_entries=extra or None,
     )
     return {
         "rewritten_files": len(files),
-        "compacted_files": len(old_files),
+        "compacted_files": len(compact),
         "rows": sum(f["record_count"] for f in files),
     }

@@ -402,6 +402,9 @@ def _commit_snapshot_once(
     replace: bool = False,
     sort_order: list[dict] | None = None,
     summary_extra: dict[str, str] | None = None,
+    extra_manifest_entries: (
+        list[tuple[list[dict], int, int]] | None
+    ) = None,
 ) -> int:
     """Commit ONE snapshot referencing every file group in ``groups``
     (``[(files, content), ...]``) — one manifest per group, all at the
@@ -631,6 +634,39 @@ def _commit_snapshot_once(
                 "min_sequence_number": seq,
                 "added_snapshot_id": snap_id,
                 "partitions": _field_summaries(entries),
+            }
+        )
+    # EXISTING carry-over manifests (partial OPTIMIZE: files kept as-is
+    # in a replace snapshot): raw manifest-entry lists with status 0 and
+    # RESOLVED sequence numbers, one manifest per (entries, spec_id,
+    # list_content) group. No field_summaries are recomputed (absent
+    # summaries never wrong-prune).
+    specs_by_id = {
+        s.get("spec-id", 0): s.get("fields", [])
+        for s in metadata.get("partition-specs", [])
+    }
+    for gi, (entries, e_spec, e_content) in enumerate(
+        extra_manifest_entries or []
+    ):
+        if not entries:
+            continue
+        e_avro = _partition_avro_fields(metadata, specs_by_id.get(e_spec, []))
+        manifest_path = os.path.join(
+            md_dir, f"manifest-{snap_id}-x{gi}-{attempt}.avro"
+        )
+        write_avro_container(manifest_path, _entry_schema(e_avro), entries)
+        new_manifests.append(
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": e_spec,
+                "content": e_content,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    int(e.get("sequence_number") or 0) for e in entries
+                ),
+                "added_snapshot_id": snap_id,
+                "partitions": None,
             }
         )
     manifest_list_path = os.path.join(
