@@ -193,3 +193,103 @@ def test_ctas_iceberg_partitioned(engine, tmp_path):
     assert engine.spark.table("ice_nation_p").count() == 25
     out = t.read(engine.spark, partition_filter=[("n_regionkey", "=", 2)])
     assert out.count() == 5 and t.last_scan["scanned_data_files"] == 1
+
+
+def test_truncate_table_iceberg(engine, tmp_path):
+    """TRUNCATE TABLE commits a zero-data-file replace snapshot; the
+    pre-truncate snapshot stays time-travelable."""
+    from trino_private_spark.sources.iceberg import IcebergTable, read_iceberg
+
+    loc = str(tmp_path / "ice_tr")
+    engine.ctas(
+        "ice_tr_t", "SELECT n_nationkey FROM nation", path=loc, fmt="iceberg"
+    )
+    pre = IcebergTable(loc).current_snapshot()["snapshot-id"]
+    engine.sql("TRUNCATE TABLE ice_tr_t")
+    assert engine.sql("SELECT COUNT(*) AS c FROM ice_tr_t").collect()[0].c == 0
+    assert read_iceberg(engine.spark, loc, snapshot_id=pre).count() == 25
+
+
+def test_truncate_table_cow(engine):
+    engine.ctas("cow_tr_t", "SELECT r_regionkey FROM region")
+    engine.sql("TRUNCATE TABLE cow_tr_t")
+    assert engine.sql("SELECT COUNT(*) AS c FROM cow_tr_t").collect()[0].c == 0
+
+
+def test_drop_table_iceberg_unregisters(engine, tmp_path):
+    import pytest as _pytest
+
+    loc = str(tmp_path / "ice_drop")
+    engine.ctas(
+        "ice_drop_t", "SELECT n_nationkey FROM nation", path=loc, fmt="iceberg"
+    )
+    engine.sql("DROP TABLE ice_drop_t")
+    with _pytest.raises(Exception, match="(?i)cannot be found|not found"):
+        engine.sql("SELECT * FROM ice_drop_t").collect()
+    # external-location semantics: the tree stays on disk
+    import os as _os
+
+    assert _os.path.isdir(_os.path.join(loc, "metadata"))
+
+
+def test_create_table_plain_columns(engine, tmp_path):
+    """CREATE TABLE name (col type, ...) WITH (...) — the no-AS form:
+    an EMPTY Iceberg table of the declared schema; positional INSERT
+    coerces to the declared types."""
+    loc = str(tmp_path / "ct")
+    engine.sql(
+        f"CREATE TABLE ct_cols (k bigint, v varchar, d date) "
+        f"WITH (format='ICEBERG', partitioning = ARRAY['month(d)'], "
+        f"location = '{loc}')"
+    )
+    assert engine.sql("SELECT COUNT(*) AS c FROM ct_cols").collect()[0].c == 0
+    engine.sql(
+        "INSERT INTO ct_cols "
+        "SELECT n_nationkey, n_name, DATE '2024-03-05' FROM nation"
+    )
+    df = engine.spark.table("ct_cols")
+    assert df.count() == 25
+    # coercion: int32 source landed as the declared bigint
+    assert dict(df.dtypes)["k"] == "bigint"
+    # IF NOT EXISTS on an existing name is a no-op
+    engine.sql("CREATE TABLE IF NOT EXISTS ct_cols (x bigint)")
+    assert engine.spark.table("ct_cols").count() == 25
+
+
+def test_show_create_table_renders_iceberg_properties(engine, tmp_path):
+    loc = str(tmp_path / "ct2")
+    engine.sql(
+        f"CREATE TABLE ct_props (k bigint, d date) WITH ("
+        f"format='ICEBERG', partitioning = ARRAY['month(d)'], "
+        f"sorted_by = ARRAY['k'], location = '{loc}')"
+    )
+    ddl = engine.sql("SHOW CREATE TABLE ct_props").collect()[0][0]
+    assert "format = 'ICEBERG'" in ddl
+    assert "partitioning = ARRAY['month(d)']" in ddl
+    assert "sorted_by = ARRAY['k']" in ddl
+    assert f"location = '{loc}'" in ddl
+
+
+def test_rollback_to_snapshot_iceberg(engine, tmp_path):
+    from trino_private_spark.sources.iceberg import IcebergTable
+
+    loc = str(tmp_path / "ct3")
+    engine.sql(
+        f"CREATE TABLE ct_rb (k bigint) WITH (format='ICEBERG', "
+        f"location = '{loc}')"
+    )
+    engine.sql("INSERT INTO ct_rb SELECT n_nationkey FROM nation")
+    snaps = IcebergTable(loc).snapshots()
+    assert len(snaps) == 2
+    engine.sql(
+        f"CALL system.rollback_to_snapshot('ct_rb', "
+        f"{snaps[0]['snapshot-id']})"
+    )
+    assert engine.sql("SELECT COUNT(*) AS c FROM ct_rb").collect()[0].c == 0
+    # metadata-only: both snapshots survive, rolling forward works
+    assert len(IcebergTable(loc).snapshots()) == 2
+    engine.sql(
+        f"CALL system.rollback_to_snapshot('ct_rb', "
+        f"{snaps[1]['snapshot-id']})"
+    )
+    assert engine.sql("SELECT COUNT(*) AS c FROM ct_rb").collect()[0].c == 25

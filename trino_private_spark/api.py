@@ -129,6 +129,13 @@ class Engine:
                     self._user, self._enabled_roles, "INSERT", name
                 )
             df = self.sql(im.group(2), dialect)
+            # SQL INSERT maps columns POSITIONALLY (StatementAnalyzer
+            # visitInsert) — rename the query's output to the table's
+            # column names when the arity matches, so expression outputs
+            # land in the right columns
+            table_cols = self.spark.table(name).columns
+            if len(df.columns) == len(table_cols):
+                df = df.toDF(*table_cols)
             n = df.count()
             iceberg_append(df, loc)
             read_iceberg(self.spark, loc).createOrReplaceTempView(name)
@@ -142,6 +149,28 @@ class Engine:
         if cw:
             return self._ctas_with_properties(
                 cw.group(1), cw.group(2), cw.group(3), dialect
+            )
+        ct = _re.match(
+            # plain CREATE TABLE with column definitions, NO AS-query
+            # ($ anchors it: any CTAS tail makes this pattern fail and
+            # fall through to the CTAS routes)
+            r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
+            r"\((.+?)\)\s*(?:WITH\s*\((.*?)\)\s*)?;?\s*$",
+            text,
+            flags=_re.I | _re.S,
+        )
+        if ct:
+            name = ct.group(2)
+            if ct.group(1) and (
+                name.lower() in getattr(self, "_iceberg_views", {})
+                or any(
+                    t.name.lower() == name.lower()
+                    for t in self.spark.catalog.listTables()
+                )
+            ):
+                return self._one("CREATE TABLE")  # IF NOT EXISTS no-op
+            return self._create_table_statement(
+                name, ct.group(3), ct.group(4)
             )
         dm = _re.match(
             r"\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
@@ -237,6 +266,67 @@ class Engine:
             else:
                 self._comments[key] = (m.group(3) or "").replace("''", "'")
             return self._one("COMMENT")
+        m = _re.match(
+            r"\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$",
+            text,
+            flags=_re.I,
+        )
+        if m and (
+            m.group(2).lower() in getattr(self, "_iceberg_views", {})
+            or m.group(2).lower() in getattr(self, "_cow", {})
+        ):
+            # DROP TABLE on a registered Iceberg/CoW table: unregister
+            # the view and its binding. External-location semantics —
+            # the on-disk tree is left in place (the registration, not
+            # the storage, is what this catalog owns); Spark's own DROP
+            # handles real catalog tables below.
+            name = m.group(2).lower()
+            if hasattr(self, "_acl") and self._acl.enforce:
+                self._acl.check(
+                    self._user, self._enabled_roles, "DELETE", name
+                )
+            getattr(self, "_iceberg_views", {}).pop(name, None)
+            getattr(self, "_cow", {}).pop(name, None)
+            self.spark.catalog.dropTempView(name)
+            return self._one("DROP TABLE")
+        m = _re.match(
+            r"\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*$", text, flags=_re.I
+        )
+        if m:
+            # TRUNCATE TABLE (SqlBase.g4; the reference's
+            # IcebergMetadata.executeDelete-all path): an Iceberg view
+            # commits a REPLACE snapshot with zero data files (reads as
+            # an empty table; pre-truncate snapshots stay
+            # time-travelable), a CoW catalog table rewrites empty.
+            name = m.group(1).lower()
+            if hasattr(self, "_acl") and self._acl.enforce:
+                self._acl.check(
+                    self._user, self._enabled_roles, "DELETE", name
+                )
+            if name in getattr(self, "_iceberg_views", {}):
+                from trino_private_spark.sources.iceberg_write import (
+                    _commit_snapshot,
+                )
+
+                _commit_snapshot(
+                    self._iceberg_views[name],
+                    [([], 0)],
+                    operation="delete",
+                    replace=True,
+                )
+            elif name in getattr(self, "_cow", {}):
+                self._rewrite(
+                    name,
+                    self.spark.table(name).limit(0),
+                    operation="truncate",
+                )
+            else:
+                # plain registered view (lazy ctas / attach): re-register
+                # it empty — the session-catalog truncate semantics
+                self.spark.table(name).limit(0).createOrReplaceTempView(
+                    name
+                )
+            return self._one("TRUNCATE")
         m = _re.match(r"\s*SET\s+PATH\s+(.+?)\s*$", text, flags=_re.I)
         if m:
             self._sql_path = m.group(1)
@@ -1078,7 +1168,17 @@ class Engine:
             return None
 
         if name == "rollback_to_snapshot":
-            self.rollback_to(str(args[0]), int(args[1]))
+            loc = _iceberg_loc(args[0])
+            if loc:
+                # RollbackToSnapshotProcedure on a real iceberg tree:
+                # metadata-only current-snapshot repoint
+                from trino_private_spark.sources.iceberg_maintenance import (
+                    iceberg_rollback_to_snapshot,
+                )
+
+                iceberg_rollback_to_snapshot(loc, int(args[1]))
+            else:
+                self.rollback_to(str(args[0]), int(args[1]))
             return self._one("CALL")
         if name == "expire_snapshots":
             loc = _iceberg_loc(args[0])
@@ -1167,18 +1267,11 @@ class Engine:
             f"Procedure not registered: {procedure}"
         )
 
-    def _ctas_with_properties(
-        self, name: str, props_text: str, query: str, dialect: str
-    ) -> DataFrame:
-        """CREATE TABLE t WITH (format = 'ICEBERG', partitioning =
-        ARRAY['month(d)'], sorted_by = ARRAY['k'], location = '...') AS
-        <query> (SqlBase.g4:51-54 with table properties — the
-        reference's Iceberg CTAS surface). format='ICEBERG' (or a
-        partitioning/sorted_by property) commits a real Iceberg v2
-        table; a plain format property falls back to the file CTAS.
-        Without an explicit location the table lands under
-        ``spark-warehouse/iceberg/<name>``."""
-        import os as _os
+    @staticmethod
+    def _parse_table_properties(props_text: str):
+        """The WITH (k = v, ...) property block of CREATE TABLE [AS]:
+        returns (props dict, arr) where ``arr(key)`` resolves an
+        ARRAY['a', 'b'] literal property to its string list."""
         import re as _re
 
         from trino_private_spark.plans.translate import _shield_strings
@@ -1211,6 +1304,88 @@ class Engine:
             return [
                 e.strip().strip("'") for e in am.group(1).split(",") if e.strip()
             ]
+
+        return props, arr
+
+    def _create_table_statement(
+        self, name: str, cols_text: str, props_text: str | None
+    ) -> DataFrame:
+        """Plain CREATE TABLE name (col type, ...) [WITH (props)]
+        (SqlBase.g4:48-50 — the no-AS form the reference supports):
+        registers an EMPTY table of that schema. With Iceberg-shaped
+        properties (format='ICEBERG' / partitioning / sorted_by) it
+        commits a real empty v2 tree (IcebergMetadata.createTable);
+        otherwise an empty temp view."""
+        import os as _os
+        import re as _re
+
+        from trino_private_spark.plans.translate import (
+            _split_top_commas,
+            _type_to_spark,
+        )
+
+        cols = []
+        for c in _split_top_commas(cols_text):
+            c = _re.sub(r"\s+NOT\s+NULL\s*$", "", c.strip(), flags=_re.I)
+            c = _re.sub(
+                r"\s+COMMENT\s+'(?:[^']|'')*'\s*$", "", c, flags=_re.I
+            )
+            m = _re.match(r"\s*\"?([\w]+)\"?\s+(.+?)\s*$", c, _re.S)
+            if not m:
+                raise ValueError(f"invalid column definition: {c!r}")
+            cols.append(f"`{m.group(1)}` {_type_to_spark(m.group(2))}")
+        empty = self.spark.createDataFrame([], ", ".join(cols))
+
+        props, arr = self._parse_table_properties(props_text or "")
+        fmt = props.get("format", "").strip("'").lower()
+        partitioning = arr("partitioning")
+        sorted_by = arr("sorted_by")
+        location = props.get("location", "").strip("'")
+        if fmt == "iceberg" or partitioning or sorted_by:
+            if not location:
+                location = _os.path.join(
+                    "spark-warehouse", "iceberg", name.lower()
+                )
+            from trino_private_spark.sources.iceberg import read_iceberg
+            from trino_private_spark.sources.iceberg_write import (
+                iceberg_create,
+            )
+
+            iceberg_create(
+                empty,
+                location,
+                partition_by=[
+                    self._parse_partitioning_entry(e)
+                    for e in (partitioning or [])
+                ]
+                or None,
+                sorted_by=sorted_by,
+            )
+            read_iceberg(self.spark, location).createOrReplaceTempView(
+                name
+            )
+            if not hasattr(self, "_iceberg_views"):
+                self._iceberg_views: dict[str, str] = {}
+            self._iceberg_views[name.lower()] = location
+        else:
+            empty.createOrReplaceTempView(name)
+        return self._one("CREATE TABLE")
+
+    def _ctas_with_properties(
+        self, name: str, props_text: str, query: str, dialect: str
+    ) -> DataFrame:
+        """CREATE TABLE t WITH (format = 'ICEBERG', partitioning =
+        ARRAY['month(d)'], sorted_by = ARRAY['k'], location = '...') AS
+        <query> (SqlBase.g4:51-54 with table properties — the
+        reference's Iceberg CTAS surface). format='ICEBERG' (or a
+        partitioning/sorted_by property) commits a real Iceberg v2
+        table; a plain format property falls back to the file CTAS.
+        Without an explicit location the table lands under
+        ``spark-warehouse/iceberg/<name>``."""
+        import os as _os
+        import re as _re
+
+        props, arr = self._parse_table_properties(props_text)
 
         fmt = props.get("format", "").strip("'").lower()
         partitioning = arr("partitioning")
@@ -1889,13 +2064,78 @@ class Engine:
 
     def show_create_table(self, table: str) -> DataFrame:
         """SHOW CREATE TABLE (SqlBase.g4:135): render the reference's
-        single-column `Create Table` result from the resolved schema."""
+        single-column `Create Table` result from the resolved schema.
+        Registered Iceberg views render the reference's WITH property
+        block (format / location / partitioning / sorted_by read back
+        from the live metadata — the iceberg connector's
+        getTableProperties shape)."""
         df = self.spark.table(table)
         cols = ",\n".join(
             f"   {f.name} {self._trino_type(f.dataType)}"
             for f in df.schema.fields
         )
         ddl = f"CREATE TABLE {table} (\n{cols}\n)"
+        loc = getattr(self, "_iceberg_views", {}).get(table.lower())
+        if loc:
+            from trino_private_spark.sources.iceberg import IcebergTable
+
+            import re as _re_mod
+
+            t = IcebergTable(loc)
+            md = t.metadata
+            props = ["   format = 'ICEBERG'", f"   location = '{loc}'"]
+            spec_id = int(md.get("default-spec-id", 0))
+            spec = next(
+                (
+                    s.get("fields", [])
+                    for s in md.get("partition-specs", [])
+                    if s.get("spec-id") == spec_id
+                ),
+                [],
+            )
+            if spec:
+                names_by_id = {
+                    f["id"]: f["name"]
+                    for s in md.get("schemas", [])
+                    for f in s.get("fields", [])
+                }
+
+                def render(fld) -> str:
+                    src = names_by_id.get(fld.get("source-id"), "?")
+                    tr = fld.get("transform", "identity")
+                    if tr == "identity":
+                        return src
+                    m = _re_mod.fullmatch(r"(bucket|truncate)\[(\d+)\]", tr)
+                    if m:
+                        return f"{m.group(1)}({src}, {m.group(2)})"
+                    return f"{tr}({src})"
+
+                entries = ", ".join(f"'{render(f)}'" for f in spec)
+                props.append(f"   partitioning = ARRAY[{entries}]")
+            order_id = int(md.get("default-sort-order-id", 0))
+            order = next(
+                (
+                    o.get("fields", [])
+                    for o in md.get("sort-orders", [])
+                    if o.get("order-id") == order_id
+                ),
+                [],
+            )
+            if order:
+                names_by_id = {
+                    f["id"]: f["name"]
+                    for s in md.get("schemas", [])
+                    for f in s.get("fields", [])
+                }
+                entries = ", ".join(
+                    "'{}{}'".format(
+                        names_by_id.get(f.get("source-id"), "?"),
+                        " DESC" if f.get("direction") == "desc" else "",
+                    )
+                    for f in order
+                )
+                props.append(f"   sorted_by = ARRAY[{entries}]")
+            ddl += "\nWITH (\n" + ",\n".join(props) + "\n)"
         return self.spark.createDataFrame(
             [(ddl,)], "`Create Table` string"
         )

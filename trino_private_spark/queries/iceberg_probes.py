@@ -1555,3 +1555,97 @@ def p_iceberg_partial_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total long, n_g3 long, files_before int, files_after int, "
         "g3_files int, g3_scanned int",
     )
+
+
+@probe(
+    "p_iceberg_truncate",
+    oracle="""
+    SELECT 0 AS n_after, CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(COUNT(*) AS BIGINT) AS n_travel
+    FROM nation
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATE TABLE on an Iceberg view (the reference's truncate
+    support; executeDelete-all shape): commits a REPLACE snapshot with
+    ZERO data files — the table reads as empty, while the pre-truncate
+    snapshot stays fully time-travelable. All three counts ride in one
+    hashed row."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from trino_private_spark.api import Engine
+    from trino_private_spark.sources.iceberg import IcebergTable
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_tr_") + "/t"
+    eng.ctas(
+        "ice_tr_nation",
+        "SELECT n_nationkey, n_name FROM nation",
+        path=loc, fmt="iceberg",
+    )
+    t = IcebergTable(loc)
+    n_before = t.read(spark).count()
+    pre = t.current_snapshot()["snapshot-id"]
+    eng.sql("TRUNCATE TABLE ice_tr_nation")
+    t2 = IcebergTable(loc)
+    n_after = t2.read(spark).count()
+    n_travel = t2.read(spark, snapshot_id=pre).count()
+    return spark.createDataFrame(
+        [(n_after, n_before, n_travel)],
+        "n_after long, n_before long, n_travel long",
+    )
+
+
+@probe(
+    "p_iceberg_create_rollback",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_inserted,
+           0 AS n_rolled_back,
+           CAST(COUNT(*) AS BIGINT) AS n_forward,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_create_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain CREATE TABLE (cols) + positional INSERT coercion +
+    rollback_to_snapshot (the reference's no-AS CREATE TABLE,
+    StatementAnalyzer insert coercion, RollbackToSnapshotProcedure):
+    the empty-table commit is snapshot 1, the insert snapshot 2;
+    rolling back to 1 reads empty METADATA-ONLY (both snapshots kept),
+    rolling forward to 2 restores every row bit-identically — the key
+    sum ties the round trip to the nation oracle."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.api import Engine
+    from trino_private_spark.sources.iceberg import IcebergTable
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_cr_") + "/t"
+    eng.sql(
+        f"CREATE TABLE ice_cr_t (k bigint, v varchar) WITH ("
+        f"format='ICEBERG', location = '{loc}')"
+    )
+    eng.sql("INSERT INTO ice_cr_t SELECT n_nationkey, n_name FROM nation")
+    snaps = IcebergTable(loc).snapshots()
+    n_inserted = spark.table("ice_cr_t").count()
+    eng.sql(
+        f"CALL system.rollback_to_snapshot('ice_cr_t', "
+        f"{snaps[0]['snapshot-id']})"
+    )
+    n_rolled = eng.sql("SELECT COUNT(*) AS c FROM ice_cr_t").collect()[0].c
+    eng.sql(
+        f"CALL system.rollback_to_snapshot('ice_cr_t', "
+        f"{snaps[1]['snapshot-id']})"
+    )
+    fwd = eng.sql(
+        "SELECT COUNT(*) AS c, SUM(k) AS s FROM ice_cr_t"
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(n_inserted, n_rolled, fwd.c, fwd.s)],
+        "n_inserted long, n_rolled_back long, n_forward long, "
+        "key_sum long",
+    )

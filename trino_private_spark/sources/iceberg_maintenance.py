@@ -93,6 +93,24 @@ def iceberg_create_ref(
     _write_metadata(location, metadata)
 
 
+def iceberg_rollback_to_snapshot(location: str, snapshot_id: int) -> None:
+    """rollback_to_snapshot (the reference's RollbackToSnapshotProcedure,
+    plugin/trino-iceberg): point current-snapshot-id back at an existing
+    snapshot as a METADATA-ONLY commit — no snapshot is added or removed,
+    so rolling forward again is just another rollback. Appends after a
+    rollback branch off the rolled-back state (their parent is the
+    restored snapshot)."""
+    table = IcebergTable(location)
+    metadata = table.metadata
+    if all(
+        s["snapshot-id"] != snapshot_id
+        for s in metadata.get("snapshots", [])
+    ):
+        raise KeyError(f"snapshot {snapshot_id} not found")
+    metadata["current-snapshot-id"] = int(snapshot_id)
+    _write_metadata(location, metadata)
+
+
 def iceberg_drop_ref(location: str, name: str) -> None:
     """Remove a named branch/tag from the metadata refs map."""
     table = IcebergTable(location)

@@ -1011,10 +1011,15 @@ def iceberg_append(
     if missing:
         raise ValueError(f"columns not in table schema: {missing}")
     # schema columns absent from the input null-fill (INSERT INTO t(cols)
-    # semantics — routine right after an ALTER ... ADD COLUMN)
+    # semantics — routine right after an ALTER ... ADD COLUMN); present
+    # columns COERCE to the table's declared type (StatementAnalyzer's
+    # insert coercion — an int32 source must not leak into a long
+    # column's data files)
     df = df.select(
         *[
             F.col(f["name"])
+            .cast(_spark_type(f.get("type")) or "string")
+            .alias(f["name"])
             if f["name"] in df.columns
             else F.lit(None)
             .cast(_spark_type(f.get("type")) or "string")
