@@ -1366,7 +1366,7 @@ def p_iceberg_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_nationkey").alias("key_sum"),
         F.lit(before).alias("manifests_before"),
         F.lit(after).alias("manifests_after"),
-        F.lit(tt_rows).alias("tt_rows"),
+        F.lit(tt_rows).cast("long").alias("tt_rows"),
     )
 
 
@@ -1413,7 +1413,7 @@ def p_iceberg_entries_all_manifests(
             )
         )
         .select(
-            F.lit(n_rows).alias("n_rows"),
+            F.lit(n_rows).cast("long").alias("n_rows"),
             F.col("n_entries").cast("int"),
             F.col("n_del_entries").cast("int"),
             F.col("seq_sum").cast("int"),
@@ -1560,7 +1560,8 @@ def p_iceberg_partial_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @probe(
     "p_iceberg_truncate",
     oracle="""
-    SELECT 0 AS n_after, CAST(COUNT(*) AS BIGINT) AS n_before,
+    SELECT CAST(0 AS BIGINT) AS n_after,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
            CAST(COUNT(*) AS BIGINT) AS n_travel
     FROM nation
     """,
@@ -1602,7 +1603,7 @@ def p_iceberg_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p_iceberg_create_rollback",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_inserted,
-           0 AS n_rolled_back,
+           CAST(0 AS BIGINT) AS n_rolled_back,
            CAST(COUNT(*) AS BIGINT) AS n_forward,
            CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
     FROM nation
