@@ -1546,9 +1546,13 @@ class TestSqlDmlAndTimeTravel:
         assert by_tag[0].c == 40
         import datetime as _dt
 
+        # FULL millisecond precision: truncating to whole seconds races
+        # the setup commits' own millisecond timestamps under load (the
+        # floor can land BEFORE the pre-delete snapshot) — flaked in
+        # contended full-suite runs
         ts = _dt.datetime.fromtimestamp(
             before_ms / 1000, _dt.timezone.utc
-        ).strftime("%Y-%m-%d %H:%M:%S+00:00")
+        ).strftime("%Y-%m-%d %H:%M:%S.%f+00:00")
         by_ts = eng.sql(
             f"SELECT COUNT(*) AS c FROM dml_t "
             f"FOR TIMESTAMP AS OF TIMESTAMP '{ts}'",
