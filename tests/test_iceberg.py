@@ -489,3 +489,66 @@ def test_iceberg_update_roundtrip(spark, tmp_path):
     # no-match update is a no-op (no empty snapshots committed)
     assert iceberg_update(spark, loc, {"v": "0"}, "id > 99") == 0
     assert {r.id: r.v for r in read_iceberg(spark, loc).collect()} == got
+
+
+class TestManifestCaches:
+    """Cache-key semantics of the metadata plane (sources/iceberg.py):
+    the constructed-_DataFile cache must key on the manifest-list
+    CONTEXT (sequence number, spec id) — the same manifest file listed
+    under a different inherited seq is a different plan — and the
+    distributed prefetch must respect its byte gate."""
+
+    def test_datafile_cache_keys_on_manifest_context(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        import trino_private_spark.sources.iceberg as ice
+        from trino_private_spark.sources.iceberg import (
+            IcebergTable,
+            _manifest_datafiles,
+        )
+        from trino_private_spark.sources.iceberg_write import iceberg_create
+
+        loc = str(tmp_path / "t")
+        iceberg_create(
+            spark.range(0, 10).select(F.col("id").alias("k")), loc
+        )
+        t = IcebergTable(loc)
+        snap = t.current_snapshot()
+        ml = ice.read_avro_container_cached(
+            ice._local(snap["manifest-list"])
+        )
+        mp = ice._local(ml[0]["manifest_path"])
+        a = _manifest_datafiles(mp, 1, 0)
+        b = _manifest_datafiles(mp, 7, 0)  # different inherited seq
+        assert a is not b
+        assert {f.sequence_number for f in a} == {1}
+        assert {f.sequence_number for f in b} == {7}
+        # same context -> the SAME immutable tuple back (cache hit)
+        assert _manifest_datafiles(mp, 1, 0) is a
+
+    def test_prefetch_respects_byte_gate(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        import trino_private_spark.sources.iceberg as ice
+        from trino_private_spark.sources.iceberg import (
+            IcebergTable,
+            prefetch_manifests,
+        )
+        from trino_private_spark.sources.iceberg_write import iceberg_create
+
+        loc = str(tmp_path / "t")
+        iceberg_create(
+            spark.range(0, 10).select(F.col("id").alias("k")), loc
+        )
+        t = IcebergTable(loc)
+        ml = ice.read_avro_container_cached(
+            ice._local(t.current_snapshot()["manifest-list"])
+        )
+        paths = [ice._local(m["manifest_path"]) for m in ml]
+        ice._AVRO_CACHE.clear()
+        # tiny manifests sit far below the default gate: no job runs
+        assert prefetch_manifests(spark, paths) == 0
+        assert len(ice._AVRO_CACHE) == 0
+        # forcing the gate to zero fetches them distributed
+        assert prefetch_manifests(spark, paths, min_bytes=0) == len(paths)
+        assert len(ice._AVRO_CACHE) == len(paths)
