@@ -41,6 +41,15 @@ class Engine:
         (Spark has no MATCH_RECOGNIZE; SqlBase.g4 patternRecognition)."""
         import re as _re
 
+        from trino_private_spark.plans.translate import strip_sql_comments
+
+        # comments are stripped ONCE, before ANY regex routing — the
+        # reference's lexer skips them (SqlBase.g4 SIMPLE_COMMENT /
+        # BRACKETED_COMMENT); without this, commented-out text reaches
+        # the statement routers and the partition-prune predicate parser
+        # as live tokens (a commented-out conjunct would wrongly prune)
+        text = strip_sql_comments(text)
+
         ea = _re.match(
             r"\s*EXPLAIN\s+ANALYZE\s+(.+)$", text, flags=_re.I | _re.S
         )

@@ -61,6 +61,56 @@ _FN_RENAMES = {
 _UNIT = r"'(millisecond|second|minute|hour|day|week|month|quarter|year)'"
 
 
+def strip_sql_comments(sql: str) -> str:
+    """Remove ``--``-to-end-of-line and ``/* ... */`` comments, shielding
+    quoted regions — the lexer-level skip the reference performs
+    (core/trino-parser SqlBase.g4 SIMPLE_COMMENT / BRACKETED_COMMENT ->
+    channel(HIDDEN)) done ONCE at statement entry. Every downstream
+    regex router (statement dispatch, partition-prune predicate
+    extraction, DML/time-travel/recursive lowering) would otherwise see
+    commented-out text as live tokens — a commented-out conjunct that
+    becomes a partition-prune term silently drops rows. Quoted regions
+    are never touched: ``'a--b'`` (with ``''`` escapes), Trino
+    double-quoted identifiers, and Spark backtick identifiers all pass
+    through verbatim. A line comment keeps its terminating newline; a
+    block comment collapses to one space (``a/*x*/b`` -> ``a b``) so
+    token boundaries survive. Idempotent."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif c in ('"', "`"):
+            j = sql.find(c, i + 1)
+            j = n - 1 if j == -1 else j
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif c == "-" and sql[i : i + 2] == "--":
+            j = sql.find("\n", i + 2)
+            i = n if j == -1 else j  # keep the newline itself
+        elif c == "/" and sql[i : i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            out.append(" ")
+            # an unterminated block comment swallows the rest — the
+            # reference's lexer errors there; downstream parsing will
+            # fail loudly on the truncated statement either way
+            i = n if j == -1 else j + 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _shield_strings(sql: str):
     """Replace string literals with placeholders so rewrites can't touch
     their contents; returns (shielded_sql, restore_fn)."""
@@ -480,6 +530,9 @@ def _rewrite_quantified(s: str) -> str:
 
 def translate(sql: str) -> str:
     """Translate a Trino-dialect SQL string into Spark SQL."""
+    # comments out first (Engine.sql already stripped; direct translate()
+    # callers get the same lexer-level skip — idempotent either way)
+    sql = strip_sql_comments(sql)
     # date_add / date_diff keep their unit literal: rewrite BEFORE shielding.
     sql = re.sub(
         rf"\bdate_add\s*\(\s*{_UNIT}\s*,\s*",

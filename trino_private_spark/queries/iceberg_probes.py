@@ -1650,3 +1650,46 @@ def p_iceberg_create_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_inserted long, n_rolled_back long, n_forward long, "
         "key_sum long",
     )
+
+
+@probe(
+    "p_iceberg_comment_prune",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, 1 AS scanned_files
+    FROM orders WHERE o_custkey % 4 = 3 AND o_orderkey % 8 = 1
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_comment_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL comments are lexer-skipped BEFORE partition pruning (the
+    reference's SqlBase.g4 SIMPLE_COMMENT/BRACKETED_COMMENT skip; round-8
+    audit found a commented-out conjunct becoming a live prune term and
+    silently dropping rows). The statement carries a commented-out
+    ``AND seg = 5`` (must NOT prune), a block comment, and a live
+    ``seg = 1`` conjunct (MUST still prune to 1 of 8 partition files) —
+    both the row count and the scanned-file count ride in the hash."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.api import Engine
+    from trino_private_spark.sources.iceberg import IO_SCAN_INFO
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_cmt_") + "/t"
+    eng.ctas(
+        "ice_cmt_orders",
+        "SELECT o_orderkey, o_custkey % 4 AS grp, o_orderkey % 8 AS seg "
+        "FROM orders",
+        path=loc, fmt="iceberg", partition_by=["seg"],
+    )
+    out = eng.sql(
+        "SELECT COUNT(*) AS n FROM ice_cmt_orders\n"
+        "WHERE grp = 3 -- AND seg = 5\n"
+        " AND /* live conjunct follows */ seg = 1"
+    ).localCheckpoint(eager=True)
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(IO_SCAN_INFO[loc]["scanned_data_files"]).alias(
+            "scanned_files"
+        ),
+    )

@@ -1100,7 +1100,17 @@ def parse_partition_predicate(cond: str) -> list[tuple[str, str, object]]:
     term while its sibling conjuncts still prune."""
     import re
 
-    from trino_private_spark.plans.translate import _shield_strings
+    from trino_private_spark.plans.translate import (
+        _shield_strings,
+        strip_sql_comments,
+    )
+
+    # Engine.sql strips comments at statement entry, but this parser is
+    # also reachable directly (read_iceberg(where=...), OPTIMIZE WHERE,
+    # DELETE conditions) — a commented-out conjunct becoming a live
+    # prune term silently drops rows, so the invariant is enforced HERE
+    # too (idempotent; quoted regions are shielded by the stripper)
+    cond = strip_sql_comments(cond)
 
     def lit(tok: str):
         tok = tok.strip()
@@ -1251,8 +1261,12 @@ def parse_qualified_predicate(
     (``{}``) — its branches are alternatives, not conjuncts."""
     import re
 
-    from trino_private_spark.plans.translate import _shield_strings
+    from trino_private_spark.plans.translate import (
+        _shield_strings,
+        strip_sql_comments,
+    )
 
+    cond = strip_sql_comments(cond)  # see parse_partition_predicate
     shielded, restore = _shield_strings(cond)
     # qualified BETWEEN -> two range conjuncts BEFORE the AND split (the
     # unqualified form is rewritten inside parse_partition_predicate)
