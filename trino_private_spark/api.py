@@ -168,16 +168,26 @@ class Engine:
             text,
             flags=_re.I | _re.S,
         )
-        if ct:
+        if ct and self._paren_balanced(ct.group(3)):
+            # the balance check rejects a CTAS with column aliases whose
+            # query ends in ')' — e.g. CREATE TABLE t (x) AS SELECT *
+            # FROM (VALUES 1) — whose non-greedy capture would otherwise
+            # swallow ') AS SELECT ... (' and fail as a bogus column
+            # definition; it falls through to the CTAS routes instead
             name = ct.group(2)
-            if ct.group(1) and (
-                name.lower() in getattr(self, "_iceberg_views", {})
-                or any(
-                    t.name.lower() == name.lower()
-                    for t in self.spark.catalog.listTables()
-                )
-            ):
-                return self._one("CREATE TABLE")  # IF NOT EXISTS no-op
+            exists = name.lower() in getattr(
+                self, "_iceberg_views", {}
+            ) or any(
+                t.name.lower() == name.lower()
+                for t in self.spark.catalog.listTables()
+            )
+            if exists:
+                if ct.group(1):
+                    return self._one("CREATE TABLE")  # IF NOT EXISTS no-op
+                # the reference raises TABLE_ALREADY_EXISTS
+                # (CreateTableTask); silently replacing the registration
+                # would drop the existing table's data binding
+                raise ValueError(f"Table '{name}' already exists")
             return self._create_table_statement(
                 name, ct.group(3), ct.group(4)
             )
@@ -297,6 +307,10 @@ class Engine:
             getattr(self, "_iceberg_views", {}).pop(name, None)
             getattr(self, "_cow", {}).pop(name, None)
             self.spark.catalog.dropTempView(name)
+            if name in getattr(self, "_iceberg_cbo", {}):
+                # the ANALYZE-promoted catalog twin goes with the view
+                self._iceberg_cbo.pop(name, None)
+                self.spark.sql(f"DROP TABLE IF EXISTS {name}")
             return self._one("DROP TABLE")
         m = _re.match(
             r"\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*$", text, flags=_re.I
@@ -358,6 +372,13 @@ class Engine:
                 )
 
                 analyze_table(self.spark, self._iceberg_views[name])
+                # ...and promote a CLEAN table to a stats-bearing
+                # catalog table so Catalyst's CBO consumes the stats
+                # (the reference's ANALYZE feeds ReorderJoins /
+                # DetermineJoinDistributionType the same way)
+                self._promote_iceberg_cbo(
+                    name, self._iceberg_views[name]
+                )
             else:
                 self.analyze(an.group(1))
             return self.spark.createDataFrame([(True,)], "`ANALYZE` boolean")
@@ -900,6 +921,58 @@ class Engine:
             if not progressed:  # defensive: should be unreachable
                 return text
 
+    def _promote_iceberg_cbo(self, name: str, loc: str) -> bool:
+        """Promote an ANALYZEd Iceberg view to a stats-bearing catalog
+        table so Catalyst's cost-based optimizer (join reorder,
+        ndv-based filter selectivity, broadcast sizing) consumes the
+        statistics — the side effect the reference's ANALYZE has on its
+        CBO (TableStatisticsReader feeds ReorderJoins). Safe ONLY for a
+        CLEAN table: no merge-on-read delete files, single schema,
+        all-parquet, and the data directory holding EXACTLY the live
+        files (a post-OPTIMIZE directory still carries the replaced
+        files until remove_orphan_files). Anything else keeps the temp
+        view and returns False. The promotion records the table's
+        metadata version; _reprune_iceberg_views keeps the catalog
+        table only while the version is unchanged, so a write is never
+        served stale."""
+        import glob as _glob
+        import os as _os
+
+        from trino_private_spark.sources.iceberg import IcebergTable
+
+        t = IcebergTable(loc)
+        files = t.data_files()
+        if (
+            any(f.content != 0 for f in files)
+            or any(f.file_format != "PARQUET" for f in files)
+            or len(t.metadata.get("schemas", [])) > 1
+        ):
+            return False
+        live = {_os.path.abspath(f.path) for f in files}
+        data_dir = _os.path.join(loc, "data")
+        on_disk = {
+            _os.path.abspath(p)
+            for p in _glob.glob(_os.path.join(data_dir, "*"))
+            if _os.path.isfile(p)
+        }
+        if not live or live != on_disk:
+            return False
+        self.spark.catalog.dropTempView(name)
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        self.spark.sql(
+            f"CREATE TABLE {name} USING parquet LOCATION '{data_dir}'"
+        )
+        # Spark's own column stats (ndv/min/max/nulls) — an explicit,
+        # user-priced second scan, same pricing as the reference's
+        # ANALYZE; the Iceberg statistics file serves SHOW STATS
+        self.spark.sql(
+            f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+        if not hasattr(self, "_iceberg_cbo"):
+            self._iceberg_cbo: dict[str, tuple] = {}
+        self._iceberg_cbo[name.lower()] = t.metadata_key
+        return True
+
     def _reprune_iceberg_views(self, text: str) -> str:
         """Per-statement Iceberg re-planning, the reference's
         PushPredicateIntoTableScan -> applyFilter shape. Two effects:
@@ -939,6 +1012,22 @@ class Engine:
         if not referenced:
             return text
         for n, p in referenced.items():
+            mk = getattr(self, "_iceberg_cbo", {}).get(n)
+            if mk is not None:
+                from trino_private_spark.sources.iceberg import (
+                    IcebergTable,
+                )
+
+                if IcebergTable(p).metadata_key == mk:
+                    # the ANALYZE-promoted catalog table is still at the
+                    # analyzed metadata version: keep it visible (its
+                    # CBO stats are what the promotion is FOR) — a temp
+                    # view would shadow it
+                    continue
+                # stale: a write landed since ANALYZE — drop the
+                # promotion, fall through to the live view
+                self._iceberg_cbo.pop(n, None)
+                self.spark.sql(f"DROP TABLE IF EXISTS {n}")
             read_iceberg(self.spark, p).createOrReplaceTempView(n)
 
         # single depth-0 query block?
@@ -1315,6 +1404,25 @@ class Engine:
             ]
 
         return props, arr
+
+    @staticmethod
+    def _paren_balanced(text: str) -> bool:
+        """True when ``text`` (string-shielded) is paren-balanced and the
+        depth never goes negative — the guard that tells a real column
+        block apart from a mis-captured CTAS tail like
+        ``x) AS SELECT * FROM (VALUES 1``."""
+        from trino_private_spark.plans.translate import _shield_strings
+
+        shielded, _ = _shield_strings(text)
+        depth = 0
+        for ch in shielded:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    return False
+        return depth == 0
 
     def _create_table_statement(
         self, name: str, cols_text: str, props_text: str | None

@@ -215,6 +215,13 @@ def prefetch_manifests(
         if key not in _AVRO_CACHE:
             todo.append((p, key))
             todo_bytes += st.st_size
+    if len(todo) > _AVRO_CACHE_MAX:
+        # inserting more entries than the cache holds would evict the
+        # EARLY results before the planning pass (which consumes in this
+        # same order) reads them back — the whole distributed decode
+        # would be wasted work (r8 ADVICE). Prefetch only what survives;
+        # the tail decodes serially on consumption.
+        todo = todo[:_AVRO_CACHE_MAX]
     if not todo or todo_bytes < min_bytes:
         return 0
 
@@ -449,6 +456,25 @@ class IcebergTable:
             md_path = cands[-1]
         with open(md_path) as fh:
             self.metadata = json.load(fh)
+        self.metadata_path = md_path
+        # the version THIS handle loaded — metadata-only writers must CAS
+        # against it (base+1), never re-read the latest at write time: a
+        # concurrent commit landing in between would otherwise win the
+        # CAS with a stale base and silently lose the interleaved
+        # snapshots (r8 ADVICE; the reference's TableOperations commit
+        # carries base metadata + version together)
+        import re as _re
+
+        _m = _re.match(r"v?(\d+)", os.path.basename(md_path))
+        self.loaded_version = int(_m.group(1)) if _m else 0
+        try:
+            _st = os.stat(md_path)
+            # metadata files are immutable once linked into place, so
+            # (path, size, mtime_ns) identifies this table VERSION —
+            # the key for every per-version cache (read-DF, CBO)
+            self.metadata_key = (md_path, _st.st_size, _st.st_mtime_ns)
+        except OSError:
+            self.metadata_key = (md_path, -1, -1)
 
     # -- snapshot resolution (FOR VERSION/TIMESTAMP AS OF) ------------------
 
@@ -1664,6 +1690,20 @@ def _metadata_table(table: "IcebergTable", spark: SparkSession, kind: str):
     raise ValueError(f"unknown Iceberg metadata table {kind!r}")
 
 
+#: constructed FULL-table read DataFrames keyed by (metadata version
+#: identity, session). A DataFrame is an immutable logical plan and the
+#: full read is a pure function of the metadata version, so reuse is
+#: safe; any commit bumps the version and naturally misses the cache.
+#: This is what keeps per-STATEMENT latency flat vs file count:
+#: _reprune_iceberg_views re-resolves every referenced Iceberg view on
+#: every sql() call, and rebuilding spark.read.parquet(<10^5 paths>) +
+#: merge-on-read joins per statement is seconds of driver/JVM work the
+#: reference avoids by caching the loaded table per query
+#: (IcebergMetadata). Measured in examples/statement_latency_bench.py.
+_READ_DF_CACHE: "_OrderedDict[tuple, tuple]" = _OrderedDict()
+_READ_DF_CACHE_MAX = 64
+
+
 def read_iceberg(
     spark: SparkSession,
     location: str,
@@ -1692,6 +1732,30 @@ def read_iceberg(
     pf = list(partition_filter or [])
     if where:
         pf.extend(parse_partition_predicate(where))
+    if (
+        snapshot_id is None
+        and as_of_ms is None
+        and ref is None
+        and not pf
+        and not where
+    ):
+        # plain full-table read of the CURRENT version: served from the
+        # per-version DataFrame cache. The cached scan-planning counts
+        # re-publish so EXPLAIN (TYPE IO) stays attributable even after
+        # a pruned read of the same table overwrote IO_SCAN_INFO.
+        table = IcebergTable(location)
+        key = (table.metadata_key, id(spark))
+        hit = _READ_DF_CACHE.get(key)
+        if hit is not None:
+            _READ_DF_CACHE.move_to_end(key)
+            df, scan = hit
+            IO_SCAN_INFO[_local(location)] = dict(scan)
+            return df
+        df = table.read(spark)
+        _READ_DF_CACHE[key] = (df, dict(table.last_scan))
+        if len(_READ_DF_CACHE) > _READ_DF_CACHE_MAX:
+            _READ_DF_CACHE.popitem(last=False)
+        return df
     df = IcebergTable(location).read(
         spark, snapshot_id, as_of_ms, partition_filter=pf or None, ref=ref
     )

@@ -49,17 +49,23 @@ __all__ = [
 ]
 
 
-def _write_metadata(location: str, metadata: dict) -> None:
+def _write_metadata(
+    location: str, metadata: dict, base_version: int
+) -> None:
+    """Commit a metadata-only change CASed against ``base_version`` —
+    the version the caller's IcebergTable LOADED (``loaded_version``),
+    never a re-read of the latest: a concurrent commit between the read
+    and this write must surface CommitFailedException instead of a
+    silent lost update (r8 ADVICE; the reference's TableOperations
+    commits base metadata and version as one unit)."""
     import time
 
     from trino_private_spark.sources.iceberg_write import (
-        _latest_version,
         atomic_write_metadata,
     )
 
     metadata["last-updated-ms"] = int(time.time() * 1000)
-    version = _latest_version(location)
-    atomic_write_metadata(location, metadata, version + 1)
+    atomic_write_metadata(location, metadata, base_version + 1)
 
 
 def iceberg_create_ref(
@@ -90,7 +96,7 @@ def iceberg_create_ref(
     refs = dict(metadata.get("refs") or {})
     refs[name] = {"snapshot-id": snapshot_id, "type": ref_type.lower()}
     metadata["refs"] = refs
-    _write_metadata(location, metadata)
+    _write_metadata(location, metadata, table.loaded_version)
 
 
 def iceberg_rollback_to_snapshot(location: str, snapshot_id: int) -> None:
@@ -108,7 +114,7 @@ def iceberg_rollback_to_snapshot(location: str, snapshot_id: int) -> None:
     ):
         raise KeyError(f"snapshot {snapshot_id} not found")
     metadata["current-snapshot-id"] = int(snapshot_id)
-    _write_metadata(location, metadata)
+    _write_metadata(location, metadata, table.loaded_version)
 
 
 def iceberg_drop_ref(location: str, name: str) -> None:
@@ -120,7 +126,7 @@ def iceberg_drop_ref(location: str, name: str) -> None:
         raise KeyError(f"ref {name!r} not found")
     del refs[name]
     metadata["refs"] = refs
-    _write_metadata(location, metadata)
+    _write_metadata(location, metadata, table.loaded_version)
 
 
 def _snapshot_closure(
@@ -222,7 +228,7 @@ def iceberg_expire_snapshots(
                 pass
 
     metadata["snapshots"] = kept
-    _write_metadata(location, metadata)
+    _write_metadata(location, metadata, table.loaded_version)
     return {"expired_snapshots": len(dropped), "deleted_files": deleted}
 
 
@@ -279,7 +285,6 @@ def iceberg_rewrite_manifests(location: str, spark=None) -> dict:
     )
     from trino_private_spark.sources.iceberg_write import (
         _entry_schema,
-        _latest_version,
         _partition_avro_fields,
     )
 
@@ -446,7 +451,10 @@ def iceberg_rewrite_manifests(location: str, spark=None) -> dict:
     metadata["current-snapshot-id"] = snap_id
     metadata["last-sequence-number"] = seq
     metadata["last-updated-ms"] = now_ms
-    version = _latest_version(location)
+    # CAS against the version this rewrite PLANNED from — a commit
+    # landing since the planning read must fail the swap, not lose its
+    # snapshots to a stale base (r8 ADVICE)
+    version = table.loaded_version
     metadata["metadata-log"] = list(metadata.get("metadata-log") or []) + [
         {
             "timestamp-ms": now_ms,
@@ -611,12 +619,21 @@ def iceberg_optimize(
             (entries, sid, lc)
             for (sid, lc), entries in sorted(by_group.items())
         ]
+    # CAS the replace against the snapshot OPTIMIZE planned from: a
+    # commit interleaving between the planning read and this commit
+    # raises CommitConflictException (never a blind retry — the stale
+    # plan would drop the interleaved files; r8 ADVICE / the
+    # reference's RewriteFiles conflict validation)
+    planned = table.current_snapshot()
     _commit_snapshot(
         location,
         [(files, 0)],
         operation="replace",
         replace=True,
         extra_manifest_entries=extra or None,
+        expected_current_snapshot_id=(
+            planned["snapshot-id"] if planned else None
+        ),
     )
     return {
         "rewritten_files": len(files),

@@ -293,6 +293,15 @@ class CommitFailedException(RuntimeError):
     surfaced through plugin/trino-iceberg on optimistic-lock loss)."""
 
 
+class CommitConflictException(CommitFailedException):
+    """A REPLACE commit found a different current snapshot than the one
+    it planned from — retrying with the stale plan would silently drop
+    the interleaved commit's files from the new manifest list (data
+    loss), so the caller must RE-PLAN instead (the reference's
+    RewriteFiles/ValidationException behavior: conflicting commits fail
+    the rewrite rather than being blindly retried)."""
+
+
 def atomic_write_metadata(location: str, metadata: dict, version: int) -> str:
     """Commit ``metadata`` as ``v{version}.metadata.json`` ATOMICALLY:
     write a temp file in the same directory, then hard-link it to the
@@ -380,11 +389,20 @@ def _commit_snapshot(
     writer claims the targeted metadata version, the WHOLE commit
     re-derives against the new base — already-written data files are
     inputs and stay valid; manifests and the snapshot id recompute. Two
-    retries, then the CommitFailedException surfaces."""
+    retries, then the CommitFailedException surfaces.
+
+    CommitConflictException is NEVER retried: a replace commit whose
+    planned parent snapshot was superseded must re-plan, not blindly
+    re-apply a stale file list (r8 ADVICE — retrying would drop the
+    interleaved commit's files). ``skip_if`` (see _commit_snapshot_once)
+    is re-evaluated on every retry against the freshly-read base, which
+    is what makes check-then-commit idempotence race-safe."""
     last: CommitFailedException | None = None
     for _ in range(3):
         try:
             return _commit_snapshot_once(location, groups, **kwargs)
+        except CommitConflictException:
+            raise
         except CommitFailedException as exc:
             last = exc
     raise last  # type: ignore[misc]
@@ -405,7 +423,9 @@ def _commit_snapshot_once(
     extra_manifest_entries: (
         list[tuple[list[dict], int, int]] | None
     ) = None,
-) -> int:
+    expected_current_snapshot_id: int | None = None,
+    skip_if=None,
+) -> int | None:
     """Commit ONE snapshot referencing every file group in ``groups``
     (``[(files, content), ...]``) — one manifest per group, all at the
     same sequence number, in one manifest list, in one metadata swing.
@@ -419,7 +439,15 @@ def _commit_snapshot_once(
     new manifest list carries ONLY the new manifests (OPTIMIZE /
     rewrite commits: prior files drop out of the new snapshot while old
     snapshots keep their own manifest lists). Returns the new snapshot
-    id."""
+    id.
+
+    ``expected_current_snapshot_id``: the parent the caller PLANNED
+    from; a mismatch raises CommitConflictException (not retried —
+    replace callers must re-plan or lose interleaved commits, the
+    reference's RewriteFiles conflict validation). ``skip_if(metadata)``
+    returning True makes the whole commit a no-op (returns None) — the
+    idempotence hook the streaming sink re-checks INSIDE the optimistic
+    retry, where a lost race has already refreshed the base."""
     md_dir = os.path.join(location, "metadata")
     os.makedirs(md_dir, exist_ok=True)
     version = _latest_version(location)
@@ -466,8 +494,20 @@ def _commit_snapshot_once(
         prior_manifests: list[dict] = []
     else:
         metadata = IcebergTable(location).metadata
-        cur = None
+        if skip_if is not None and skip_if(metadata):
+            return None
         cur_id = metadata.get("current-snapshot-id", -1)
+        if (
+            expected_current_snapshot_id is not None
+            and cur_id != expected_current_snapshot_id
+        ):
+            raise CommitConflictException(
+                f"planned against snapshot {expected_current_snapshot_id} "
+                f"but the current snapshot is now {cur_id}; re-plan the "
+                "commit (a blind retry would drop the interleaved "
+                "commit's files)"
+            )
+        cur = None
         for s in metadata.get("snapshots", []):
             if s["snapshot-id"] == cur_id:
                 cur = s
@@ -996,10 +1036,16 @@ def iceberg_append(
     location: str,
     file_format: str = "PARQUET",
     summary_extra: dict[str, str] | None = None,
-) -> None:
+    skip_if=None,
+) -> int | None:
     """INSERT INTO (append snapshot; IcebergMetadata.beginInsert). A
     partitioned table's default spec is applied automatically — appended
-    files stay one-partition-per-file and prunable."""
+    files stay one-partition-per-file and prunable. ``skip_if(metadata)``
+    True at commit time makes the append a no-op returning None (the
+    streaming sink's race-safe idempotence hook — re-evaluated inside
+    the optimistic-commit retry); the already-written data files become
+    orphans that remove_orphan_files reclaims. Returns the snapshot
+    id."""
     from pyspark.sql import functions as F
 
     from trino_private_spark.sources.iceberg import _spark_type
@@ -1045,12 +1091,13 @@ def iceberg_append(
         part_cols=pv_cols,
         file_format=file_format,
     )
-    _commit_snapshot(
+    return _commit_snapshot(
         location,
         [(files, 0)],
         operation="append",
         file_format=file_format,
         summary_extra=summary_extra,
+        skip_if=skip_if,
     )
 
 
@@ -1140,12 +1187,11 @@ def iceberg_alter(
     metadata["current-schema-id"] = new_sid
     metadata["last-column-id"] = last_col
     metadata["last-updated-ms"] = int(time.time() * 1000)
-    version = _latest_version(location)
-    md_dir = os.path.join(location, "metadata")
-    with open(
-        os.path.join(md_dir, f"v{version + 1}.metadata.json"), "w"
-    ) as fh:
-        json.dump(metadata, fh)
+    # CAS against the loaded version through the atomic link swap — the
+    # plain open(...,'w') this used to do could clobber a concurrently
+    # committed version outright (r9 hardening, same protocol as every
+    # other metadata commit)
+    atomic_write_metadata(location, metadata, table.loaded_version + 1)
     return new_sid
 
 
@@ -1200,12 +1246,8 @@ def iceberg_set_partitioning(location: str, partition_by: list) -> int:
     )
     metadata["default-spec-id"] = new_sid
     metadata["last-updated-ms"] = int(time.time() * 1000)
-    version = _latest_version(location)
-    with open(
-        os.path.join(location, "metadata", f"v{version + 1}.metadata.json"),
-        "w",
-    ) as fh:
-        json.dump(metadata, fh)
+    # CAS against the loaded version (see iceberg_alter)
+    atomic_write_metadata(location, metadata, table.loaded_version + 1)
     return new_sid
 
 
