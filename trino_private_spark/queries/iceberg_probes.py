@@ -1693,3 +1693,99 @@ def p_iceberg_comment_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scanned_files"
         ),
     )
+
+
+@probe(
+    "p_iceberg_analyze_cbo",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_analyzed,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_after_insert,
+           TRUE AS has_row_stats
+    FROM orders
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_analyze_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE feeds Catalyst's CBO (r9): a clean Iceberg table promotes
+    to a stats-bearing catalog table (DESC EXTENDED shows a rowCount
+    Statistics line — rides in the hash as has_row_stats), statements
+    keep returning exact results THROUGH the promotion, and a write
+    after ANALYZE must drop the promotion and serve fresh rows (the
+    staleness pin). Reference: ANALYZE -> TableStatisticsWriter, stats
+    consumed by ReorderJoins/DetermineJoinDistributionType."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.api import Engine
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_cbo_") + "/t"
+    eng.ctas(
+        "ice_cbo_probe",
+        "SELECT o_orderkey, o_custkey FROM orders",
+        path=loc, fmt="iceberg",
+    )
+    eng.sql("ANALYZE ice_cbo_probe")
+    has_stats = any(
+        r.col_name == "Statistics" and "rows" in (r.data_type or "")
+        for r in spark.sql("DESC EXTENDED ice_cbo_probe").collect()
+    )
+    agg = eng.sql(
+        "SELECT COUNT(*) AS n, SUM(o_orderkey) AS s FROM ice_cbo_probe"
+    ).collect()[0]
+    eng.sql(
+        "INSERT INTO ice_cbo_probe SELECT -1 AS o_orderkey, -1 AS o_custkey"
+    )
+    n_after = eng.sql(
+        "SELECT COUNT(*) AS n FROM ice_cbo_probe"
+    ).collect()[0]["n"]
+    return spark.createDataFrame(
+        [(int(agg["n"]), int(agg["s"]), int(n_after), bool(has_stats))],
+        "n_analyzed long, key_sum long, n_after_insert long, "
+        "has_row_stats boolean",
+    )
+
+
+@probe(
+    "p_iceberg_stats_bounds",
+    oracle="""
+    SELECT CAST(COUNT(*) - SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0
+                END) AS BIGINT) AS row_count,
+           FALSE AS is_exact,
+           CAST(COUNT(*) - SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0
+                END) AS BIGINT) AS row_low,
+           CAST(COUNT(*) AS BIGINT) AS row_high
+    FROM orders
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_stats_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW STATS honesty under merge-on-read churn (r9): after a
+    position-delete DELETE, row_count is a flagged ESTIMATE with a
+    [low, high] bound — low = data minus delete rows, high = data rows
+    (deletes only remove) — all zero-data-IO from manifests
+    (TableStatisticsReader's metadata path, which silently ignores
+    un-applied deletes in the reference)."""
+    from trino_private_spark.api import Engine
+    from trino_private_spark.sources.iceberg_stats import table_stats
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_sb_") + "/t"
+    eng.ctas(
+        "ice_sb_orders",
+        "SELECT o_orderkey FROM orders",
+        path=loc, fmt="iceberg",
+    )
+    eng.sql("DELETE FROM ice_sb_orders WHERE o_orderkey % 7 = 0")
+    st = table_stats(loc)
+    return spark.createDataFrame(
+        [(
+            int(st["row_count"]),
+            bool(st["row_count_is_exact"]),
+            int(st["row_count_low"]),
+            int(st["row_count_high"]),
+        )],
+        "row_count long, is_exact boolean, row_low long, row_high long",
+    )
