@@ -248,3 +248,28 @@ class TestEngineStatements:
             "-- time travel\n"
         ).collect()[0]["n"]
         assert n == spark.table("ice_cmt").count()
+
+
+class TestDialectEscapes:
+    def test_trino_backslash_is_literal(self):
+        # Trino: backslash is an ordinary character; 'a\' is a complete
+        # literal and the following -- IS a comment
+        assert (
+            strip_sql_comments("SELECT 'a\\' -- drop\n")
+            == "SELECT 'a\\' \n"
+        )
+
+    def test_spark_backslash_escapes_quote(self):
+        # Spark dialect: \' stays inside the literal, so the -- inside
+        # is NOT a comment
+        s = "SELECT 'a\\'--still literal' FROM t"
+        assert strip_sql_comments(s, backslash_escapes=True) == s
+
+    def test_spark_dialect_statement_end_to_end(self, spark):
+        from trino_private_spark.api import Engine
+
+        eng = Engine(spark)
+        v = eng.sql(
+            "SELECT 'a\\'--x' AS c -- trailing comment", dialect="spark"
+        ).collect()[0]["c"]
+        assert v == "a'--x"

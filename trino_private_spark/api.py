@@ -47,8 +47,12 @@ class Engine:
         # reference's lexer skips them (SqlBase.g4 SIMPLE_COMMENT /
         # BRACKETED_COMMENT); without this, commented-out text reaches
         # the statement routers and the partition-prune predicate parser
-        # as live tokens (a commented-out conjunct would wrongly prune)
-        text = strip_sql_comments(text)
+        # as live tokens (a commented-out conjunct would wrongly prune).
+        # Spark-dialect literals may contain backslash-escaped quotes —
+        # the stripper honors them so literal content stays shielded.
+        text = strip_sql_comments(
+            text, backslash_escapes=(dialect == "spark")
+        )
 
         ea = _re.match(
             r"\s*EXPLAIN\s+ANALYZE\s+(.+)$", text, flags=_re.I | _re.S

@@ -61,7 +61,7 @@ _FN_RENAMES = {
 _UNIT = r"'(millisecond|second|minute|hour|day|week|month|quarter|year)'"
 
 
-def strip_sql_comments(sql: str) -> str:
+def strip_sql_comments(sql: str, backslash_escapes: bool = False) -> str:
     """Remove ``--``-to-end-of-line and ``/* ... */`` comments, shielding
     quoted regions — the lexer-level skip the reference performs
     (core/trino-parser SqlBase.g4 SIMPLE_COMMENT / BRACKETED_COMMENT ->
@@ -74,7 +74,13 @@ def strip_sql_comments(sql: str) -> str:
     double-quoted identifiers, and Spark backtick identifiers all pass
     through verbatim. A line comment keeps its terminating newline; a
     block comment collapses to one space (``a/*x*/b`` -> ``a b``) so
-    token boundaries survive. Idempotent."""
+    token boundaries survive. Idempotent.
+
+    ``backslash_escapes``: Trino literals escape quotes ONLY by
+    doubling (``''`` — SqlBase.g4 STRING), but Spark's default parser
+    also processes backslash escapes (``'a\\'--not a comment'``) — pass
+    True for spark-dialect text so a backslashed quote doesn't end the
+    shield early and expose literal content to the comment scan."""
     out: list[str] = []
     i, n = 0, len(sql)
     while i < n:
@@ -82,6 +88,9 @@ def strip_sql_comments(sql: str) -> str:
         if c == "'":
             j = i + 1
             while j < n:
+                if backslash_escapes and sql[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
                 if sql[j] == "'":
                     if j + 1 < n and sql[j + 1] == "'":
                         j += 2
