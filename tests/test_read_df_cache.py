@@ -53,7 +53,7 @@ def test_delete_invalidates(spark, tmp_path):
     assert read_iceberg(spark, loc).count() == 7
 
 
-def test_filtered_and_travel_reads_bypass_cache(spark, tmp_path):
+def test_filtered_and_travel_reads_cached_separately(spark, tmp_path):
     loc = str(tmp_path / "t")
     iceberg_create(
         spark.range(0, 10).selectExpr("id AS k", "id % 2 AS g"), loc
@@ -68,6 +68,27 @@ def test_filtered_and_travel_reads_bypass_cache(spark, tmp_path):
     assert trav.count() == 10
     # and the cached full read is untouched by either
     assert read_iceberg(spark, loc) is full
+    # a repeat PRUNED read reuses its own cached plan (the __icep_*
+    # dashboard-statement shape) and a repeat time travel likewise
+    p1 = read_iceberg(spark, loc, partition_filter=[("g", "=", 1)])
+    p2 = read_iceberg(spark, loc, partition_filter=[("g", "=", 1)])
+    assert p1 is p2
+    assert read_iceberg(spark, loc, snapshot_id=snap) is trav
+    # different terms -> different plan
+    p3 = read_iceberg(spark, loc, partition_filter=[("g", "=", 0)])
+    assert p3 is not p1
+
+
+def test_where_residual_applied_fresh_on_cache_hit(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    iceberg_create(
+        spark.range(0, 10).selectExpr("id AS k", "id % 2 AS g"), loc
+    )
+    a = read_iceberg(spark, loc, where="g = 1 AND k >= 5")
+    b = read_iceberg(spark, loc, where="g = 1 AND k >= 5")
+    assert a.count() == b.count() == sum(
+        1 for k in range(10) if k % 2 == 1 and k >= 5
+    )
 
 
 def test_cache_hit_restores_scan_info(spark, tmp_path):

@@ -1690,10 +1690,12 @@ def _metadata_table(table: "IcebergTable", spark: SparkSession, kind: str):
     raise ValueError(f"unknown Iceberg metadata table {kind!r}")
 
 
-#: constructed FULL-table read DataFrames keyed by (metadata version
-#: identity, session). A DataFrame is an immutable logical plan and the
-#: full read is a pure function of the metadata version, so reuse is
-#: safe; any commit bumps the version and naturally misses the cache.
+#: constructed read DataFrames keyed by (metadata version identity,
+#: session, snapshot selector, canonical prune terms). A DataFrame is
+#: an immutable logical plan and a residual-free read is a pure
+#: function of the key, so reuse is safe; any commit bumps the version
+#: and naturally misses the cache. Lineage reads (DELETE/UPDATE
+#: planning) go through IcebergTable.read directly and never hit this.
 #: This is what keeps per-STATEMENT latency flat vs file count:
 #: _reprune_iceberg_views re-resolves every referenced Iceberg view on
 #: every sql() call, and rebuilding spark.read.parquet(<10^5 paths>) +
@@ -1732,31 +1734,42 @@ def read_iceberg(
     pf = list(partition_filter or [])
     if where:
         pf.extend(parse_partition_predicate(where))
-    if (
-        snapshot_id is None
-        and as_of_ms is None
-        and ref is None
-        and not pf
-        and not where
-    ):
-        # plain full-table read of the CURRENT version: served from the
-        # per-version DataFrame cache. The cached scan-planning counts
-        # re-publish so EXPLAIN (TYPE IO) stays attributable even after
-        # a pruned read of the same table overwrote IO_SCAN_INFO.
-        table = IcebergTable(location)
-        key = (table.metadata_key, id(spark))
+    # Constructed-read cache, keyed by (metadata version identity,
+    # session, snapshot selector, canonical prune terms). Every read
+    # that applies no row-level residual is a pure function of the key
+    # — full current reads, per-statement PRUNED reads (__icep_* views
+    # on repeat dashboard statements), and time travel alike. The
+    # cached scan-planning counts re-publish so EXPLAIN (TYPE IO)
+    # stays attributable even after another read of the same table
+    # overwrote IO_SCAN_INFO. A `where` residual still reuses the
+    # cached pruned base and wraps it fresh.
+    table = IcebergTable(location)
+    try:
+        pf_key = tuple(
+            sorted(
+                (c, op, tuple(v) if isinstance(v, list) else v)
+                for c, op, v in pf
+            )
+        )
+    except TypeError:
+        pf_key = None  # unhashable/unorderable literal: skip the cache
+    key = (
+        (table.metadata_key, id(spark), snapshot_id, as_of_ms, ref, pf_key)
+        if pf_key is not None
+        else None
+    )
+    if key is not None:
         hit = _READ_DF_CACHE.get(key)
         if hit is not None:
             _READ_DF_CACHE.move_to_end(key)
             df, scan = hit
             IO_SCAN_INFO[_local(location)] = dict(scan)
-            return df
-        df = table.read(spark)
+            return df.where(where) if where else df
+    df = table.read(
+        spark, snapshot_id, as_of_ms, partition_filter=pf or None, ref=ref
+    )
+    if key is not None:
         _READ_DF_CACHE[key] = (df, dict(table.last_scan))
         if len(_READ_DF_CACHE) > _READ_DF_CACHE_MAX:
             _READ_DF_CACHE.popitem(last=False)
-        return df
-    df = IcebergTable(location).read(
-        spark, snapshot_id, as_of_ms, partition_filter=pf or None, ref=ref
-    )
     return df.where(where) if where else df
