@@ -1789,3 +1789,90 @@ def p_iceberg_stats_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
         "row_count long, is_exact boolean, row_low long, row_high long",
     )
+
+
+@probe(
+    "p_iceberg_null_prune",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           CAST(SUM(CASE WHEN o_orderkey % 5 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_notnull,
+           1 AS null_scanned, 4 AS notnull_scanned
+    FROM orders
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_null_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS [NOT] NULL pruning (r9; the reference's TupleDomain
+    onlyNull/notNull over contains_null + partition tuples): a table
+    partitioned on a NULLABLE column scans exactly the null partition
+    for IS NULL (1 of 5 files) and exactly the non-null partitions for
+    IS NOT NULL (4 of 5) — counts and scanned files both ride in the
+    hash."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.api import Engine
+    from trino_private_spark.sources.iceberg import IO_SCAN_INFO
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_np_") + "/t"
+    eng.ctas(
+        "ice_np_orders",
+        "SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 THEN NULL "
+        "ELSE o_orderkey % 5 END AS seg FROM orders",
+        path=loc, fmt="iceberg", partition_by=["seg"],
+    )
+    n_null = eng.sql(
+        "SELECT COUNT(*) AS n FROM ice_np_orders WHERE seg IS NULL"
+    ).collect()[0]["n"]
+    null_scanned = IO_SCAN_INFO[loc]["scanned_data_files"]
+    n_notnull = eng.sql(
+        "SELECT COUNT(*) AS n FROM ice_np_orders WHERE seg IS NOT NULL"
+    ).collect()[0]["n"]
+    notnull_scanned = IO_SCAN_INFO[loc]["scanned_data_files"]
+    return spark.createDataFrame(
+        [(int(n_null), int(n_notnull), null_scanned, notnull_scanned)],
+        "n_null long, n_notnull long, null_scanned int, "
+        "notnull_scanned int",
+    )
+
+
+@probe(
+    "p_iceberg_like_prune",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, 1 AS scanned_files
+    FROM orders WHERE o_orderpriority LIKE '1-%'
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_like_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE-'prefix%' pruning (r9; the reference's DomainTranslator
+    derives a [prefix, next(prefix)) range): a table partitioned with
+    truncate[1] on o_orderpriority scans exactly the '1' partition for
+    LIKE '1-%' — 1 of 5 files, count + scanned in the hash."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.api import Engine
+    from trino_private_spark.sources.iceberg import IO_SCAN_INFO
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_lp_") + "/t"
+    eng.ctas(
+        "ice_lp_orders",
+        "SELECT o_orderkey, o_orderpriority FROM orders",
+        path=loc, fmt="iceberg",
+        partition_by=[("o_orderpriority", "truncate[1]")],
+    )
+    out = eng.sql(
+        "SELECT COUNT(*) AS n FROM ice_lp_orders "
+        "WHERE o_orderpriority LIKE '1-%'"
+    ).localCheckpoint(eager=True)
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(IO_SCAN_INFO[loc]["scanned_data_files"]).alias(
+            "scanned_files"
+        ),
+    )

@@ -1223,6 +1223,42 @@ def parse_partition_predicate(cond: str) -> list[tuple[str, str, object]]:
                 out.append((m.group(1), "in", vals))
             except ValueError:
                 continue
+            continue
+        # IS [NOT] NULL — the reference prunes null domains from
+        # contains_null summaries / null_value_counts (TupleDomain
+        # onlyNull/notNull); transforms map null rows to null partition
+        # values (spec), so the partition tuple decides exactly
+        m = re.fullmatch(
+            r"([A-Za-z_]\w*)\s+IS\s+(NOT\s+)?NULL", term, re.I
+        )
+        if m:
+            out.append(
+                (m.group(1), "notnull" if m.group(2) else "isnull", None)
+            )
+            continue
+        # LIKE 'prefix%' (single trailing %, no other wildcards) — the
+        # reference derives a [prefix, next(prefix)) range domain from
+        # it (LikeFunctions / DomainTranslator prefix match); emitted as
+        # a dedicated 'prefix' term so identity AND truncate[W]
+        # partitions both prune. LIKE '%' degenerates to IS NOT NULL.
+        m = re.fullmatch(
+            r"([A-Za-z_]\w*)\s+LIKE\s+('(?:[^']|'')*')", term, re.I
+        )
+        if m:
+            try:
+                pat = lit(m.group(2))
+            except ValueError:
+                continue
+            if not isinstance(pat, str) or not pat.endswith("%"):
+                continue
+            prefix = pat[:-1]
+            if "%" in prefix or "_" in prefix:
+                continue  # inner wildcards: no prunable range
+            if prefix:
+                out.append((m.group(1), "prefix", prefix))
+            else:
+                out.append((m.group(1), "notnull", None))
+            continue
     return out
 
 

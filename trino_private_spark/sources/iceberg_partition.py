@@ -358,6 +358,28 @@ def parse_specs(metadata: dict) -> dict[int, PartitionSpec]:
     return specs
 
 
+def _next_prefix(prefix: str) -> str | None:
+    """Smallest string greater than EVERY string starting with
+    ``prefix`` (last char incremented); None when not constructible.
+    ``row LIKE 'p%'``  <=>  ``p <= row < _next_prefix(p)``."""
+    for i in range(len(prefix) - 1, -1, -1):
+        c = ord(prefix[i])
+        if c < 0x10FFFF:
+            return prefix[:i] + chr(c + 1)
+    return None
+
+
+def _prefix_compatible(pv, prefix: str) -> bool:
+    """Can a partition value ``pv`` (identity: the row; truncate[W]:
+    the row's first W chars) belong to a row starting with ``prefix``?
+    Exactly when one is a prefix of the other — conservative for
+    identity (allows the shorter-pv case that identity can't produce),
+    exact for truncate."""
+    if not isinstance(pv, str):
+        return True
+    return pv.startswith(prefix) or prefix.startswith(pv)
+
+
 def _term_possible(field: PartitionField, pv, op: str, value) -> bool:
     """Can ``source op value`` hold for a row whose partition value is
     ``pv``? Conservative: True unless provably impossible."""
@@ -365,6 +387,23 @@ def _term_possible(field: PartitionField, pv, op: str, value) -> bool:
         # a void field's stored partition value is ALWAYS null while row
         # values are arbitrary (partition-spec evolution drops fields by
         # voiding them) — it can never prove anything about rows
+        return True
+    opl = op.lower()
+    if opl in ("isnull", "notnull"):
+        # spec: every transform maps null rows to null partition values
+        # and non-null rows to non-null ones, so the tuple decides:
+        # pv null <=> the file's rows are null in the source column
+        return (pv is None) if opl == "isnull" else (pv is not None)
+    if opl == "prefix":
+        # row LIKE 'value%': null rows never match; identity/truncate
+        # partition values must be prefix-compatible with the literal
+        if pv is None:
+            return False
+        t = field.transform.lower()
+        if not isinstance(value, str):
+            return True  # un-evaluable literal never prunes
+        if t == "identity" or t.startswith("truncate"):
+            return _prefix_compatible(pv, value)
         return True
     if op in ("=", "==", "eq"):
         values = [value]
@@ -406,6 +445,44 @@ def _summary_possible(field: PartitionField, summary: dict, op: str, value) -> b
     contains_null = bool(summary.get("contains_null"))
     lo_b = summary.get("lower_bound")
     hi_b = summary.get("upper_bound")
+    opl = op.lower()
+    if opl == "isnull":
+        # field_summary.contains_null is REQUIRED by the spec; False
+        # proves the whole manifest null-free in this field
+        return contains_null
+    if opl == "notnull":
+        # absent bounds cannot prove all-null (this writer omits
+        # unserializable bounds) — never prune IS NOT NULL here
+        return True
+    if opl == "prefix":
+        t = field.transform.lower()
+        if t != "identity" and not t.startswith("truncate"):
+            return True
+        try:
+            if lo_b is None or hi_b is None:
+                return True
+            vt = partition_value_type(field.transform, field.source_type)
+            lo = deserialize_single_value(vt, lo_b)
+            hi = deserialize_single_value(vt, hi_b)
+            if not isinstance(lo, str) or not isinstance(hi, str):
+                return True
+            # every prefix-compatible partition value sits in
+            # [value[:W], next(value)) — truncate may shorten the lower
+            # end to its width, identity keeps the full literal —
+            # so the manifest can match only if [lo, hi] intersects it
+            w = len(value)
+            if t.startswith("truncate"):
+                m = re.fullmatch(r"truncate\[(\d+)\]", t)
+                if m:
+                    w = min(w, int(m.group(1)))
+            if hi < value[:w]:
+                return False
+            nxt = _next_prefix(value)
+            if nxt is not None and lo >= nxt:
+                return False
+            return True
+        except (TypeError, ValueError, struct.error):
+            return True
     if op in ("=", "==", "eq"):
         values = [value]
         op = "in"
@@ -615,7 +692,43 @@ def metrics_match(
         all_null = (
             nulls is not None and cnt is not None and cnt > 0 and nulls == cnt
         )
-        values = value if op.lower() == "in" else [value]
+        opl = op.lower()
+        if opl == "isnull":
+            # a recorded zero null count proves the file null-free
+            if nulls is not None and int(nulls) == 0:
+                return False
+            continue
+        if opl == "notnull":
+            if all_null:
+                return False
+            continue
+        if opl == "prefix":
+            # row LIKE 'value%': rows sit in [value, next(value)) —
+            # prune when the file's string bounds miss that range
+            if all_null:
+                return False
+            lo_b, hi_b = lower_bounds.get(fid), upper_bounds.get(fid)
+            if (
+                t != "string"
+                or not isinstance(value, str)
+                or lo_b is None
+                or hi_b is None
+            ):
+                continue
+            try:
+                lo = deserialize_single_value(t, lo_b)
+                hi = deserialize_single_value(t, hi_b)
+            except (TypeError, ValueError, struct.error):
+                continue
+            if not isinstance(lo, str) or not isinstance(hi, str):
+                continue
+            if hi < value:
+                return False
+            nxt = _next_prefix(value)
+            if nxt is not None and lo >= nxt:
+                return False
+            continue
+        values = value if opl == "in" else [value]
         if all_null and all(v is not None for v in values):
             # every comparison/equality with a non-null literal is false
             # on an all-null column (3VL: NULL op x is never TRUE)
