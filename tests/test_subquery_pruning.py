@@ -1,0 +1,132 @@
+"""Per-block Iceberg pruning inside subqueries and CTEs (r9): the
+reference's PushPredicateIntoTableScan recurses over the whole plan
+tree, so a derived table's WHERE prunes ITS scan. Until round 9 only
+the outermost single-block WHERE pruned; `SELECT ... FROM (SELECT *
+FROM ice WHERE seg = 1) t` kept a full read. Pinned here: derived
+tables, CTE bodies, IN/EXISTS subqueries, distinct pruned views for
+two blocks over the same table, and the CTE-shadowing guard (a CTE
+named like a registered view must keep resolving to the CTE).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    from trino_private_spark.api import Engine
+
+    e = Engine(spark)
+    e.attach(SF)
+    loc = tempfile.mkdtemp(prefix="tps_subq_") + "/t"
+    e.ctas(
+        "ice_subq",
+        "SELECT o_orderkey, o_totalprice, o_orderkey % 8 AS seg "
+        "FROM orders",
+        path=loc, fmt="iceberg", partition_by=["seg"],
+    )
+    e._subq_loc = loc
+    return e
+
+
+def _scanned(eng):
+    from trino_private_spark.sources.iceberg import IO_SCAN_INFO
+
+    return IO_SCAN_INFO[eng._subq_loc]["scanned_data_files"]
+
+
+class TestSubqueryPruning:
+    def test_derived_table(self, eng, spark):
+        exp = spark.sql(
+            "SELECT COUNT(*) AS n FROM ice_subq WHERE seg = 3"
+        ).collect()[0]["n"]
+        got = eng.sql(
+            "SELECT COUNT(*) AS n FROM "
+            "(SELECT * FROM ice_subq WHERE seg = 3) t"
+        ).collect()[0]["n"]
+        assert got == exp and exp > 0
+        assert _scanned(eng) == 1
+
+    def test_cte_body(self, eng, spark):
+        exp = spark.sql(
+            "SELECT COUNT(*) AS n FROM ice_subq WHERE seg = 5"
+        ).collect()[0]["n"]
+        got = eng.sql(
+            "WITH c AS (SELECT * FROM ice_subq WHERE seg = 5) "
+            "SELECT COUNT(*) AS n FROM c"
+        ).collect()[0]["n"]
+        assert got == exp
+        assert _scanned(eng) == 1
+
+    def test_exists_subquery(self, eng, spark):
+        got = eng.sql(
+            "SELECT COUNT(*) AS n FROM nation WHERE EXISTS "
+            "(SELECT 1 FROM ice_subq WHERE seg = 2 "
+            "AND o_orderkey % 25 = n_nationkey)"
+        ).collect()[0]["n"]
+        exp = spark.sql(
+            "SELECT COUNT(*) AS n FROM nation WHERE EXISTS "
+            "(SELECT 1 FROM ice_subq WHERE seg = 2 "
+            "AND o_orderkey % 25 = n_nationkey)"
+        ).collect()[0]["n"]
+        assert got == exp and exp > 0
+        assert _scanned(eng) == 1
+
+    def test_two_blocks_distinct_terms_distinct_views(self, eng, spark):
+        """Two derived tables over the SAME Iceberg table with
+        DIFFERENT prune terms: each must read its own pruned view —
+        a shared view name would serve one block the other's subset."""
+        exp = spark.sql(
+            "SELECT (SELECT COUNT(*) FROM ice_subq WHERE seg = 1) + "
+            "(SELECT COUNT(*) FROM ice_subq WHERE seg = 2) AS n"
+        ).collect()[0]["n"]
+        got = eng.sql(
+            "SELECT a.n + b.n AS n FROM "
+            "(SELECT COUNT(*) AS n FROM ice_subq WHERE seg = 1) a, "
+            "(SELECT COUNT(*) AS n FROM ice_subq WHERE seg = 2) b"
+        ).collect()[0]["n"]
+        assert got == exp and exp > 0
+
+    def test_nested_derived_tables(self, eng, spark):
+        exp = spark.sql(
+            "SELECT COUNT(*) AS n FROM ice_subq "
+            "WHERE seg = 4 AND o_totalprice > 1000"
+        ).collect()[0]["n"]
+        got = eng.sql(
+            "SELECT COUNT(*) AS n FROM (SELECT * FROM "
+            "(SELECT * FROM ice_subq WHERE seg = 4) i "
+            "WHERE o_totalprice > 1000) t"
+        ).collect()[0]["n"]
+        assert got == exp
+        assert _scanned(eng) == 1
+
+    def test_outer_block_still_prunes(self, eng, spark):
+        eng.sql(
+            "SELECT COUNT(*) AS n FROM ice_subq WHERE seg = 6"
+        ).collect()
+        assert _scanned(eng) == 1
+
+
+class TestCteShadowing:
+    def test_cte_shadowing_view_name_wins(self, eng, spark):
+        """A CTE named like the registered Iceberg view: every
+        reference must resolve to the CTE (SQL scoping), never be
+        rewritten to a pruned table read."""
+        got = eng.sql(
+            "WITH ice_subq AS (SELECT 42 AS seg) "
+            "SELECT COUNT(*) AS n FROM ice_subq WHERE seg = 42"
+        ).collect()[0]["n"]
+        assert got == 1
+
+    def test_shadowed_in_derived_table(self, eng, spark):
+        got = eng.sql(
+            "WITH ice_subq AS (SELECT 7 AS seg UNION ALL SELECT 7) "
+            "SELECT COUNT(*) AS n FROM "
+            "(SELECT * FROM ice_subq WHERE seg = 7) t"
+        ).collect()[0]["n"]
+        assert got == 2

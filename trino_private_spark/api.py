@@ -1034,6 +1034,82 @@ class Engine:
                 self.spark.sql(f"DROP TABLE IF EXISTS {n}")
             read_iceberg(self.spark, p).createOrReplaceTempView(n)
 
+        # a CTE (or named WINDOW) whose name shadows a registered
+        # Iceberg view must keep resolving to the CTE — collect every
+        # `name AS (` binder across the WHOLE statement and never
+        # rewrite those names (over-collection only costs pruning,
+        # never correctness)
+        shadowed = {
+            m.group(1).lower()
+            for m in _re.finditer(
+                r"\b([A-Za-z_]\w*)\s*(?:\([^()]*\))?\s+AS\s*\(",
+                shielded,
+                _re.I,
+            )
+        }
+        referenced = {
+            n: p for n, p in referenced.items() if n not in shadowed
+        }
+        if not referenced:
+            return text
+        # prune parenthesized subquery blocks (derived tables, CTE
+        # bodies, IN/EXISTS/scalar subqueries) innermost-first, then the
+        # outermost block itself — each block's own WHERE governs its
+        # own FROM references, exactly the reference's
+        # PushPredicateIntoTableScan recursion over the plan tree
+        text = self._reprune_blocks(text, referenced)
+        return self._reprune_single_block(text, referenced)
+
+    def _reprune_blocks(self, text: str, referenced: dict) -> str:
+        """Rewrite every balanced ``( SELECT ... )`` group through
+        _reprune_single_block, recursing into nested groups first.
+        String literals are shielded during the paren scan; each
+        fragment is restored before the block rewriter parses it (the
+        rewriter re-shields internally)."""
+        import re as _re
+
+        from trino_private_spark.plans.translate import _shield_strings
+
+        shielded, restore = _shield_strings(text)
+        pat = _re.compile(r"\(\s*SELECT\b", _re.I)
+        out: list[str] = []
+        last = 0
+        for m in pat.finditer(shielded):
+            if m.start() < last:
+                continue  # inside a span already rewritten
+            depth, j = 1, m.start() + 1
+            while j < len(shielded) and depth:
+                if shielded[j] == "(":
+                    depth += 1
+                elif shielded[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                return text  # unbalanced: leave the statement alone
+            inner = restore(shielded[m.start() + 1 : j - 1])
+            inner = self._reprune_blocks(inner, referenced)
+            inner = self._reprune_single_block(inner, referenced)
+            out.append(restore(shielded[last : m.start() + 1]))
+            out.append(inner)
+            last = j - 1  # keep the closing paren
+        out.append(restore(shielded[last:]))
+        return "".join(out)
+
+    def _reprune_single_block(self, text: str, referenced: dict) -> str:
+        """Rewrite ONE query block's depth-0 FROM/JOIN Iceberg
+        references to pruned private views when the block has exactly
+        one depth-0 WHERE and no depth-0 set operation (see
+        _reprune_iceberg_views). Conservative: anything unparseable
+        keeps the full read."""
+        import re as _re
+
+        from trino_private_spark.plans.translate import _shield_strings
+        from trino_private_spark.sources.iceberg import (
+            parse_qualified_predicate,
+            read_iceberg,
+        )
+
+        shielded, restore = _shield_strings(text)
         # single depth-0 query block?
         depth = 0
         where_at: list[tuple[int, int]] = []  # (kw start, body start)
@@ -1121,7 +1197,11 @@ class Engine:
         for m in refs:
             name = m.group(2).lower()
             path = referenced.get(name)
-            if path is None:
+            if path is None or name in getattr(self, "_iceberg_cbo", {}):
+                # CBO-promoted tables keep their stats-bearing catalog
+                # binding: Spark's parquet min/max pushdown covers the
+                # file skipping there, and a rewrite to a pruned view
+                # would discard the statistics the promotion exists for
                 continue
             alias = (m.group(4) or m.group(2)).lower()
             terms = list(per_alias.get(alias, []))
@@ -1130,7 +1210,12 @@ class Engine:
             if not terms:
                 continue
             n_pruned += 1
-            vname = f"__icep_{name}_{n_pruned}"
+            # ENGINE-GLOBAL counter: two blocks of the same statement
+            # pruning the same table with different terms must never
+            # share a view name (a per-call counter would overwrite the
+            # first block's pruned view with the second's terms)
+            self._icep_n = getattr(self, "_icep_n", 0) + 1
+            vname = f"__icep_{name}_{self._icep_n}"
             read_iceberg(
                 self.spark, path, partition_filter=terms
             ).createOrReplaceTempView(vname)
