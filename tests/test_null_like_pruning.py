@@ -317,3 +317,26 @@ class TestConservative:
                 {1: nulls},
                 {1: len(rows)},
             ), (rows, op)
+
+
+class TestStartsWith:
+    def test_starts_with_prefix_term(self):
+        assert parse_partition_predicate("starts_with(c, 'ab')") == [
+            ("c", "prefix", "ab")
+        ]
+
+    def test_starts_with_percent_is_literal(self):
+        # no wildcard semantics in starts_with: % is an ordinary char
+        assert parse_partition_predicate("starts_with(c, 'a%b')") == [
+            ("c", "prefix", "a%b")
+        ]
+
+    def test_starts_with_empty_is_notnull(self):
+        assert parse_partition_predicate("starts_with(c, '')") == [
+            ("c", "notnull", None)
+        ]
+
+    def test_starts_with_in_conjunction(self):
+        assert parse_partition_predicate(
+            "g = 1 AND starts_with(c, 'x')"
+        ) == [("g", "=", 1), ("c", "prefix", "x")]

@@ -1876,3 +1876,49 @@ def p_iceberg_like_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scanned_files"
         ),
     )
+
+
+@probe(
+    "p_iceberg_subquery_prune",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN o_orderkey % 8 = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_derived,
+           CAST(SUM(CASE WHEN o_orderkey % 8 = 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cte,
+           1 AS derived_scanned, 1 AS cte_scanned
+    FROM orders
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_subquery_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block pruning (r9; PushPredicateIntoTableScan recursion): a
+    derived table's WHERE and a CTE body's WHERE each prune THEIR OWN
+    Iceberg scan to 1 of 8 partition files — both scanned counts ride
+    in the hash alongside the row counts."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.api import Engine
+    from trino_private_spark.sources.iceberg import IO_SCAN_INFO
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_sqp_") + "/t"
+    eng.ctas(
+        "ice_sqp_orders",
+        "SELECT o_orderkey, o_orderkey % 8 AS seg FROM orders",
+        path=loc, fmt="iceberg", partition_by=["seg"],
+    )
+    n_derived = eng.sql(
+        "SELECT COUNT(*) AS n FROM "
+        "(SELECT * FROM ice_sqp_orders WHERE seg = 3) t"
+    ).collect()[0]["n"]
+    derived_scanned = IO_SCAN_INFO[loc]["scanned_data_files"]
+    n_cte = eng.sql(
+        "WITH c AS (SELECT * FROM ice_sqp_orders WHERE seg = 5) "
+        "SELECT COUNT(*) AS n FROM c"
+    ).collect()[0]["n"]
+    cte_scanned = IO_SCAN_INFO[loc]["scanned_data_files"]
+    return spark.createDataFrame(
+        [(int(n_derived), int(n_cte), derived_scanned, cte_scanned)],
+        "n_derived long, n_cte long, derived_scanned int, cte_scanned int",
+    )

@@ -1241,19 +1241,34 @@ def parse_partition_predicate(cond: str) -> list[tuple[str, str, object]]:
         # it (LikeFunctions / DomainTranslator prefix match); emitted as
         # a dedicated 'prefix' term so identity AND truncate[W]
         # partitions both prune. LIKE '%' degenerates to IS NOT NULL.
-        m = re.fullmatch(
+        # starts_with(col, 'p') is the same domain spelled as a function
+        # (the reference's StartsWithFunction is domain-translatable).
+        m_like = re.fullmatch(
             r"([A-Za-z_]\w*)\s+LIKE\s+('(?:[^']|'')*')", term, re.I
         )
+        m_sw = None if m_like else re.fullmatch(
+            r"starts_with\s*\(\s*([A-Za-z_]\w*)\s*,\s*('(?:[^']|'')*')\s*\)",
+            term,
+            re.I,
+        )
+        m = m_like or m_sw
         if m:
             try:
                 pat = lit(m.group(2))
             except ValueError:
                 continue
-            if not isinstance(pat, str) or not pat.endswith("%"):
+            if not isinstance(pat, str):
                 continue
-            prefix = pat[:-1]
-            if "%" in prefix or "_" in prefix:
-                continue  # inner wildcards: no prunable range
+            if m_like is not None:
+                if not pat.endswith("%"):
+                    continue
+                prefix = pat[:-1]
+                if "%" in prefix or "_" in prefix:
+                    continue  # inner wildcards: no prunable range
+            else:
+                # starts_with literals are PLAIN strings — % and _ are
+                # ordinary characters and the prefix range still holds
+                prefix = pat
             if prefix:
                 out.append((m.group(1), "prefix", prefix))
             else:
