@@ -101,6 +101,7 @@ def main() -> None:
         cold = timed(lambda: read_iceberg(spark, loc), reps=1)
         warm = timed(lambda: read_iceberg(spark, loc))
         eng._iceberg_views = {"bigt": loc}
+        ice._READ_DF_CACHE.clear()  # honest cold-statement measurement
         sql_first = timed(
             lambda: eng.sql("SELECT COUNT(*) AS n FROM bigt"), reps=1
         )
