@@ -387,6 +387,13 @@ class Engine:
                 self.analyze(an.group(1))
             return self.spark.createDataFrame([(True,)], "`ANALYZE` boolean")
         if getattr(self, "_iceberg_views", None):
+            if "$" in text:
+                # quoted metadata-table references — SELECT * FROM
+                # "t$snapshots" / "t$files" / ... (the reference's
+                # TableType suffix syntax, resolved by
+                # IcebergMetadata.getTableHandle) — lower to temp views
+                # over the metadata tables before any translation
+                text = self._lower_metadata_tables(text)
             # per-query Iceberg re-planning: registered iceberg views are
             # re-resolved fresh, and references governed by THIS
             # statement's WHERE are rewritten to pruned private views
@@ -976,6 +983,33 @@ class Engine:
             self._iceberg_cbo: dict[str, tuple] = {}
         self._iceberg_cbo[name.lower()] = t.metadata_key
         return True
+
+    def _lower_metadata_tables(self, text: str) -> str:
+        """Rewrite ``"name$kind"`` quoted references over registered
+        Iceberg views to temp views on the corresponding metadata table
+        (SnapshotsTable/FilesTable/... — plugin/trino-iceberg TableType
+        suffixes). Unknown names/kinds are left untouched; Spark then
+        fails loudly on the unresolvable identifier, like the
+        reference's 'Table does not exist'."""
+        import re as _re
+
+        from trino_private_spark.sources.iceberg import (
+            _METADATA_TABLE_KINDS,
+            read_iceberg,
+        )
+
+        def repl(m: "_re.Match[str]") -> str:
+            name, kind = m.group(1).lower(), m.group(2).lower()
+            loc = self._iceberg_views.get(name)
+            if loc is None or kind not in _METADATA_TABLE_KINDS:
+                return m.group(0)
+            vname = f"__icemt_{name}_{kind}"
+            read_iceberg(
+                self.spark, f"{loc}${kind}"
+            ).createOrReplaceTempView(vname)
+            return vname
+
+        return _re.sub(r'"([A-Za-z_]\w*)\$(\w+)"', repl, text)
 
     def _reprune_iceberg_views(self, text: str) -> str:
         """Per-statement Iceberg re-planning, the reference's

@@ -1922,3 +1922,49 @@ def p_iceberg_subquery_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(n_derived), int(n_cte), derived_scanned, cte_scanned)],
         "n_derived long, n_cte long, derived_scanned int, cte_scanned int",
     )
+
+
+@probe(
+    "p_iceberg_metadata_sql",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS n_snapshots,
+           CAST(8 AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS rec_total
+    FROM orders
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_metadata_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata tables through the reference's SQL suffix syntax
+    (SELECT ... FROM "t$snapshots" / "t$files" — TableType handles in
+    IcebergMetadata.getTableHandle): snapshot count after CTAS+INSERT,
+    live file count of the 8-partition layout, and the $files
+    record_count sum tying back to the orders oracle."""
+    from trino_private_spark.api import Engine
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_mt_") + "/t"
+    eng.ctas(
+        "ice_mt_orders",
+        "SELECT o_orderkey, o_orderkey % 8 AS seg FROM orders "
+        "WHERE o_orderkey % 2 = 0",
+        path=loc, fmt="iceberg", partition_by=["seg"],
+    )
+    eng.sql(
+        "INSERT INTO ice_mt_orders SELECT o_orderkey, o_orderkey % 8 "
+        "FROM orders WHERE o_orderkey % 2 = 1"
+    )
+    row = eng.sql(
+        'SELECT (SELECT COUNT(*) FROM "ice_mt_orders$snapshots") AS '
+        "n_snapshots, "
+        '(SELECT COUNT(*) FROM "ice_mt_orders$files" WHERE content = 0) '
+        "AS n_files, "
+        '(SELECT SUM(record_count) FROM "ice_mt_orders$files" '
+        "WHERE content = 0) AS rec_total"
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(int(row["n_snapshots"]), int(row["n_files"]),
+          int(row["rec_total"]))],
+        "n_snapshots long, n_files long, rec_total long",
+    )
