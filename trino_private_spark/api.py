@@ -1003,6 +1003,13 @@ class Engine:
             loc = self._iceberg_views.get(name)
             if loc is None or kind not in _METADATA_TABLE_KINDS:
                 return m.group(0)
+            if hasattr(self, "_acl") and self._acl.enforce:
+                # reading a table's metadata reveals its data layout and
+                # column bounds — the reference gates $-tables behind
+                # SELECT on the base table
+                self._acl.check(
+                    self._user, self._enabled_roles, "SELECT", name
+                )
             vname = f"__icemt_{name}_{kind}"
             read_iceberg(
                 self.spark, f"{loc}${kind}"
