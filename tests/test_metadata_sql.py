@@ -62,3 +62,10 @@ def test_unknown_kind_fails_loudly(eng):
 def test_unregistered_name_untouched(eng):
     with pytest.raises(Exception):
         eng.sql('SELECT * FROM "nosuch$files"').collect()
+
+
+def test_dollar_ref_inside_string_literal_is_data(eng):
+    rows = eng.sql(
+        "SELECT '\"ice_md$files\"' AS s FROM ice_md WHERE n_nationkey = 1"
+    ).collect()
+    assert rows[0]["s"] == '"ice_md$files"'

@@ -990,9 +990,12 @@ class Engine:
         (SnapshotsTable/FilesTable/... — plugin/trino-iceberg TableType
         suffixes). Unknown names/kinds are left untouched; Spark then
         fails loudly on the unresolvable identifier, like the
-        reference's 'Table does not exist'."""
+        reference's 'Table does not exist'. String literals are
+        shielded first — a LITERAL containing "t$files" is data, not a
+        table reference."""
         import re as _re
 
+        from trino_private_spark.plans.translate import _shield_strings
         from trino_private_spark.sources.iceberg import (
             _METADATA_TABLE_KINDS,
             read_iceberg,
@@ -1016,7 +1019,10 @@ class Engine:
             ).createOrReplaceTempView(vname)
             return vname
 
-        return _re.sub(r'"([A-Za-z_]\w*)\$(\w+)"', repl, text)
+        shielded, restore = _shield_strings(text)
+        return restore(
+            _re.sub(r'"([A-Za-z_]\w*)\$(\w+)"', repl, shielded)
+        )
 
     def _reprune_iceberg_views(self, text: str) -> str:
         """Per-statement Iceberg re-planning, the reference's
