@@ -1968,3 +1968,59 @@ def p_iceberg_metadata_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
           int(row["rec_total"]))],
         "n_snapshots long, n_files long, rec_total long",
     )
+
+
+@probe(
+    "p_iceberg_snapshot_summary",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS added_first,
+           CAST(COUNT(*) AS BIGINT) AS total_after_insert,
+           CAST(COUNT(*) AS BIGINT) AS total_after_optimize
+    FROM orders
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_snapshot_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec §Snapshot Summary metrics (iceberg-core SnapshotSummary
+    discipline): added-records on the CTAS snapshot, total-records
+    tracked incrementally across an INSERT, and recomputed exactly by a
+    replace commit (OPTIMIZE) — all read back through the $snapshots
+    summary column and tied to the orders oracle."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.api import Engine
+    from trino_private_spark.sources.iceberg import read_iceberg
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_ss_") + "/t"
+    eng.ctas(
+        "ice_ss_orders",
+        "SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0",
+        path=loc, fmt="iceberg",
+    )
+    eng.sql(
+        "INSERT INTO ice_ss_orders SELECT o_orderkey FROM orders "
+        "WHERE o_orderkey % 2 = 1"
+    )
+    eng.sql("ALTER TABLE ice_ss_orders EXECUTE optimize")
+    snaps = (
+        read_iceberg(spark, loc + "$snapshots")
+        .orderBy("snapshot_id")
+        .select(
+            F.get_json_object("summary", "$['added-records']").alias("ar"),
+            F.get_json_object("summary", "$['total-records']").alias("tr"),
+            "operation",
+        )
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(
+            int(snaps[0]["ar"]),
+            int(snaps[1]["tr"]),
+            int(snaps[2]["tr"]),
+        )],
+        "added_first long, total_after_insert long, "
+        "total_after_optimize long",
+    )

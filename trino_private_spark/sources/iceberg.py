@@ -1454,6 +1454,9 @@ def _metadata_table(table: "IcebergTable", spark: SparkSession, kind: str):
 
     k = kind.lstrip("$").lower()
     if k == "snapshots":
+        # SnapshotsTable shape incl. the spec's summary map (rendered as
+        # sorted JSON so added-*/total-* metrics are queryable via
+        # get_json_object, the way the reference exposes the map column)
         rows = [
             (
                 s["snapshot-id"],
@@ -1461,6 +1464,7 @@ def _metadata_table(table: "IcebergTable", spark: SparkSession, kind: str):
                 int(s.get("sequence-number") or 0),
                 (s.get("summary") or {}).get("operation", ""),
                 _local(s["manifest-list"]),
+                _json.dumps(s.get("summary") or {}, sort_keys=True),
             )
             for s in table.snapshots()
         ]
@@ -1468,7 +1472,7 @@ def _metadata_table(table: "IcebergTable", spark: SparkSession, kind: str):
             spark,
             rows,
             "snapshot_id long, committed_at_ms long, sequence_number long, "
-            "operation string, manifest_list string",
+            "operation string, manifest_list string, summary string",
         )
     if k == "manifests":
         # ManifestsTable.java shape incl. the partition_summaries column

@@ -437,13 +437,33 @@ def iceberg_rewrite_manifests(location: str, spark=None) -> dict:
     )
     now_ms = int(time.time() * 1000)
     parent = metadata.get("current-snapshot-id", -1)
+    # spec snapshot-summary totals — exact, from the rewritten entries
+    # themselves (a metadata-only fold carries every live entry here)
+    tot_rec = tot_df = tot_del = 0
+    for (m_content, _sid), entries in groups.items():
+        for e in entries:
+            dfile = e.get("data_file") or {}
+            if int(dfile.get("content") or 0) == 0:
+                tot_df += 1
+                tot_rec += int(dfile.get("record_count") or 0)
+            else:
+                tot_del += 1
     metadata["snapshots"] = list(metadata.get("snapshots", [])) + [
         {
             "snapshot-id": snap_id,
             "timestamp-ms": now_ms,
             "sequence-number": seq,
             "manifest-list": manifest_list_path,
-            "summary": {"operation": "replace"},
+            "summary": {
+                "operation": "replace",
+                "added-data-files": "0",
+                "added-records": "0",
+                "added-files-size": "0",
+                "added-delete-files": "0",
+                "total-records": str(tot_rec),
+                "total-data-files": str(tot_df),
+                "total-delete-files": str(tot_del),
+            },
             "parent-snapshot-id": parent if parent != -1 else None,
             "schema-id": int(metadata.get("current-schema-id", 0)),
         }

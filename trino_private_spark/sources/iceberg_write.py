@@ -492,6 +492,7 @@ def _commit_snapshot_once(
             "default-sort-order-id": 1 if sort_order else 0,
         }
         prior_manifests: list[dict] = []
+        cur = None
     else:
         metadata = IcebergTable(location).metadata
         if skip_if is not None and skip_if(metadata):
@@ -718,6 +719,58 @@ def _commit_snapshot_once(
         new_manifests if replace else list(prior_manifests) + new_manifests,
     )
     parent = metadata.get("current-snapshot-id", -1)
+    # spec §"Snapshot Summary": standard metrics fields as a
+    # string->string map — added-* from THIS commit's file groups,
+    # total-* tracked INCREMENTALLY from the parent summary (the
+    # iceberg-core SnapshotSummary.Builder discipline; replace commits
+    # recompute totals exactly from their own manifest contents, and a
+    # parent without totals — older shim writes, external fixtures —
+    # makes the totals honestly absent rather than wrong)
+    added_data_files = added_records = added_files_size = 0
+    added_delete_files = 0
+    for files_g, content_g in groups:
+        if content_g == 0:
+            added_data_files += len(files_g)
+            added_records += sum(int(f["record_count"]) for f in files_g)
+            added_files_size += sum(
+                int(f["file_size_in_bytes"]) for f in files_g
+            )
+        else:
+            added_delete_files += len(files_g)
+    summary = {
+        "operation": operation,
+        "added-data-files": str(added_data_files),
+        "added-records": str(added_records),
+        "added-files-size": str(added_files_size),
+        "added-delete-files": str(added_delete_files),
+    }
+    if replace:
+        tot_rec = added_records
+        tot_df, tot_del = added_data_files, added_delete_files
+        for entries, _spec, _content in extra_manifest_entries or []:
+            for e in entries:
+                dfile = e.get("data_file") or {}
+                if int(dfile.get("content") or 0) == 0:
+                    tot_df += 1
+                    tot_rec += int(dfile.get("record_count") or 0)
+                else:
+                    tot_del += 1
+        summary["total-records"] = str(tot_rec)
+        summary["total-data-files"] = str(tot_df)
+        summary["total-delete-files"] = str(tot_del)
+    else:
+        parent_summary = (cur.get("summary") or {}) if cur else {}
+        if cur is None or "total-records" in parent_summary:
+            base = lambda k: int(parent_summary.get(k, 0))  # noqa: E731
+            summary["total-records"] = str(
+                base("total-records") + added_records
+            )
+            summary["total-data-files"] = str(
+                base("total-data-files") + added_data_files
+            )
+            summary["total-delete-files"] = str(
+                base("total-delete-files") + added_delete_files
+            )
     metadata["snapshots"] = list(metadata.get("snapshots", [])) + [
         {
             "snapshot-id": snap_id,
@@ -727,7 +780,7 @@ def _commit_snapshot_once(
             # summary_extra carries writer markers alongside the spec's
             # operation key (e.g. the streaming sink's batch id — the
             # idempotence marker Iceberg's own streaming writers record)
-            "summary": {"operation": operation, **(summary_extra or {})},
+            "summary": {**summary, **(summary_extra or {})},
             # spec: ancestry pointer ($history / expire-snapshots walk it)
             "parent-snapshot-id": parent if parent != -1 else None,
             # spec: snapshots record the schema they were written under —
