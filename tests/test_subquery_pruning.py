@@ -130,3 +130,27 @@ class TestCteShadowing:
             "(SELECT * FROM ice_subq WHERE seg = 7) t"
         ).collect()[0]["n"]
         assert got == 2
+
+
+class TestDmlSubquery:
+    def test_delete_with_in_subquery(self, eng, spark):
+        """DELETE FROM t WHERE k IN (SELECT ...) — the reference allows
+        subqueries in DML conditions; the row filter resolves them and
+        the prune parser conservatively contributes no terms."""
+        import tempfile as _tf
+
+        loc = _tf.mkdtemp(prefix="tps_dmlsq_") + "/t"
+        eng.ctas(
+            "ice_dmlsq",
+            "SELECT n_nationkey AS k, n_regionkey AS r FROM nation",
+            path=loc, fmt="iceberg",
+        )
+        in_region = spark.sql(
+            "SELECT COUNT(*) AS n FROM nation WHERE n_regionkey = 2"
+        ).collect()[0]["n"]
+        total = spark.table("ice_dmlsq").count()
+        eng.sql(
+            "DELETE FROM ice_dmlsq WHERE k IN "
+            "(SELECT n_nationkey FROM nation WHERE n_regionkey = 2)"
+        )
+        assert spark.table("ice_dmlsq").count() == total - in_region
