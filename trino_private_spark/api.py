@@ -141,13 +141,42 @@ class Engine:
                 self._acl.check(
                     self._user, self._enabled_roles, "INSERT", name
                 )
-            df = self.sql(im.group(2), dialect)
+            body = im.group(2)
+            # optional column list — INSERT INTO t (a, b) <query>
+            # (SqlBase.g4 insertInto columnAliases): listed columns take
+            # the query's outputs positionally, unlisted columns
+            # null-fill (iceberg_append's schema alignment). A
+            # parenthesized QUERY head ((SELECT ...), (VALUES ...)) is
+            # not an identifier list and stays part of the query.
+            mcols = _re.match(
+                r"\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s*(.+)$",
+                body,
+                _re.S,
+            )
+            target_cols = None
+            if mcols and mcols.group(1).strip().upper() not in (
+                "SELECT", "VALUES", "TABLE", "WITH",
+            ):
+                target_cols = [
+                    c.strip() for c in mcols.group(1).split(",")
+                ]
+                body = mcols.group(2)
+            df = self.sql(body, dialect)
+            table_cols = self.spark.table(name).columns
+            if target_cols is not None:
+                if len(df.columns) != len(target_cols):
+                    raise ValueError(
+                        f"INSERT column list names {len(target_cols)} "
+                        f"columns but the query produces "
+                        f"{len(df.columns)}"
+                    )
+                # unknown names fail loudly inside iceberg_append
+                df = df.toDF(*target_cols)
             # SQL INSERT maps columns POSITIONALLY (StatementAnalyzer
             # visitInsert) — rename the query's output to the table's
             # column names when the arity matches, so expression outputs
             # land in the right columns
-            table_cols = self.spark.table(name).columns
-            if len(df.columns) == len(table_cols):
+            elif len(df.columns) == len(table_cols):
                 df = df.toDF(*table_cols)
             n = df.count()
             iceberg_append(df, loc)

@@ -2024,3 +2024,34 @@ def p_iceberg_snapshot_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "added_first long, total_after_insert long, "
         "total_after_optimize long",
     )
+
+
+@probe(
+    "p_iceberg_insert_columns",
+    oracle="""
+    SELECT n_nationkey AS k, n_name AS v, CAST(NULL AS BIGINT) AS w
+    FROM nation ORDER BY n_nationkey
+    """,
+    tags=("sources", "iceberg"),
+)
+def p_iceberg_insert_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO t (a, b) <query> (SqlBase.g4 insertInto
+    columnAliases; StatementAnalyzer insert column mapping): listed
+    columns take the query's outputs, unlisted columns null-fill —
+    full-hash against nation with the null w column in the frame."""
+    from pyspark.sql import functions as F
+
+    from trino_private_spark.api import Engine
+
+    eng = Engine(spark)
+    eng.attach(sf_dir)
+    loc = tempfile.mkdtemp(prefix="tps_iceberg_insc_") + "/t"
+    eng.sql(
+        f"CREATE TABLE ice_insc (k bigint, v varchar, w bigint) "
+        f"WITH (format='ICEBERG', location='{loc}')"
+    )
+    eng.sql(
+        "INSERT INTO ice_insc (k, v) SELECT n_nationkey, n_name "
+        "FROM nation"
+    )
+    return spark.table("ice_insc").orderBy("k")
