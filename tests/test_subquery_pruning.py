@@ -154,3 +154,36 @@ class TestDmlSubquery:
             "(SELECT n_nationkey FROM nation WHERE n_regionkey = 2)"
         )
         assert spark.table("ice_dmlsq").count() == total - in_region
+
+    def test_update_with_in_subquery(self, eng, spark):
+        import tempfile as _tf
+
+        loc = _tf.mkdtemp(prefix="tps_updsq_") + "/t"
+        eng.ctas(
+            "ice_updsq",
+            "SELECT n_nationkey AS k, n_name AS v, n_regionkey AS r "
+            "FROM nation",
+            path=loc, fmt="iceberg",
+        )
+        eng.sql(
+            "UPDATE ice_updsq SET v = 'X' WHERE k IN "
+            "(SELECT n_nationkey FROM nation WHERE n_regionkey = 2)"
+        )
+        exp = spark.sql(
+            "SELECT COUNT(*) AS n FROM nation WHERE n_regionkey = 2"
+        ).collect()[0]["n"]
+        assert spark.table("ice_updsq").where("v = 'X'").count() == exp
+
+    def test_insert_values_forms(self, eng, spark):
+        import tempfile as _tf
+
+        loc = _tf.mkdtemp(prefix="tps_insv_") + "/t"
+        eng.sql(
+            f"CREATE TABLE ice_insv (k bigint, v varchar) WITH "
+            f"(format='ICEBERG', location='{loc}')"
+        )
+        eng.sql("INSERT INTO ice_insv VALUES (1, 'a'), (2, 'b')")
+        eng.sql("INSERT INTO ice_insv (k) VALUES (3)")
+        assert sorted(
+            map(tuple, spark.table("ice_insv").collect()), key=str
+        ) == [(1, "a"), (2, "b"), (3, None)]
