@@ -187,3 +187,27 @@ class TestDmlSubquery:
         assert sorted(
             map(tuple, spark.table("ice_insv").collect()), key=str
         ) == [(1, "a"), (2, "b"), (3, None)]
+
+
+class TestPrunedViewLifecycle:
+    def test_previous_statement_views_dropped(self, eng, spark):
+        """__icep_* pruned views live only until the NEXT statement —
+        a long-lived session's catalog must stay bounded."""
+        eng.sql(
+            "SELECT COUNT(*) AS n FROM ice_subq WHERE seg = 1"
+        ).collect()
+        live_after_first = [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("__icep_")
+        ]
+        assert live_after_first  # the pruned view exists right now
+        df2 = eng.sql("SELECT COUNT(*) AS n FROM ice_subq WHERE seg = 2")
+        remaining = {
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("__icep_")
+        }
+        assert not (set(live_after_first) & remaining)
+        # the new statement's plan still executes (resolved at analysis)
+        assert df2.collect()[0]["n"] >= 0

@@ -1083,6 +1083,14 @@ class Engine:
             read_iceberg,
         )
 
+        # drop the PREVIOUS statement's pruned views: temp views resolve
+        # at analysis time (spark.sql in sql()), so once that statement
+        # returned, its __icep_* views are dead weight — without this a
+        # long-lived session's catalog grows by a view per pruned scan
+        # per statement (the __recsub_N discipline, applied here)
+        for v in getattr(self, "_icep_live", []):
+            self.spark.catalog.dropTempView(v)
+        self._icep_live: list[str] = []
         shielded, restore = _shield_strings(text)
         referenced = {
             n: p
@@ -1295,6 +1303,9 @@ class Engine:
             read_iceberg(
                 self.spark, path, partition_filter=terms
             ).createOrReplaceTempView(vname)
+            if not hasattr(self, "_icep_live"):
+                self._icep_live = []
+            self._icep_live.append(vname)
             out.append(shielded[last : m.start(2)])
             out.append(vname if m.group(4) else f"{vname} AS {m.group(2)}")
             last = m.end(2)
