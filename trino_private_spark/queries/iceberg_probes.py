@@ -2029,7 +2029,8 @@ def p_iceberg_snapshot_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @probe(
     "p_iceberg_insert_columns",
     oracle="""
-    SELECT n_nationkey AS k, n_name AS v, CAST(NULL AS BIGINT) AS w
+    SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS v,
+           CAST(NULL AS BIGINT) AS w
     FROM nation ORDER BY n_nationkey
     """,
     tags=("sources", "iceberg"),
