@@ -1,0 +1,217 @@
+"""Round-10 regressions: dialect-aware string lexing in every SQL-text
+parser (round-9 VERDICT What's wrong #1 — the shield lexed spark-dialect
+literals by the Trino rule, a backslashed quote swallowed an OR branch,
+and the remains became a live partition-prune term: silent wrong
+results), plus Trino literal-backslash semantics through translate()
+(What's missing #3) and escape-proofed DML routing."""
+
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from trino_private_spark.api import Engine
+from trino_private_spark.plans.translate import (
+    _shield_strings,
+    strip_sql_comments,
+    translate,
+)
+from trino_private_spark.sources.iceberg import (
+    parse_partition_predicate,
+    parse_qualified_predicate,
+    read_iceberg,
+)
+from trino_private_spark.sources.iceberg_write import iceberg_create
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return Engine(spark)
+
+
+@pytest.fixture(scope="module")
+def part_view(eng, spark):
+    """Partitioned Iceberg view 'esc_jt': seg in {a, b}, grp in 0..3."""
+    loc = tempfile.mkdtemp(prefix="tps_esc_") + "/t"
+    df = spark.range(0, 500).select(
+        (F.col("id") % 4).cast("int").alias("grp"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("seg"),
+        F.col("id").alias("v"),
+    )
+    iceberg_create(df, loc, partition_by=["seg"])
+    if not hasattr(eng, "_iceberg_views"):
+        eng._iceberg_views = {}
+    eng._iceberg_views["esc_jt"] = loc
+    read_iceberg(spark, loc).createOrReplaceTempView("esc_jt")
+    return loc
+
+
+class TestShieldDialect:
+    def test_spark_shield_honors_backslash(self):
+        sh, restore = _shield_strings(r"a = 'x\'--y' OR b = 1",
+                                      backslash_escapes=True)
+        assert "--y" not in sh and "OR" in sh
+        assert restore(sh) == r"a = 'x\'--y' OR b = 1"
+
+    def test_trino_shield_backslash_ordinary(self):
+        # Trino: 'x\' is a complete literal; the rest is live tokens
+        sh, _ = _shield_strings(r"a = 'x\'--y' OR b = 1")
+        assert "--y" in sh
+
+    def test_doubled_quotes_still_shield_both_dialects(self):
+        for bse in (False, True):
+            sh, restore = _shield_strings("a = 'it''s' AND b = 2",
+                                          backslash_escapes=bse)
+            assert "it" not in sh
+            assert restore(sh) == "a = 'it''s' AND b = 2"
+
+
+class TestPruneParsersDialect:
+    def test_qualified_or_guard_survives_escape(self):
+        cond = r"seg = 'a\'--b' OR grp = 1"
+        # spark rule: one literal containing the OR text's quote -> the
+        # depth-0 OR is visible -> whole body unprunable
+        assert parse_qualified_predicate(cond, backslash_escapes=True) == {}
+
+    def test_escape_bearing_literal_never_prunes(self):
+        assert parse_partition_predicate(
+            r"seg = 'a\nb'", backslash_escapes=True) == []
+        assert parse_partition_predicate(
+            r"seg IN ('x', 'a\tb')", backslash_escapes=True) == []
+        # spark LIKE: backslash escapes the wildcard -> no prefix domain
+        assert parse_partition_predicate(
+            r"seg LIKE 'a\%'", backslash_escapes=True) == []
+
+    def test_trino_lexing_unchanged(self):
+        assert parse_partition_predicate(r"seg = 'a\nb'") == [
+            ("seg", "=", "a\\nb")
+        ]
+        assert parse_partition_predicate(r"seg LIKE 'a\%'") == [
+            ("seg", "prefix", "a\\")
+        ]
+
+    def test_startswith_spelling_prunes(self):
+        assert parse_partition_predicate("startswith(seg, 'p')") == [
+            ("seg", "prefix", "p")
+        ]
+
+
+class TestEndToEnd:
+    def test_judge_repro_spark_dialect(self, eng, part_view, spark):
+        # round-9 verdict: this returned 0 instead of the full OR result
+        n = eng.sql(
+            r"SELECT COUNT(*) AS n FROM esc_jt "
+            r"WHERE seg = 'a\'--b' OR grp = 1",
+            dialect="spark",
+        ).collect()[0]["n"]
+        exp = (
+            spark.table("esc_jt")
+            .where((F.col("seg") == "a'--b") | (F.col("grp") == 1))
+            .count()
+        )
+        assert n == exp and n > 0
+
+    def test_trino_dialect_same_text_is_comment(self, eng, part_view, spark):
+        # Trino: 'a\' is the complete literal, --b' ... is a comment
+        n = eng.sql(
+            r"SELECT COUNT(*) AS n FROM esc_jt "
+            r"WHERE seg = 'a\'--b' OR grp = 1"
+        ).collect()[0]["n"]
+        assert n == spark.table("esc_jt").where(F.col("seg") == "a\\").count()
+
+    def test_spark_like_escaped_wildcard_no_row_loss(self, eng, spark):
+        loc = tempfile.mkdtemp(prefix="tps_esclike_") + "/t"
+        df = spark.range(0, 10).select(
+            F.concat(F.lit("a%"), F.col("id").cast("string")).alias("seg"),
+            F.col("id").alias("v"),
+        )
+        iceberg_create(df, loc, partition_by=["seg"])
+        eng._iceberg_views["esc_lt"] = loc
+        read_iceberg(spark, loc).createOrReplaceTempView("esc_lt")
+        n = eng.sql(
+            r"SELECT COUNT(*) AS n FROM esc_lt WHERE seg LIKE 'a\%%'",
+            dialect="spark",
+        ).collect()[0]["n"]
+        assert n == 10
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        lit=st.text(
+            alphabet="ab\\'%_-n", min_size=0, max_size=6
+        ),
+        grp=st.integers(min_value=0, max_value=3),
+    )
+    def test_spark_dialect_equivalence_sweep(self, eng, part_view, lit, grp):
+        """eng.sql == plain spark.sql on the FULL view for escape-bearing
+        spark-dialect literals (pruning must never change results)."""
+        esc = lit.replace("\\", "\\\\").replace("'", "\\'")
+        q = (
+            f"SELECT COUNT(*) AS n FROM esc_jt "
+            f"WHERE seg = '{esc}' OR grp = {grp}"
+        )
+        spark = eng.spark
+        assert (
+            eng.sql(q, dialect="spark").collect()[0]["n"]
+            == spark.sql(q.replace("esc_jt", "esc_jt")).collect()[0]["n"]
+        )
+
+
+class TestTranslateBackslash:
+    def test_literal_backslash_survives(self, eng):
+        assert eng.sql(r"SELECT 'x\ny' AS s").collect()[0]["s"] == r"x\ny"
+
+    def test_trailing_backslash_literal(self, eng):
+        assert eng.sql(r"SELECT 'a\' AS s").collect()[0]["s"] == "a\\"
+
+    def test_doubling_is_shield_scoped(self):
+        out = translate(r"SELECT 'a\b' AS s FROM t")
+        assert r"'a\\b'" in out
+
+    def test_strip_comments_spark_escape(self):
+        s = strip_sql_comments(r"SELECT 'a\'--x' -- real comment",
+                               backslash_escapes=True)
+        assert "--x" in s and "real comment" not in s
+
+
+class TestDmlEscapes:
+    def _mk(self, eng, spark, name):
+        loc = tempfile.mkdtemp(prefix=f"tps_dml_{name}_") + "/t"
+        df = spark.createDataFrame(
+            [("a\\", 1), ("b", 2), ("a", 3)], "seg string, v int"
+        )
+        iceberg_create(df, loc, partition_by=["seg"])
+        eng._iceberg_views[name] = loc
+        read_iceberg(spark, loc).createOrReplaceTempView(name)
+        return loc
+
+    def test_delete_spark_escape(self, eng, spark):
+        self._mk(eng, spark, "esc_d1")
+        eng.sql(r"DELETE FROM esc_d1 WHERE seg = 'a\\'", dialect="spark")
+        assert sorted(
+            r["seg"] for r in spark.table("esc_d1").collect()
+        ) == ["a", "b"]
+
+    def test_delete_trino_backslash_ordinary(self, eng, spark):
+        self._mk(eng, spark, "esc_d2")
+        eng.sql(r"DELETE FROM esc_d2 WHERE seg = 'a\'")
+        assert sorted(
+            r["seg"] for r in spark.table("esc_d2").collect()
+        ) == ["a", "b"]
+
+    def test_update_trino_backslash_literal(self, eng, spark):
+        self._mk(eng, spark, "esc_u1")
+        eng.sql(r"UPDATE esc_u1 SET seg = 'z\' WHERE v = 2")
+        assert sorted(
+            r["seg"] for r in spark.table("esc_u1").collect()
+        ) == ["a", "a\\", "z\\"]
+
+    def test_delete_with_comment(self, eng, spark):
+        self._mk(eng, spark, "esc_d3")
+        eng.sql("DELETE FROM esc_d3 WHERE v = 2 -- AND seg = 'a'")
+        assert spark.table("esc_d3").count() == 2

@@ -48,7 +48,7 @@ def test_dml_then_metadata_reflects(eng, spark):
         r["operation"]
         for r in eng.sql(
             'SELECT operation FROM "ice_md$snapshots" '
-            "ORDER BY committed_at_ms"
+            "ORDER BY committed_at"
         ).collect()
     ]
     assert ops[0] == "append" and "delete" in ops

@@ -22,6 +22,13 @@ from trino_private_spark.engine import get_spark
 from trino_private_spark.functions import register_all
 from trino_private_spark.plans.translate import translate
 
+#: live per-statement pruned views (__icep_*) keyed by SparkSession
+#: identity — SESSION-scoped on purpose: temp views live in the shared
+#: session catalog, so the drop discipline must too. Any Engine's next
+#: pruning statement sweeps every prior statement's views, including
+#: those of Engine instances that were abandoned without another call.
+_ICEP_LIVE_BY_SESSION: dict[int, list[str]] = {}
+
 
 class Engine:
     def __init__(self, spark: SparkSession | None = None):
@@ -148,19 +155,40 @@ class Engine:
             # null-fill (iceberg_append's schema alignment). A
             # parenthesized QUERY head ((SELECT ...), (VALUES ...)) is
             # not an identifier list and stays part of the query.
+            _ident = r'(?:[A-Za-z_]\w*|"(?:[^"]|"")+"|`[^`]+`)'
             mcols = _re.match(
-                r"\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s*(.+)$",
+                rf"\(\s*({_ident}(?:\s*,\s*{_ident})*)\s*\)\s*(.+)$",
                 body,
                 _re.S,
             )
             target_cols = None
-            if mcols and mcols.group(1).strip().upper() not in (
-                "SELECT", "VALUES", "TABLE", "WITH",
-            ):
-                target_cols = [
-                    c.strip() for c in mcols.group(1).split(",")
-                ]
-                body = mcols.group(2)
+            if mcols:
+                raw = _re.findall(_ident, mcols.group(1))
+                # keyword guard: a lone UNQUOTED query-head keyword is a
+                # parenthesized query only when the remainder is NOT
+                # itself a query — `INSERT INTO t (values) SELECT ...`
+                # names a column called values (Trino would require it
+                # quoted, but the lenient read is unambiguous here),
+                # while `INSERT INTO t (VALUES ...)` never matches the
+                # identifier-list shape at all
+                looks_like_query_head = (
+                    len(raw) == 1
+                    and raw[0][:1] not in ('"', "`")
+                    and raw[0].upper() in ("SELECT", "VALUES", "TABLE", "WITH")
+                    and not _re.match(
+                        r"\s*(?:SELECT|VALUES|TABLE|WITH)\b|\s*\(",
+                        mcols.group(2),
+                        _re.I,
+                    )
+                )
+                if not looks_like_query_head:
+                    target_cols = [
+                        c[1:-1].replace('""', '"')
+                        if c[:1] == '"'
+                        else c[1:-1] if c[:1] == "`" else c
+                        for c in raw
+                    ]
+                    body = mcols.group(2)
             df = self.sql(body, dialect)
             table_cols = self.spark.table(name).columns
             if target_cols is not None:
@@ -230,7 +258,7 @@ class Engine:
             flags=_re.I | _re.S,
         )
         if dm:
-            return self._delete_statement(dm.group(1), dm.group(2))
+            return self._delete_statement(dm.group(1), dm.group(2), dialect)
         um = _re.match(
             r"\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)"
             r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
@@ -239,12 +267,12 @@ class Engine:
         )
         if um:
             return self._update_statement(
-                um.group(1), um.group(2), um.group(3)
+                um.group(1), um.group(2), um.group(3), dialect
             )
         if _re.search(r"\bFOR\s+(?:VERSION|TIMESTAMP)\s+AS\s+OF\b", text, _re.I):
             # time-travel table references (SqlBase.g4 queryPeriod) lower
             # to temp views over the snapshot read before planning
-            text = self._lower_time_travel(text)
+            text = self._lower_time_travel(text, dialect)
         m = _re.match(
             r"\s*SET\s+SESSION\s+([\w.]+)\s*=\s*(.+?)\s*$", text, flags=_re.I
         )
@@ -422,11 +450,11 @@ class Engine:
                 # TableType suffix syntax, resolved by
                 # IcebergMetadata.getTableHandle) — lower to temp views
                 # over the metadata tables before any translation
-                text = self._lower_metadata_tables(text)
+                text = self._lower_metadata_tables(text, dialect)
             # per-query Iceberg re-planning: registered iceberg views are
             # re-resolved fresh, and references governed by THIS
             # statement's WHERE are rewritten to pruned private views
-            text = self._reprune_iceberg_views(text)
+            text = self._reprune_iceberg_views(text, dialect)
         mr = _re.match(
             r"\s*SELECT\s+\*\s+FROM\s+([A-Za-z_][\w.]*)\s+(MATCH_RECOGNIZE\s*\(.*\))\s*(?:AS\s+\w+\s*)?$",
             text,
@@ -922,7 +950,9 @@ class Engine:
             self._recsub_n = 0
         pat = _re.compile(r"\(\s*WITH\s+RECURSIVE\b", _re.I)
         while True:
-            shielded, restore = _shield_strings(text)
+            shielded, restore = _shield_strings(
+                text, backslash_escapes=(dialect == "spark")
+            )
             candidates = list(pat.finditer(shielded))
             if not candidates:
                 return text
@@ -1010,10 +1040,56 @@ class Engine:
         )
         if not hasattr(self, "_iceberg_cbo"):
             self._iceberg_cbo: dict[str, tuple] = {}
-        self._iceberg_cbo[name.lower()] = t.metadata_key
+        # record BOTH the metadata version and the data directory's
+        # mtime: the promoted table is a DIRECTORY scan, so files that
+        # never commit (failed/concurrent writers) would become visible
+        # rows with no metadata bump — the mtime is the O(1) tripwire
+        # for that divergence (checked per statement, re-verified
+        # against the live file set only when it fires)
+        self._iceberg_cbo[name.lower()] = (
+            t.metadata_key,
+            _os.stat(data_dir).st_mtime_ns,
+        )
         return True
 
-    def _lower_metadata_tables(self, text: str) -> str:
+    def _cbo_promotion_fresh(self, name: str, loc: str, cbo: tuple) -> bool:
+        """Serving-side validity check for an ANALYZE-promoted catalog
+        table: metadata version unchanged AND the data directory still
+        holds exactly the committed file set. The directory check is
+        O(1) per statement (dir mtime); a fired tripwire re-verifies
+        against the manifests and, if the directory still matches the
+        live set (e.g. an atime-only or benign touch), refreshes the
+        recorded mtime instead of dropping the promotion."""
+        import glob as _glob
+        import os as _os
+
+        from trino_private_spark.sources.iceberg import IcebergTable
+
+        mk, dir_mtime = cbo
+        t = IcebergTable(loc)
+        if t.metadata_key != mk:
+            return False
+        data_dir = _os.path.join(loc, "data")
+        try:
+            now_mtime = _os.stat(data_dir).st_mtime_ns
+        except OSError:
+            return False
+        if now_mtime == dir_mtime:
+            return True
+        live = {_os.path.abspath(f.path) for f in t.data_files()}
+        on_disk = {
+            _os.path.abspath(p)
+            for p in _glob.glob(_os.path.join(data_dir, "*"))
+            if _os.path.isfile(p)
+        }
+        if live and live == on_disk:
+            self._iceberg_cbo[name] = (mk, now_mtime)
+            return True
+        return False
+
+    def _lower_metadata_tables(
+        self, text: str, dialect: str = "trino"
+    ) -> str:
         """Rewrite ``"name$kind"`` quoted references over registered
         Iceberg views to temp views on the corresponding metadata table
         (SnapshotsTable/FilesTable/... — plugin/trino-iceberg TableType
@@ -1048,12 +1124,16 @@ class Engine:
             ).createOrReplaceTempView(vname)
             return vname
 
-        shielded, restore = _shield_strings(text)
+        shielded, restore = _shield_strings(
+            text, backslash_escapes=(dialect == "spark")
+        )
         return restore(
             _re.sub(r'"([A-Za-z_]\w*)\$(\w+)"', repl, shielded)
         )
 
-    def _reprune_iceberg_views(self, text: str) -> str:
+    def _reprune_iceberg_views(
+        self, text: str, dialect: str = "trino"
+    ) -> str:
         """Per-statement Iceberg re-planning, the reference's
         PushPredicateIntoTableScan -> applyFilter shape. Two effects:
 
@@ -1083,15 +1163,21 @@ class Engine:
             read_iceberg,
         )
 
-        # drop the PREVIOUS statement's pruned views: temp views resolve
-        # at analysis time (spark.sql in sql()), so once that statement
-        # returned, its __icep_* views are dead weight — without this a
-        # long-lived session's catalog grows by a view per pruned scan
-        # per statement (the __recsub_N discipline, applied here)
-        for v in getattr(self, "_icep_live", []):
+        # drop every PRIOR statement's pruned views in this SparkSession:
+        # temp views resolve at analysis time (spark.sql in sql()), so
+        # once any statement returned, its __icep_* views are dead weight.
+        # The ledger is SESSION-scoped (module-level, keyed by session),
+        # not per-Engine — per-Engine tracking let every abandoned Engine
+        # instance leak its views into the shared session catalog forever
+        # (round-9 What's wrong #2); any engine's next statement now
+        # sweeps them all, so a long-lived session's catalog stays
+        # bounded no matter how many engines came and went.
+        for v in _ICEP_LIVE_BY_SESSION.pop(id(self.spark), []):
             self.spark.catalog.dropTempView(v)
         self._icep_live: list[str] = []
-        shielded, restore = _shield_strings(text)
+        shielded, restore = _shield_strings(
+            text, backslash_escapes=(dialect == "spark")
+        )
         referenced = {
             n: p
             for n, p in self._iceberg_views.items()
@@ -1100,20 +1186,20 @@ class Engine:
         if not referenced:
             return text
         for n, p in referenced.items():
-            mk = getattr(self, "_iceberg_cbo", {}).get(n)
-            if mk is not None:
-                from trino_private_spark.sources.iceberg import (
-                    IcebergTable,
-                )
-
-                if IcebergTable(p).metadata_key == mk:
+            cbo = getattr(self, "_iceberg_cbo", {}).get(n)
+            if cbo is not None:
+                if self._cbo_promotion_fresh(n, p, cbo):
                     # the ANALYZE-promoted catalog table is still at the
-                    # analyzed metadata version: keep it visible (its
-                    # CBO stats are what the promotion is FOR) — a temp
-                    # view would shadow it
+                    # analyzed metadata version AND its data directory
+                    # still holds exactly the committed files: keep it
+                    # visible (its CBO stats are what the promotion is
+                    # FOR) — a temp view would shadow it
                     continue
-                # stale: a write landed since ANALYZE — drop the
-                # promotion, fall through to the live view
+                # stale: a write landed since ANALYZE, or uncommitted
+                # files appeared in data/ (a failed/concurrent writer's
+                # leftovers would be visible rows under the directory-
+                # scan table) — drop the promotion, fall back to the
+                # committed-file-list view
                 self._iceberg_cbo.pop(n, None)
                 self.spark.sql(f"DROP TABLE IF EXISTS {n}")
             read_iceberg(self.spark, p).createOrReplaceTempView(n)
@@ -1141,10 +1227,12 @@ class Engine:
         # outermost block itself — each block's own WHERE governs its
         # own FROM references, exactly the reference's
         # PushPredicateIntoTableScan recursion over the plan tree
-        text = self._reprune_blocks(text, referenced)
-        return self._reprune_single_block(text, referenced)
+        text = self._reprune_blocks(text, referenced, dialect)
+        return self._reprune_single_block(text, referenced, dialect)
 
-    def _reprune_blocks(self, text: str, referenced: dict) -> str:
+    def _reprune_blocks(
+        self, text: str, referenced: dict, dialect: str = "trino"
+    ) -> str:
         """Rewrite every balanced ``( SELECT ... )`` group through
         _reprune_single_block, recursing into nested groups first.
         String literals are shielded during the paren scan; each
@@ -1154,7 +1242,9 @@ class Engine:
 
         from trino_private_spark.plans.translate import _shield_strings
 
-        shielded, restore = _shield_strings(text)
+        shielded, restore = _shield_strings(
+            text, backslash_escapes=(dialect == "spark")
+        )
         pat = _re.compile(r"\(\s*SELECT\b", _re.I)
         out: list[str] = []
         last = 0
@@ -1171,15 +1261,17 @@ class Engine:
             if depth:
                 return text  # unbalanced: leave the statement alone
             inner = restore(shielded[m.start() + 1 : j - 1])
-            inner = self._reprune_blocks(inner, referenced)
-            inner = self._reprune_single_block(inner, referenced)
+            inner = self._reprune_blocks(inner, referenced, dialect)
+            inner = self._reprune_single_block(inner, referenced, dialect)
             out.append(restore(shielded[last : m.start() + 1]))
             out.append(inner)
             last = j - 1  # keep the closing paren
         out.append(restore(shielded[last:]))
         return "".join(out)
 
-    def _reprune_single_block(self, text: str, referenced: dict) -> str:
+    def _reprune_single_block(
+        self, text: str, referenced: dict, dialect: str = "trino"
+    ) -> str:
         """Rewrite ONE query block's depth-0 FROM/JOIN Iceberg
         references to pruned private views when the block has exactly
         one depth-0 WHERE and no depth-0 set operation (see
@@ -1193,7 +1285,9 @@ class Engine:
             read_iceberg,
         )
 
-        shielded, restore = _shield_strings(text)
+        shielded, restore = _shield_strings(
+            text, backslash_escapes=(dialect == "spark")
+        )
         # single depth-0 query block?
         depth = 0
         where_at: list[tuple[int, int]] = []  # (kw start, body start)
@@ -1236,7 +1330,8 @@ class Engine:
                 body_end = body_start + m.start()
                 break
         per_alias = parse_qualified_predicate(
-            restore(shielded[body_start:body_end])
+            restore(shielded[body_start:body_end]),
+            backslash_escapes=(dialect == "spark"),
         )
         if not per_alias:
             return text
@@ -1306,6 +1401,12 @@ class Engine:
             if not hasattr(self, "_icep_live"):
                 self._icep_live = []
             self._icep_live.append(vname)
+            # the SESSION ledger is what the sweep reads (see
+            # _reprune_iceberg_views) — _icep_live stays as the
+            # per-engine record of the current statement's views
+            _ICEP_LIVE_BY_SESSION.setdefault(
+                id(self.spark), []
+            ).append(vname)
             out.append(shielded[last : m.start(2)])
             out.append(vname if m.group(4) else f"{vname} AS {m.group(2)}")
             last = m.end(2)
@@ -1728,12 +1829,19 @@ class Engine:
         reports it via TableFinishOperator)."""
         return self.spark.createDataFrame([(n,)], "rows bigint")
 
-    def _delete_statement(self, name: str, cond: str | None) -> DataFrame:
+    def _delete_statement(
+        self, name: str, cond: str | None, dialect: str = "trino"
+    ) -> DataFrame:
         """DELETE FROM <table> [WHERE ...] (SqlBase.g4:61): Iceberg views
         write position-delete files (merge-on-read, executeDelete
         analogue); CoW tables rewrite their snapshot. Anything else is
         not a mutable table here — loud error, like a connector without
-        delete support."""
+        delete support. A trino-dialect WHERE is translated before Spark
+        evaluates it (function renames, quoted identifiers, literal
+        backslashes kept literal) — the downstream evaluator is Spark's
+        expression parser either way."""
+        if cond and dialect == "trino":
+            cond = translate(cond)
         cond = (cond or "true").strip()
         loc = getattr(self, "_iceberg_views", {}).get(name.lower())
         if loc is not None:
@@ -1757,18 +1865,23 @@ class Engine:
         )
 
     def _update_statement(
-        self, name: str, set_clause: str, cond: str | None
+        self, name: str, set_clause: str, cond: str | None,
+        dialect: str = "trino",
     ) -> DataFrame:
         """UPDATE <table> SET c = expr, ... [WHERE ...]
         (SqlBase.g4:160-162): Iceberg views commit position deletes +
         replacement rows atomically in ONE snapshot (RowDelta); CoW
         tables rewrite. SET expressions split at top-level commas with
-        string literals shielded."""
+        string literals shielded (by the statement dialect's lexing
+        rule); trino-dialect SET expressions and WHERE are translated
+        before Spark's expression parser evaluates them."""
         import re as _re
 
         from trino_private_spark.plans.translate import _shield_strings
 
-        shielded, restore = _shield_strings(set_clause)
+        shielded, restore = _shield_strings(
+            set_clause, backslash_escapes=(dialect == "spark")
+        )
         parts, depth, start = [], 0, 0
         for m in _re.finditer(r"[()]|,", shielded):
             tok = m.group(0)
@@ -1785,7 +1898,12 @@ class Engine:
             am = _re.fullmatch(r"\s*(\w+)\s*=\s*(.+?)\s*", p, _re.S)
             if not am:
                 raise ValueError(f"UPDATE: bad SET item {restore(p)!r}")
-            assignments[am.group(1)] = restore(am.group(2))
+            rhs = restore(am.group(2))
+            if dialect == "trino":
+                rhs = translate(rhs)
+            assignments[am.group(1)] = rhs
+        if cond and dialect == "trino":
+            cond = translate(cond)
         cond = (cond or "true").strip()
         loc = getattr(self, "_iceberg_views", {}).get(name.lower())
         if loc is not None:
@@ -1808,7 +1926,7 @@ class Engine:
             "view or CoW table of this engine)"
         )
 
-    def _lower_time_travel(self, text: str) -> str:
+    def _lower_time_travel(self, text: str, dialect: str = "trino") -> str:
         """Rewrite ``<table> FOR VERSION AS OF <n | 'ref'>`` /
         ``<table> FOR TIMESTAMP AS OF TIMESTAMP '...'`` references
         (SqlBase.g4 queryPeriod; the reference resolves them in
@@ -1821,7 +1939,9 @@ class Engine:
 
         from trino_private_spark.plans.translate import _shield_strings
 
-        shielded, restore = _shield_strings(text)
+        shielded, restore = _shield_strings(
+            text, backslash_escapes=(dialect == "spark")
+        )
         pat = _re.compile(
             r"\b([A-Za-z_]\w*)\s+FOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
             r"(TIMESTAMP\s+\x00\d+\x00|\x00\d+\x00|\d+)",

@@ -83,6 +83,16 @@ def get_spark(
     # On a cluster this should be set per-deploy; AQE coalescing makes a high
     # value safe, so deployments typically use 2-3x total executor cores.
     conf.setdefault("spark.sql.shuffle.partitions", str(cores))
+    # File-listing parallelism: Spark's default fans explicit-path
+    # listing out over up to 10_000 tasks — right for a large cluster,
+    # but on a small one the task-launch overhead IS the cold-read cost
+    # (measured round 10: 25.6k-path relation construction 22.9 s at the
+    # default vs 4.8 s at 64 on local[32]). Scale it to the session's
+    # core count; large deployments get large values automatically.
+    conf.setdefault(
+        "spark.sql.sources.parallelPartitionDiscovery.parallelism",
+        str(max(64, cores * 2)),
+    )
     conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     if extra_conf:
         conf.update(extra_conf)

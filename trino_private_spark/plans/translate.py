@@ -36,6 +36,10 @@ _FN_RENAMES = {
     "to_unixtime": "unix_timestamp",
     "from_unixtime": "timestamp_seconds",
     "levenshtein_distance": "levenshtein",
+    # StringFunctions.java starts_with -> Spark's startswith (both
+    # boolean(string, prefix)); without this entry the registry function
+    # and the prefix-prune branch are unreachable from SQL text
+    "starts_with": "startswith",
     "codepoint": "ascii",
     "from_base64": "unbase64",
     "to_base64": "base64",
@@ -56,7 +60,208 @@ _FN_RENAMES = {
     # (1-based subscripts a[i], which DO throw in Trino, become Spark
     # element_at below — also throwing under ANSI. Semantics preserved.)
     "element_at": "try_element_at",
+    # round-10 reachability audit: registry entries whose Spark builtin
+    # matches semantics exactly (DateTimeFunctions.java calendar family,
+    # JoniRegexpFunctions regexp_split = split-all, ArrayFunctions zip,
+    # TeradataStringFunctions index = strpos)
+    "day_of_year": "dayofyear",
+    "doy": "dayofyear",
+    "week_of_year": "weekofyear",
+    "last_day_of_month": "last_day",
+    "regexp_split": "split",
+    "zip": "arrays_zip",
+    "from_iso8601_timestamp": "to_timestamp",
+    "parse_datetime": "to_timestamp",
+    "json_extract": "get_json_object",
+    "format_datetime": "date_format",
+    "index": "instr",
 }
+
+# Type-generic registry functions that no monomorphic SQL UDF can front
+# (array<T> parameters, aggregate bodies, literal-driven dispatch): macro
+# templates expanded at translate time, ``<N>`` = N-th argument text. The
+# bodies transcribe the SAME expressions as functions/registry.py (file
+# citations there). Keyed by arity — uncovered arities are left untouched
+# (they then resolve against a same-named SQL shim, or fail loudly).
+_FN_TEMPLATES: dict[str, dict[int, str]] = {
+    "json_parse": {1: "<0>"},
+    "json_format": {1: "<0>"},
+    "normalize": {1: "<0>", 2: "<0>"},  # NFC no-op for ASCII (registry note)
+    "sha256": {1: "sha2(<0>, 256)"},
+    "sha512": {1: "sha2(<0>, 512)"},
+    "millisecond": {1: "CAST(date_format(<0>, 'SSS') AS BIGINT)"},
+    "to_iso8601": {1: "date_format(<0>, 'yyyy-MM-dd''T''HH:mm:ss.SSS''Z''')"},
+    "geometric_mean": {1: "exp(avg(ln(<0>)))"},
+    "checksum": {1: "CAST(bit_xor(xxhash64(<0>)) AS BIGINT)"},
+    "trim_array": {2: "slice(<0>, 1, greatest(size(<0>) - (<1>), 0))"},
+    "ngrams": {
+        2: (
+            "CASE WHEN size(<0>) >= (<1>) THEN transform("
+            "sequence(1, size(<0>) - (<1>) + 1), "
+            "__i -> slice(<0>, __i, <1>)) ELSE array(<0>) END"
+        )
+    },
+    "contains_sequence": {
+        2: (
+            "CASE WHEN size(<1>) = 0 THEN true "
+            "WHEN size(<0>) < size(<1>) THEN false "
+            "ELSE exists(sequence(1, size(<0>) - size(<1>) + 1), "
+            "__i -> slice(<0>, __i, size(<1>)) = <1>) END"
+        )
+    },
+    "multimap_from_entries": {
+        1: (
+            "map_from_arrays("
+            "array_distinct(transform(<0>, __x -> __x.key)), "
+            "transform(array_distinct(transform(<0>, __x -> __x.key)), "
+            "__k -> transform(filter(<0>, __x -> __x.key <=> __k), "
+            "__x -> __x.value)))"
+        )
+    },
+    "cosine_similarity": {
+        2: (
+            "(aggregate(zip_with(<0>, <1>, (__x, __y) -> "
+            "CAST(__x AS DOUBLE) * CAST(__y AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (__a, __v) -> __a + __v) / "
+            "(sqrt(aggregate(<0>, CAST(0 AS DOUBLE), (__a, __x) -> "
+            "__a + CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE))) * "
+            "sqrt(aggregate(<1>, CAST(0 AS DOUBLE), (__a, __x) -> "
+            "__a + CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE)))))"
+        )
+    },
+    "json_array_contains": {
+        2: (
+            "__tps_json_array_contains(CAST(<0> AS STRING), "
+            "CAST(<1> AS STRING), typeof(<1>))"
+        )
+    },
+    "regexp_position": {
+        3: (
+            "CAST(CASE WHEN regexp_instr(substr(<0>, <2>), <1>) = 0 "
+            "THEN -1 ELSE regexp_instr(substr(<0>, <2>), <1>) + (<2>) - 1 "
+            "END AS INT)"
+        )
+    },
+    # timestamptz offset of a UTC-session instant is 0 (SURVEY §1.2)
+    "timezone_hour": {1: "CAST(0 AS BIGINT)"},
+    "timezone_minute": {1: "CAST(0 AS BIGINT)"},
+    # color-family interpolation forms onto the __tps_* kernels
+    # (functions/sql_shims.py registers them)
+    "color": {
+        3: (
+            "__tps_color_interp(CAST(<0> AS DOUBLE), "
+            "CAST(<1> AS BIGINT), CAST(<2> AS BIGINT))"
+        ),
+        5: (
+            "__tps_color_interp(CAST(((<0>) - (<1>)) / ((<2>) - (<1>)) "
+            "AS DOUBLE), CAST(<3> AS BIGINT), CAST(<4> AS BIGINT))"
+        ),
+    },
+    "bar": {
+        4: (
+            "__tps_bar(CAST(<0> AS DOUBLE), CAST(<1> AS BIGINT), "
+            "CAST(<2> AS BIGINT), CAST(<3> AS BIGINT))"
+        )
+    },
+    "render": {
+        1: (
+            "CASE WHEN <0> THEN __tps_render('✓', __tps_color('green')) "
+            "ELSE __tps_render('✗', __tps_color('red')) END"
+        )
+    },
+}
+
+
+def _apply_fn_templates(s: str) -> str:
+    """Expand :data:`_FN_TEMPLATES` macro calls on SHIELDED text (string
+    literals are placeholders, so args split safely at top-level commas).
+    Balanced-paren argument capture; the replacement is parenthesized so
+    operator precedence survives any call site."""
+    changed = True
+    while changed:
+        changed = False
+        for name, by_arity in _FN_TEMPLATES.items():
+            pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+            pos = 0
+            while True:
+                m = pat.search(s, pos)
+                if not m:
+                    break
+                depth, j = 1, m.end()
+                while j < len(s) and depth:
+                    if s[j] == "(":
+                        depth += 1
+                    elif s[j] == ")":
+                        depth -= 1
+                    j += 1
+                inner = s[m.end() : j - 1]
+                args = _split_top_commas(inner) if inner.strip() else []
+                tpl = by_arity.get(len(args))
+                if tpl is None:
+                    pos = j  # arity not covered here: leave the call alone
+                    continue
+                body = tpl
+                for i, a in enumerate(args):
+                    body = body.replace(f"<{i}>", a)
+                repl = f"({body})"
+                s = s[: m.start()] + repl + s[j:]
+                pos = m.start() + len(repl)
+                changed = True
+    return s
+
+
+def _rewrite_pattern_calls(s: str, restore) -> str:
+    """MySQL / Teradata datetime-pattern functions with a LITERAL pattern
+    argument (the overwhelmingly common form) -> Spark equivalents with
+    the pattern converted python-side (DateTimeFunctions.java date_parse/
+    date_format use MySQL %-patterns; TeradataDateFunctions to_char/
+    to_timestamp/to_date use Teradata patterns). Operates on shielded
+    text: the pattern argument is a literal placeholder, restored,
+    converted, and re-emitted inline. Non-literal patterns are left
+    untouched (date_parse then fails loudly as unresolvable; date_format
+    falls through to Spark's Java-pattern builtin)."""
+    from trino_private_spark.functions.registry import (
+        _mysql_pattern_to_java,
+        _td_pattern_to_java,
+    )
+
+    specs = [
+        ("date_parse", "to_timestamp", _mysql_pattern_to_java, None),
+        ("date_format", "date_format", _mysql_pattern_to_java, "%"),
+        ("to_char", "date_format", _td_pattern_to_java, None),
+        ("to_timestamp_td", "to_timestamp", _td_pattern_to_java, None),
+        ("to_date_td", "to_date", _td_pattern_to_java, None),
+    ]
+    for name, target, conv, require in specs:
+        pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+        pos = 0
+        while True:
+            m = pat.search(s, pos)
+            if not m:
+                break
+            depth, j = 1, m.end()
+            while j < len(s) and depth:
+                if s[j] == "(":
+                    depth += 1
+                elif s[j] == ")":
+                    depth -= 1
+                j += 1
+            args = _split_top_commas(s[m.end() : j - 1])
+            if len(args) != 2 or not re.fullmatch(
+                r"\x00\d+\x00", args[1].strip()
+            ):
+                pos = j
+                continue
+            lit = restore(args[1].strip())
+            body = lit[1:-1].replace("''", "'")
+            if require is not None and require not in body:
+                pos = j
+                continue
+            newpat = conv(body).replace("'", "''")
+            repl = f"{target}({args[0]}, '{newpat}')"
+            s = s[: m.start()] + repl + s[j:]
+            pos = m.start() + len(repl)
+    return s
 
 _UNIT = r"'(millisecond|second|minute|hour|day|week|month|quarter|year)'"
 
@@ -120,21 +325,51 @@ def strip_sql_comments(sql: str, backslash_escapes: bool = False) -> str:
     return "".join(out)
 
 
-def _shield_strings(sql: str):
+# Trino string literals escape quotes ONLY by '' doubling (SqlBase.g4
+# STRING); Spark's default parser ALSO processes backslash escapes, so a
+# spark-dialect literal 'a\'--b' runs past the backslashed quote. The two
+# lexing rules as alternates — the shield must match the dialect of the
+# text it lexes or literal content leaks into the token stream (the round-9
+# wrong-results bug: a mis-lexed literal swallowed an OR branch and its
+# remains became a live partition-prune term).
+_TRINO_STR = r"'(?:[^']|'')*'"
+_SPARK_STR = r"'(?:\\.|''|[^'\\])*'"
+
+
+def _shield_strings(sql: str, backslash_escapes: bool = False):
     """Replace string literals with placeholders so rewrites can't touch
-    their contents; returns (shielded_sql, restore_fn)."""
+    their contents; returns (shielded_sql, restore_fn).
+
+    ``backslash_escapes``: lex literals by Spark's rule (backslash escapes
+    AND '' doubling) instead of Trino's (doubling only) — pass True for
+    spark-dialect text, exactly as :func:`strip_sql_comments` does."""
     literals: list[str] = []
 
     def stash(m):
         literals.append(m.group(0))
         return f"\x00{len(literals) - 1}\x00"
 
-    shielded = re.sub(r"'(?:[^']|'')*'", stash, sql)
+    shielded = re.sub(
+        _SPARK_STR if backslash_escapes else _TRINO_STR, stash, sql
+    )
 
     def restore(s: str) -> str:
         return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], s)
 
     return shielded, restore
+
+
+def _escape_literal_backslashes(s: str) -> str:
+    """Double backslashes inside single-quoted literals. Trino's STRING
+    token has NO escape processing beyond '' doubling (SqlBase.g4), so
+    ``'a\\nb'`` is the four characters a-backslash-n-b; Spark's default
+    parser would collapse ``\\n`` to a newline (and die on a trailing
+    ``'a\\'``). Run over translate()'s OUTPUT so trino-dialect literals
+    keep their literal-character semantics under Spark's lexer (Spark
+    still honors '' doubling, so shielded quotes survive unchanged)."""
+    return re.sub(
+        _TRINO_STR, lambda m: m.group(0).replace("\\", "\\\\"), s
+    )
 
 
 def _rewrite_array_literals(s: str) -> str:
@@ -216,7 +451,9 @@ def _rewrite_subscripts(s: str) -> str:
 # BIGINT (StringFunctions.java strpos/length/codepoint return bigint;
 # ArrayFunctions cardinality returns bigint). Wrapped in CAST so the
 # translated query's schema matches Trino's.
-_BIGINT_CALLS = ("instr", "size", "ascii", "length")
+_BIGINT_CALLS = (
+    "instr", "size", "ascii", "length", "dayofyear", "weekofyear",
+)
 
 
 def _cast_calls_bigint(s: str, names=_BIGINT_CALLS) -> str:
@@ -676,6 +913,14 @@ def translate(sql: str) -> str:
         flags=re.IGNORECASE,
     )
 
+    # literal-pattern datetime functions (MySQL %-patterns, Teradata
+    # patterns) -> Spark equivalents with converted pattern text
+    s = _rewrite_pattern_calls(s, restore)
+
+    # type-generic registry functions expand as macros (reachability
+    # closure — see _FN_TEMPLATES)
+    s = _apply_fn_templates(s)
+
     # function renames at call sites
     for trino_name, spark_name in _FN_RENAMES.items():
         if spark_name in ("&", "!exists") or trino_name == spark_name:
@@ -696,6 +941,13 @@ def translate(sql: str) -> str:
     s = _rewrite_subscripts(s)
 
     # Trino type names in CAST targets (Types.java) -> Spark type names.
+    # Unparameterized varchar/char is unbounded in Trino (VarcharType
+    # UNBOUNDED_LENGTH) but a parse error in Spark without a length —
+    # CAST(x AS VARCHAR) is everywhere in reference SQL.
+    s = re.sub(
+        r"\bAS\s+(?:varchar|char)\b(?!\s*\()", "AS string", s,
+        flags=re.IGNORECASE,
+    )
     s = re.sub(r"\bAS\s+varbinary\b", "AS binary", s, flags=re.IGNORECASE)
     s = re.sub(r"\bAS\s+real\b", "AS float", s, flags=re.IGNORECASE)
     s = re.sub(
@@ -736,7 +988,10 @@ def translate(sql: str) -> str:
 
     s = _spell_null_ordering(s)
 
-    return restore(s)
+    # restore literals, then double any backslash inside them — Trino
+    # treats backslash as an ordinary literal character, Spark's default
+    # parser as an escape introducer (What's missing #3, round 9)
+    return _escape_literal_backslashes(restore(s))
 
 
 _CLAUSE_END = re.compile(

@@ -103,6 +103,7 @@ def _load_modules() -> None:
         map_aggs,
         misc_probes,
         pattern,
+        r10_probes,
         reference_suite,
         reference_suite2,
         reference_suite3,

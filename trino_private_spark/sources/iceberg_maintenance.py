@@ -211,24 +211,33 @@ def iceberg_expire_snapshots(
     if not dropped:
         return {"expired_snapshots": 0, "deleted_files": 0}
 
-    deleted = 0
+    # plan the deletions BEFORE the commit, but execute them only AFTER
+    # the metadata swap succeeds — iceberg-core's ExpireSnapshots order
+    # (commit, then clean). The reverse order would, on a CAS conflict
+    # (a concurrent commit landing between the planning read and the
+    # swap), leave the SURVIVING metadata referencing already-deleted
+    # snapshots/files: time travel and $snapshots reads against them
+    # would fail on a table whose log says they exist.
+    dropped_only: set[str] = set()
     if delete_files:
         reachable = _snapshot_closure(table, kept, spark=spark)
         dropped_only = _snapshot_closure(table, dropped, spark=spark) - reachable
-        for p in sorted(dropped_only):
-            # only ever delete files under this table's own location
-            if os.path.commonpath(
-                [os.path.abspath(p), os.path.abspath(location)]
-            ) != os.path.abspath(location):
-                continue
-            try:
-                os.remove(p)
-                deleted += 1
-            except OSError:
-                pass
 
     metadata["snapshots"] = kept
     _write_metadata(location, metadata, table.loaded_version)
+
+    deleted = 0
+    for p in sorted(dropped_only):
+        # only ever delete files under this table's own location
+        if os.path.commonpath(
+            [os.path.abspath(p), os.path.abspath(location)]
+        ) != os.path.abspath(location):
+            continue
+        try:
+            os.remove(p)
+            deleted += 1
+        except OSError:
+            pass
     return {"expired_snapshots": len(dropped), "deleted_files": deleted}
 
 

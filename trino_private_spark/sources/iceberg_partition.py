@@ -447,8 +447,12 @@ def _summary_possible(field: PartitionField, summary: dict, op: str, value) -> b
     hi_b = summary.get("upper_bound")
     opl = op.lower()
     if opl == "isnull":
-        # field_summary.contains_null is REQUIRED by the spec; False
+        # field_summary.contains_null is REQUIRED by the spec, but an
+        # externally written / degraded summary may omit it — missing
+        # must WIDEN (can't prove null-free), only an explicit False
         # proves the whole manifest null-free in this field
+        if "contains_null" not in summary or summary["contains_null"] is None:
+            return True
         return contains_null
     if opl == "notnull":
         # absent bounds cannot prove all-null (this writer omits

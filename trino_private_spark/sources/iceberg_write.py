@@ -1324,7 +1324,12 @@ def iceberg_delete(
         table.read(
             spark,
             with_lineage=True,
-            partition_filter=parse_partition_predicate(condition) or None,
+            # the condition is evaluated by .where(...) — Spark's parser,
+            # which processes backslash escapes — so the prune-term lex
+            # must match it (Engine.sql pre-translates trino text)
+            partition_filter=parse_partition_predicate(
+                condition, backslash_escapes=True
+            ) or None,
         )
         .where(condition)
         .select(
@@ -1372,7 +1377,10 @@ def iceberg_update(
     cur = table.read(
         spark,
         with_lineage=True,
-        partition_filter=parse_partition_predicate(condition) or None,
+        # spark-lexed prune, matching the .where(condition) evaluator
+        partition_filter=parse_partition_predicate(
+            condition, backslash_escapes=True
+        ) or None,
     ).localCheckpoint(eager=True)
     matched = cur.where(condition)
     upd = matched
