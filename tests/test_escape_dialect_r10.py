@@ -215,3 +215,29 @@ class TestDmlEscapes:
         self._mk(eng, spark, "esc_d3")
         eng.sql("DELETE FROM esc_d3 WHERE v = 2 -- AND seg = 'a'")
         assert spark.table("esc_d3").count() == 2
+
+    def test_optimize_where_comment_and_escape_preserves_rows(
+        self, eng, spark
+    ):
+        # OPTIMIZE's WHERE selects FILES to compact (rows rewrite 1:1);
+        # comment and escape content in it must never change the data
+        loc = self._mk(eng, spark, "esc_o1")
+        from trino_private_spark.sources.iceberg_write import iceberg_append
+
+        iceberg_append(
+            spark.createDataFrame([("a", 4), ("b", 5)], "seg string, v int"),
+            loc,
+        )
+        before = sorted(
+            (r["seg"], r["v"])
+            for r in eng.sql("SELECT seg, v FROM esc_o1").collect()
+        )
+        eng.sql(
+            r"ALTER TABLE esc_o1 EXECUTE optimize "
+            r"WHERE seg = 'a' -- AND seg = 'a\'"
+        )
+        after = sorted(
+            (r["seg"], r["v"])
+            for r in eng.sql("SELECT seg, v FROM esc_o1").collect()
+        )
+        assert before == after

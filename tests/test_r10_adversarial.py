@@ -64,6 +64,40 @@ class TestTemplateShieldInteraction:
         assert isinstance(rows[0]["c"], int)
 
 
+class TestNormalizeSemantics:
+    def test_nfd_decomposes(self, eng):
+        r = eng.sql("SELECT normalize('café', NFD) AS d").collect()[0]["d"]
+        assert len(r) == 5  # e + combining acute
+
+    def test_nfc_recomposes(self, eng):
+        r = eng.sql(
+            "SELECT normalize(normalize('café', NFD), NFC) AS c"
+        ).collect()[0]["c"]
+        assert r == "café" and len(r) == 4
+
+    def test_default_form_is_nfc(self, eng):
+        r = eng.sql("SELECT normalize('café') AS c").collect()[0]["c"]
+        assert r == "café"
+
+    def test_string_valued_form(self, eng):
+        r = eng.sql("SELECT normalize('café', 'nfkc') AS c").collect()[0]["c"]
+        assert r == "café"
+
+    def test_builder_rejects_bad_form(self):
+        from trino_private_spark.functions.registry import TRINO_FUNCTIONS
+
+        with pytest.raises(ValueError):
+            TRINO_FUNCTIONS["normalize"]("x", "NFX")
+
+
+class TestMatchRecognizeLiteralGuard:
+    def test_keyword_in_literal_is_data(self, eng):
+        r = eng.sql(
+            "SELECT 'tbl MATCH_RECOGNIZE (' AS s"
+        ).collect()[0]["s"]
+        assert r == "tbl MATCH_RECOGNIZE ("
+
+
 class TestPatternRewriteAttacks:
     def test_pattern_with_quoted_quote(self, eng):
         # doubled quote inside the pattern literal survives the re-emit

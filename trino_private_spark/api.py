@@ -532,30 +532,37 @@ class Engine:
             sql_match_recognize,
         )
 
+        from trino_private_spark.plans.translate import _shield_strings
+
         pat = _re.compile(
             r"([A-Za-z_][\w.]*)\s+(MATCH_RECOGNIZE)\s*\(", flags=_re.I
         )
         n = 0
         while True:
-            m = pat.search(text)
+            # scan SHIELDED text: a string literal containing the
+            # keyword ('... MATCH_RECOGNIZE (' as data) must never route
+            # a table lookup; offsets map back because placeholders are
+            # spliced into the same string we slice
+            shielded, restore = _shield_strings(text)
+            m = pat.search(shielded)
             if m is None:
                 return text
             depth, j = 1, m.end()
-            while j < len(text) and depth:
-                if text[j] == "(":
+            while j < len(shielded) and depth:
+                if shielded[j] == "(":
                     depth += 1
-                elif text[j] == ")":
+                elif shielded[j] == ")":
                     depth -= 1
                 j += 1
             if depth:
                 raise ValueError("unbalanced MATCH_RECOGNIZE parentheses")
             src = self.spark.table(m.group(1))
             self._enforce_select(src)
-            df = sql_match_recognize(src, text[m.start(2):j])
+            df = sql_match_recognize(src, restore(shielded[m.start(2):j]))
             vname = f"__mr_lowered_{n}"
             n += 1
             df.createOrReplaceTempView(vname)
-            text = text[: m.start(1)] + vname + text[j:]
+            text = restore(shielded[: m.start(1)] + vname + shielded[j:])
 
     # --- roles / grants / transactions (SqlBase.g4:95-123,150-152) -------
 

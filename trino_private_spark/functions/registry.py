@@ -109,10 +109,16 @@ def word_stem(s) -> Column:
 
 @trino_fn("normalize")
 def normalize(s, form="NFC") -> Column:
-    # Spark has no unicode normalize builtin; NFC is a no-op for ASCII
-    # fixtures. Real impl would be a pandas UDF; keep expression identity +
-    # document the gap.
-    return _c(s)
+    """Unicode normalization (StringFunctions.java normalize; forms NFC/
+    NFD/NFKC/NFKD per java.text.Normalizer). No JVM builtin exists —
+    Arrow-batched pandas UDF over stdlib unicodedata (scan-local, the
+    sanctioned Python hop)."""
+    if not isinstance(form, str):
+        raise ValueError("normalize() form must be a literal string")
+    form = form.upper()
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unsupported normalization form {form!r}")
+    return _normalize_udf(_c(s), F.lit(form))
 
 
 @trino_fn("from_utf8")
@@ -1126,13 +1132,33 @@ import struct as _struct
 import pandas as _pd
 
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType as _Bin, DoubleType as _Dbl, FloatType as _Flt
+from pyspark.sql.types import (
+    BinaryType as _Bin,
+    DoubleType as _Dbl,
+    FloatType as _Flt,
+    StringType as _Str,
+)
 
 
 def _pandas_udf(t):
     # DataType instances (not DDL strings) keep decoration lazy: no active
     # SparkSession is needed at import time.
-    return pandas_udf({"binary": _Bin(), "double": _Dbl(), "float": _Flt()}[t])
+    return pandas_udf(
+        {"binary": _Bin(), "double": _Dbl(), "float": _Flt(),
+         "string": _Str()}[t]
+    )
+
+
+@_pandas_udf("string")
+def _normalize_udf(s: _pd.Series, form: _pd.Series) -> _pd.Series:
+    import unicodedata
+
+    return _pd.Series(
+        [
+            None if v is None else unicodedata.normalize(f, v)
+            for v, f in zip(s, form)
+        ]
+    )
 
 
 @trino_fn("luhn_check")

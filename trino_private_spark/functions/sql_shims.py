@@ -527,6 +527,7 @@ def _register_kernels(spark: SparkSession) -> int:
             return pd.Series([one(*t) for t in zip(j, v, kind)])
 
         kernels["__tps_json_array_contains"] = _jac
+        kernels["__tps_normalize"] = R._normalize_udf
     except Exception:  # noqa: BLE001 — missing optional kernel set
         pass
     for name, udf in kernels.items():

@@ -86,7 +86,25 @@ _FN_RENAMES = {
 _FN_TEMPLATES: dict[str, dict[int, str]] = {
     "json_parse": {1: "<0>"},
     "json_format": {1: "<0>"},
-    "normalize": {1: "<0>", 2: "<0>"},  # NFC no-op for ASCII (registry note)
+    # unicodedata kernel registered by sql_shims; form defaults to NFC
+    # (StringFunctions.java normalize). Trino's grammar spells the form
+    # as a BARE KEYWORD (SqlBase.g4: NORMALIZE '(' expr (',' normalForm)?
+    # ')') — the callable template quotes it; a string-valued form still
+    # works through upper().
+    "normalize": {
+        1: "__tps_normalize(<0>, 'NFC')",
+        2: lambda args: (
+            f"__tps_normalize({args[0]}, "
+            + (
+                f"'{args[1].strip().upper()}'"
+                if re.fullmatch(
+                    r"NFC|NFD|NFKC|NFKD", args[1].strip(), re.IGNORECASE
+                )
+                else f"upper({args[1]})"
+            )
+            + ")"
+        ),
+    },
     "sha256": {1: "sha2(<0>, 256)"},
     "sha512": {1: "sha2(<0>, 512)"},
     "millisecond": {1: "CAST(date_format(<0>, 'SSS') AS BIGINT)"},
@@ -200,9 +218,12 @@ def _apply_fn_templates(s: str) -> str:
                 if tpl is None:
                     pos = j  # arity not covered here: leave the call alone
                     continue
-                body = tpl
-                for i, a in enumerate(args):
-                    body = body.replace(f"<{i}>", a)
+                if callable(tpl):
+                    body = tpl(args)
+                else:
+                    body = tpl
+                    for i, a in enumerate(args):
+                        body = body.replace(f"<{i}>", a)
                 repl = f"({body})"
                 s = s[: m.start()] + repl + s[j:]
                 pos = m.start() + len(repl)
