@@ -106,6 +106,9 @@ class TestShimSemantics:
     CASES = [
         ("starts_with('prefixed', 'pre')", True),
         ("day_of_week(DATE '2026-08-16')", 7),  # ISO: Sunday = 7
+        ("dow(DATE '2026-08-16')", 7),          # documented alias
+        ("week(DATE '2026-01-08')", 2),          # alias of week_of_year
+        ("day_of_month(DATE '2026-08-16')", 16),  # alias of day
         ("day_of_year(DATE '2026-02-01')", 32),
         ("year_of_week(DATE '2024-12-31')", 2025),  # ISO week-year
         ("millisecond(TIMESTAMP '2026-01-01 01:02:03.456')", 456),

@@ -364,6 +364,14 @@ def week_of_year(ts) -> Column:
     return F.weekofyear(_c(ts))
 
 
+# documented aliases (DateTimeFunctions.java: @ScalarFunction
+# value="day_of_week" alias="dow"; value="week" alias="week_of_year";
+# value="day" alias="day_of_month")
+TRINO_FUNCTIONS["dow"] = day_of_week
+TRINO_FUNCTIONS["week"] = week_of_year
+TRINO_FUNCTIONS["day_of_month"] = lambda ts: F.dayofmonth(_c(ts))
+
+
 @trino_fn("human_readable_seconds")
 def human_readable_seconds(secs) -> Column:
     s = _c(secs).cast("bigint")

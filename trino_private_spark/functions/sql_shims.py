@@ -71,6 +71,13 @@ SQL_SHIMS: dict[str, str] = {
         "RETURNS BIGINT RETURN CAST(CASE WHEN dayofweek(ts) = 1 THEN 7 "
         "ELSE dayofweek(ts) - 1 END AS BIGINT)"
     ),
+    "dow": (
+        # documented alias (DateTimeFunctions.java @ScalarFunction
+        # value="day_of_week" alias="dow")
+        "CREATE OR REPLACE TEMPORARY FUNCTION dow(ts TIMESTAMP) "
+        "RETURNS BIGINT RETURN CAST(CASE WHEN dayofweek(ts) = 1 THEN 7 "
+        "ELSE dayofweek(ts) - 1 END AS BIGINT)"
+    ),
     "year_of_week": (
         "CREATE OR REPLACE TEMPORARY FUNCTION year_of_week(d DATE) "
         "RETURNS BIGINT RETURN CAST(year(date_add(d, "

@@ -67,6 +67,8 @@ _FN_RENAMES = {
     "day_of_year": "dayofyear",
     "doy": "dayofyear",
     "week_of_year": "weekofyear",
+    "week": "weekofyear",
+    "day_of_month": "dayofmonth",
     "last_day_of_month": "last_day",
     "regexp_split": "split",
     "zip": "arrays_zip",
@@ -474,6 +476,7 @@ def _rewrite_subscripts(s: str) -> str:
 # translated query's schema matches Trino's.
 _BIGINT_CALLS = (
     "instr", "size", "ascii", "length", "dayofyear", "weekofyear",
+    "dayofmonth",
 )
 
 
