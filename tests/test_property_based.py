@@ -27,8 +27,11 @@ def test_translate_preserves_string_literals(s):
     lit = s.replace("'", "''")
     sql = f"SELECT strpos(x, '{lit}') FROM t"
     out = translate(sql)
-    # literal contents survive untouched even when they contain fn names
-    assert f"'{lit}'" in out
+    # literal contents survive rewrites even when they contain fn names;
+    # backslashes DOUBLE on purpose (round 10): Trino literals have no
+    # escape processing, Spark's parser does, so '\' must reach Spark
+    # as '\\' to stay one literal backslash
+    assert f"'{lit.replace(chr(92), chr(92) * 2)}'" in out
     # strpos -> instr, wrapped to keep Trino's BIGINT return width
     assert out.startswith("SELECT CAST(instr(x, ")
     assert out.endswith(") AS BIGINT) FROM t")

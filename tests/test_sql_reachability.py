@@ -22,8 +22,14 @@ index tree in Python), so no fixed-text mechanism can front it.
 import pytest
 
 from trino_private_spark.api import Engine
+from trino_private_spark.functions import geo as _geo  # noqa: F401
 from trino_private_spark.functions.registry import TRINO_FUNCTIONS
 from trino_private_spark.plans.translate import _FN_RENAMES, _FN_TEMPLATES
+
+# geo.py contributes its @trino_fn entries on IMPORT — pull it in
+# explicitly so the audited set is the same whether or not another test
+# module imported it first (the round-10 full-suite run caught exactly
+# this: the audit passed in isolation and failed suite-wide)
 
 # reachable through dedicated translate() rewrites rather than the
 # catalog — each has an end-to-end test in TestRewriteReachable
@@ -137,6 +143,23 @@ class TestShimSemantics:
         ("regexp_position('xyz', 'q')", -1),
         ("index('hello', 'll')", 3),
         ("rgb(255, 0, 0)", 16711680),
+        # Bing-tile family (BingTileFunctions.java; tile = x*2^28+y*32+z)
+        ("bing_tile(3, 5, 4)", 3 * (1 << 28) + 5 * 32 + 4),
+        ("bing_tile_zoom_level(bing_tile(3, 5, 4))", 4),
+        ("bing_tile_coordinates(bing_tile(3, 5, 4)).x", 3),
+        ("bing_tile_coordinates(bing_tile(3, 5, 4)).y", 5),
+        # digits i=4..1: (x>>i-1 & 1) + 2*(y>>i-1 & 1) for x=3,y=5
+        ("bing_tile_quadkey(bing_tile(3, 5, 4))", "0213"),
+        ("bing_tile(bing_tile_quadkey(bing_tile(3, 5, 4)))",
+         3 * (1 << 28) + 5 * 32 + 4),
+        ("bing_tile_zoom_level(bing_tile_at(47.6, -122.3, 10))", 10),
+        ("cardinality(bing_tiles_around(47.6, -122.3, 10))", 9),
+        # BNA -> LAX, the reference's own doc example (~2886.449 km)
+        ("round(great_circle_distance(36.12, -86.67, 33.94, -118.40), 3)",
+         2886.449),
+        ("st_x(st_point(1.5, 2.5))", 1.5),
+        ("st_y(st_point(1.5, 2.5))", 2.5),
+        ("st_distance(st_point(0, 0), st_point(3, 4))", 5.0),
         ("human_readable_seconds(93784)",
          "1 days, 2 hours, 3 minutes, 4 seconds"),
         ("to_milliseconds(parse_duration('5.4s'))", 5400),

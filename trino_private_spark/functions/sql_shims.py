@@ -54,6 +54,53 @@ _LUHN_DIGIT = "CAST(substring(s, CAST(length(s) - i + 1 AS INT), 1) AS INT)"
 
 _HRS_S = "CAST(x AS BIGINT)"  # human_readable_seconds working value
 
+# --- Bing-tile building blocks (functions/geo.py transcriptions) ----------
+# map size in pixels at zoom z (256 << z, exact to zoom 23)
+_MS = "CAST(256.0D * pow(2.0D, CAST(z AS DOUBLE)) AS BIGINT)"
+# web-mercator y axis value in [0, 1] for latitude `lat`
+_YAXIS = (
+    "(0.5D - ln((1.0D + sin(radians(lat))) / (1.0D - sin(radians(lat)))) "
+    "/ (4.0D * pi()))"
+)
+# fully-inlined tile x/y for use INSIDE lambdas (SQL UDF calls don't
+# resolve under lambda binders)
+_TXL = (
+    f"CAST(CAST(least(greatest(((lon + 180.0D) / 360.0D) * "
+    f"CAST({_MS} AS DOUBLE), 0.0D), CAST({_MS} - 1 AS DOUBLE)) "
+    f"AS BIGINT) / 256 AS BIGINT)"
+)
+_TYL = (
+    f"CAST(CAST(least(greatest({_YAXIS} * CAST({_MS} AS DOUBLE), 0.0D), "
+    f"CAST({_MS} - 1 AS DOUBLE)) AS BIGINT) / 256 AS BIGINT)"
+)
+# bing_tile_polygon corner renders (format_number(x, 10) matches the
+# registry builder's fixed 10-decimal text)
+_BTP_X = "CAST(t / 268435456 AS BIGINT)"
+_BTP_Y = "(CAST(t / 32 AS BIGINT) % 8388608)"
+_BTP_Z = "CAST(t % 32 AS BIGINT)"
+_BTP_MIN_LON = f"format_number(__tps_tile_lon({_BTP_X}, {_BTP_Z}), 10)"
+_BTP_MAX_LON = f"format_number(__tps_tile_lon({_BTP_X} + 1, {_BTP_Z}), 10)"
+_BTP_MAX_LAT = f"format_number(__tps_tile_lat({_BTP_Y}, {_BTP_Z}), 10)"
+_BTP_MIN_LAT = f"format_number(__tps_tile_lat({_BTP_Y} + 1, {_BTP_Z}), 10)"
+# great-circle distance terms (GeoFunctions.java:1511 atan2 form)
+_GC_DL = "(radians(lon1) - radians(lon2))"
+_GC_T1 = f"cos(radians(lat2)) * sin({_GC_DL})"
+_GC_T2 = (
+    f"cos(radians(lat1)) * sin(radians(lat2)) - sin(radians(lat1)) * "
+    f"cos(radians(lat2)) * cos({_GC_DL})"
+)
+_GC_T3 = (
+    f"sin(radians(lat1)) * sin(radians(lat2)) + cos(radians(lat1)) * "
+    f"cos(radians(lat2)) * cos({_GC_DL})"
+)
+# POINT WKT extraction regex (st_geometry_from_text's pattern), as a SQL
+# string literal — \\ in this Python text reaches Spark as \\, which its
+# lexer collapses to the single regex backslash
+_WKT_POINT = (
+    "'^\\\\s*POINT\\\\s*\\\\(\\\\s*(-?[0-9]+(?:\\\\.[0-9]+)?)"
+    "\\\\s+(-?[0-9]+(?:\\\\.[0-9]+)?)\\\\s*\\\\)\\\\s*$'"
+)
+
 SQL_SHIMS: dict[str, str] = {
     # --- datetime ---------------------------------------------------------
     "at_timezone": (
@@ -361,6 +408,114 @@ SQL_SHIMS: dict[str, str] = {
         "CREATE OR REPLACE TEMPORARY FUNCTION rgb"
         "(r BIGINT, g BIGINT, b BIGINT) RETURNS BIGINT "
         "RETURN (shiftleft(r, 16) | shiftleft(g, 8) | b)"
+    ),
+    # --- Bing tiles / point geometry (BingTileFunctions.java,
+    # GeoFunctions.java — transcribed from functions/geo.py; tiles are
+    # BIGINTs x*2^28 + y*32 + zoom). SQL UDFs can call each other (they
+    # inline at analysis) but NOT inside lambdas, so lambda bodies below
+    # carry fully inlined arithmetic.
+    "bing_tile": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION bing_tile"
+        "(x BIGINT, y BIGINT, z BIGINT) RETURNS BIGINT "
+        "RETURN x * 268435456 + y * 32 + z"
+    ),
+    "bing_tile_zoom_level": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_zoom_level"
+        "(t BIGINT) RETURNS INT RETURN CAST(t % 32 AS INT)"
+    ),
+    "bing_tile_coordinates": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_coordinates"
+        "(t BIGINT) RETURNS STRUCT<x: INT, y: INT> RETURN named_struct("
+        "'x', CAST(CAST(t / 268435456 AS BIGINT) AS INT), "
+        "'y', CAST(CAST(t / 32 AS BIGINT) % 8388608 AS INT))"
+    ),
+    "bing_tile_quadkey": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_quadkey"
+        "(t BIGINT) RETURNS STRING RETURN array_join(transform("
+        "sequence(CAST(t % 32 AS INT), 1, -1), __i -> chr(48 "
+        "+ CAST(CAST(t / 268435456 AS BIGINT) / "
+        "CAST(pow(2.0D, __i - 1) AS BIGINT) AS BIGINT) % 2 "
+        "+ 2 * (CAST((CAST(t / 32 AS BIGINT) % 8388608) / "
+        "CAST(pow(2.0D, __i - 1) AS BIGINT) AS BIGINT) % 2))), '')"
+    ),
+    "__tps_tile_x": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION __tps_tile_x"
+        "(lon DOUBLE, z BIGINT) RETURNS BIGINT RETURN "
+        f"CAST(CAST(least(greatest(((lon + 180.0D) / 360.0D) * "
+        f"CAST({_MS} AS DOUBLE), 0.0D), CAST({_MS} - 1 AS DOUBLE)) "
+        f"AS BIGINT) / 256 AS BIGINT)"
+    ),
+    "__tps_tile_y": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION __tps_tile_y"
+        "(lat DOUBLE, z BIGINT) RETURNS BIGINT RETURN "
+        f"CAST(CAST(least(greatest({_YAXIS} * CAST({_MS} AS DOUBLE), "
+        f"0.0D), CAST({_MS} - 1 AS DOUBLE)) AS BIGINT) / 256 AS BIGINT)"
+    ),
+    "bing_tile_at": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_at"
+        "(lat DOUBLE, lon DOUBLE, z BIGINT) RETURNS BIGINT "
+        "RETURN __tps_tile_x(lon, z) * 268435456 "
+        "+ __tps_tile_y(lat, z) * 32 + z"
+    ),
+    "bing_tiles_around": (
+        # 3x3 neighborhood form; the radius disk-cover form stays a
+        # DataFrame-API operation (tiles_covering_radius)
+        "CREATE OR REPLACE TEMPORARY FUNCTION bing_tiles_around"
+        "(lat DOUBLE, lon DOUBLE, z BIGINT) RETURNS ARRAY<BIGINT> "
+        "RETURN transform(filter(flatten(transform(sequence(-1, 1), "
+        f"__i -> transform(sequence(-1, 1), __j -> named_struct("
+        f"'x', {_TXL} + __i, 'y', {_TYL} + __j)))), "
+        f"__c -> __c.x >= 0 AND __c.x <= CAST({_MS} / 256 AS BIGINT) - 1 "
+        f"AND __c.y >= 0 AND __c.y <= CAST({_MS} / 256 AS BIGINT) - 1), "
+        "__c -> __c.x * 268435456 + __c.y * 32 + z)"
+    ),
+    "__tps_tile_lon": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION __tps_tile_lon"
+        "(tx BIGINT, z BIGINT) RETURNS DOUBLE RETURN "
+        f"360.0D * (least(greatest(CAST(tx AS DOUBLE) * 256.0D, 0.0D), "
+        f"CAST({_MS} AS DOUBLE)) / CAST({_MS} AS DOUBLE) - 0.5D)"
+    ),
+    "__tps_tile_lat": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION __tps_tile_lat"
+        "(ty BIGINT, z BIGINT) RETURNS DOUBLE RETURN "
+        f"90.0D - 360.0D * atan(exp(-(0.5D - least(greatest("
+        f"CAST(ty AS DOUBLE) * 256.0D, 0.0D), CAST({_MS} AS DOUBLE)) / "
+        f"CAST({_MS} AS DOUBLE)) * (2.0D * pi()))) / pi()"
+    ),
+    "bing_tile_polygon": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_polygon"
+        "(t BIGINT) RETURNS STRING RETURN concat('POLYGON ((', "
+        f"{_BTP_MIN_LON}, ' ', {_BTP_MIN_LAT}, ', ', "
+        f"{_BTP_MAX_LON}, ' ', {_BTP_MIN_LAT}, ', ', "
+        f"{_BTP_MAX_LON}, ' ', {_BTP_MAX_LAT}, ', ', "
+        f"{_BTP_MIN_LON}, ' ', {_BTP_MAX_LAT}, ', ', "
+        f"{_BTP_MIN_LON}, ' ', {_BTP_MIN_LAT}, '))')"
+    ),
+    "great_circle_distance": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION great_circle_distance"
+        "(lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE) "
+        "RETURNS DOUBLE RETURN "
+        f"atan2(sqrt(({_GC_T1}) * ({_GC_T1}) + ({_GC_T2}) * ({_GC_T2})), "
+        f"{_GC_T3}) * 6371.01D"
+    ),
+    # SQL-text point geometry works over the WKT strings the ST_* kernel
+    # family uses (the DataFrame-API registry builders use structs; the
+    # two planes each stay internally consistent)
+    "st_x": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION st_x(p STRING) "
+        f"RETURNS DOUBLE RETURN CAST(regexp_extract(p, {_WKT_POINT}, 1) "
+        "AS DOUBLE)"
+    ),
+    "st_y": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION st_y(p STRING) "
+        f"RETURNS DOUBLE RETURN CAST(regexp_extract(p, {_WKT_POINT}, 2) "
+        "AS DOUBLE)"
+    ),
+    "st_distance": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION st_distance"
+        "(a STRING, b STRING) RETURNS DOUBLE RETURN "
+        "sqrt((st_x(a) - st_x(b)) * (st_x(a) - st_x(b)) + "
+        "(st_y(a) - st_y(b)) * (st_y(a) - st_y(b)))"
     ),
     # hmac/murmur3/spooky/beta/inv-normal/ieee754/color-interp wrappers are
     # appended by install_sql_shims after their __tps_* kernels register.

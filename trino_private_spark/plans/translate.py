@@ -149,6 +149,22 @@ _FN_TEMPLATES: dict[str, dict[int, str]] = {
             "__a + CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE)))))"
         )
     },
+    # quadkey-decode form of bing_tile (BingTileFunctions.fromQuadKey);
+    # the (x, y, zoom) encode form is a session SQL shim. Digit at
+    # position p contributes bit 2^(zoom-p): x from digit%2, y from
+    # digit/2 (tile = x*2^28 + y*32 + zoom).
+    "bing_tile": {
+        1: (
+            "aggregate(sequence(1, length(<0>)), CAST(0 AS BIGINT), "
+            "(__acc, __p) -> __acc + ((ascii(substring(<0>, __p, 1)) - 48) "
+            "% 2) * CAST(pow(2.0D, length(<0>) - __p) AS BIGINT)) "
+            "* 268435456 + "
+            "aggregate(sequence(1, length(<0>)), CAST(0 AS BIGINT), "
+            "(__acc, __p) -> __acc + CAST((ascii(substring(<0>, __p, 1)) "
+            "- 48) / 2 AS BIGINT) * CAST(pow(2.0D, length(<0>) - __p) "
+            "AS BIGINT)) * 32 + CAST(length(<0>) AS BIGINT)"
+        )
+    },
     "json_array_contains": {
         2: (
             "__tps_json_array_contains(CAST(<0> AS STRING), "

@@ -757,18 +757,40 @@ class IcebergTable:
                 f.file_format == "PARQUET" for f in files
             ):
                 # externally-written files may carry pre-rename column
-                # NAMES under a single-schema metadata (ids are the
-                # identity, names aren't) — sample one footer (the same
+                # NAMES — or narrower physical NUMERIC widths — under a
+                # single-schema metadata (field ids are the identity;
+                # names and widths aren't). Sample one footer (the same
                 # file Spark's inference would read) and keep inference
-                # unless the declared names are all present
+                # unless every declared name is present AND every
+                # numeric width matches: declaring bigint over an int32
+                # file would silently WIDEN the read column, flipping
+                # the driver's exact-width schema check.
                 try:
                     import pyarrow.parquet as pq
 
-                    fnames = set(pq.read_schema(files[0].path).names)
-                    if {f["name"] for f in schema.get("fields", [])} <= fnames:
+                    fsch = pq.read_schema(files[0].path)
+                    fnames = set(fsch.names)
+                    fields = schema.get("fields", [])
+                    ok = {f["name"] for f in fields} <= fnames
+                    arrow_num = {
+                        "int8": "tinyint", "int16": "smallint",
+                        "int32": "int", "int64": "bigint",
+                        "float": "float", "double": "double",
+                    }
+                    for f, t in zip(fields, types):
+                        if not ok:
+                            break
+                        if t in (
+                            "tinyint", "smallint", "int", "bigint",
+                            "float", "double",
+                        ):
+                            at = str(fsch.field(f["name"]).type)
+                            if arrow_num.get(at) != t:
+                                ok = False
+                    if ok:
                         ddl = ", ".join(
                             f"`{f['name']}` {t}"
-                            for f, t in zip(schema.get("fields", []), types)
+                            for f, t in zip(fields, types)
                         )
                 except Exception:  # noqa: BLE001 — fast path only
                     ddl = None
