@@ -1058,10 +1058,25 @@ TRINO_FUNCTIONS["geometric_mean"] = geometric_mean
 TRINO_FUNCTIONS["checksum"] = checksum
 
 
+#: sessions whose shims are already installed — every definition below
+#: is CREATE OR REPLACE / udf.register (idempotent), but re-running the
+#: ~160 DDL+register roundtrips costs ~1.6 s PER Engine construction
+#: (measured round 10), and probes build an Engine each. WeakSet:
+#: membership is by object identity and a collected session can never
+#: block a fresh one that happens to reuse its id.
+_SESSIONS_REGISTERED = __import__("weakref").WeakSet()
+
+
 def register_all(spark: SparkSession) -> int:
     """Install SQL-callable shims for renamed zero-lambda functions via
     Spark 4 SQL UDF (CREATE TEMPORARY FUNCTION ... RETURN expr). Falls back
-    silently when a definition isn't SQL-expressible. Returns count."""
+    silently when a definition isn't SQL-expressible. Returns count
+    (0 when this session is already fully registered)."""
+    try:
+        if spark in _SESSIONS_REGISTERED:
+            return 0
+    except TypeError:  # unhashable session stand-in (tests/mocks)
+        pass
     ddl = {
         "strpos": "CREATE OR REPLACE TEMPORARY FUNCTION strpos(s STRING, sub STRING) RETURNS INT RETURN instr(s, sub)",
         "json_extract_scalar": "CREATE OR REPLACE TEMPORARY FUNCTION json_extract_scalar(j STRING, p STRING) RETURNS STRING RETURN get_json_object(j, p)",
@@ -1120,6 +1135,10 @@ def register_all(spark: SparkSession) -> int:
 
         n += install_sql_shims(spark)
     except Exception:
+        pass
+    try:
+        _SESSIONS_REGISTERED.add(spark)
+    except TypeError:
         pass
     return n
 
