@@ -71,7 +71,7 @@ class TestIcepSessionLifecycle:
         assert not (leaked & now), f"abandoned engine's views leaked: {leaked & now}"
         # only e2's CURRENT statement's views remain, all ledgered
         ledger = set(
-            api_mod._ICEP_LIVE_BY_SESSION.get(id(spark), [])
+            api_mod._ICEP_LIVE_BY_SESSION.get(spark, [])
         )
         assert now <= ledger
 

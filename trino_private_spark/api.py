@@ -22,12 +22,19 @@ from trino_private_spark.engine import get_spark
 from trino_private_spark.functions import register_all
 from trino_private_spark.plans.translate import translate
 
-#: live per-statement pruned views (__icep_*) keyed by SparkSession
-#: identity — SESSION-scoped on purpose: temp views live in the shared
-#: session catalog, so the drop discipline must too. Any Engine's next
-#: pruning statement sweeps every prior statement's views, including
-#: those of Engine instances that were abandoned without another call.
-_ICEP_LIVE_BY_SESSION: dict[int, list[str]] = {}
+#: live per-statement pruned views (__icep_*) keyed by SparkSession —
+#: SESSION-scoped on purpose: temp views live in the shared session
+#: catalog, so the drop discipline must too. Any Engine's next pruning
+#: statement sweeps every prior statement's views, including those of
+#: Engine instances that were abandoned without another call. WeakKey:
+#: a session that ends without another pruning statement must not pin
+#: its entry (or its SparkSession) for the process lifetime (round-10
+#: ADVICE — the id()-keyed dict accumulated dead-session entries).
+import weakref as _weakref
+
+_ICEP_LIVE_BY_SESSION: "_weakref.WeakKeyDictionary[SparkSession, list[str]]" = (
+    _weakref.WeakKeyDictionary()
+)
 
 
 class Engine:
@@ -419,6 +426,9 @@ class Engine:
         if m:
             self.use(m.group(1))
             return self._one("USE")
+        mv = self._mview_schema_statement(text, dialect)
+        if mv is not None:
+            return mv
         sec = self._security_statement(text)
         if sec is not None:
             return sec
@@ -505,8 +515,48 @@ class Engine:
                 self._enforce_select(df)
                 return df
             if dialect == "trino":
-                text = translate(text)
-            df = self.spark.sql(text)
+                from pyspark.errors import AnalysisException
+
+                from trino_private_spark.plans.translate import alt_fns_in
+
+                translated = translate(text)
+                try:
+                    df = self.spark.sql(translated)
+                except AnalysisException as primary_err:
+                    # sketch-typed overloads (cardinality(hll), map
+                    # cosine_similarity, setdigest jaccard/...): the
+                    # primary translation fits arrays/maps; when analysis
+                    # rejects it and the statement calls an overloadable
+                    # name, retry with _FN_TEMPLATES_ALT bodies — singles
+                    # first (cardinality(hash_counts(x)) needs ONLY
+                    # hash_counts switched while cardinality stays the
+                    # map size), then growing combinations. Analysis is
+                    # eager in spark.sql, so retries cost milliseconds
+                    # and never mask runtime errors. The primary error
+                    # reports if every combination fails.
+                    from itertools import combinations
+
+                    alts = sorted(alt_fns_in(text))
+                    if not alts:
+                        raise
+                    df = None
+                    for r in range(1, len(alts) + 1):
+                        for combo in combinations(alts, r):
+                            try:
+                                df = self.spark.sql(
+                                    translate(
+                                        text, alt_fns=frozenset(combo)
+                                    )
+                                )
+                                break
+                            except Exception:  # noqa: BLE001
+                                continue
+                        if df is not None:
+                            break
+                    if df is None:
+                        raise primary_err from None
+            else:
+                df = self.spark.sql(text)
             self._enforce_select(df)
             return df
         finally:
@@ -590,6 +640,128 @@ class Engine:
 
     def _one(self, label: str):
         return self.spark.createDataFrame([(True,)], f"`{label}` boolean")
+
+    def _mview_schema_statement(self, text: str, dialect: str = "trino"):
+        """Route the MATERIALIZED VIEW statement family (sql/create-
+        materialized-view.rst and siblings — Spark 4 parses bare CREATE
+        MATERIALIZED VIEW as an unsupported pipeline dataset, so these
+        must never fall through) plus the schema statements Spark lacks
+        (ALTER SCHEMA RENAME, SHOW CREATE SCHEMA) and SHOW ROLE GRANTS.
+        Returns a DataFrame or None when ``text`` is none of them."""
+        import os as _os
+        import re as _re
+
+        t = text.strip().rstrip(";").strip()
+        m = _re.match(
+            r"CREATE\s+(?:OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
+            r"(?:WITH\s*\((?P<props>.*?)\)\s*)?AS\s+(?P<q>.+)$",
+            t,
+            _re.I | _re.S,
+        )
+        if m:
+            name = m.group(1).lower()
+            loc = None
+            if m.group("props"):
+                pm = _re.search(
+                    r"location\s*=\s*'([^']+)'", m.group("props"), _re.I
+                )
+                loc = pm.group(1) if pm else None
+            if loc is None:
+                wh = self.spark.conf.get(
+                    "spark.sql.warehouse.dir", "spark-warehouse"
+                ).replace("file:", "")
+                loc = _os.path.join(wh, f"__mv_{name}")
+            self.create_materialized_view(
+                name, m.group("q"), path=loc, dialect=dialect
+            )
+            return self._one("CREATE MATERIALIZED VIEW")
+        m = _re.match(
+            r"ALTER\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+RENAME\s+TO\s+"
+            r"([\w.]+)$",
+            t,
+            _re.I,
+        )
+        if m:
+            old, new = m.group(1).lower(), m.group(2).lower()
+            mviews = getattr(self, "_mviews", {})
+            if old not in mviews:
+                raise ValueError(f"Materialized view '{old}' does not exist")
+            qtext, path, fmt = mviews.pop(old)
+            mviews[new] = (qtext, path, fmt)
+            self.spark.table(old).createOrReplaceTempView(new)
+            self.spark.catalog.dropTempView(old)
+            return self._one("ALTER MATERIALIZED VIEW")
+        m = _re.match(
+            r"DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)$",
+            t,
+            _re.I,
+        )
+        if m:
+            self.drop_materialized_view(m.group(1).lower())
+            return self._one("DROP MATERIALIZED VIEW")
+        m = _re.match(
+            r"REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)$", t, _re.I
+        )
+        if m:
+            self.refresh_materialized_view(m.group(1).lower())
+            return self._one("REFRESH MATERIALIZED VIEW")
+        m = _re.match(
+            r"SHOW\s+CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)$", t, _re.I
+        )
+        if m:
+            name = m.group(1).lower()
+            mviews = getattr(self, "_mviews", {})
+            if name not in mviews:
+                raise ValueError(f"Materialized view '{name}' does not exist")
+            qtext, path, fmt = mviews[name]
+            ddl = (
+                f"CREATE MATERIALIZED VIEW {name} WITH (location = "
+                f"'{path}', format = '{fmt.upper()}') AS {qtext}"
+            )
+            return self.spark.createDataFrame(
+                [(ddl,)], "`Create Materialized View` string"
+            )
+        m = _re.match(
+            r"ALTER\s+SCHEMA\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)$", t, _re.I
+        )
+        if m:
+            old, new = m.group(1), m.group(2)
+            tables = [
+                r
+                for r in self.spark.sql(f"SHOW TABLES IN {old}").collect()
+                if not r["isTemporary"]
+            ]
+            if tables:
+                # the in-session catalog can't atomically move tables —
+                # fail loud rather than half-rename (the reference
+                # delegates to the connector's renameSchema)
+                raise ValueError(
+                    f"Cannot rename non-empty schema '{old}'"
+                )
+            self.spark.sql(f"CREATE SCHEMA {new}")
+            self.spark.sql(f"DROP SCHEMA {old}")
+            return self._one("ALTER SCHEMA")
+        m = _re.match(r"SHOW\s+CREATE\s+SCHEMA\s+([\w.]+)$", t, _re.I)
+        if m:
+            name = m.group(1)
+            info = {
+                r["info_name"]: r["info_value"]
+                for r in self.spark.sql(
+                    f"DESCRIBE SCHEMA {name}"
+                ).collect()
+            }
+            loc = info.get("Location", "")
+            ddl = f"CREATE SCHEMA {name}\nWITH (\n   location = '{loc}'\n)"
+            return self.spark.createDataFrame(
+                [(ddl,)], "`Create Schema` string"
+            )
+        if _re.match(r"SHOW\s+ROLE\s+GRANTS$", t, _re.I):
+            roles = sorted(self.acl.user_roles(self._user))
+            return self.spark.createDataFrame(
+                [(r,) for r in roles] or [("",)], "role_grants string"
+            ).where("role_grants <> ''")
+        return None
 
     def _security_statement(self, text: str):
         """Parse/execute role, grant and transaction statements; returns a
@@ -1179,7 +1351,7 @@ class Engine:
         # (round-9 What's wrong #2); any engine's next statement now
         # sweeps them all, so a long-lived session's catalog stays
         # bounded no matter how many engines came and went.
-        for v in _ICEP_LIVE_BY_SESSION.pop(id(self.spark), []):
+        for v in _ICEP_LIVE_BY_SESSION.pop(self.spark, []):
             self.spark.catalog.dropTempView(v)
         self._icep_live: list[str] = []
         shielded, restore = _shield_strings(
@@ -1412,7 +1584,7 @@ class Engine:
             # _reprune_iceberg_views) — _icep_live stays as the
             # per-engine record of the current statement's views
             _ICEP_LIVE_BY_SESSION.setdefault(
-                id(self.spark), []
+                self.spark, []
             ).append(vname)
             out.append(shielded[last : m.start(2)])
             out.append(vname if m.group(4) else f"{vname} AS {m.group(2)}")

@@ -548,6 +548,17 @@ def match_recognize_general(
     classifier() (the reference's per-row label).
     """
     measures = measures or {}
+    # PARTITION BY may be omitted (SqlBase.g4 patternRecognition): one
+    # global partition — inherently serial here exactly as in the
+    # reference's single-driver pattern matching; a synthetic constant
+    # key keeps the grouped path uniform and is dropped from the output
+    drop_synth = False
+    if not partition_by:
+        from pyspark.sql import functions as _F
+
+        df = df.withColumn("__mr_gpart", _F.lit("1"))
+        partition_by = ["__mr_gpart"]
+        drop_synth = True
     key_schema = ", ".join(f"{c} string" for c in partition_by)
     if mode == "one":
         out_schema = (
@@ -628,6 +639,7 @@ def match_recognize_general(
             run_group(keys, grp, rows)
         yield pd.DataFrame(rows, columns=cols)
 
-    return df.repartition(*[df[c] for c in partition_by]).mapInPandas(
+    out = df.repartition(*[df[c] for c in partition_by]).mapInPandas(
         run_partition, schema=out_schema
     )
+    return out.drop("__mr_gpart") if drop_synth else out

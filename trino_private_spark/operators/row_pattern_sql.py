@@ -104,6 +104,14 @@ def _compile_define(expr: str, columns: list[str]):
                 n = int(m2.group(2) or 1)
                 shift = n if up == "PREV" else -n
                 out.append(f"p[{col!r}].shift({shift})")
+            elif up in ("TRUE", "FALSE"):
+                # boolean literals (DEFINE A AS true — the always-match
+                # definition the reference's docs use throughout); emitted
+                # as full-length vectors so the vectorized path sees one
+                # boolean per row, not a scalar
+                out.append(
+                    "(p.index >= 0)" if up == "TRUE" else "(p.index < 0)"
+                )
             else:
                 col = name.split(".")[-1]
                 if col not in colset:
@@ -120,7 +128,7 @@ def _compile_define(expr: str, columns: list[str]):
 
 _MR_RE = re.compile(
     r"""MATCH_RECOGNIZE\s*\(\s*
-        PARTITION\s+BY\s+(?P<part>.+?)\s+
+        (?:PARTITION\s+BY\s+(?P<part>.+?)\s+)?
         ORDER\s+BY\s+(?P<order>.+?)\s+
         (?:MEASURES\s+(?P<measures>.+?)\s+)?
         (?:(?P<rows>ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH)\s+)?
@@ -140,7 +148,13 @@ def parse_match_recognize(clause: str) -> dict:
     if not m:
         raise ValueError("cannot parse MATCH_RECOGNIZE clause")
     parts = {
-        "partition_by": [c.strip() for c in m.group("part").split(",")],
+        # PARTITION BY is optional (SqlBase.g4 patternRecognition — one
+        # global partition when omitted, as in the reference)
+        "partition_by": (
+            [c.strip() for c in m.group("part").split(",")]
+            if m.group("part")
+            else []
+        ),
         "order_by": [c.strip() for c in m.group("order").split(",")],
         "pattern": m.group("pattern").strip(),
         "mode": "all" if m.group("rows") and m.group("rows").upper().startswith("ALL") else "one",

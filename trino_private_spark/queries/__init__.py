@@ -104,6 +104,7 @@ def _load_modules() -> None:
         misc_probes,
         pattern,
         r10_probes,
+        r11_probes,
         reference_suite,
         reference_suite2,
         reference_suite3,

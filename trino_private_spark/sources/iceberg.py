@@ -765,28 +765,40 @@ class IcebergTable:
                 # numeric width matches: declaring bigint over an int32
                 # file would silently WIDEN the read column, flipping
                 # the driver's exact-width schema check.
+                # round-11 (r10 VERDICT #7): sample up to THREE footers —
+                # first, last, middle of the manifest order — instead of
+                # one; a mixed-width table whose FIRST file matched the
+                # metadata previously took the explicit-schema path for
+                # every file. Still O(1) footers regardless of file count.
                 try:
                     import pyarrow.parquet as pq
 
-                    fsch = pq.read_schema(files[0].path)
-                    fnames = set(fsch.names)
                     fields = schema.get("fields", [])
-                    ok = {f["name"] for f in fields} <= fnames
                     arrow_num = {
                         "int8": "tinyint", "int16": "smallint",
                         "int32": "int", "int64": "bigint",
                         "float": "float", "double": "double",
                     }
-                    for f, t in zip(fields, types):
+                    sample_idx = sorted(
+                        {0, len(files) // 2, len(files) - 1}
+                    )
+                    ok = True
+                    for i in sample_idx:
                         if not ok:
                             break
-                        if t in (
-                            "tinyint", "smallint", "int", "bigint",
-                            "float", "double",
-                        ):
-                            at = str(fsch.field(f["name"]).type)
-                            if arrow_num.get(at) != t:
-                                ok = False
+                        fsch = pq.read_schema(files[i].path)
+                        fnames = set(fsch.names)
+                        ok = {f["name"] for f in fields} <= fnames
+                        for f, t in zip(fields, types):
+                            if not ok:
+                                break
+                            if t in (
+                                "tinyint", "smallint", "int", "bigint",
+                                "float", "double",
+                            ):
+                                at = str(fsch.field(f["name"]).type)
+                                if arrow_num.get(at) != t:
+                                    ok = False
                     if ok:
                         ddl = ", ".join(
                             f"`{f['name']}` {t}"
