@@ -21,13 +21,7 @@ def documented_statements() -> set[str]:
     return {os.path.basename(p) for p in glob.glob(SQL_DOCS_GLOB)}
 
 
-EXEMPT: dict[str, str] = {
-    "pattern-recognition-in-window.rst": (
-        "row-pattern window frames (MEASURES/PATTERN inside OVER) are not "
-        "implemented; the standalone MATCH_RECOGNIZE table clause covers "
-        "the row-pattern engine — an honestly documented gap"
-    ),
-}
+EXEMPT: dict[str, str] = {}
 
 
 @pytest.fixture(scope="module")
@@ -169,6 +163,18 @@ STATEMENTS: dict[str, object] = {
     ),
     "insert.rst": _seq("INSERT INTO docst SELECT CAST(10 AS BIGINT), 'j'"),
     "match-recognize.rst": _mr,
+    "pattern-recognition-in-window.rst": _seq(
+        """
+        SELECT k, v, m OVER w AS m
+        FROM docst
+        WINDOW w AS (
+            ORDER BY k
+            MEASURES LAST(v) AS m
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+            PATTERN (A) DEFINE A AS true
+        )
+        """
+    ),
     "prepare.rst": _seq(
         "PREPARE doc_p FROM SELECT 7 AS v",
         "EXECUTE doc_p",

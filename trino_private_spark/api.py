@@ -485,6 +485,14 @@ class Engine:
             # (SqlBase.g4:339): lower each occurrence to a temp view so it
             # composes under joins, CTEs and subqueries
             text = self._lower_match_recognize(text)
+        elif _re.search(
+            r"\bPATTERN\s*\(", text, flags=_re.I
+        ) and _re.search(r"\b(OVER|WINDOW)\b", text, flags=_re.I):
+            # row pattern recognition in WINDOW structures
+            # (sql/pattern-recognition-in-window.rst): lower the pattern
+            # window to a measure-bearing temp view and rewrite the
+            # OVER references onto its columns
+            text = self._lower_pattern_windows(text)
         recsub_views: list[str] = []
         if _re.search(r"\(\s*WITH\s+RECURSIVE\b", text, flags=_re.I):
             # WITH RECURSIVE in a NESTED position — a derived table,
@@ -566,6 +574,174 @@ class Engine:
             # a long-lived session (lower_recursive drops its own views)
             for v in recsub_views:
                 self.spark.catalog.dropTempView(v)
+
+    def _lower_pattern_windows(self, text: str) -> str:
+        """Lower row-pattern WINDOW structures (sql/pattern-recognition-
+        in-window.rst) onto operators/row_pattern_window.py: the named
+        ``WINDOW w AS (... PATTERN ... DEFINE ...)`` form and the inline
+        ``expr OVER (... PATTERN ...)`` form. The pattern window's source
+        must be a resolvable table/view name (the MATCH_RECOGNIZE lowering
+        restriction); measures and window aggregates over the pattern
+        window become columns of a temp view, and the query is rewritten
+        onto it."""
+        import re as _re
+
+        from trino_private_spark.operators.row_pattern_window import (
+            parse_window_pattern_spec,
+            window_pattern_measures,
+        )
+        from trino_private_spark.plans.translate import (
+            _shield_strings,
+            translate,
+        )
+
+        shielded, restore = _shield_strings(text)
+
+        def grab_parens(s: str, open_i: int) -> int:
+            depth, j = 1, open_i + 1
+            while j < len(s) and depth:
+                if s[j] == "(":
+                    depth += 1
+                elif s[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise ValueError("unbalanced parentheses in window spec")
+            return j  # index just past the closing paren
+
+        fm = _re.search(
+            r"\bFROM\s+([A-Za-z_][\w.]*)", shielded, flags=_re.I
+        )
+        # only an ACTUAL pattern window needs the table source — a
+        # literal containing 'PATTERN (' must not trip the requirement
+        src_name = fm.group(1) if fm else None
+        # SQL evaluates WHERE BEFORE window functions: a top-level WHERE
+        # must filter the pattern window's input, not just the output
+        # rows (the outer WHERE stays in place too — re-filtering the
+        # already-filtered view is a no-op)
+        src_where = None
+        if fm:
+            wm0 = _re.match(
+                r"\s+WHERE\s+(.+?)(?=\s+(?:GROUP\s+BY|ORDER\s+BY|WINDOW"
+                r"|LIMIT|OFFSET)\b|\s*$)",
+                shielded[fm.end() :],
+                flags=_re.I | _re.S,
+            )
+            if wm0:
+                src_where = restore(wm0.group(1)).strip()
+        if not hasattr(self, "_rpw_n"):
+            self._rpw_n = 0
+
+        def lower_one(spec_text: str, refs: list[tuple[str, str]]) -> str:
+            """Run the operator for one window spec; refs = (output name,
+            expression) pairs; returns the registered view name."""
+            if src_name is None:
+                raise ValueError(
+                    "row-pattern window requires a plain table source"
+                )
+            spec = parse_window_pattern_spec(restore(spec_text))
+            measure_names = {alias for _e, alias in spec["measures"]}
+            out_cols: list[tuple[str, str]] = []
+            for name, expr in refs:
+                if expr in measure_names:
+                    body = next(
+                        e for e, a in spec["measures"] if a == expr
+                    )
+                    out_cols.append((name, body))
+                else:
+                    out_cols.append((name, expr))
+            src = self.spark.table(src_name)
+            self._enforce_select(src)
+            if src_where is not None:
+                src = self.spark.sql(
+                    translate(
+                        f"SELECT * FROM {src_name} WHERE {src_where}"
+                    )
+                )
+            self._rpw_n += 1
+            vname = f"__rpw_{self._rpw_n}"
+            window_pattern_measures(
+                src, spec, out_cols
+            ).createOrReplaceTempView(vname)
+            return vname
+
+        # ---- named WINDOW clause form --------------------------------
+        wm = _re.search(
+            r"\bWINDOW\s+([A-Za-z_]\w*)\s+AS\s*\(", shielded, flags=_re.I
+        )
+        if wm:
+            close = grab_parens(shielded, wm.end() - 1)
+            spec_text = shielded[wm.end() : close - 1]
+            if _re.search(r"\bPATTERN\s*\(", spec_text, flags=_re.I):
+                wname = wm.group(1)
+                refs: list[tuple[str, str]] = []
+                out = shielded[: wm.start()] + shielded[close:]
+
+                def repl(m2):
+                    expr = m2.group(1).strip()
+                    name = (
+                        expr
+                        if _re.fullmatch(r"[A-Za-z_]\w*", expr)
+                        else f"__rpw_c{len(refs)}"
+                    )
+                    refs.append((name, expr))
+                    return name
+
+                out = _re.sub(
+                    rf"([A-Za-z_]\w*(?:\s*\([^()]*\))?)\s+OVER\s+{wname}\b",
+                    repl,
+                    out,
+                    flags=_re.I,
+                )
+                if not refs:
+                    raise ValueError(
+                        f"pattern window {wname} is never referenced"
+                    )
+                vname = lower_one(spec_text, refs)
+                out = _re.sub(
+                    rf"\bFROM\s+{_re.escape(src_name)}\b",
+                    f"FROM {vname}",
+                    out,
+                    count=1,
+                    flags=_re.I,
+                )
+                # drop a dangling comma/WINDOW leftovers around the removed
+                # clause (WINDOW was the only clause form removed wholesale)
+                return restore(_re.sub(r"\s+$", "", out))
+
+        # ---- inline OVER ( ... PATTERN ... ) form --------------------
+        out = shielded
+        pos = 0
+        pat = _re.compile(
+            r"([A-Za-z_]\w*(?:\s*\([^()]*\))?)\s+OVER\s*\(", _re.I
+        )
+        while True:
+            m2 = pat.search(out, pos)
+            if not m2:
+                break
+            close = grab_parens(out, m2.end() - 1)
+            spec_text = out[m2.end() : close - 1]
+            if not _re.search(r"\bPATTERN\s*\(", spec_text, flags=_re.I):
+                pos = close  # a plain window fn — leave it alone
+                continue
+            expr = m2.group(1).strip()
+            name = (
+                expr
+                if _re.fullmatch(r"[A-Za-z_]\w*", expr)
+                else f"__rpw_c{self._rpw_n}"
+            )
+            vname = lower_one(spec_text, [(name, expr)])
+            out = out[: m2.start()] + name + out[close:]
+            out = _re.sub(
+                rf"\bFROM\s+{_re.escape(src_name)}\b",
+                f"FROM {vname}",
+                out,
+                count=1,
+                flags=_re.I,
+            )
+            src_name = vname  # later pattern windows chain off the view
+            pos = m2.start() + len(name)
+        return restore(out)
 
     def _lower_match_recognize(self, text: str) -> str:
         """Rewrite every ``<table> MATCH_RECOGNIZE (...)`` table primary

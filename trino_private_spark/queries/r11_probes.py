@@ -501,3 +501,57 @@ def p_checksum_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                       UNION ALL SELECT k FROM half1)) AS dup_differs
         """
     )
+
+
+@probe(
+    "p_rpr_window",
+    oracle="""
+    WITH t AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER w AS rn,
+             CASE WHEN o_totalprice < lag(o_totalprice) OVER w
+                  THEN 1 ELSE 0 END AS dec
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), g AS (
+      SELECT *, SUM(1 - dec) OVER (PARTITION BY o_custkey ORDER BY rn)
+                  AS isl
+      FROM t
+    )
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey, isl ORDER BY rn
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 2)
+             AS run_sum
+    FROM g WHERE dec = 1
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "sqltext"),
+)
+def p_rpr_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row pattern recognition in WINDOW structures (sql/pattern-
+    recognition-in-window.rst; operators/row_pattern_window.py): per
+    customer, the sum of each maximal strictly-decreasing price run
+    anchored at the current row (PATTERN (D+), INITIAL, SKIP TO NEXT
+    ROW). FULL-strength oracle: DuckDB reproduces the semantics exactly
+    with a gaps-and-islands rewrite — every matched row's run sum must
+    hash-match."""
+    t = T(spark, sf_dir)
+    t.orders.createOrReplaceTempView("rpw_orders")
+    return _eng(spark).sql(
+        """
+        SELECT o_custkey, o_orderkey, round(run_sum, 2) AS run_sum
+        FROM (
+          SELECT o_custkey, o_orderkey, sum(o_totalprice) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+              AFTER MATCH SKIP TO NEXT ROW
+              PATTERN (D+)
+              DEFINE D AS D.o_totalprice < PREV(D.o_totalprice)
+          ) AS run_sum
+          FROM rpw_orders
+        )
+        WHERE run_sum IS NOT NULL
+        ORDER BY o_custkey, o_orderkey
+        """
+    )
