@@ -222,6 +222,16 @@ SQL_SHIMS: dict[str, str] = {
         f"RETURN ({_WILSON_CENTER} + {_WILSON_MARGIN}) / (1.0D + z * z / n)"
     ),
     # --- bitwise (BitwiseFunctions.java; Trino shifts are NOT mod-64) -----
+    "bitwise_and": (
+        # missing until round 11 (it sat dead behind a '&' sentinel
+        # rename that also exempted it from every audit)
+        "CREATE OR REPLACE TEMPORARY FUNCTION bitwise_and"
+        "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN (a & b)"
+    ),
+    "bitwise_not": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION bitwise_not"
+        "(a BIGINT) RETURNS BIGINT RETURN (~a)"
+    ),
     "bitwise_or": (
         "CREATE OR REPLACE TEMPORARY FUNCTION bitwise_or"
         "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN (a | b)"
@@ -345,15 +355,31 @@ SQL_SHIMS: dict[str, str] = {
         "RETURNS BOOLEAN RETURN NOT (j RLIKE '^\\\\s*[\\\\[{]')"
     ),
     "json_size": (
+        # arrays: element count; OBJECTS: key count (json.rst
+        # json_size('{"x": {"a": 1, "b": 2}}', '$.x') = 2 — the old
+        # array-only shim returned 0 for objects); scalars: 0
         "CREATE OR REPLACE TEMPORARY FUNCTION json_size"
-        "(j STRING, p STRING) RETURNS BIGINT RETURN CAST(coalesce("
-        "json_array_length(get_json_object(j, p)), 0) AS BIGINT)"
+        "(j STRING, p STRING) RETURNS BIGINT "
+        "RETURN CAST(__tps_json_size_inner(get_json_object(j, p)) AS BIGINT)"
     ),
     "json_array_get": (
+        # try_element_at: Trino returns NULL for any out-of-range index
+        # (json.rst json_array_get('[...]', 10) -> NULL) — plain
+        # element_at ERRORS under the session's ANSI mode
         "CREATE OR REPLACE TEMPORARY FUNCTION json_array_get"
-        "(j STRING, i BIGINT) RETURNS STRING RETURN element_at("
+        "(j STRING, i BIGINT) RETURNS STRING RETURN try_element_at("
         "from_json(j, 'array<string>'), CAST(CASE WHEN i >= 0 THEN i + 1 "
         "ELSE size(from_json(j, 'array<string>')) + i + 1 END AS INT))"
+    ),
+    "__tps_trino_typename": (
+        # typeof renders the reference's names (conversion.rst:
+        # typeof(123) = 'integer'); _wrap_typeof in translate routes
+        # every typeof() call through this
+        "CREATE OR REPLACE TEMPORARY FUNCTION __tps_trino_typename"
+        "(t STRING) RETURNS STRING RETURN CASE t "
+        "WHEN 'int' THEN 'integer' WHEN 'string' THEN 'varchar' "
+        "WHEN 'float' THEN 'real' WHEN 'binary' THEN 'varbinary' "
+        "ELSE t END"
     ),
     "url_extract_fragment": (
         "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_fragment"
@@ -700,6 +726,100 @@ def _register_kernels(spark: SparkSession) -> int:
 
         kernels["__tps_json_array_contains"] = _jac
         kernels["__tps_normalize"] = R._normalize_udf
+
+        @F.pandas_udf("string")
+        def _json_canon(col):
+            """Canonical compact JSON text (JsonFunctions.java jsonParse
+            output rendering — JSON '[1, 2, 3]' is '[1,2,3]'); lenient:
+            unparseable input passes through unchanged."""
+            import json as _json
+
+            def one(s):
+                if s is None:
+                    return None
+                try:
+                    return _json.dumps(
+                        _json.loads(s), separators=(",", ":"),
+                        ensure_ascii=False,
+                    )
+                except ValueError:
+                    return s
+
+            return pd.Series([one(s) for s in col])
+
+        kernels["__tps_json_canon"] = _json_canon
+
+        @F.pandas_udf("bigint")
+        def _json_size_inner(col):
+            """Element count of a json array / key count of an object /
+            0 for scalars (JsonFunctions.java jsonSize)."""
+            import json as _json
+
+            def one(s):
+                if s is None:
+                    return None
+                try:
+                    v = _json.loads(s)
+                except ValueError:
+                    return None
+                return len(v) if isinstance(v, (list, dict)) else 0
+
+            return pd.Series([one(s) for s in col], dtype="object")
+
+        kernels["__tps_json_size_inner"] = _json_size_inner
+
+        @F.pandas_udf("int")
+        def _regexp_position4(s, p, start, occ):
+            """regexp_position(string, pattern, start, occurrence) —
+            JoniRegexpFunctions.java regexpPosition: 1-based position of
+            the occurrence-th match at-or-after start; -1 when absent."""
+            import re as _re
+
+            def one(txt, pat, st, oc):
+                if txt is None or pat is None:
+                    return None
+                st = max(int(st), 1)
+                count = 0
+                for m in _re.finditer(pat, txt):
+                    if m.start() + 1 >= st:
+                        count += 1
+                        if count == int(oc):
+                            return m.start() + 1
+                return -1
+
+            return pd.Series(
+                [one(*t) for t in zip(s, p, start, occ)], dtype="object"
+            )
+
+        kernels["__tps_regexp_position4"] = _regexp_position4
+
+        @F.pandas_udf("string")
+        def _json_unquote(col):
+            """CAST(json AS VARCHAR) semantics for json-literal inputs
+            (json.rst): a json string decodes to its contents, json null
+            to NULL, other values to their canonical text."""
+            import json as _json
+
+            def one(s):
+                if s is None:
+                    return None
+                try:
+                    v = _json.loads(s)
+                except ValueError:
+                    return s
+                if v is None:
+                    return None
+                if isinstance(v, str):
+                    return v
+                if isinstance(v, bool):
+                    return "true" if v else "false"
+                return _json.dumps(
+                    v, separators=(",", ":"), ensure_ascii=False
+                )
+
+            return pd.Series([one(s) for s in col])
+
+        kernels["__tps_json_unquote"] = _json_unquote
     except Exception as e:  # noqa: BLE001
         import warnings as _warnings
 
@@ -727,9 +847,10 @@ def _register_kernels(spark: SparkSession) -> int:
 
 #: kernel names _register_kernels builds on a healthy session: murmur3(1)
 #: + spooky(2) + hmac(4) + beta/inv_beta/inv_norm(3) + ieee754(4) +
-#: color/interp/render/bar(4) + json_array_contains(1) + normalize(1).
+#: color/interp/render/bar(4) + json_array_contains(1) + normalize(1) +
+#: json_canon(1) + json_size_inner(1) + regexp_position4(1) + json_unquote(1).
 #: Bump when adding a kernel — tests/test_registration_audit.py pins it.
-_EXPECTED_KERNELS = 20
+_EXPECTED_KERNELS = 24
 
 
 def _expected_kernel_count() -> int:

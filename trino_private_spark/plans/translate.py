@@ -217,7 +217,10 @@ def _cosine_template(args):
 # citations there). Keyed by arity — uncovered arities are left untouched
 # (they then resolve against a same-named SQL shim, or fail loudly).
 _FN_TEMPLATES: dict[str, dict[int, str]] = {
-    "json_parse": {1: "<0>"},
+    # json_parse canonicalizes (JsonFunctions.java jsonParse produces the
+    # canonical compact text — json.rst: json_parse('[1, 2, 3]') renders
+    # '[1,2,3]'); json_format of an already-canonical value is identity
+    "json_parse": {1: "__tps_json_canon(<0>)"},
     "json_format": {1: "<0>"},
     # unicodedata kernel registered by sql_shims; form defaults to NFC
     # (StringFunctions.java normalize). Trino's grammar spells the form
@@ -349,9 +352,11 @@ _FN_TEMPLATES: dict[str, dict[int, str]] = {
     # because they sat in _FN_RENAMES with sentinel targets ('&',
     # '!exists') or wrong targets (truncate->trunc is Spark's DATE
     # truncation — a wrong-function rename).
-    "bitwise_and": {2: "((<0>) & (<1>))"},
-    "bitwise_or": {2: "((<0>) | (<1>))"},
-    "bitwise_not": {1: "(~(<0>))"},
+    # bitwise_and / bitwise_not live as BIGINT-typed SQL shims beside
+    # bitwise_or/xor (sql_shims.py) — a bare `(x & y)` template here
+    # inherits the INPUT width (int32 over nationkey) and flips the
+    # driver's exact-width schema check (caught by the round-11
+    # whole-suite run)
     "none_match": {2: "(NOT exists(<0>, <1>))"},
     # MathFunctions.java truncate = toward-zero; Spark has no numeric
     # 1-arg truncation builtin
@@ -426,7 +431,13 @@ _FN_TEMPLATES: dict[str, dict[int, str]] = {
             "CAST(CASE WHEN regexp_instr(substr(<0>, <2>), <1>) = 0 "
             "THEN -1 ELSE regexp_instr(substr(<0>, <2>), <1>) + (<2>) - 1 "
             "END AS INT)"
-        )
+        ),
+        # occurrence form (JoniRegexpFunctions.java regexpPosition 4-arg)
+        # — python re kernel; Spark's regexp_instr has no occurrence arg
+        4: (
+            "__tps_regexp_position4(<0>, <1>, CAST(<2> AS INT), "
+            "CAST(<3> AS INT))"
+        ),
     },
     # timestamptz offset of a UTC-session instant is 0 (SURVEY §1.2)
     "timezone_hour": {1: "CAST(0 AS BIGINT)"},
@@ -494,6 +505,29 @@ def alt_fns_in(sql: str) -> frozenset:
         for name in _FN_TEMPLATES_ALT
         if re.search(rf"\b{name}\s*\(", sql, re.IGNORECASE)
     )
+
+
+def _wrap_typeof(s: str) -> str:
+    """ONE pass (deliberately not a fixpoint template — the wrapper calls
+    typeof itself): typeof(x) -> __tps_trino_typename(typeof(x)), mapping
+    Spark's type names onto the reference's renderings (typeof(123) ->
+    'integer', not 'int'; conversion.rst). Skips already-wrapped calls."""
+    pat = re.compile(r"\btypeof\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(s, pos)
+        if not m:
+            return s
+        depth, j = 1, m.end()
+        while j < len(s) and depth:
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+            j += 1
+        repl = f"__tps_trino_typename({s[m.start():j]})"
+        s = s[: m.start()] + repl + s[j:]
+        pos = m.start() + len(repl)
 
 
 def _apply_fn_templates(s: str, alt_fns: frozenset = frozenset()) -> str:
@@ -1084,6 +1118,19 @@ def _rewrite_quantified(s: str) -> str:
                 depth -= 1
             j += 1
         q = s[m.end() : j - 1].strip()
+        # a bare VALUES body ('hello' = ANY (VALUES 'a', 'b') —
+        # comparison.rst) isn't a subquery Spark accepts inside IN/scalar
+        # positions — and Trino's scalar VALUES list is one ROW PER
+        # EXPRESSION while Spark's is one row of N columns: wrap each
+        # un-parenthesized element into its own row, then select from it
+        vm = re.match(r"VALUES\s+(.*)$", q, re.IGNORECASE | re.DOTALL)
+        if vm:
+            rows = []
+            for el in _split_top_commas(vm.group(1)):
+                el = el.strip()
+                rows.append(el if el.startswith("(") else f"({el})")
+            # the derived VALUES table needs an alias in Spark's parser
+            q = f"SELECT * FROM (VALUES {', '.join(rows)}) AS __qv"
         e = m.group("expr")
         op = m.group("op").replace("!=", "<>")
         kind = m.group("q").upper()
@@ -1190,6 +1237,58 @@ def translate(sql: str, alt_fns: frozenset = frozenset()) -> str:
         flags=re.IGNORECASE,
     )
 
+    # JSON '...' typed literals: the carrier is canonical JSON text —
+    # JSON '[1, 2, 3]' renders '[1,2,3]' (json.rst); __tps_json_canon
+    # compacts (lenient: unparseable text passes through)
+    s = re.sub(
+        r"\bJSON\s+(\x00\d+\x00)",
+        r"__tps_json_canon(\1)",
+        s,
+        flags=re.IGNORECASE,
+    )
+
+    # CAST(JSON '...' AS VARCHAR) — the cast DECODES a scalar json value
+    # (json.rst: the double quote is gone; JSON 'null' casts to NULL);
+    # only the literal form is statically recognizable as json-typed
+    s = re.sub(
+        r"\bCAST\s*\(\s*(__tps_json_canon\(\x00\d+\x00\))\s+AS\s+"
+        r"(?:VARCHAR|STRING)\s*\)",
+        r"__tps_json_unquote(\1)",
+        s,
+        flags=re.IGNORECASE,
+    )
+
+    # CAST(x AS JSON) — the JSON ENCODING of the value (a varchar input
+    # becomes a quoted JSON string, json.rst): type-generically via
+    # to_json over a one-field struct, then the {"v": ... } wrapper
+    # stripped (prefix {"v": is 5 chars, suffix } is 1)
+    s = re.sub(
+        r"\bCAST\s*\(([^()]*(?:\([^()]*\)[^()]*)*?)\s+AS\s+JSON\s*\)",
+        r"substring(to_json(named_struct('v', \1)), 6, "
+        r"length(to_json(named_struct('v', \1))) - 6)",
+        s,
+        flags=re.IGNORECASE,
+    )
+
+    # U&'...' unicode-escaped literals (SqlBase.g4 UNICODE_STRING:
+    # \XXXX and \+XXXXXX escapes) decode at translate time and re-shield
+    def _u_lit(m):
+        lit = restore(m.group(1))
+        body = lit[1:-1].replace("''", "'")
+        body = re.sub(
+            r"\\\+([0-9A-Fa-f]{6})",
+            lambda mm: chr(int(mm.group(1), 16)),
+            body,
+        )
+        body = re.sub(
+            r"\\([0-9A-Fa-f]{4})",
+            lambda mm: chr(int(mm.group(1), 16)),
+            body,
+        )
+        return restore.stash("'" + body.replace("'", "''") + "'")
+
+    s = re.sub(r"\bU&(\x00\d+\x00)", _u_lit, s)
+
     # FETCH FIRST n ROWS WITH TIES (SqlBase.g4:203-205; the reference
     # plans it via ImplementLimitWithTies) -> rank()-filter rewrite, since
     # Spark has no WITH TIES. Top-level form only; peer rows of the n-th
@@ -1290,6 +1389,10 @@ def translate(sql: str, alt_fns: frozenset = frozenset()) -> str:
     # type-generic registry functions expand as macros (reachability
     # closure — see _FN_TEMPLATES)
     s = _apply_fn_templates(s, alt_fns)
+
+    # typeof renders the reference's type names (single pass, not a
+    # fixpoint template — the wrapper itself calls typeof)
+    s = _wrap_typeof(s)
 
     # function renames at call sites
     for trino_name, spark_name in _FN_RENAMES.items():
