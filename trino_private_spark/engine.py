@@ -31,11 +31,14 @@ _DEFAULT_CONF = {
     # --- optimizer features replacing reference components (SURVEY.md §4) ---
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # Coalesce to the advisory partition size (64 MiB) instead of maximizing
-    # parallelism: fewer right-sized reduce tasks. Measured 2.6s -> 2.1s on
-    # the BENCH set at sf0.1; at 100 TB the same setting yields ~full
-    # parallelism anyway because data volume >> cores * 64 MiB.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # parallelismFirst stays at Spark's default (true): coalescing keeps
+    # enough partitions to use the cluster's cores instead of collapsing
+    # small exchanges to one task. An earlier round overrode it to false
+    # citing a bench win; re-measured round 11 (interleaved A/B at sf0.1,
+    # quiet box) the override SERIALIZES the window/final-agg stages
+    # (1 task instead of cores) and costs ~0.4 s across the bench set
+    # (2.02 -> 1.59 s). At 100 TB both settings behave identically
+    # (data volume >> cores * 64 MiB advisory size).
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.cbo.enabled": "true",
     "spark.sql.cbo.joinReorder.enabled": "true",

@@ -48,7 +48,13 @@ def p_hashagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # Total order without a RangePartitioning exchange: the group domain
+        # is bounded (returnflag in {A,N,R} x linestatus in {F,O} -> <= 6
+        # rows at ANY scale factor), so a single-partition local sort is
+        # equivalent to the global sort and skips the range-sampling job +
+        # exchange (guide §2.4; measured 0.66 -> 0.41 s fresh-plan at sf0.1).
+        .coalesce(1)
+        .sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 

@@ -102,7 +102,11 @@ def p_innerjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("c"),
             dround(F.sum("o_totalprice"), 2).alias("s"),
         )
-        .orderBy("c_mktsegment")
+        # c_mktsegment has 5 values at any SF: single-partition local sort
+        # == global sort, minus the range-sampling job + exchange
+        # (guide §2.4; measured 0.39 -> 0.26 s fresh-plan at sf0.1).
+        .coalesce(1)
+        .sortWithinPartitions("c_mktsegment")
     )
 
 
