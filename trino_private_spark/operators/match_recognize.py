@@ -60,48 +60,75 @@ def match_recognize(
         f"n_rows bigint, {sym_cols}"
     )
 
-    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
-        out_rows = []
-        i, match_id = 0, 0
-        n = len(pdf)
-        while i < n:
-            counts, j, ok = _try_match(pdf, i, pattern)
-            if ok and j > i:
-                row = {c: str(pdf.iloc[0][c]) for c in partition_by}
-                row.update(
-                    match_id=match_id,
-                    start_val=str(pdf.iloc[i][measure_col]),
-                    end_val=str(pdf.iloc[j - 1][measure_col]),
-                    n_rows=j - i,
-                )
-                for s in pattern:
-                    row[f"n_{s.name}"] = counts[s.name]
-                out_rows.append(row)
-                match_id += 1
-                i = j  # AFTER MATCH SKIP PAST LAST ROW
-            else:
-                i += 1
-        cols = (
-            partition_by
-            + ["match_id", "start_val", "end_val", "n_rows"]
-            + [f"n_{s.name}" for s in pattern]
+    cols = (
+        partition_by
+        + ["match_id", "start_val", "end_val", "n_rows"]
+        + [f"n_{s.name}" for s in pattern]
+    )
+
+    def run_partition(batches):
+        # One shuffle on the keys, then ONE pandas pass per Spark partition:
+        # applyInPandas costs ~ms per group and per-row .iloc constructs a
+        # pd.Series per access — itertuples rows + a partition-wide sort
+        # remove both (guide §4.2). Batches are concatenated first since
+        # Arrow may split a group across batches.
+        import numpy as np
+
+        pdfs = [b for b in batches if len(b)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        sort_keys = partition_by + [
+            c for c in order_by if c not in partition_by
+        ]
+        pdf = pdf.sort_values(sort_keys, kind="mergesort", ignore_index=True)
+        gid = (
+            pdf.groupby(partition_by, sort=False, dropna=False)
+            .ngroup()
+            .to_numpy()
         )
-        return pd.DataFrame(out_rows, columns=cols)
+        g_starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        g_ends = np.r_[g_starts[1:], len(pdf)]
+        rows_seq = list(pdf.itertuples(index=False))
+        out_rows = []
+        for gs, ge in zip(g_starts, g_ends):
+            gs, ge = int(gs), int(ge)
+            keys = {c: str(getattr(rows_seq[gs], c)) for c in partition_by}
+            i, match_id = gs, 0
+            while i < ge:
+                counts, j, ok = _try_match(rows_seq, i, gs, ge, pattern)
+                if ok and j > i:
+                    row = dict(keys)
+                    row.update(
+                        match_id=match_id,
+                        start_val=str(getattr(rows_seq[i], measure_col)),
+                        end_val=str(getattr(rows_seq[j - 1], measure_col)),
+                        n_rows=j - i,
+                    )
+                    for s in pattern:
+                        row[f"n_{s.name}"] = counts[s.name]
+                    out_rows.append(row)
+                    match_id += 1
+                    i = j  # AFTER MATCH SKIP PAST LAST ROW
+                else:
+                    i += 1
+        yield pd.DataFrame(out_rows, columns=cols)
 
-    return df.groupBy(*partition_by).applyInPandas(run_group, schema=out_schema)
+    return df.repartition(*[df[c] for c in partition_by]).mapInPandas(
+        run_partition, schema=out_schema
+    )
 
 
-def _try_match(pdf: pd.DataFrame, start: int, pattern: list[Symbol]):
-    """Greedy sequential match attempt at ``start``; returns
-    (counts_per_symbol, end_exclusive, ok)."""
+def _try_match(rows, start: int, lo: int, n: int, pattern: list[Symbol]):
+    """Greedy sequential match attempt at ``start`` within group rows
+    [lo, n); returns (counts_per_symbol, end_exclusive, ok)."""
     counts = {s.name: 0 for s in pattern}
-    i, n = start, len(pdf)
+    i = start
     for s in pattern:
         taken = 0
         while i < n:
-            prev = pdf.iloc[i - 1] if i > 0 else None
-            if not s.predicate(pdf.iloc[i], prev):
+            prev = rows[i - 1] if i > lo else None
+            if not s.predicate(rows[i], prev):
                 break
             taken += 1
             i += 1

@@ -43,17 +43,41 @@ __all__ = [
     "compile_pattern",
     "PatternMatcher",
     "match_recognize_general",
+    "nav_shift",
     "vectorized",
 ]
 
 
-def vectorized(fn):
+def vectorized(fn, group_safe: bool = False):
     """Mark a DEFINE predicate as vectorized: it receives the WHOLE ordered
     partition (pd.DataFrame) and returns a boolean array — classification
     then runs as one pandas expression instead of a Python loop per row.
-    Example: ``vectorized(lambda pdf: pdf['v'] > pdf['v'].shift(1))``."""
+    Example: ``vectorized(lambda pdf: pdf['v'] > pdf['v'].shift(1))``.
+
+    ``group_safe`` declares that the predicate evaluates correctly over a
+    frame holding MANY stacked partition-groups (it navigates via
+    :func:`nav_shift`, or not at all), which lets the executors classify a
+    whole Spark partition in one pandas pass instead of once per group."""
     fn._rp_vectorized = True
+    fn._rp_group_safe = group_safe
     return fn
+
+
+_GID_COL = "__rp_gid"
+
+
+def nav_shift(p: pd.DataFrame, col: str, k: int) -> pd.Series:
+    """PREV/NEXT navigation as a shift that never crosses a group boundary.
+
+    When ``p`` carries the engine-internal ``__rp_gid`` column (stacked
+    partition-groups classified in one pass), positions whose shift source
+    lies in a different group become NaN — exactly what a per-group
+    ``shift`` would produce. Without the column it is a plain shift."""
+    s = p[col].shift(k)
+    g = p.get(_GID_COL)
+    if g is not None:
+        s = s.where(g.eq(g.shift(k)))
+    return s
 
 
 # --------------------------------------------------------------------------
@@ -410,13 +434,15 @@ class PatternMatcher:
         return self._entry_cache
 
     def _match_at(
-        self, start: int, n: int, cls: dict
+        self, start: int, n: int, cls: dict, lo: int = 0
     ) -> tuple[list[str], list[bool]] | None:
         """Leftmost-greedy match starting at ``start``; returns the label
         sequence (one symbol per consumed row) plus a parallel excluded-row
         mask ({- -} spans), or None.  Priority DFS with (pc, pos) failure
         memo — sound because classification is context-free and exclusion
-        depth is a static property of each program point."""
+        depth is a static property of each program point.  ``lo``/``n``
+        bound the group when ``cls`` spans stacked groups (anchors compare
+        against them)."""
         failed: set[tuple[int, int]] = set()
         labels: list[str] = []
         excl: list[bool] = []
@@ -439,7 +465,7 @@ class PatternMatcher:
                         ok = True
                         break
             elif op == "anchor_start":
-                ok = pos == 0 and dfs(ins[1], pos)
+                ok = pos == lo and dfs(ins[1], pos)
             elif op == "anchor_end":
                 ok = pos == n and dfs(ins[1], pos)
             elif op == "excl_open":
@@ -481,22 +507,44 @@ class PatternMatcher:
         advance by one row (reference behavior for zero-length matches)."""
         n = len(pdf)
         cls = self._classify(pdf)
-        # entry-symbol prefilter: a match starting at i must consume its
-        # first row as one of the symbols reachable from the NFA entry, so
-        # positions where none of them classify true can't start a match
-        # (disabled when the pattern can match empty)
+        yield from self.find_matches_range(
+            cls, 0, n, skip=skip, with_exclusions=with_exclusions
+        )
+
+    def entry_candidates(self, cls: dict, n: int) -> np.ndarray | None:
+        """Entry-symbol prefilter: a match starting at i must consume its
+        first row as one of the symbols reachable from the NFA entry, so
+        positions where none of them classify true can't start a match
+        (disabled when the pattern can match empty)."""
         entry_syms, can_empty = self._entry_info()
-        cand = None
-        if not can_empty and entry_syms:
-            cand = np.zeros(n, dtype=bool)
-            for s in entry_syms:
-                cand |= cls[s]
-        i, match_no = 0, 0
+        if can_empty or not entry_syms:
+            return None
+        cand = np.zeros(n, dtype=bool)
+        for s in entry_syms:
+            cand |= cls[s]
+        return cand
+
+    def find_matches_range(
+        self,
+        cls: dict,
+        lo: int,
+        hi: int,
+        skip: str = "past_last_row",
+        with_exclusions: bool = False,
+        cand: np.ndarray | None = None,
+    ):
+        """:meth:`find_matches` over positions ``[lo, hi)`` of an already
+        classified frame — ``cls`` may span many stacked groups; matches
+        never cross the bounds, match numbering restarts at 1."""
+        if cand is None:
+            cand = self.entry_candidates(cls, hi)
+        n = hi
+        i, match_no = lo, 0
         while i < n:
             if cand is not None and not cand[i]:
                 i += 1
                 continue
-            hit = self._match_at(i, n, cls)
+            hit = self._match_at(i, n, cls, lo=lo)
             if hit is None:
                 i += 1
                 continue
@@ -589,19 +637,32 @@ def match_recognize_general(
         return str(v)
 
     cols = [s.split()[0] for s in out_schema.split(", ")]
+    # Partition-wide classification is sound only when every DEFINE
+    # evaluates correctly over a frame of stacked groups (navigation via
+    # nav_shift, marked by _compile_define / vectorized(group_safe=True));
+    # anything else falls back to classifying per group.
+    group_safe = all(
+        getattr(p, "_rp_group_safe", False) for p in defines.values()
+    )
 
-    def run_group(keys: dict, pdf: pd.DataFrame, rows: list) -> None:
-        pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
-        for match_no, start, labels, excl in matcher.find_matches(
-            pdf, skip=skip, with_exclusions=True
+    def emit_group(pdf, gs: int, ge: int, cls, cand, rows: list) -> None:
+        """Match positions [gs, ge) of the partition-wide sorted frame;
+        output positions are group-relative (window semantics)."""
+        keys = {
+            c: _key_str(pdf[c].iloc[gs]) for c in partition_by
+        }
+        for match_no, start, labels, excl in matcher.find_matches_range(
+            cls, gs, ge, skip=skip, with_exclusions=True, cand=cand
         ):
-            frame = pdf.iloc[start : start + len(labels)]
+            frame = (
+                pdf.iloc[start : start + len(labels)] if measures else None
+            )
             if mode == "one":
                 row = dict(keys)
                 row.update(
                     match_number=match_no,
-                    start_pos=start,
-                    end_pos=start + len(labels) - 1,
+                    start_pos=start - gs,
+                    end_pos=start - gs + len(labels) - 1,
                     n_rows=len(labels),
                 )
                 for name, fn in measures.items():
@@ -616,7 +677,9 @@ def match_recognize_general(
                         continue
                     row = dict(keys)
                     row.update(
-                        match_number=match_no, row_pos=start + k, classifier=lab
+                        match_number=match_no,
+                        row_pos=start - gs + k,
+                        classifier=lab,
                     )
                     for name, fn in measures.items():
                         row[name] = fn(frame.iloc[: k + 1], labels[: k + 1])
@@ -627,16 +690,40 @@ def match_recognize_general(
         # per-group applyInPandas costs ~ms per group, which dominates for
         # many small partitions (measured 39s -> ~4s on 15k groups); the
         # whole Spark partition is concatenated since Arrow batches may
-        # split a group.
+        # split a group.  The partition is sorted and classified ONCE —
+        # per-group sort_values + DEFINE eval dominated the loop at many
+        # small groups (guide §4.2: hand whole batches to pandas).
         pdfs = [b for b in batches if len(b)]
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True)
+        sort_keys = partition_by + [
+            c for c in order_by if c not in partition_by
+        ]
+        pdf = pdf.sort_values(
+            sort_keys, kind="mergesort", ignore_index=True
+        )
+        gid = (
+            pdf.groupby(partition_by, sort=False, dropna=False)
+            .ngroup()
+            .to_numpy()
+        )
+        n = len(pdf)
+        starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        ends = np.r_[starts[1:], n]
         rows: list = []
-        for key, grp in pdf.groupby(partition_by, sort=False, dropna=False):
-            kt = key if isinstance(key, tuple) else (key,)
-            keys = {c: _key_str(v) for c, v in zip(partition_by, kt)}
-            run_group(keys, grp, rows)
+        if group_safe:
+            pdf[_GID_COL] = gid
+            cls = matcher._classify(pdf)
+            pdf = pdf.drop(columns=[_GID_COL])
+            cand = matcher.entry_candidates(cls, n)
+            for gs, ge in zip(starts, ends):
+                emit_group(pdf, int(gs), int(ge), cls, cand, rows)
+        else:
+            for gs, ge in zip(starts, ends):
+                grp = pdf.iloc[int(gs) : int(ge)].reset_index(drop=True)
+                cls = matcher._classify(grp)
+                emit_group(grp, 0, len(grp), cls, None, rows)
         yield pd.DataFrame(rows, columns=cols)
 
     out = df.repartition(*[df[c] for c in partition_by]).mapInPandas(

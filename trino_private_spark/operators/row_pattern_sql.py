@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 
 from trino_private_spark.operators.row_pattern import (
     match_recognize_general,
+    nav_shift,
     vectorized,
 )
 
@@ -103,7 +104,9 @@ def _compile_define(expr: str, columns: list[str]):
                     raise ValueError(f"unknown column {col!r} in DEFINE")
                 n = int(m2.group(2) or 1)
                 shift = n if up == "PREV" else -n
-                out.append(f"p[{col!r}].shift({shift})")
+                # group-boundary-safe navigation: lets the executor classify
+                # a whole Spark partition (many groups) in one pandas pass
+                out.append(f"_sh(p, {col!r}, {shift})")
             elif up in ("TRUE", "FALSE"):
                 # boolean literals (DEFINE A AS true — the always-match
                 # definition the reference's docs use throughout); emitted
@@ -121,9 +124,9 @@ def _compile_define(expr: str, columns: list[str]):
     code = compile(body, "<define>", "eval")
 
     def pred(p, _code=code):
-        return eval(_code, {"__builtins__": {}}, {"p": p})
+        return eval(_code, {"__builtins__": {}}, {"p": p, "_sh": nav_shift})
 
-    return vectorized(pred)
+    return vectorized(pred, group_safe=True)
 
 
 _MR_RE = re.compile(

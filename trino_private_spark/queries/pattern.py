@@ -98,11 +98,19 @@ def _mr_base(spark: SparkSession, sf_dir: str):
 
 
 def _dir_defines():
-    from trino_private_spark.operators.row_pattern import vectorized
+    from trino_private_spark.operators.row_pattern import nav_shift, vectorized
 
+    # nav_shift + group_safe=True: classification runs once per Spark
+    # partition instead of once per group (guide §4.2)
     return {
-        "u": vectorized(lambda p: p["o_totalprice"] > p["o_totalprice"].shift(1)),
-        "d": vectorized(lambda p: p["o_totalprice"] < p["o_totalprice"].shift(1)),
+        "u": vectorized(
+            lambda p: p["o_totalprice"] > nav_shift(p, "o_totalprice", 1),
+            group_safe=True,
+        ),
+        "d": vectorized(
+            lambda p: p["o_totalprice"] < nav_shift(p, "o_totalprice", 1),
+            group_safe=True,
+        ),
     }
 
 
@@ -193,7 +201,11 @@ def p_mr_ranged_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h": __import__(
                 "trino_private_spark.operators.row_pattern",
                 fromlist=["vectorized"],
-            ).vectorized(lambda p: p["o_totalprice"] > 250000)
+            ).vectorized(
+                # row-local predicate: safe over stacked groups
+                lambda p: p["o_totalprice"] > 250000,
+                group_safe=True,
+            )
         },
         mode="one",
     )

@@ -1511,7 +1511,15 @@ def _rows_frame(spark: SparkSession, rows: list[tuple], schema: str):
     (10^5 at the target scale). Small lists keep the plain path; any
     Arrow conversion surprise falls back to it too."""
     if len(rows) < 10_000:
-        return spark.createDataFrame(rows, schema)
+        # One partition, not defaultParallelism: createDataFrame(list)
+        # parallelizes into 32 slices on local[32], and a downstream join
+        # of two such frames becomes a 32x32=1024-task CartesianProduct
+        # (p_iceberg_history_refs measured 38 s; 1.5 s after this).
+        # Metadata tables under 10k rows are driver-resident by
+        # construction, so a single slice is the right layout at any scale.
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1) if rows else rows, schema
+        )
     try:
         import pyarrow as pa
 
