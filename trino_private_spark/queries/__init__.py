@@ -75,6 +75,23 @@ class T:
         raise AttributeError(name)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a sub-parallelism scan out to the session's cores before
+    per-row-EXPENSIVE compute (pure-Python geometry/sketch kernels, HOF
+    n-gram passes). A single small parquet file plans as ONE input split
+    -> one task, serializing the kernel on one core (guide §2.5 input
+    skew: "one huge unsplittable file ... repartition immediately after
+    the read"). At production scale every scan has >= cores splits, so
+    this is a no-op there — the repartition only fires below the
+    session's default parallelism."""
+    try:
+        nparts = df.rdd.getNumPartitions()
+        target = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover — never block a probe on this
+        return df
+    return df.repartition(target) if nparts < target else df
+
+
 def all_probes() -> dict[str, Probe]:
     _load_modules()
     return dict(REGISTRY)

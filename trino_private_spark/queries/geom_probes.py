@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trino_private_spark.functions import geometry as G
-from trino_private_spark.queries import T, probe
+from trino_private_spark.queries import T, probe, spread
 
 
 def _sq_wkt(cx, cy, s):
@@ -395,7 +395,7 @@ def p_geom_setops_general(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.cast("string", c)
 
     t = T(spark, sf_dir)
-    base = t.supplier.where(F.col("s_suppkey") <= 200).select(
+    base = spread(t.supplier.where(F.col("s_suppkey") <= 200)).select(
         "s_suppkey", (F.col("s_suppkey") % 3 + 1).cast("int").alias("s")
     )
     s = F.col("s")
@@ -460,7 +460,7 @@ def p_geom_buffer_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     t = T(spark, sf_dir)
-    base = t.supplier.where(F.col("s_suppkey") <= 200).select(
+    base = spread(t.supplier.where(F.col("s_suppkey") <= 200)).select(
         "s_suppkey",
         ((F.col("s_suppkey") % 5 + 1) * 8).cast("double").alias("L"),
         (F.col("s_suppkey") % 3 + 1).cast("double").alias("r"),
@@ -510,7 +510,7 @@ def p_spherical_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trino_private_spark.functions import spherical as S
 
     t = T(spark, sf_dir)
-    base = t.supplier.where(F.col("s_suppkey") <= 150).select(
+    base = spread(t.supplier.where(F.col("s_suppkey") <= 150)).select(
         "s_suppkey",
         (F.col("s_suppkey") % 89 + 1).cast("int").alias("L"),
         (F.col("s_suppkey") % 79 + 1).cast("int").alias("D"),
@@ -555,7 +555,7 @@ def p_line_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trino_private_spark.functions import geometry_agg as GA
 
     t = T(spark, sf_dir)
-    base = t.supplier.where(F.col("s_suppkey") <= 200).select(
+    base = spread(t.supplier.where(F.col("s_suppkey") <= 200)).select(
         "s_suppkey",
         (F.col("s_suppkey") % 7 + 3).alias("L"),
         (F.col("s_suppkey") % 11).alias("px"),
@@ -644,7 +644,7 @@ def p_geometry_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.cast("string", c)
 
     t = T(spark, sf_dir)
-    base = t.supplier.where(F.col("s_suppkey") <= 200).select(
+    base = spread(t.supplier.where(F.col("s_suppkey") <= 200)).select(
         "s_suppkey",
         (F.col("s_suppkey") % 6 + 5).alias("L"),
         (F.col("s_suppkey") % 4 + 1).alias("k"),   # fraction k/5; square side k
@@ -741,7 +741,7 @@ def p_st_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(cfg == 3, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
         .otherwise("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
     )
-    base = t.supplier.where(F.col("s_suppkey") <= 200).select("s_suppkey")
+    base = spread(t.supplier.where(F.col("s_suppkey") <= 200)).select("s_suppkey")
     return base.select(
         "s_suppkey",
         R.GEOMETRY_UDFS["geometry_de9im"](a, b).alias("matrix"),
@@ -779,7 +779,7 @@ def p_hadoop_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         GX.GEOMETRY_UDFS["geometry_to_hadoop_shape"](sq)
     )
     return (
-        t.supplier.where(F.col("s_suppkey") <= 200)
+        spread(t.supplier.where(F.col("s_suppkey") <= 200))
         .select(
             "s_suppkey",
             F.round(G.st_area(rt)).cast("long").alias("area"),

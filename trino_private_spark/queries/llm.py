@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from trino_private_spark.queries import T, probe
+from trino_private_spark.queries import T, probe, spread
 
 
 @probe(
@@ -1104,7 +1104,9 @@ def p_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trino_private_spark.llm import heuristics as H
 
     t = T(spark, sf_dir)
-    d = t.documents.withColumn("__toks", F.split(F.lower(F.col("text")), r"\s+"))
+    d = spread(t.documents).withColumn(
+        "__toks", F.split(F.lower(F.col("text")), r"\s+")
+    )
     toks = F.col("__toks")
     return d.select(
         "doc_id",
@@ -1187,7 +1189,7 @@ def p_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = T(spark, sf_dir)
     out = gopher_quality_filter(
-        t.documents,
+        spread(t.documents),
         min_words=20,
         max_words=80,
         min_mean_word_len=3.0,
