@@ -164,10 +164,6 @@ def p_setdigest_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         setdigest_agg(F.col("o_custkey")).alias("sig"),
         F.countDistinct("o_custkey").alias("card"),
     )
-    # the a x b self-join below would otherwise evaluate the pandas-UDAF
-    # subtree twice (Spark plans self-joined subtrees independently);
-    # 3 tiny signature rows — localCheckpoint cuts the duplicate pass
-    sigs = sigs.localCheckpoint(eager=False)
     a = sigs.select(
         F.col("o_orderstatus").alias("st_a"),
         F.col("sig").alias("sig_a"),
