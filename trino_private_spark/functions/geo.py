@@ -220,6 +220,23 @@ def _add_distance_to_longitude(
     )
 
 
+def radius_bbox(lat: Column, lon: Column, radius_km) -> tuple:
+    """(left_lon, bottom_lat, right_lon, top_lat) of the radius_km disk's
+    lat/lon bbox — the addDistanceToLatitude/-Longitude composition of
+    BingTileFunctions, shared by the tile cover and the KdbTree cover.
+
+    Antimeridian caveat (same as the reference's wraparound handling): a
+    disk crossing lon ±180 wraps, leaving left > right; callers must split
+    the cover into [left, 180] and [-180, right] (kdb_distance_join does;
+    the tile-rectangle cover documents the limitation instead)."""
+    return (
+        _add_distance_to_longitude(lat, lon, radius_km, 270),
+        _add_distance_to_latitude(lat, radius_km, 180),
+        _add_distance_to_longitude(lat, lon, radius_km, 90),
+        _add_distance_to_latitude(lat, radius_km, 0),
+    )
+
+
 def tiles_covering_radius(lat, lon, zoom, radius_km) -> Column:
     """Array of encoded tiles whose bbox intersects the radius_km disk.
 

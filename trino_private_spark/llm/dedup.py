@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from trino_private_spark.llm.text import fingerprint, tokens
 
@@ -372,22 +373,23 @@ def connected_components(
     O(diameter) — near-dup clusters are tiny (2-5 docs), so 2-3 rounds
     converge; each round is one join+groupBy on the id key. No driver-side
     data, safe at any pair count."""
-    edges = (
+    edges_plan = (
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
         .union(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
         .distinct()
-        # cut the lineage ONCE: edges joins into every iteration, and
-        # without this the whole upstream candidate pipeline (LSH bucketing,
-        # jaccard verification) would re-execute per round
-        .localCheckpoint(eager=True)
     )
     # Near-dup pair sets are tiny relative to the corpus (LSH emits
     # candidates, not the cross product): below the threshold solve the
     # components with one collect + union-find on the driver — O(E α(E)) in
-    # milliseconds instead of per-round Spark jobs. The iterative
-    # label-propagation path below remains for genuinely large edge sets.
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
+    # milliseconds instead of per-round Spark jobs. ONE action decides the
+    # path AND fetches the edges: limit(threshold+1) returns the full edge
+    # set whenever it fits, so the old count()-then-collect() pair (plus
+    # the pre-checkpoint the iterative path needs) collapses to a single
+    # job. The iterative label-propagation path below remains for
+    # genuinely large edge sets.
+    head = edges_plan.limit(driver_threshold + 1).collect()
+    spark = pairs.sparkSession
+    if len(head) <= driver_threshold:
         parent: dict = {}
 
         def find(x):
@@ -396,7 +398,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for r in edges.collect():
+        for r in head:
             x, y = r["x"], r["y"]
             parent.setdefault(x, x)
             parent.setdefault(y, y)
@@ -406,12 +408,23 @@ def connected_components(
                     rx, ry = ry, rx
                 parent[ry] = rx
         rows = [(k, find(k)) for k in parent]
-        spark = pairs.sparkSession
         if not rows:
-            return edges.select(
-                F.col("x").alias("id"), F.col("x").alias("component")
+            # empty, lineage-free frame with the edge key's type
+            id_type = edges_plan.schema["x"].dataType
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("id", id_type),
+                        T.StructField("component", id_type),
+                    ]
+                ),
             )
         return spark.createDataFrame(rows, ["id", "component"])
+    # large edge set: cut the lineage ONCE — edges joins into every
+    # iteration, and without this the whole upstream candidate pipeline
+    # (LSH bucketing, jaccard verification) would re-execute per round
+    edges = edges_plan.localCheckpoint(eager=True)
     # self-edges keep isolated endpoints in the label table
     labels = (
         edges.select(F.col("x").alias("id"))
@@ -432,19 +445,24 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
                 ).alias("component"),
+                # convergence flag computed IN the round's own pass: the
+                # old/new comparison rides along instead of a second join
+                (
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_comp"), F.col("component")),
+                    )
+                    != F.col("component")
+                ).alias("__changed"),
             )
         )
-        # checkpoint BEFORE the convergence probe so the round's labels are
-        # computed once, not once for the probe and again for the next round
-        checkpointed = new_labels.localCheckpoint(eager=True)
-        changed = (
-            checkpointed.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = checkpointed
+        # LAZY checkpoint + a full-scan count: ONE job both materializes
+        # every partition (so the next round reads cached blocks, never
+        # re-deriving this round) and answers the convergence probe — the
+        # eager-checkpoint-then-probe form cost two jobs per round
+        checkpointed = new_labels.localCheckpoint(eager=False)
+        changed = checkpointed.where(F.col("__changed")).count()
+        labels = checkpointed.select("id", "component")
         if changed == 0:
             break
     return labels

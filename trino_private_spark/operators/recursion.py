@@ -40,9 +40,15 @@ def recursive_cte(
         # materialize each level once: the emptiness probe and the next
         # step() then run on a one-level plan instead of re-deriving the
         # whole recursion chain (plan depth — not data — is the cost here;
-        # at depth d the un-checkpointed probe alone is O(d) planning)
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        # at depth d the un-checkpointed probe alone is O(d) planning).
+        # LAZY checkpoint + count folds the materialization and the
+        # emptiness probe into ONE job per level: count() computes every
+        # partition (persisting the blocks the checkpoint needs), and the
+        # lineage truncation happens at that same job's end — the eager
+        # checkpoint + isEmpty form paid two scheduler round-trips per
+        # level, which dominates deep small-row recursions.
+        nxt = nxt.localCheckpoint(eager=False)
+        if nxt.count() == 0:
             return acc
         acc = acc.unionByName(nxt)
         frontier = nxt

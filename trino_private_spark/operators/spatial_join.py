@@ -51,11 +51,10 @@ def distance_join(
     Column names must not collide across the two inputs.
     """
     from trino_private_spark.functions.geo import (
-        _add_distance_to_latitude,
-        _add_distance_to_longitude,
         bing_tile,
         latitude_to_tile_y,
         longitude_to_tile_x,
+        radius_bbox,
     )
 
     z = F.lit(zoom)
@@ -71,10 +70,14 @@ def distance_join(
     # so the join result is identical; the extra candidates are bounded by
     # the rect/disk area ratio (-> 4/pi as tiles shrink relative to the
     # radius).
-    top = latitude_to_tile_y(_add_distance_to_latitude(lat_c, r, 0), z)
-    bottom = latitude_to_tile_y(_add_distance_to_latitude(lat_c, r, 180), z)
-    left = longitude_to_tile_x(_add_distance_to_longitude(lat_c, lon_c, r, 270), z)
-    right = longitude_to_tile_x(_add_distance_to_longitude(lat_c, lon_c, r, 90), z)
+    # shared bbox-bounds helper (functions/geo.radius_bbox); the wrapped
+    # left > right antimeridian case is documented there — this rectangle
+    # cover does not split it (pre-existing limitation)
+    l_e, b_e, r_e, t_e = radius_bbox(lat_c, lon_c, r)
+    top = latitude_to_tile_y(t_e, z)
+    bottom = latitude_to_tile_y(b_e, z)
+    left = longitude_to_tile_x(l_e, z)
+    right = longitude_to_tile_x(r_e, z)
     p = (
         probe.withColumn("__tx", F.explode(F.sequence(left, right)))
         .withColumn("__ty", F.explode(F.sequence(top, bottom)))

@@ -38,9 +38,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from trino_private_spark.functions.geo import (
-    _add_distance_to_latitude,
-    _add_distance_to_longitude,
     great_circle_distance,
+    radius_bbox,
 )
 
 
@@ -186,10 +185,20 @@ def kdb_distance_join(
     )
     lat_c, lon_c = F.col(probe_lat), F.col(probe_lon)
     r = F.lit(radius_km)
-    top = _add_distance_to_latitude(lat_c, r, 0)
-    bottom = _add_distance_to_latitude(lat_c, r, 180)
-    left = _add_distance_to_longitude(lat_c, lon_c, r, 270)
-    right = _add_distance_to_longitude(lat_c, lon_c, r, 90)
+    l_e, b_e, r_e, t_e = radius_bbox(lat_c, lon_c, r)
+    # Pre-project the four bbox bounds into COLUMNS before the leaf-cover
+    # HOF: filter/transform lambda bodies get no common-subexpression
+    # elimination and run interpreted, so bounds left inline re-evaluate
+    # their whole trig tree once PER LEAF ELEMENT per row (4 x n_leaves
+    # evaluations). As attributes they compute once per row in the
+    # codegen'd projection below; each is referenced 2-3x across the
+    # antimeridian branches, which keeps CollapseProject from inlining
+    # them back.
+    p0 = probe.withColumns(
+        {"__bb_l": l_e, "__bb_b": b_e, "__bb_r": r_e, "__bb_t": t_e}
+    )
+    left, bottom = F.col("__bb_l"), F.col("__bb_b")
+    right, top = F.col("__bb_r"), F.col("__bb_t")
     # antimeridian wrap: a disk crossing +-180 covers two bboxes
     cover = F.when(
         left > right,
@@ -198,7 +207,9 @@ def kdb_distance_join(
             part.cover_ids(F.lit(-180.0), bottom, right, top),
         ),
     ).otherwise(part.cover_ids(left, bottom, right, top))
-    p = probe.withColumn("__leaf", F.explode(cover))
+    p = p0.withColumn("__leaf", F.explode(cover)).drop(
+        "__bb_l", "__bb_b", "__bb_r", "__bb_t"
+    )
     dist = great_circle_distance(
         F.col(probe_lat), F.col(probe_lon), F.col(build_lat), F.col(build_lon)
     )

@@ -164,6 +164,12 @@ def p_setdigest_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         setdigest_agg(F.col("o_custkey")).alias("sig"),
         F.countDistinct("o_custkey").alias("card"),
     )
+    # the signature frame is tiny by construction (one row per distinct
+    # o_orderstatus — 3 in TPC-H) but its pandas-UDAF subtree is the
+    # expensive part of this probe; under the a x b self-join Spark
+    # evaluated it TWICE. Materialize it once and self-join the local
+    # rows — per-invocation computation, not a cross-run cache.
+    sigs = spark.createDataFrame(sigs.collect(), sigs.schema)
     a = sigs.select(
         F.col("o_orderstatus").alias("st_a"),
         F.col("sig").alias("sig_a"),

@@ -435,9 +435,8 @@ def p_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the curated ids are a subset of the input ids.  Stage semantics
     are additionally unit-tested with injected duplicates in
     test_llm_ops."""
-    from trino_private_spark.llm.dedup import exact_duplicates
     from trino_private_spark.llm.pipeline import curate_corpus
-    from trino_private_spark.llm.text import language_id
+    from trino_private_spark.llm.text import fingerprint, language_id
 
     t = T(spark, sf_dir)
     docs = t.documents.select("doc_id", "text")
@@ -459,19 +458,41 @@ def p_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=16,
         bands=4,
     )
-    # three invariant checks below each act on curated — persist once
-    curated = res.curated.select("doc_id", "text").persist()
-    n = curated.count()
-    n_dup_groups = exact_duplicates(curated).count()
-    n_orphans = (
-        curated.select("doc_id").join(docs.select("doc_id"), "doc_id", "left_anti").count()
+    # ALL THREE invariants in ONE action (was: persist + 3 jobs): per
+    # curated row compute its content fingerprint and an input-membership
+    # flag, group by fingerprint, then roll the groups up — total rows
+    # (nonempty), groups with n > 1 (exact_duplicates' group count), and
+    # rows whose doc_id never matched the input (the anti-join count).
+    stats = (
+        res.curated.select("doc_id", fingerprint(F.col("text")).alias("__fp"))
+        .join(
+            docs.select("doc_id").distinct().withColumn("__in", F.lit(1)),
+            "doc_id",
+            "left",
+        )
+        .groupBy("__fp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias("orph"),
+        )
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows"),
+            F.count_if(F.col("n") > 1).alias("n_dup_groups"),
+            F.coalesce(F.sum("orph"), F.lit(0)).alias("n_orphans"),
+        )
+        .collect()[0]
     )
-    # all invariants computed — release the pipeline's and the probe's own
-    # cached blocks (ADVICE r5: repeated invocations were accumulating)
+    # invariants computed — release the pipeline's cached blocks
+    # (ADVICE r5: repeated invocations were accumulating)
     res.unpersist()
-    curated.unpersist()
     return spark.createDataFrame(
-        [(n > 0, n_dup_groups == 0, n_orphans == 0)],
+        [
+            (
+                stats.n_rows > 0,
+                stats.n_dup_groups == 0,
+                stats.n_orphans == 0,
+            )
+        ],
         "nonempty boolean, no_exact_dups boolean, subset_ok boolean",
     )
 

@@ -1381,22 +1381,28 @@ def iceberg_update(
         partition_filter=parse_partition_predicate(
             condition, backslash_escapes=True
         ) or None,
-    ).localCheckpoint(eager=True)
-    matched = cur.where(condition)
+    )
+    # checkpoint the MATCHED rows, not the whole pre-image read: both the
+    # position-delete writer and the new-version writer derive from
+    # `matched`, so this pins exactly the rows the update touches (at
+    # scale: the filtered set, not the table). LAZY checkpoints + one
+    # count fold the old three actions (pre-image checkpoint, updated-rows
+    # checkpoint, count) into ONE job — the count computes every partition
+    # of `upd`, which computes (and persists) every partition of
+    # `matched`, and both lineages truncate at that job's end. Everything
+    # is still materialized BEFORE anything commits.
+    matched = cur.where(condition).localCheckpoint(eager=False)
     upd = matched
     for c, expr in assignments.items():
         upd = upd.withColumn(c, F.expr(expr))
     data_cols = [c for c in cur.columns if c not in ("__file", "__pos")]
-    upd = upd.select(*data_cols).localCheckpoint(eager=True)
+    upd = upd.select(*data_cols).localCheckpoint(eager=False)
     n = upd.count()
     if n == 0:
         return 0
     positions = matched.select(
         F.col("__file").alias("file_path"),
         F.col("__pos").cast("long").alias("pos"),
-    )
-    del_files = _write_files_distributed(
-        positions, os.path.join(location, "data"), POS_DELETE_IDS
     )
     # new data files follow the table's partition spec like any append
     schema = table._current_schema()  # noqa: SLF001
@@ -1412,9 +1418,28 @@ def iceberg_update(
     )
     upd, pv_cols = _apply_spec(upd, spec_fields, schema)
     upd = _apply_sort(upd, table.metadata, pv_cols)
-    data_files = _write_files_distributed(
-        upd, os.path.join(location, "data"), field_ids, part_cols=pv_cols
-    )
+    # the two file writes are independent (both read the pinned blocks,
+    # neither is the commit) — overlap them so the second write's tasks
+    # back-fill the first's tail (guide §2.6); the snapshot commit below
+    # remains the single atomicity point.
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        del_fut = pool.submit(
+            _write_files_distributed,
+            positions,
+            os.path.join(location, "data"),
+            POS_DELETE_IDS,
+        )
+        data_fut = pool.submit(
+            _write_files_distributed,
+            upd,
+            os.path.join(location, "data"),
+            field_ids,
+            part_cols=pv_cols,
+        )
+        del_files = del_fut.result()
+        data_files = data_fut.result()
     _commit_snapshot(
         location,
         [(del_files, 1), (data_files, 0)],
